@@ -1,0 +1,90 @@
+"""Entity linking — an actor-pool stage holding the alias dictionary.
+
+The Ray-native descendant of the reference's broadcast-lookup join
+(`Kuzu/kuzu_build_graph_csv.py:265-271,338-347`): the build side (entity
+catalog -> alias dict) is materialized once, shipped via ``ray.put``, and
+each actor deserializes it ONCE in ``__init__`` (the ST6 "state loaded at
+connection setup" pattern, `common/pg_utils_multi.py:36-76`). Per batch, the
+mention column is dictionary-encoded so the Python dict lookup runs only on
+the (small) set of distinct mentions, then fans back out with a vectorized
+``take``.
+
+Unlinkable mentions follow the reference's drop-with-warning join semantics
+(J2, `Kuzu:342-347`) but are *counted, not silently dropped*: the stage tags
+rows with ``linked`` and downstream filters + metrics account for them.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def build_alias_index(catalog: pa.Table) -> dict[str, str]:
+    """surface form -> entity id. Exact names win over aliases; aliases are
+    additionally matched case-insensitively."""
+    index: dict[str, str] = {}
+    ids = catalog["id"].to_pylist()
+    for aliases, eid in zip(catalog["aliases"].to_pylist(), ids):
+        for a in aliases or []:
+            index.setdefault(a, eid)
+            index.setdefault(a.lower(), eid)
+    for name, eid in zip(catalog["name"].to_pylist(), ids):
+        index[name] = eid
+    return index
+
+
+class EntityLinker:
+    """map_batches actor: adds ``subject_id``/``object_id``/``linked``.
+
+    ``index_ref`` is either a ``ray.ObjectRef`` to the alias index (broadcast
+    once from the driver — the scale path) or a plain dict (unit tests).
+    """
+
+    def __init__(self, index_ref):
+        self._index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+
+    def _lookup(self, col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        get = self._index.get
+        mapped = pa.array(
+            [get(m) or get(m.lower() if m else m) for m in enc.dictionary.to_pylist()],
+            type=pa.string(),
+        )
+        return mapped.take(enc.indices)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subject_id = self._lookup(batch["subject_mention"])
+        object_id = self._lookup(batch["object_mention"])
+        linked = pc.and_(pc.is_valid(subject_id), pc.is_valid(object_id))
+        return (
+            batch.append_column("subject_id", subject_id)
+            .append_column("object_id", object_id)
+            .append_column("linked", linked)
+        )
+
+
+def link_entities(triples, index_ref, batch_size: int = 16384, concurrency=(1, 8)):
+    """Attach entity ids to extracted triples via the actor pool."""
+    return triples.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def split_linked(linked_ds):
+    """(linked, dropped) pair of lazy datasets; both remain streaming."""
+    keep = linked_ds.map_batches(
+        lambda t: t.filter(t["linked"]), batch_format="pyarrow"
+    )
+    dropped = linked_ds.map_batches(
+        lambda t: t.filter(pc.invert(t["linked"])), batch_format="pyarrow"
+    )
+    return keep, dropped

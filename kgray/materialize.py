@@ -1,0 +1,241 @@
+"""Graph materialization — deduped edge + normalized node Parquet tables.
+
+Re-expresses the reference's binning topology on Ray Data:
+
+- edge dedup on (subject, predicate, object): explicit here (the reference
+  delegates uniqueness to DB PKs / ``IGNORE_ERRORS=true``, `Kuzu:414,607`);
+  implemented as a per-batch partial combine followed by one
+  ``groupby`` — the classic pre-aggregation pattern, so the shuffle moves
+  one row per distinct triple per block, not one per occurrence.
+- provenance = the FIRST occurrence by (conv_id, turn_idx), made
+  order-free by aggregating ``min`` over a zero-padded sort key instead of
+  relying on arrival order (replaces ST3's sequential counter,
+  `MemGraph/mg_build_merge_json.py:61,157`).
+- edge_uid = deterministic content hash of (subject, predicate, object) —
+  stable across runs/cluster sizes, unlike the reference's arrival-order id.
+- node normalization M6/M7 (label-priority reorder, primary class) from
+  ``kgray.normalize``.
+- partitioned writes: nodes by primary class (P1, `Kuzu:332-335,350`),
+  edges by (predicate, subject_class, object_class) (P2, `Kuzu:344`) via
+  ``write_parquet(partition_cols=...)`` — the Ray-native form of the
+  reference's per-key CSV files (S5, `Kuzu:355-376`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from .normalize import primary_class, reorder_labels
+from .transcripts import KNOWLEDGE_SOURCE
+
+
+def _chunked(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _prov_key(conv_id: pa.Array, turn_idx: pa.Array) -> pa.Array:
+    """Lexicographically-ordered provenance key 'conv#00000042'."""
+    padded = pc.utf8_lpad(pc.cast(turn_idx, pa.string()), 8, "0")
+    return pc.binary_join_element_wise(conv_id, padded, "#")
+
+
+def _partial_dedup(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per distinct triple with min(prov), count."""
+    prov = _prov_key(_chunked(batch["conv_id"]), _chunked(batch["turn_idx"]))
+    t = pa.table(
+        {
+            "subject": _chunked(batch["subject_id"]),
+            "predicate": _chunked(batch["predicate"]),
+            "object": _chunked(batch["object_id"]),
+            "prov": prov,
+        }
+    )
+    return t.group_by(["subject", "predicate", "object"]).aggregate(
+        [("prov", "min"), ("prov", "count")]
+    ).rename_columns(["subject", "predicate", "object", "prov_min", "n_mentions"])
+
+
+def edge_uid(subject, predicate, obj) -> pa.Array:
+    """Deterministic 64-bit content hash of the triple, hex-encoded."""
+    key = (
+        pd.Series(np.asarray(subject, dtype=object))
+        + "|" + pd.Series(np.asarray(predicate, dtype=object))
+        + "|" + pd.Series(np.asarray(obj, dtype=object))
+    )
+    h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+    return pa.array([format(x, "016x") for x in h], type=pa.string())
+
+
+def build_edges(
+    linked_triples: ray.data.Dataset,
+    class_lookup_ref=None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """linked triples (subject_id, predicate, object_id, conv_id, turn_idx)
+    -> deduplicated edge table.
+
+    ``class_lookup_ref``: optional broadcast (ray.put) dict id -> primary
+    class; when given, edges are tagged with subject_class/object_class (J1)
+    and rows with unknown endpoints are KEPT with null classes — endpoint
+    existence was already enforced by the linker (J2).
+    """
+    partial = linked_triples.map_batches(_partial_dedup, batch_format="pyarrow")
+    gb = partial.groupby(["subject", "predicate", "object"])
+    deduped = gb.aggregate(
+        Min("prov_min", alias_name="prov"), Sum("n_mentions", alias_name="n_mentions")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        subject = _chunked(t["subject"])
+        predicate = _chunked(t["predicate"])
+        obj = _chunked(t["object"])
+        prov = _chunked(t["prov"])
+        split = pc.split_pattern(prov, "#")
+        conv = pc.list_element(split, 0)
+        turn = pc.cast(pc.list_element(split, 1), pa.int32())
+        out = pa.table(
+            {
+                "subject": subject,
+                "predicate": predicate,
+                "object": obj,
+                "edge_uid": edge_uid(subject, predicate, obj),
+                "primary_knowledge_source": pa.array(
+                    [KNOWLEDGE_SOURCE] * len(t), type=pa.string()
+                ),
+                "n_mentions": pc.cast(_chunked(t["n_mentions"]), pa.int64()),
+                "first_conv_id": conv,
+                "first_turn_idx": turn,
+            }
+        )
+        return out
+
+    edges = deduped.map_batches(finish, batch_format="pyarrow")
+
+    if class_lookup_ref is not None:
+        class Tagger:
+            def __init__(self):
+                self._map = (
+                    ray.get(class_lookup_ref)
+                    if isinstance(class_lookup_ref, ray.ObjectRef)
+                    else class_lookup_ref
+                )
+
+            def _cls(self, col: pa.Array) -> pa.Array:
+                enc = pc.dictionary_encode(_chunked(col))
+                get = self._map.get
+                mapped = pa.array(
+                    [get(v) for v in enc.dictionary.to_pylist()], type=pa.string()
+                )
+                return mapped.take(enc.indices)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "subject_class", self._cls(t["subject"])
+                ).append_column("object_class", self._cls(t["object"]))
+
+        edges = edges.map_batches(
+            Tagger, batch_format="pyarrow", batch_size=32768, concurrency=(1, 8)
+        )
+    return edges
+
+
+def build_nodes(
+    edges_ds: ray.data.Dataset,
+    catalog_index_ref,
+    endpoint_cols: tuple[str, str] = ("subject", "object"),
+) -> ray.data.Dataset:
+    """Distinct endpoint ids of the edge/triple stream -> normalized node table.
+
+    ``catalog_index_ref``: broadcast dict id -> (name, categories list,
+    equivalent_identifiers list). Node normalization = M6 label reorder +
+    M7 primary class.
+    """
+    s_col, o_col = endpoint_cols
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [_chunked(t[s_col]).cast(pa.string()), _chunked(t[o_col]).cast(pa.string())]
+        )
+        return pa.table({"id": ids.unique()})
+
+    # distributed distinct: per-batch unique (combiner) then a groupby —
+    # the node id set never lands on the driver
+    from ray.data.aggregate import Count
+
+    ids_ds = (
+        edges_ds.select_columns(list(endpoint_cols))
+        .map_batches(endpoints, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    class Attrs:
+        def __init__(self):
+            self._idx = (
+                ray.get(catalog_index_ref)
+                if isinstance(catalog_index_ref, ray.ObjectRef)
+                else catalog_index_ref
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = _chunked(t["id"]).to_pylist()
+            rows = [self._idx.get(i) for i in ids]
+            names = pa.array([r[0] if r else None for r in rows], type=pa.string())
+            cats = pa.array(
+                [r[1] if r else [] for r in rows], type=pa.list_(pa.string())
+            )
+            equiv = pa.array(
+                [r[2] if r else [] for r in rows], type=pa.list_(pa.string())
+            )
+            labels = reorder_labels(cats)
+            return pa.table(
+                {
+                    "id": _chunked(t["id"]),
+                    "name": names,
+                    "labels": labels,
+                    "equivalent_identifiers": equiv,
+                    "primary_class": primary_class(labels),
+                }
+            )
+
+    return ids_ds.map_batches(
+        Attrs, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4)
+    )
+
+
+def catalog_index(catalog: pa.Table) -> dict[str, tuple]:
+    """id -> (name, categories, equivalent_identifiers) broadcast payload."""
+    return {
+        i: (n, c, e)
+        for i, n, c, e in zip(
+            catalog["id"].to_pylist(),
+            catalog["name"].to_pylist(),
+            catalog["categories"].to_pylist(),
+            catalog["equivalent_identifiers"].to_pylist(),
+        )
+    }
+
+
+def write_graph(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    out_dir: str,
+    partition_edges_by_classes: bool = False,
+) -> dict[str, str]:
+    """Partitioned Parquet sinks (P1/P2). Returns the output paths."""
+    node_dir = f"{out_dir}/nodes"
+    edge_dir = f"{out_dir}/edges"
+    nodes.write_parquet(node_dir, partition_cols=["primary_class"])
+    part_cols = ["predicate"]
+    if partition_edges_by_classes:
+        part_cols += ["subject_class", "object_class"]
+    edges.write_parquet(edge_dir, partition_cols=part_cols)
+    return {"nodes": node_dir, "edges": edge_dir}

@@ -1,0 +1,200 @@
+"""The flagship KG-construction pipeline (staged, checkpointed, resumable).
+
+Ray-native analog of the reference's 5-stage checkpointed lifecycle
+(`Kuzu/kuzu_build_graph_csv.py:621-753`: CONVERT -> CREATE_LUS -> BIN ->
+CREATE_TABLES -> IMPORT, artifacts on disk between stages):
+
+    transcripts (Parquet / generated)
+      1. order      sort(conv_id, turn_idx)          [stable turn ordering]
+      2. extract    map_batches(TripleExtractor)     [actor pool, Arrow]
+      3. link       map_batches(EntityLinker)        [actor pool, broadcast dict]
+      4. canonical  union-find over equivalent ids   [groupby shuffles]
+      5. edges      partial-dedup + groupby          [(s,p,o) distinct]
+      6. nodes      distinct endpoints + normalize   [M6/M7]
+      7. write      partitioned Parquet (P1/P2) + lineage manifest
+
+Each run writes per-stage manifests under ``<out_dir>/_manifests``; a rerun
+with the same input fingerprint skips stages whose outputs already exist
+(the ST4 pickle-checkpoint contract, `Kuzu:673-731`, as Parquet + JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from . import canonicalize, extract, link, lookups, materialize
+from .link import build_alias_index
+from .materialize import catalog_index
+from .metrics import StageMetrics
+from .transcripts import entity_catalog, transcripts_dataset
+
+
+LINKED_TRIPLE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("subject_mention", pa.string()),
+        ("predicate", pa.string()),
+        ("object_mention", pa.string()),
+        ("subject_id", pa.string()),
+        ("object_id", pa.string()),
+        ("linked", pa.bool_()),
+    ]
+)
+
+
+def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
+    """write_parquet on an empty dataset writes no files; give readers an
+    empty-but-typed table so the pipeline degrades gracefully."""
+    import pyarrow.parquet as pq
+
+    has_files = os.path.isdir(path) and any(
+        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
+    )
+    if not has_files:
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        out_dir: str,
+        catalog=None,
+        rules=None,
+        extract_concurrency=(1, 8),
+        resume: bool = True,
+    ):
+        self.out_dir = out_dir
+        self.catalog = catalog if catalog is not None else entity_catalog()
+        self.rules = rules
+        self.extract_concurrency = extract_concurrency
+        self.resume = resume
+        self.metrics = StageMetrics(run_id=os.path.basename(out_dir.rstrip("/")))
+
+    # -- checkpoint manifests -------------------------------------------------
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.out_dir, "_manifests", f"{stage}.json")
+
+    def _done(self, stage: str, fingerprint: str) -> bool:
+        p = self._manifest_path(stage)
+        if not (self.resume and os.path.exists(p)):
+            return False
+        with open(p) as f:
+            return json.load(f).get("fingerprint") == fingerprint
+
+    def _mark_done(self, stage: str, fingerprint: str, **extra) -> None:
+        p = self._manifest_path(stage)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stage": stage, "fingerprint": fingerprint, **extra}, f)
+        os.replace(tmp, p)
+
+    # -- stages ---------------------------------------------------------------
+    def run(self, transcripts: ray.data.Dataset, fingerprint: str = "") -> dict:
+        """Execute end-to-end; returns output paths + metrics."""
+        m = self.metrics
+        edge_out = os.path.join(self.out_dir, "edges")
+        node_out = os.path.join(self.out_dir, "nodes")
+
+        if self._done("write", fingerprint):
+            m.record("write", skipped=True)
+            return {"nodes": node_out, "edges": edge_out, "metrics": m.to_dict(),
+                    "resumed": True}
+
+        triples_dir = os.path.join(self.out_dir, "triples")
+
+        # stages 1-3 checkpoint: linked triples as a Parquet stage artifact
+        # (the Ray-native form of the reference's between-stage files/pickles,
+        # Kuzu:673-731) — written once, streamed twice below.
+        if not self._done("triples", fingerprint):
+            # 1. stable turn ordering (per-turn text equality invariant)
+            with m.time_stage("order"):
+                ordered = transcripts.sort(["conv_id", "turn_idx"])
+
+            # 2. rule/pattern triple extraction (actor pool, zero-copy Arrow)
+            with m.time_stage("extract"):
+                triples = extract.extract_triples(
+                    ordered, rules=self.rules, concurrency=self.extract_concurrency
+                )
+
+            # 3. entity linking against the broadcast alias index; unlinked
+            #    rows are KEPT in the artifact (linked=false) for accounting
+            with m.time_stage("link"):
+                alias_ref = lookups.broadcast(build_alias_index(self.catalog))
+                linked_all = link.link_entities(triples, alias_ref)
+                linked_all.write_parquet(triples_dir, mode="overwrite")
+                _ensure_parquet_dir(triples_dir, LINKED_TRIPLE_SCHEMA)
+            self._mark_done("triples", fingerprint)
+        else:
+            m.record("extract", skipped=True)
+
+        linked = ray.data.read_parquet(triples_dir).map_batches(
+            lambda t: t.filter(t["linked"].combine_chunks()), batch_format="pyarrow"
+        )
+
+        # 4. canonicalization: union-find over equivalent identifiers of the
+        #    catalog, applied to edge endpoints via broadcast rewrite
+        with m.time_stage("canonicalize"):
+            cat_nodes = ray.data.from_arrow(
+                self.catalog.select(["id", "equivalent_identifiers"])
+            )
+            canon = canonicalize.canonical_map(cat_nodes)
+            canonical_triples = canonicalize.rewrite_ids(linked, canon)
+
+        # 5. node table: distinct canonical endpoints + M6/M7 normalization
+        with m.time_stage("nodes"):
+            cat_ref = lookups.broadcast(catalog_index(self.catalog))
+            nodes = materialize.build_nodes(
+                canonical_triples, cat_ref, endpoint_cols=("subject_id", "object_id")
+            ).materialize()  # node table is small relative to the edge stream
+            class_ref = lookups.broadcast(lookups.node_class_lookup(nodes))
+
+        # 6. edge table: partial-dedup combine + one (s,p,o) groupby, tagged
+        #    with endpoint classes (J1) for the partitioned layout
+        with m.time_stage("edges"):
+            edges = materialize.build_edges(
+                canonical_triples, class_lookup_ref=class_ref
+            )
+
+        # 7. partitioned writes + metrics
+        with m.time_stage("write"):
+            paths = materialize.write_graph(nodes, edges, self.out_dir)
+            from .schema import EDGE_SCHEMA, NODE_SCHEMA
+
+            _ensure_parquet_dir(paths["nodes"], NODE_SCHEMA)
+            _ensure_parquet_dir(paths["edges"], EDGE_SCHEMA)
+            n_nodes = nodes.count()
+            n_edges = ray.data.read_parquet(paths["edges"]).count()
+            m.record("write", n_nodes=n_nodes, n_edges=n_edges)
+
+        # drop accounting (J2: count, never silently truncate) — cheap
+        # aggregates over the Parquet artifact, not pipeline re-executions
+        art = ray.data.read_parquet(triples_dir, columns=["linked"])
+        n_triples = art.count()
+        n_linked = art.map_batches(
+            lambda t: pa.table({"n": [t.filter(t["linked"].combine_chunks()).num_rows]}),
+            batch_format="pyarrow",
+        ).sum("n") or 0
+        m.record("link", triples_in=n_triples, linked=n_linked,
+                 dropped_unlinked=n_triples - n_linked,
+                 link_rate=round(n_linked / n_triples, 4) if n_triples else 1.0)
+
+        m.write(self.out_dir)
+        self._mark_done("write", fingerprint, n_nodes=n_nodes, n_edges=n_edges)
+        return {"nodes": paths["nodes"], "edges": paths["edges"],
+                "metrics": m.to_dict(), "resumed": False}
+
+
+def run_flagship(sf_dir: str, out_dir: str, repeat: int = 1, resume: bool = True) -> dict:
+    """Generate the transcript corpus for ``sf_dir`` and run the pipeline."""
+    transcripts = transcripts_dataset(sf_dir, repeat=repeat)
+    pipe = KGPipeline(out_dir=out_dir, resume=resume)
+    return pipe.run(transcripts, fingerprint=f"{sf_dir}|repeat={repeat}")

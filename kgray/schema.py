@@ -1,0 +1,157 @@
+"""Schemas and the typed-header -> Arrow schema compiler.
+
+Reproduces the reference's schema vocabulary:
+
+- the Biolink class priority list (`Kuzu/kuzu_build_graph_csv.py:29-34`),
+- the column-name sanitizer ``re.sub(r'[^A-Za-z0-9_]', '_', name)``
+  (`Kuzu/kuzu_build_graph_csv.py:516`, `AGE/age_build_graph_csv.py:119`,
+  `MemGraph/mg_build_individual_json.py:247`),
+- the tab-delimited ``name:type`` header grammar and its type table
+  (`Kuzu/kuzu_build_graph_csv.py:442-535`,
+  `MemGraph/mg_build_individual_json.py:234-267`), mapped onto Arrow
+  types instead of Kuzu DDL / Cypher casts,
+- the node/edge rename maps (`Kuzu:103,114`: ``category->labels``,
+  ``predicate->label``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# Biolink class priority order used by node normalization (first match in a
+# node's label set becomes its primary class). Data-driven config in the
+# reference (`Kuzu/kuzu_build_graph_csv.py:29-34`).
+ORDERED_CATEGORIES: list[str] = [
+    "biolink:GeneFamily", "biolink:Gene", "biolink:Protein", "biolink:SmallMolecule",
+    "biolink:MolecularMixture", "biolink:ChemicalMixture", "biolink:PhenotypicFeature",
+    "biolink:Disease", "biolink:SequenceVariant", "biolink:CellularComponent",
+    "biolink:Cell", "biolink:AnatomicalEntity", "biolink:MolecularActivity",
+    "biolink:BiologicalProcess", "biolink:Pathway", "biolink:OrganismTaxon",
+    "biolink:Phenomenon", "biolink:Procedure", "biolink:Device",
+    "biolink:OrganismAttribute", "biolink:ClinicalAttribute", "biolink:Activity",
+    "biolink:InformationContentEntity", "biolink:ChemicalEntity", "biolink:BiologicalEntity",
+]
+
+# rank for deterministic priority lookup; unknown classes rank below all
+CATEGORY_RANK: dict[str, int] = {c: i for i, c in enumerate(ORDERED_CATEGORIES)}
+
+# Transcript input table (BASELINE.json input_hint).
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# Raw extracted triples (pre-linking), one row per pattern match per turn.
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("subject_mention", pa.string()),
+        ("predicate", pa.string()),
+        ("object_mention", pa.string()),
+    ]
+)
+
+# Output node table — mirrors the reference's converted node shape
+# (`MemGraph/mg_build_individual_json.py:19-39`, `Kuzu:101-110`).
+NODE_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("name", pa.string()),
+        ("labels", pa.list_(pa.string())),
+        ("equivalent_identifiers", pa.list_(pa.string())),
+        ("primary_class", pa.string()),
+    ]
+)
+
+# Output edge table — mirrors the reference's edge shape
+# (`MemGraph/mg_build_individual_json.py:41-55`, `Kuzu:112-127`).
+EDGE_SCHEMA = pa.schema(
+    [
+        ("subject", pa.string()),
+        ("predicate", pa.string()),
+        ("object", pa.string()),
+        ("edge_uid", pa.string()),
+        ("primary_knowledge_source", pa.string()),
+        ("subject_class", pa.string()),
+        ("object_class", pa.string()),
+    ]
+)
+
+NODE_RENAME_MAP = {"category": "labels"}   # Kuzu:103
+EDGE_RENAME_MAP = {"predicate": "label"}   # Kuzu:114
+
+_SANITIZE_RE = re.compile(r"[^A-Za-z0-9_]")
+
+
+def sanitize_column_name(name: str) -> str:
+    """``re.sub(r'[^A-Za-z0-9_]', '_', name)`` — Kuzu:516 / AGE:119 / MemGraph:247."""
+    return _SANITIZE_RE.sub("_", name)
+
+
+# header token -> Arrow type (§1.3 of SURVEY.md; Kuzu:518-531)
+_HEADER_TYPE_MAP: dict[str, pa.DataType] = {
+    "ID": pa.string(),
+    "START_ID": pa.string(),
+    "END_ID": pa.string(),
+    "TYPE": pa.string(),
+    "string": pa.string(),
+    "boolean": pa.bool_(),
+    "float": pa.float64(),
+    "int": pa.int64(),
+    "float[]": pa.list_(pa.float64()),
+    "string[]": pa.list_(pa.string()),
+    "LABEL": pa.list_(pa.string()),
+}
+
+# tokens whose list cells are ';'-separated in the CSV serialization
+LIST_HEADER_TOKENS = {"float[]", "string[]", "LABEL"}
+
+
+def parse_header_token(token: str) -> tuple[str, pa.DataType, str]:
+    """Parse one ``name:type`` header token into (sanitized_name, arrow_type, type_token).
+
+    The name itself may contain ':' — the type is the last ':'-separated item,
+    mirroring ``get_kuzu_data_conversion`` (Kuzu:510-516). Unknown types raise,
+    matching the reference's "ERROR: No data type recognised" path (Kuzu:532).
+    """
+    items = token.strip().split(":")
+    type_token = items[-1]
+    name = sanitize_column_name(":".join(items[:-1]))
+    if type_token not in _HEADER_TYPE_MAP:
+        raise ValueError(f"No data type recognised for {token!r}")
+    return name, _HEADER_TYPE_MAP[type_token], type_token
+
+
+def header_to_arrow_schema(
+    header_line: str, rename_cols: dict[str, str] | None = None
+) -> pa.Schema:
+    """Compile a tab-delimited typed header line into a ``pa.Schema``.
+
+    Port of ``process_csv_header`` + ``get_kuzu_data_conversion``
+    (Kuzu:442-535) with Arrow types instead of Kuzu DDL. ``rename_cols``
+    applies the reference's post-parse rename (Kuzu:488-489), e.g.
+    ``{'category': 'labels'}`` for nodes.
+    """
+    rename_cols = rename_cols or {}
+    fields = []
+    for token in header_line.rstrip("\n").split("\t"):
+        if not token.strip():
+            continue
+        name, typ, type_token = parse_header_token(token)
+        name = rename_cols.get(name, name)
+        fields.append(pa.field(name, typ, metadata={b"header_type": type_token.encode()}))
+    return pa.schema(fields)
+
+
+def list_columns_of(schema: pa.Schema) -> list[str]:
+    """Names of columns that are ';'-separated lists in CSV serialization."""
+    return [f.name for f in schema if pa.types.is_list(f.type)]

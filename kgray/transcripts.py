@@ -1,0 +1,196 @@
+"""Deterministic synthetic transcript corpus + entity catalog.
+
+The engine's primary input (BASELINE.json input_hint) is a Parquet table of
+multi-turn conversation transcripts ``(conv_id, turn_idx, role, text, tool,
+ts)``. No such table ships with the test data, so this module synthesises one
+*deterministically* from the ``documents`` table's ``doc_id`` column: every
+field is a closed-form arithmetic function of ``(doc_id, turn_idx)``. That
+makes the whole KG pipeline verifiable by a DuckDB oracle (the SQL reproduces
+the same arithmetic) while the Ray pipeline does the real work — regex
+extraction over the text, alias-dict linking, union-find canonicalization.
+
+Corpus grammar (all indices are int64, NE=1000 entities, NP=6 predicates):
+
+- conversation c (one per ``doc_id``) has ``1 + c % 7`` turns
+- turn t text = FILL_A[(c+t)%4]  [+ sentence1]  [+ sentence2]  + FILL_B[(3c+t)%4] + '.'
+- sentence1 (present unless ``(5c+t) % 11 == 0``):
+    ``Ent{s1} {VERB[p1]} Ent{o1'}`` with s1=(31c+7t)%NE, o1=(17c+11t+1)%NE,
+    p1=(c+t)%NP; o1' = o1 + NE when ``(c+t) % 13 == 0`` (an unlinkable mention
+    — exercises the drop-unmatched join semantics, `Kuzu:342-347`)
+- sentence2 (present when ``(c+2t) % 9 == 0``):
+    ``Ent{s2} {VERB[p2]} Ent{o2}`` with s2=(13c+5t)%NE, o2=(7c+3t+2)%NE,
+    p2=(2c+t)%NP
+- role = ['user','assistant','tool'][t%3]; tool = 'search' iff role='tool'
+- ts = 2025-01-01T00:00:00 + (3600c + 60t) seconds
+
+Entity catalog (i in [0, NE)): name ``Ent{i}``, raw id ``RAW:{i}``,
+equivalent_identifiers [``RAW:{i}``, ``EQ:{i//2}``] (pairs {2k, 2k+1} are
+coreferent -> canonical id ``RAW:{2k}``), categories
+[``biolink:NamedThing``, ORDERED_CATEGORIES[i%25]].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .schema import ORDERED_CATEGORIES
+
+NE = 1000          # entity vocabulary size
+NP = 6             # number of predicates
+MAX_TURNS = 7      # turns per conversation in [1, MAX_TURNS]
+
+VERBS = ["treats", "affects", "causes", "interacts with", "is part of", "is expressed in"]
+PREDICATES = [
+    "biolink:treats", "biolink:affects", "biolink:causes",
+    "biolink:interacts_with", "biolink:part_of", "biolink:expressed_in",
+]
+FILL_A = ["please note", "we observed", "records show", "analysis indicates"]
+FILL_B = ["in the study", "during review", "per the report", "at followup"]
+ROLES = ["user", "assistant", "tool"]
+KNOWLEDGE_SOURCE = "infores:kgray"
+
+_TS_BASE_US = np.datetime64("2025-01-01T00:00:00", "us").astype(np.int64)
+
+
+def _concat(*arrs) -> pa.Array:
+    """Element-wise string concatenation (C kernels, no Python loop)."""
+    return pc.binary_join_element_wise(*arrs, "")
+
+
+def _s(ints: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(ints, type=pa.int64()), pa.string())
+
+
+def _take(options: list[str], idx: np.ndarray) -> pa.Array:
+    return pa.array(options, type=pa.string()).take(pa.array(idx, type=pa.int64()))
+
+
+def turn_arithmetic(c: np.ndarray, t: np.ndarray) -> dict[str, np.ndarray]:
+    """The closed-form per-turn quantities; shared by generator, tests and
+    the pure-Python oracle. ``c``/``t`` are int64 arrays of equal length."""
+    return {
+        "has1": (5 * c + t) % 11 != 0,
+        "has2": (c + 2 * t) % 9 == 0,
+        "unlink1": (c + t) % 13 == 0,
+        "s1": (31 * c + 7 * t) % NE,
+        "o1": (17 * c + 11 * t + 1) % NE,
+        "p1": (c + t) % NP,
+        "s2": (13 * c + 5 * t) % NE,
+        "o2": (7 * c + 3 * t + 2) % NE,
+        "p2": (2 * c + t) % NP,
+    }
+
+
+def generate_turns_batch(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: table with ``doc_id`` -> transcript turns table.
+
+    Fan-out is 1 + doc_id % MAX_TURNS rows per input row; all columns are
+    built with vectorized Arrow/numpy kernels.
+    """
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_turns = 1 + doc_id % MAX_TURNS
+    c = np.repeat(doc_id, n_turns)
+    # t = 0..n_turns-1 within each conversation
+    ends = np.cumsum(n_turns)
+    t = np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - n_turns, n_turns)
+
+    a = turn_arithmetic(c, t)
+    o1_name_idx = a["o1"] + np.where(a["unlink1"], NE, 0)
+
+    s1txt = _concat("Ent", _s(a["s1"]), " ", _take(VERBS, a["p1"]), " Ent", _s(o1_name_idx))
+    s2txt = _concat("Ent", _s(a["s2"]), " ", _take(VERBS, a["p2"]), " Ent", _s(a["o2"]))
+    empty = pa.scalar("", pa.string())
+    seg1 = pc.if_else(pa.array(a["has1"]), _concat(" ", s1txt), empty)
+    seg2 = pc.if_else(pa.array(a["has2"]), _concat(" ", s2txt), empty)
+    text = _concat(_take(FILL_A, (c + t) % 4), seg1, seg2, " ", _take(FILL_B, (3 * c + t) % 4), ".")
+
+    role = _take(ROLES, t % 3)
+    tool = pc.if_else(pc.equal(role, "tool"), pa.scalar("search", pa.string()), empty)
+    ts = pa.array((_TS_BASE_US + (3600 * c + 60 * t) * 1_000_000).view("datetime64[us]"))
+
+    return pa.table(
+        {
+            "conv_id": _concat("conv-", _s(c)),
+            "turn_idx": pa.array(t, type=pa.int32()),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+
+
+def transcripts_dataset(sf_dir: str, repeat: int = 1):
+    """Transcript corpus as a lazy Ray Dataset derived from ``documents``.
+
+    Reads only the ``doc_id`` column (prune at the read), then fans out to
+    turns inside map_batches. ``repeat`` > 1 replicates the corpus with
+    distinct conv_id suffixes (bench scaling only; not used by oracles).
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if repeat > 1:
+        def replicate(batch: pa.Table, *, k=repeat) -> pa.Table:
+            turns = generate_turns_batch(batch)
+            parts = []
+            for r in range(k):
+                t = turns
+                if r > 0:
+                    conv = _concat(t["conv_id"].combine_chunks(), f"-r{r}")
+                    t = t.set_column(0, "conv_id", conv)
+                parts.append(t)
+            return pa.concat_tables(parts)
+        return ds.map_batches(replicate, batch_format="pyarrow")
+    return ds.map_batches(generate_turns_batch, batch_format="pyarrow")
+
+
+def entity_catalog() -> pa.Table:
+    """The deterministic entity catalog (built once, broadcast to linkers)."""
+    i = np.arange(NE, dtype=np.int64)
+    name = _concat("Ent", _s(i))
+    raw_id = _concat("RAW:", _s(i))
+    eq_id = _concat("EQ:", _s(i // 2))
+    canonical_id = _concat("RAW:", _s((i // 2) * 2))
+    canonical_name = _concat("Ent", _s((i // 2) * 2))
+
+    equiv = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 2 * NE + 1, 2, dtype=np.int32)),
+        _concat(
+            pc.if_else(pa.array(np.tile([True, False], NE)), "RAW:", "EQ:"),
+            _s(np.stack([i, i // 2], axis=1).reshape(-1)),
+        ),
+    )
+    cats = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 2 * NE + 1, 2, dtype=np.int32)),
+        _take(
+            ["biolink:NamedThing"] + ORDERED_CATEGORIES,
+            np.stack([np.zeros(NE, dtype=np.int64), i % 25 + 1], axis=1).reshape(-1),
+        ),
+    )
+    # alias forms the linker resolves beyond the exact surface name:
+    # 'ENT{i}' (uppercase) and 'entity {i}'
+    rep = pa.array(np.repeat(np.arange(NE, dtype=np.int64), 2))
+    alternate = pa.array(np.tile([True, False], NE))
+    aliases = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 2 * NE + 1, 2, dtype=np.int32)),
+        pc.if_else(
+            alternate,
+            pc.utf8_upper(name).take(rep),
+            _concat("entity ", _s(i)).take(rep),
+        ),
+    )
+
+    return pa.table(
+        {
+            "id": raw_id,
+            "name": name,
+            "aliases": aliases,
+            "categories": cats,
+            "equivalent_identifiers": equiv,
+            "canonical_id": canonical_id,
+            "canonical_name": canonical_name,
+        }
+    )

@@ -1,0 +1,111 @@
+import numpy as np
+import pyarrow as pa
+
+from kgray.extract import MentionDetector, TripleExtractor
+from kgray.link import EntityLinker, build_alias_index
+from kgray.transcripts import (
+    entity_catalog,
+    generate_turns_batch,
+    transcripts_dataset,
+    turn_arithmetic,
+)
+from tests.oracle import oracle_triples, oracle_turns
+
+
+def _turns_table(doc_ids):
+    return generate_turns_batch(pa.table({"doc_id": pa.array(doc_ids, pa.int64())}))
+
+
+def test_generator_matches_pure_python_oracle():
+    doc_ids = list(range(60))
+    got = _turns_table(doc_ids).to_pylist()
+    expected = oracle_turns(doc_ids)
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g["conv_id"] == e["conv_id"]
+        assert g["turn_idx"] == e["turn_idx"]
+        assert g["role"] == e["role"]
+        assert g["text"] == e["text"]
+        assert g["tool"] == e["tool"]
+
+
+def test_extractor_matches_oracle():
+    doc_ids = list(range(80))
+    batch = _turns_table(doc_ids)
+    got = TripleExtractor()(batch).to_pylist()
+    expected = oracle_triples(oracle_turns(doc_ids))
+    assert [tuple(sorted(r.items())) for r in got] == [
+        tuple(sorted(r.items())) for r in expected
+    ]
+
+
+def test_extractor_multiword_verbs_and_multiple_matches():
+    batch = pa.table(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "text": ["note Ent1 is expressed in Ent2 and Ent3 treats Ent4 ok."],
+        }
+    )
+    out = TripleExtractor()(batch).to_pylist()
+    assert len(out) == 2
+    assert out[0]["predicate"] == "biolink:expressed_in"
+    assert out[1]["predicate"] == "biolink:treats"
+
+
+def test_extractor_empty_and_no_match():
+    batch = pa.table(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "text": ["nothing here.", ""],
+        }
+    )
+    assert TripleExtractor()(batch).num_rows == 0
+
+
+def test_mention_detector():
+    batch = pa.table(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "text": ["we saw Ent5 near Ent6."],
+        }
+    )
+    out = MentionDetector()(batch)
+    assert out["mention"].to_pylist() == ["Ent5", "Ent6"]
+
+
+def test_linker_names_aliases_and_misses():
+    index = build_alias_index(entity_catalog())
+    linker = EntityLinker(index)
+    batch = pa.table(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "subject_mention": ["Ent7", "ENT8", "Ent1500", "Ent3"],
+            "predicate": ["biolink:treats"] * 4,
+            "object_mention": ["Ent9", "entity 10", "Ent1", "Ent2000"],
+        }
+    )
+    out = linker(batch).to_pylist()
+    assert out[0]["subject_id"] == "RAW:7" and out[0]["object_id"] == "RAW:9"
+    assert out[0]["linked"] is True
+    # alias forms resolve
+    assert out[1]["subject_id"] == "RAW:8" and out[1]["object_id"] == "RAW:10"
+    # out-of-vocabulary mentions -> null + linked=false (J2 semantics)
+    assert out[2]["subject_id"] is None and out[2]["linked"] is False
+    assert out[3]["object_id"] is None and out[3]["linked"] is False
+
+
+def test_transcripts_dataset_row_count(sf_dir):
+    ds = transcripts_dataset(sf_dir)
+    doc_ids = np.arange(500)  # sf0.001 documents rows
+    expected = int((1 + doc_ids % 7).sum())
+    assert ds.count() == expected
+    assert set(ds.schema().names) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def test_unlink_plant_rate():
+    a = turn_arithmetic(np.arange(0, 1000), np.zeros(1000, dtype=np.int64))
+    assert a["unlink1"].sum() > 0
