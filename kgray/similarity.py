@@ -1,0 +1,163 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``knn_bruteforce``: exact cosine top-k — the baseline. The query matrix
+  is broadcast once (``ray.put``); each batch does one numpy matmul and
+  emits only its LOCAL top-k per query (a partial reduction), so the final
+  global merge handles k × n_blocks rows, never the corpus.
+- ``knn_ivf``: the scale path — deterministic k-means coarse quantizer
+  (seeded, few iterations on a sample), corpus partitioned by nearest
+  centroid, queries probe only ``nprobe`` inverted lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_SEED = 24601
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def knn_bruteforce(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row; returns a small DataFrame
+    (query_id, vec_id, score) sorted by (query_id, -score, vec_id)."""
+    q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(q_unit)
+
+    class PartialTopK:
+        def __init__(self):
+            self._q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = _unit(_to_matrix(batch[vec_col]))
+            sims = self._q @ mat.T  # (n_queries, n_batch)
+            n_q, n_b = sims.shape
+            kk = min(k, n_b)
+            # local top-k per query (argpartition, then exact sort of the k)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"query_id": [], "vec_id": [], "score": []}
+            for qi in range(n_q):
+                sel = part[qi]
+                rows["query_id"].extend([qi] * kk)
+                rows["vec_id"].extend(ids[sel].tolist())
+                rows["score"].extend(sims[qi, sel].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                    "vec_id": pa.array(rows["vec_id"]),
+                    "score": pa.array(rows["score"], type=pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    # global merge: k × n_blocks rows per query — small; finish on driver
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
+    """Tiny deterministic k-means (seeded init, cosine geometry)."""
+    rng = np.random.RandomState(_SEED)
+    sample = _unit(sample)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    centroids = sample[idx]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+def knn_ivf(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+) -> pd.DataFrame:
+    """IVF ANN: train a coarse quantizer on a sample, tag each vector with
+    its nearest centroid inside map_batches, search only the ``nprobe``
+    closest inverted lists per query. Same output contract as bruteforce."""
+    sample_tbl = embeddings.limit(train_sample).to_pandas()
+    centroids = _kmeans(
+        np.asarray(sample_tbl[vec_col].tolist(), dtype=np.float64), n_clusters
+    )
+    q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe_lists = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :nprobe]
+    wanted = set(probe_lists.reshape(-1).tolist())
+    c_ref = ray.put(centroids)
+    q_ref = ray.put(q_unit)
+    probes_ref = ray.put(probe_lists)
+
+    class ProbeTopK:
+        def __init__(self):
+            self._c = ray.get(c_ref)
+            self._q = ray.get(q_ref)
+            self._probes = ray.get(probes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = _unit(_to_matrix(batch[vec_col]))
+            assign = np.argmax(mat @ self._c.T, axis=1)
+            keep = np.isin(assign, list(wanted))
+            ids, mat, assign = ids[keep], mat[keep], assign[keep]
+            rows = {"query_id": [], "vec_id": [], "score": []}
+            if len(ids):
+                sims = self._q @ mat.T
+                for qi in range(len(self._q)):
+                    in_probe = np.isin(assign, self._probes[qi])
+                    if not in_probe.any():
+                        continue
+                    cand = np.where(in_probe)[0]
+                    kk = min(k, len(cand))
+                    sel = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+                    rows["query_id"].extend([qi] * kk)
+                    rows["vec_id"].extend(ids[sel].tolist())
+                    rows["score"].extend(sims[qi, sel].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                    "vec_id": pa.array(rows["vec_id"]),
+                    "score": pa.array(rows["score"], type=pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        ProbeTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["score"] = out["score"].round(6)
+    return out

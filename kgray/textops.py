@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All kernels are vectorized Arrow (`pc.utf8_*` / `split_whitespace`) or
+compiled-regex actor stages — no per-row Python in hot paths except where
+the regex engine itself is per-row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# crude BPE-ish token grammar: words, numbers, or single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _chunked(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per row (vectorized)."""
+    toks = pc.utf8_split_whitespace(_chunked(batch[text_col]))
+    return batch.append_column("n_tokens", pc.cast(pc.list_value_length(toks), pa.int64()))
+
+
+class BpeTokenCounter:
+    """Actor stage: BPE-ish regex token counting (regex compiled once)."""
+
+    def __init__(self, pattern: str = BPE_RE):
+        self._rx = re.compile(pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = np.fromiter(
+            (len(self._rx.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        return batch.append_column("n_bpe_tokens", pa.array(counts))
+
+
+def quality_score_batch(
+    batch: pa.Table, text_col: str = "text", stopwords: tuple[str, ...] = STOPWORDS
+) -> pa.Table:
+    """Quality metrics per document: token count, char count, stopword
+    ratio, punctuation ratio (all 6-decimal rounded for stable compare)."""
+    text = _chunked(batch[text_col])
+    toks = _chunked(pc.utf8_split_whitespace(text))
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+
+    flat = toks.flatten()
+    is_stop = pc.is_in(flat, value_set=pa.array(list(stopwords)))
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    stops = is_stop.to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    stop_counts = np.zeros(len(lengths), dtype=np.int64)
+    nz = lengths > 0
+    if stops.size and nz.any():
+        # reduceat over the starts of non-empty rows: each segment covers
+        # exactly that row's tokens (empty rows contribute no elements)
+        stop_counts[nz] = np.add.reduceat(stops.astype(np.int64), offsets[:-1][nz])
+    stop_ratio = np.round(
+        np.divide(stop_counts, lengths, out=np.zeros(len(lengths)), where=lengths > 0), 6
+    )
+
+    # punctuation ratio over characters
+    n_punct = np.zeros(len(lengths), dtype=np.int64)
+    for ch in ".,;:!?":
+        n_punct += pc.count_substring(text, ch).to_numpy(zero_copy_only=False)
+    chars = n_chars.to_numpy(zero_copy_only=False)
+    punct_ratio = np.round(
+        np.divide(n_punct, chars, out=np.zeros(len(chars), dtype=float), where=chars > 0), 6
+    )
+
+    return (
+        batch.append_column("n_tokens", n_tokens)
+        .append_column("n_chars_m", n_chars)
+        .append_column("n_stop", pa.array(stop_counts))
+        .append_column("stop_ratio", pa.array(stop_ratio))
+        .append_column("punct_ratio", pa.array(punct_ratio))
+    )
+
+
+# language marker profiles for the n-gram/stopword heuristic language-ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "was"),
+    "es": ("el", "la", "los", "es", "una"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "est", "une"),
+    "zh": (),  # no latin markers — fallback bucket
+}
+
+
+class LangId:
+    """Actor stage: stopword-profile language-ID heuristic.
+
+    Scores each language by marker-word hits; ties and zero-evidence rows
+    fall back to 'und'. (Synthetic corpora have no real language signal —
+    this op exists for the operator surface and its plumbing.)
+    """
+
+    def __init__(self, markers: dict[str, tuple[str, ...]] | None = None):
+        self._markers = {
+            lang: frozenset(ws) for lang, ws in (markers or LANG_MARKERS).items() if ws
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            words = set((text or "").lower().split())
+            best, best_score = "und", 0
+            for lang in sorted(self._markers):
+                score = len(words & self._markers[lang])
+                if score > best_score:
+                    best, best_score = lang, score
+            out.append(best)
+        return batch.append_column("lang_pred", pa.array(out, type=pa.string()))
+
+
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_64(data: np.ndarray) -> np.ndarray:
+    """Vectorized-ish FNV-1a over an object array of strings (stable,
+    library-independent 64-bit document fingerprint)."""
+    out = np.empty(len(data), dtype=np.uint64)
+    prime = _FNV_PRIME
+    for i, s in enumerate(data):
+        h = _FNV_OFFSET
+        for b in (s or "").encode("utf-8"):
+            h = np.uint64((h ^ np.uint64(b)) * prime & np.uint64(0xFFFFFFFFFFFFFFFF))
+        out[i] = h
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit FNV-1a content fingerprint, hex-encoded."""
+    h = fnv1a_64(np.asarray(batch[text_col].to_pylist(), dtype=object))
+    return batch.append_column(
+        "fingerprint", pa.array([format(x, "016x") for x in h], type=pa.string())
+    )
