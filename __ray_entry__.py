@@ -37,6 +37,7 @@ from kgray.schema import ORDERED_CATEGORIES
 from kgray.transcripts import (
     FILL_A, FILL_B, NE, PREDICATES, VERBS, entity_catalog, transcripts_dataset,
 )
+from kgray.util import pool_concurrency
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments — the corpus arithmetic (kgray/transcripts.py docstring)
@@ -135,7 +136,7 @@ def q_kg_extract(sf_dir: str):
 def q_kg_mentions(sf_dir: str):
     ds = transcripts_dataset(sf_dir)
     return _table(
-        ds.map_batches(extract.MentionDetector, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(extract.MentionDetector, batch_format="pyarrow", concurrency=pool_concurrency())
     )
 
 
@@ -381,7 +382,7 @@ def q_knn_bruteforce(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(textops.LangId, batch_format="pyarrow", concurrency=(1, 4))
+    out = ds.map_batches(textops.LangId, batch_format="pyarrow", concurrency=pool_concurrency())
     return _table(out.select_columns(["doc_id", "lang_pred"]))
 
 
@@ -393,7 +394,7 @@ def q_fingerprints(sf_dir: str):
 
 def q_bpe_token_counts(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(textops.BpeTokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+    out = ds.map_batches(textops.BpeTokenCounter, batch_format="pyarrow", concurrency=pool_concurrency())
     return _table(out.select_columns(["doc_id", "n_bpe_tokens"]))
 
 

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min
+from .util import pool_concurrency
 
 
 def explode_equivalents(batch: pa.Table) -> pa.Table:
@@ -196,23 +197,26 @@ def rewrite_ids(
 
     ref = ray.put(canonical)
 
-    class Rewriter:
-        def __init__(self):
-            self._map = ray.get(ref)
+    def rewrite(t: pa.Table, _ref=ref) -> pa.Table:
+        # stateless task (fuses with neighbors); per-worker object fetch is
+        # amortized by the module cache
+        mapping = _REWRITE_CACHE.get(_ref.hex())
+        if mapping is None:
+            mapping = ray.get(_ref)
+            _REWRITE_CACHE[_ref.hex()] = mapping
+        for col in cols:
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            enc = pc.dictionary_encode(arr)
+            get = mapping.get
+            mapped = pa.array(
+                [get(v, v) for v in enc.dictionary.to_pylist()], type=pa.string()
+            )
+            t = t.set_column(t.column_names.index(col), col, mapped.take(enc.indices))
+        return t
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            for col in cols:
-                arr = t[col]
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                enc = pc.dictionary_encode(arr)
-                get = self._map.get
-                mapped = pa.array(
-                    [get(v, v) for v in enc.dictionary.to_pylist()], type=pa.string()
-                )
-                t = t.set_column(t.column_names.index(col), col, mapped.take(enc.indices))
-            return t
+    return edges_ds.map_batches(rewrite, batch_format="pyarrow", batch_size=16384)
 
-    return edges_ds.map_batches(
-        Rewriter, batch_format="pyarrow", batch_size=16384, concurrency=(1, 8)
-    )
+
+_REWRITE_CACHE: dict = {}

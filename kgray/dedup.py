@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from .util import pool_concurrency
 
 _MERSENNE = (1 << 61) - 1
 _RNG_SEED = 24601  # fixed engine seed — deterministic across runs/workers
@@ -42,15 +43,46 @@ def _chunked(arr):
 # exact dedup (hash-partition + per-group first)
 # ---------------------------------------------------------------------------
 
+def _sortable_key(df: pd.DataFrame, order_cols: list[str]) -> pd.Series:
+    """Fixed-width encoding of ``order_cols`` whose lexicographic order
+    equals the numeric row order (ints offset to unsigned hex; floats via
+    the IEEE-754 monotone bit trick; strings passed through)."""
+    parts = []
+    for c in order_cols:
+        v = df[c]
+        if pd.api.types.is_integer_dtype(v):
+            # two's-complement sign-bit flip: unsigned order == signed order
+            enc = v.to_numpy().astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+            parts.append(pd.Series([format(x, "016x") for x in enc], index=df.index))
+        elif pd.api.types.is_float_dtype(v):
+            bits = v.to_numpy().astype(np.float64).view(np.uint64)
+            flip = np.where(bits >> 63 == 1, ~bits, bits | (1 << 63)).astype(np.uint64)
+            parts.append(pd.Series([format(x, "016x") for x in flip], index=df.index))
+        else:
+            parts.append(v.astype(str))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + "\x1f" + p
+    return out
+
+
 def exact_dedup(
     ds: ray.data.Dataset,
     key_cols: list[str],
     order_cols: "str | list[str]",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Keep, per distinct ``key_cols``, the lexicographically smallest row
     by ``order_cols`` (deterministic representative — no arrival-order
-    dependence; pass enough columns to break ties). Within-batch combiner
-    first, then one keyed shuffle."""
+    dependence; pass enough columns to break ties).
+
+    Hash-partition + per-group first, with every per-group step vectorized:
+    a within-batch pandas combiner, then ONE shuffle keyed on a coarse hash
+    bucket of the keys, then a per-bucket pandas sort+drop_duplicates (Ray's
+    native per-group paths cost Python time per key — ruinous at millions
+    of keys; see ``relational.hash_bucketed_groupby``)."""
+    from .relational import hash_bucketed_groupby
+
     if isinstance(order_cols, str):
         order_cols = [order_cols]
 
@@ -60,7 +92,7 @@ def exact_dedup(
         )
 
     combined = ds.map_batches(batch_first, batch_format="pandas")
-    return combined.groupby(key_cols).map_groups(batch_first, batch_format="pandas")
+    return hash_bucketed_groupby(combined, key_cols, batch_first, num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -175,25 +207,28 @@ def minhash_lsh_pairs(
             n_bands=n_bands, shingle_k=shingle_k,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_concurrency(),
     )
 
     import ray as _ray
 
+    from .relational import hash_bucketed_groupby
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].tolist())[:max_bucket]
+        # df holds MANY lsh buckets (co-located by coarse hash); iterate
+        # them here instead of paying a Ray task per lsh bucket
         texts = _ray.get(text_by_id_ref)
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                sim = _jaccard(texts.get(ids[i], ""), texts.get(ids[j], ""), shingle_k)
-                if sim >= threshold:
-                    rows.append((ids[i], ids[j], round(sim, 6)))
+        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(grp["doc_id"].tolist())[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    sim = _jaccard(texts.get(ids[i], ""), texts.get(ids[j], ""), shingle_k)
+                    if sim >= threshold:
+                        rows.append((ids[i], ids[j], round(sim, 6)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = hash_bucketed_groupby(bands, ["band_id", "band_hash"], bucket_pairs)
     # same pair can surface from several bands -> dedup
     return exact_dedup(pairs, ["doc_a", "doc_b"], "jaccard")
 
@@ -264,24 +299,25 @@ def simhash_pairs(
         SimHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_concurrency(),
     )
+
+    from .relational import hash_bucketed_groupby
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id").head(max_bucket)
-        ids = df["doc_id"].tolist()
-        hs = df["simhash"].tolist()
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if d <= max_hamming:
-                    rows.append((ids[i], ids[j], d))
+        for _, grp in df.groupby(["chunk_id", "chunk"], sort=False):
+            grp = grp.sort_values("doc_id").head(max_bucket)
+            ids = grp["doc_id"].tolist()
+            hs = grp["simhash"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                    if d <= max_hamming:
+                        rows.append((ids[i], ids[j], d))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
-    pairs = chunks.groupby(["chunk_id", "chunk"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = hash_bucketed_groupby(chunks, ["chunk_id", "chunk"], bucket_pairs)
     return exact_dedup(pairs, ["doc_a", "doc_b"], "hamming")
 
 
@@ -322,7 +358,7 @@ def embedding_dedup_pairs(
                 }
             )
 
-    bucketed = embeddings.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
+    bucketed = embeddings.map_batches(Bucketer, batch_format="pyarrow", concurrency=pool_concurrency())
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("vec_id").head(max_bucket)

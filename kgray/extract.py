@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 
 from .schema import TRIPLE_SCHEMA
 from .transcripts import PREDICATES, VERBS
+from .util import pool_concurrency
 
 # entity mention grammar: a capitalized token (the corpus's surface form)
 ENTITY_PATTERN = r"[A-Z][A-Za-z0-9_-]*"
@@ -115,15 +116,51 @@ class MentionDetector:
         )
 
 
-def extract_triples(transcripts, rules=None, batch_size: int = 8192, concurrency=None):
-    """Wire the extractor into a Dataset pipeline (actor pool when
-    ``concurrency`` is given, stateless tasks otherwise)."""
-    kwargs = dict(
+# per-worker-process extractor cache for the task-based path: compiled once
+# per (rules) per worker, reused across tasks — same amortization as an
+# actor pool without pool spin-up, and task stages FUSE with neighbors
+_EXTRACTOR_CACHE: dict = {}
+
+
+def _extract_batch(batch: pa.Table, rules_key=None) -> pa.Table:
+    ex = _EXTRACTOR_CACHE.get(rules_key)
+    if ex is None:
+        ex = TripleExtractor(list(rules_key) if rules_key else None)
+        _EXTRACTOR_CACHE[rules_key] = ex
+    return ex(batch)
+
+
+def extract_triples(
+    transcripts,
+    rules=None,
+    batch_size: int | None = None,
+    concurrency=None,
+    use_actors: bool = False,
+):
+    """Wire the extractor into a Dataset pipeline.
+
+    Default is STATELESS TASKS with a per-worker compiled-regex cache:
+    elastic across the whole cluster, fuses with adjacent map stages, no
+    actor-pool spin-up. Set ``use_actors=True`` for the actor-pool form —
+    the right choice when per-actor state is heavy (big models/tries) and
+    its memory footprint must be bounded by an explicit pool size.
+    """
+    if use_actors:
+        kwargs = dict(
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else pool_concurrency(),
+        )
+        if rules is not None:
+            kwargs["fn_constructor_kwargs"] = {"rules": rules}
+        return transcripts.map_batches(TripleExtractor, **kwargs)
+    rules_key = tuple(tuple(r) for r in rules) if rules is not None else None
+    # batch_size=None -> one batch per block: keeps task granularity =
+    # input blocks (a row-count batch_size would coalesce fan-out stages
+    # into too-few tasks, since bundling counts INPUT rows)
+    return transcripts.map_batches(
+        _extract_batch,
+        fn_kwargs={"rules_key": rules_key},
         batch_format="pyarrow",
         batch_size=batch_size,
-        # class-based map_batches = actor pool; (min, max) autoscales
-        concurrency=concurrency if concurrency is not None else (1, 8),
     )
-    if rules is not None:
-        kwargs["fn_constructor_kwargs"] = {"rules": rules}
-    return transcripts.map_batches(TripleExtractor, **kwargs)

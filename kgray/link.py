@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+from .util import pool_concurrency
 
 
 def build_alias_index(catalog: pa.Table) -> dict[str, str]:
@@ -68,14 +69,44 @@ class EntityLinker:
         )
 
 
-def link_entities(triples, index_ref, batch_size: int = 16384, concurrency=(1, 8)):
-    """Attach entity ids to extracted triples via the actor pool."""
+# per-worker-process linker cache (task path): the broadcast index is
+# fetched from the object store once per worker and reused across tasks
+_LINKER_CACHE: dict = {}
+
+
+def _link_batch(batch: pa.Table, index_ref=None) -> pa.Table:
+    key = index_ref.hex() if isinstance(index_ref, ray.ObjectRef) else id(index_ref)
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = EntityLinker(index_ref)
+        _LINKER_CACHE[key] = linker
+    return linker(batch)
+
+
+def link_entities(
+    triples, index_ref, batch_size: int | None = None, concurrency=None,
+    use_actors: bool = False,
+):
+    """Attach entity ids to extracted triples.
+
+    Default: stateless tasks + per-worker index cache (fuses with the
+    extraction stage — one task graph end to end). ``use_actors=True``
+    switches to the actor-pool form for heavyweight linker state whose
+    total memory must be bounded by an explicit pool size.
+    """
+    if use_actors:
+        return triples.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size or 16384,
+            concurrency=concurrency or pool_concurrency(),
+        )
     return triples.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        _link_batch,
+        fn_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 

@@ -34,6 +34,7 @@ from ray.data.aggregate import Min, Sum
 
 from .normalize import primary_class, reorder_labels
 from .transcripts import KNOWLEDGE_SOURCE
+from .util import pool_concurrency
 
 
 def _chunked(arr):
@@ -86,10 +87,25 @@ def build_edges(
     and rows with unknown endpoints are KEPT with null classes — endpoint
     existence was already enforced by the linker (J2).
     """
-    partial = linked_triples.map_batches(_partial_dedup, batch_format="pyarrow")
-    gb = partial.groupby(["subject", "predicate", "object"])
-    deduped = gb.aggregate(
-        Min("prov_min", alias_name="prov"), Sum("n_mentions", alias_name="n_mentions")
+    from .relational import hash_bucketed_groupby
+
+    # combiner batch size trades task parallelism against shuffle volume:
+    # partial output is ~n_distinct rows per BATCH, so bigger batches
+    # shrink the shuffle input; 256k rows keeps ~1 task per 256k rows so a
+    # 32-way cluster still saturates on ~10M-row inputs
+    partial = linked_triples.map_batches(
+        _partial_dedup, batch_format="pyarrow", batch_size=1 << 18
+    )
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["subject", "predicate", "object"], sort=False, as_index=False).agg(
+            prov=("prov_min", "min"), n_mentions=("n_mentions", "sum")
+        )
+        return out
+
+    deduped = hash_bucketed_groupby(
+        partial, ["subject", "predicate", "object"], reduce_bucket,
+        num_buckets=num_partitions or 64,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -119,31 +135,31 @@ def build_edges(
     edges = deduped.map_batches(finish, batch_format="pyarrow")
 
     if class_lookup_ref is not None:
-        class Tagger:
-            def __init__(self):
-                self._map = (
-                    ray.get(class_lookup_ref)
-                    if isinstance(class_lookup_ref, ray.ObjectRef)
-                    else class_lookup_ref
-                )
-
-            def _cls(self, col: pa.Array) -> pa.Array:
-                enc = pc.dictionary_encode(_chunked(col))
-                get = self._map.get
-                mapped = pa.array(
-                    [get(v) for v in enc.dictionary.to_pylist()], type=pa.string()
-                )
-                return mapped.take(enc.indices)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.append_column(
-                    "subject_class", self._cls(t["subject"])
-                ).append_column("object_class", self._cls(t["object"]))
-
-        edges = edges.map_batches(
-            Tagger, batch_format="pyarrow", batch_size=32768, concurrency=(1, 8)
-        )
+        edges = tag_edge_classes(edges, class_lookup_ref)
     return edges
+
+
+def tag_edge_classes(edges_ds: ray.data.Dataset, class_lookup_ref) -> ray.data.Dataset:
+    """J1: attach subject_class/object_class from the broadcast ST1 lookup.
+    Unknown endpoints keep null classes (existence was enforced upstream by
+    the linker — J2)."""
+
+    def tag(t: pa.Table, _ref=class_lookup_ref) -> pa.Table:
+        lookup = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+
+        def cls(col):
+            enc = pc.dictionary_encode(_chunked(col))
+            get = lookup.get
+            mapped = pa.array(
+                [get(v) for v in enc.dictionary.to_pylist()], type=pa.string()
+            )
+            return mapped.take(enc.indices)
+
+        return t.append_column("subject_class", cls(t["subject"])).append_column(
+            "object_class", cls(t["object"])
+        )
+
+    return edges_ds.map_batches(tag, batch_format="pyarrow", batch_size=32768)
 
 
 def build_nodes(
@@ -177,38 +193,29 @@ def build_nodes(
         .drop_columns(["_n"])
     )
 
-    class Attrs:
-        def __init__(self):
-            self._idx = (
-                ray.get(catalog_index_ref)
-                if isinstance(catalog_index_ref, ray.ObjectRef)
-                else catalog_index_ref
-            )
+    def attrs(t: pa.Table, _ref=catalog_index_ref) -> pa.Table:
+        idx = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        ids = _chunked(t["id"]).to_pylist()
+        rows = [idx.get(i) for i in ids]
+        names = pa.array([r[0] if r else None for r in rows], type=pa.string())
+        cats = pa.array(
+            [r[1] if r else [] for r in rows], type=pa.list_(pa.string())
+        )
+        equiv = pa.array(
+            [r[2] if r else [] for r in rows], type=pa.list_(pa.string())
+        )
+        labels = reorder_labels(cats)
+        return pa.table(
+            {
+                "id": _chunked(t["id"]),
+                "name": names,
+                "labels": labels,
+                "equivalent_identifiers": equiv,
+                "primary_class": primary_class(labels),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = _chunked(t["id"]).to_pylist()
-            rows = [self._idx.get(i) for i in ids]
-            names = pa.array([r[0] if r else None for r in rows], type=pa.string())
-            cats = pa.array(
-                [r[1] if r else [] for r in rows], type=pa.list_(pa.string())
-            )
-            equiv = pa.array(
-                [r[2] if r else [] for r in rows], type=pa.list_(pa.string())
-            )
-            labels = reorder_labels(cats)
-            return pa.table(
-                {
-                    "id": _chunked(t["id"]),
-                    "name": names,
-                    "labels": labels,
-                    "equivalent_identifiers": equiv,
-                    "primary_class": primary_class(labels),
-                }
-            )
-
-    return ids_ds.map_batches(
-        Attrs, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4)
-    )
+    return ids_ds.map_batches(attrs, batch_format="pyarrow", batch_size=32768)
 
 
 def catalog_index(catalog: pa.Table) -> dict[str, tuple]:

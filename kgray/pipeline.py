@@ -49,6 +49,13 @@ LINKED_TRIPLE_SCHEMA = pa.schema(
 )
 
 
+def _sort_turns_in_block(t: pa.Table) -> pa.Table:
+    """Block-local (conv_id, turn_idx) sort — O(block log block), no
+    shuffle; correct when conversations are block-contiguous (see
+    ``KGPipeline.turn_order``)."""
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
     """write_parquet on an empty dataset writes no files; give readers an
     empty-but-typed table so the pipeline degrades gracefully."""
@@ -68,14 +75,28 @@ class KGPipeline:
         out_dir: str,
         catalog=None,
         rules=None,
-        extract_concurrency=(1, 8),
+        extract_concurrency=None,
         resume: bool = True,
+        turn_order: str = "local",
     ):
+        """``turn_order`` — how the stable (conv_id, turn_idx) ordering is
+        enforced before extraction:
+
+        - ``'local'`` (default): sort within each block. Correct whenever
+          conversations are block-contiguous — true for the generated
+          corpus and for any transcript store partitioned/bucketed by
+          conv_id (the only layout that makes sense at 10^12-turn scale;
+          a global corpus sort would be an all-to-all over everything).
+        - ``'global'``: full ``Dataset.sort`` — for arbitrary unpartitioned
+          inputs where conversations span blocks.
+        - ``'none'``: input is already ordered.
+        """
         self.out_dir = out_dir
         self.catalog = catalog if catalog is not None else entity_catalog()
         self.rules = rules
         self.extract_concurrency = extract_concurrency
         self.resume = resume
+        self.turn_order = turn_order
         self.metrics = StageMetrics(run_id=os.path.basename(out_dir.rstrip("/")))
 
     # -- checkpoint manifests -------------------------------------------------
@@ -117,7 +138,14 @@ class KGPipeline:
         if not self._done("triples", fingerprint):
             # 1. stable turn ordering (per-turn text equality invariant)
             with m.time_stage("order"):
-                ordered = transcripts.sort(["conv_id", "turn_idx"])
+                if self.turn_order == "global":
+                    ordered = transcripts.sort(["conv_id", "turn_idx"])
+                elif self.turn_order == "local":
+                    ordered = transcripts.map_batches(
+                        _sort_turns_in_block, batch_format="pyarrow"
+                    )
+                else:
+                    ordered = transcripts
 
             # 2. rule/pattern triple extraction (actor pool, zero-copy Arrow)
             with m.time_stage("extract"):
@@ -130,7 +158,10 @@ class KGPipeline:
             with m.time_stage("link"):
                 alias_ref = lookups.broadcast(build_alias_index(self.catalog))
                 linked_all = link.link_entities(triples, alias_ref)
-                linked_all.write_parquet(triples_dir, mode="overwrite")
+                # cap file size so the read-back fans out across the cluster
+                linked_all.write_parquet(
+                    triples_dir, mode="overwrite", max_rows_per_file=1 << 18
+                )
                 _ensure_parquet_dir(triples_dir, LINKED_TRIPLE_SCHEMA)
             self._mark_done("triples", fingerprint)
         else:
@@ -149,20 +180,21 @@ class KGPipeline:
             canon = canonicalize.canonical_map(cat_nodes)
             canonical_triples = canonicalize.rewrite_ids(linked, canon)
 
-        # 5. node table: distinct canonical endpoints + M6/M7 normalization
+        # 5. edge table: partial-dedup combine + one (s,p,o) bucket shuffle.
+        #    The deduped edge table is orders smaller than the triple
+        #    stream — materialize it once and derive everything downstream
+        #    (nodes, class lookup, tagging) from it instead of re-scanning
+        #    the triples.
+        with m.time_stage("edges"):
+            edges = materialize.build_edges(canonical_triples).materialize()
+
+        # 6. node table: distinct edge endpoints + M6/M7 normalization;
+        #    then tag edges with endpoint classes (J1) for the layout
         with m.time_stage("nodes"):
             cat_ref = lookups.broadcast(catalog_index(self.catalog))
-            nodes = materialize.build_nodes(
-                canonical_triples, cat_ref, endpoint_cols=("subject_id", "object_id")
-            ).materialize()  # node table is small relative to the edge stream
+            nodes = materialize.build_nodes(edges, cat_ref).materialize()
             class_ref = lookups.broadcast(lookups.node_class_lookup(nodes))
-
-        # 6. edge table: partial-dedup combine + one (s,p,o) groupby, tagged
-        #    with endpoint classes (J1) for the partitioned layout
-        with m.time_stage("edges"):
-            edges = materialize.build_edges(
-                canonical_triples, class_lookup_ref=class_ref
-            )
+            edges = materialize.tag_edge_classes(edges, class_ref)
 
         # 7. partitioned writes + metrics
         with m.time_stage("write"):

@@ -19,10 +19,57 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
+from .util import pool_concurrency
 
 
 def _chunked(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:
+    """Deterministic hash bucket of the key columns (vectorized, stable
+    across workers — pandas' siphash with its fixed default key)."""
+    import numpy as np
+
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in key_cols:
+        h = h * np.uint64(1099511628211) + pd.util.hash_pandas_object(
+            df[c], index=False
+        ).to_numpy()
+    df = df.copy(deep=False)
+    df["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+    return df
+
+
+def hash_bucketed_groupby(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    fn,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Keyed shuffle with VECTORIZED per-group logic.
+
+    Ray's native ``groupby().aggregate`` / ``map_groups`` pay Python-level
+    cost per GROUP — ruinous at high key cardinality. Instead: co-locate
+    keys by coarse hash bucket (one shuffle over ``num_buckets`` groups)
+    and run ``fn`` (a pandas-vectorized groupby/dedup) once per bucket.
+    ``num_buckets`` bounds per-task memory: size it so corpus/num_buckets
+    fits a worker heap; skewed KEYS are fine (hash spreads them) but a
+    single giant key still lands in one bucket — salt upstream for that.
+    """
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["_bucket"]))
+
+    # NOTE: the upstream caller should pre-reduce with a LARGE batch_size
+    # combiner so this shuffle moves partial rows, not the raw stream
+    # (tried alternatives: Ray's HASH_SHUFFLE strategy spawns aggregator
+    # actors that starve small clusters; sort-based groupby over 64 coarse
+    # buckets is cheap once the input is combined)
+    bucketed = ds.map_batches(
+        lambda df: add_bucket_column(df, key_cols, num_buckets), batch_format="pandas"
+    )
+    return bucketed.groupby("_bucket").map_groups(strip, batch_format="pandas")
 
 
 def filter_batches(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:
@@ -87,7 +134,7 @@ def broadcast_lookup_join(
                 self._dim, how="left", left_on=fact_key, right_on=dim_key
             ).drop(columns=[dim_key] if dim_key != fact_key else [])
 
-    return fact.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+    return fact.map_batches(Joiner, batch_format="pandas", concurrency=pool_concurrency())
 
 
 def grouped_agg(
@@ -110,13 +157,14 @@ def grouped_agg(
         gb = t.group_by(keys).aggregate(aggs)
         cols = {k: gb[k] for k in keys}
         for out, c in sums.items():
-            cols[f"_{out}"] = gb[f"{c}_sum"]
+            cols[out] = gb[f"{c}_sum"]
         if count_alias:
-            cols[f"_{count_alias}"] = gb[f"{keys[0]}_count"]
+            cols[count_alias] = gb[f"{keys[0]}_count"]
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(f"_{out}", alias_name=out) for out in sums]
-    if count_alias:
-        aggs.append(Sum(f"_{count_alias}", alias_name=count_alias))
-    return partials.groupby(keys).aggregate(*aggs)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, sort=False, as_index=False).sum()
+
+    return hash_bucketed_groupby(partials, keys, reduce_bucket)

@@ -17,6 +17,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from .util import pool_concurrency
 
 _SEED = 24601
 
@@ -70,7 +71,7 @@ def knn_bruteforce(
             )
 
     partials = embeddings.map_batches(
-        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=pool_concurrency()
     )
     # global merge: k × n_blocks rows per query — small; finish on driver
     df = partials.to_pandas()
@@ -154,7 +155,7 @@ def knn_ivf(
             )
 
     partials = embeddings.map_batches(
-        ProbeTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        ProbeTopK, batch_format="pyarrow", batch_size=4096, concurrency=pool_concurrency()
     )
     df = partials.to_pandas()
     df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])

@@ -72,32 +72,31 @@ def sessionize(
     session_end_epoch) — session_id is 0-based per key in time order.
     """
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        ts = df[ts_col].astype("int64") // 1_000_000  # epoch seconds
-        gaps = ts.diff().fillna(0)
-        session = (gaps > gap_sec).cumsum()
-        out = (
-            pd.DataFrame(
-                {
-                    key_col: df[key_col].to_numpy(),
-                    "session_id": session.to_numpy(),
-                    "_ts": ts.to_numpy(),
-                }
-            )
-            .groupby("session_id", sort=True)
-            .agg(
-                **{
-                    key_col: (key_col, "first"),
-                    "n_events": ("_ts", "size"),
-                    "session_start": ("_ts", "min"),
-                    "session_end": ("_ts", "max"),
-                }
-            )
-            .reset_index()
-        )
-        return out[[key_col, "session_id", "n_events", "session_start", "session_end"]]
+    from .relational import hash_bucketed_groupby
 
-    return events.select_columns([key_col, ts_col, order_col]).groupby(
-        key_col
-    ).map_groups(split, batch_format="pandas")
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized over a bucket of many keys: one sort, shift-based
+        # session flags, per-key rebasing via groupby.transform (C kernels)
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        ts = (df[ts_col].astype("int64") // 1_000_000).to_numpy()  # epoch sec
+        keys = df[key_col].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[:1] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[:1] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_sess = new_key | (gap > gap_sec)
+        g = np.cumsum(new_sess)
+        out = pd.DataFrame({key_col: keys, "_g": g, "_ts": ts})
+        out["session_id"] = g - out.groupby(key_col, sort=False)["_g"].transform("min")
+        agg = out.groupby([key_col, "session_id"], sort=False, as_index=False).agg(
+            n_events=("_ts", "size"),
+            session_start=("_ts", "min"),
+            session_end=("_ts", "max"),
+        )
+        return agg
+
+    return hash_bucketed_groupby(
+        events.select_columns([key_col, ts_col, order_col]), [key_col], split
+    )

@@ -122,16 +122,34 @@ def generate_turns_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def transcripts_dataset(sf_dir: str, repeat: int = 1):
+def transcripts_dataset(sf_dir: str, repeat: int = 1, num_blocks: int | None = None):
     """Transcript corpus as a lazy Ray Dataset derived from ``documents``.
 
     Reads only the ``doc_id`` column (prune at the read), then fans out to
     turns inside map_batches. ``repeat`` > 1 replicates the corpus with
     distinct conv_id suffixes (bench scaling only; not used by oracles).
+
+    ``num_blocks``: the seed file is tiny (one parquet row group), which
+    would pin the whole fused generate->extract chain to ONE task; split
+    the read so downstream map stages parallelize across the cluster.
     """
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if num_blocks is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        num_blocks = max(16, 2 * cpus)
+    # the read itself is one (trivial) task, but override_num_blocks makes
+    # Ray split its output into num_blocks blocks (SplitBlocks), so the
+    # fused generate->extract->link task chain fans out across the cluster
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        override_num_blocks=num_blocks,
+    )
     if repeat > 1:
         def replicate(batch: pa.Table, *, k=repeat) -> pa.Table:
             turns = generate_turns_batch(batch)
