@@ -216,7 +216,7 @@ def rewrite_ids(
             t = t.set_column(t.column_names.index(col), col, mapped.take(enc.indices))
         return t
 
-    return edges_ds.map_batches(rewrite, batch_format="pyarrow", batch_size=16384)
+    return edges_ds.map_batches(rewrite, batch_format="pyarrow")
 
 
 _REWRITE_CACHE: dict = {}

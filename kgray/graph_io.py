@@ -1,0 +1,267 @@
+"""Graph-table sources and sinks — the reference's interchange formats on
+Ray Data.
+
+Covers SURVEY.md §2.1:
+
+- S1/S2 CSV shard reader (`Kuzu/kuzu_build_graph_csv.py:98,223-231`): KGX-style
+  CSV with ``;``-separated list cells, decoded against the typed tab-header
+  schema into native Arrow list columns at ingest.
+- S3 JSONL reader (`MemGraph/mg_build_individual_json.py:310-313,383-388`):
+  node/edge JSON-lines via ``ray.data.read_json``.
+- S4 CSV writer (`Kuzu:154`): list columns re-encoded as ``;``-joined cells.
+- S6 JSON-array streaming writer (`MemGraph/mg_build_merge_json.py:90-176`):
+  the exact ``[{...},\n{...}]`` byte format, streamed batch-at-a-time with
+  O(1) driver memory. Conformance sink only — the engine's scale-out
+  interchange is partitioned Parquet.
+- S8 schema-manifest sink (`Kuzu:390-439`): ``_schema.json`` written next to
+  output Parquet instead of CREATE TABLE DDL.
+- M8/M9 MemGraph record nesting (`MemGraph/mg_build_individual_json.py:291,
+  316-322,372,391-397`): node/edge rows -> ``{id, labels, properties, type}``
+  import records; the reference's sequential edge id (ST3,
+  `mg_build_merge_json.py:61`) is replaced by the deterministic content-hash
+  ``edge_uid`` so output is stable under parallelism.
+- A6 node+edge stream union (`MemGraph/mg_build_merge_json.py:95-180`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .normalize import join_list_cells, split_list_cells
+from .schema import header_to_arrow_schema, list_columns_of
+
+
+def _chunked(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+def read_graph_jsonl(paths, **read_kwargs) -> ray.data.Dataset:
+    """S3: node/edge JSON-lines -> Dataset (Arrow blocks, nested lists kept)."""
+    return ray.data.read_json(paths, **read_kwargs)
+
+
+def read_kgx_csv(
+    paths,
+    header_line: str,
+    rename_cols: dict[str, str] | None = None,
+    list_sep: str = ";",
+    **read_kwargs,
+) -> ray.data.Dataset:
+    """S1/S2 + M2/M12: CSV shards with ``;``-separated list cells, decoded
+    against the typed tab-header (`Kuzu:442-535`) into real Arrow types.
+
+    All columns are read as strings (the reference reads with
+    ``low_memory=False`` / positional ``csv.reader`` — stringly), then ONE
+    vectorized ``map_batches`` applies the schema: list columns split on
+    ``list_sep`` (NaN -> ``[]``, Kuzu:141), scalars cast per the header type
+    table (§1.3).
+    """
+    import pyarrow.csv as pacsv
+
+    rename_cols = rename_cols or {}
+    # files carry the ORIGINAL column names; the rename is applied post-parse
+    # (the reference renames after load, Kuzu:103,114)
+    raw_schema = header_to_arrow_schema(header_line)
+    schema = header_to_arrow_schema(header_line, rename_cols)
+    convert = pacsv.ConvertOptions(column_types={n: pa.string() for n in raw_schema.names})
+    ds = ray.data.read_csv(paths, convert_options=convert, **read_kwargs)
+
+    list_cols = list_columns_of(schema)
+    scalar_casts = {
+        f.name: f.type
+        for f in schema
+        if f.name not in list_cols and not pa.types.is_string(f.type)
+    }
+
+    def decode(t: pa.Table) -> pa.Table:
+        # M1 rename first, then align by name; tolerate missing columns
+        # (schema drift is the norm in the reference, §1.4)
+        t = t.rename_columns([rename_cols.get(c, c) for c in t.column_names])
+        for col in list_cols:
+            if col not in t.column_names:
+                continue
+            value_type = schema.field(col).type.value_type
+            t = split_list_cells(t, [col], sep=list_sep, value_type=value_type)
+        for col, typ in scalar_casts.items():
+            if col not in t.column_names:
+                continue
+            raw = _chunked(t[col])
+            # empty string == missing (CSV NaN convention)
+            raw = pc.if_else(pc.equal(raw, ""), pa.scalar(None, pa.string()), raw)
+            t = t.set_column(t.column_names.index(col), col, pc.cast(raw, typ))
+        return t
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def write_kgx_csv(ds: ray.data.Dataset, out_dir: str, list_sep: str = ";", **kwargs):
+    """S4: encode list columns back to ``;``-joined cells and write CSV
+    shards (one file per block — the Ray-native form of the reference's
+    pt-file sharding, P3)."""
+
+    def encode(t: pa.Table) -> pa.Table:
+        cols = [c for c in t.column_names if pa.types.is_list(t[c].type)]
+        return join_list_cells(t, cols, sep=list_sep)
+
+    ds.map_batches(encode, batch_format="pyarrow").write_csv(out_dir, **kwargs)
+    return out_dir
+
+
+def write_schema_manifest(out_dir: str, schema: pa.Schema, extra: dict | None = None) -> str:
+    """S8: ``_schema.json`` manifest next to the Parquet output — the
+    engine's replacement for generated CREATE TABLE DDL (`Kuzu:390-439`)."""
+    manifest = {
+        "fields": [
+            {
+                "name": f.name,
+                "type": str(f.type),
+                "header_type": (
+                    f.metadata.get(b"header_type", b"").decode() if f.metadata else ""
+                ),
+                "nullable": f.nullable,
+            }
+            for f in schema
+        ],
+        **(extra or {}),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "_schema.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# MemGraph import-record nesting (M8/M9) + merged stream (A6/S6)
+# ---------------------------------------------------------------------------
+
+def to_memgraph_nodes(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """M8: node rows -> ``{id, labels, properties, type:'node'}`` records.
+
+    ``properties`` carries ALL original columns as a JSON-encoded string
+    (the reference nests the full source record,
+    `mg_build_individual_json.py:391-397`); JSON-string keeps the Arrow
+    schema fixed regardless of how sparse/wide the property set is.
+    """
+
+    def conv(t: pa.Table) -> pa.Table:
+        props = _rows_as_json(t)
+        return pa.table(
+            {
+                "id": pc.cast(_chunked(t["id"]), pa.string()),
+                "labels": _chunked(t["labels"]) if "labels" in t.column_names
+                else pa.array([[]] * len(t), type=pa.list_(pa.string())),
+                "start": pa.nulls(len(t), pa.string()),
+                "end": pa.nulls(len(t), pa.string()),
+                "label": pa.nulls(len(t), pa.string()),
+                "properties": props,
+                "type": pa.array(["node"] * len(t), type=pa.string()),
+            }
+        )
+
+    return nodes.map_batches(conv, batch_format="pyarrow")
+
+
+def to_memgraph_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """M9: edge rows -> ``{id, start, end, label, properties,
+    type:'relationship'}``. The id is the deterministic ``edge_uid`` content
+    hash, not ST3's arrival-order counter (order-free under parallelism)."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        props = _rows_as_json(t)
+        return pa.table(
+            {
+                "id": pc.cast(_chunked(t["edge_uid"]), pa.string()),
+                "labels": pa.array([[]] * len(t), type=pa.list_(pa.string())),
+                "start": pc.cast(_chunked(t["subject"]), pa.string()),
+                "end": pc.cast(_chunked(t["object"]), pa.string()),
+                "label": pc.cast(_chunked(t["predicate"]), pa.string()),
+                "properties": props,
+                "type": pa.array(["relationship"] * len(t), type=pa.string()),
+            }
+        )
+
+    return edges.map_batches(conv, batch_format="pyarrow")
+
+
+def _rows_as_json(t: pa.Table) -> pa.Array:
+    """Each row's full column set as a canonical (sorted-key) JSON string.
+    Conformance-sink encoding — not a hot analytical path."""
+    cols = {c: _chunked(t[c]).to_pylist() for c in sorted(t.column_names)}
+    n = len(t)
+    out = [
+        json.dumps(
+            {c: v[i] for c, v in cols.items() if v[i] is not None},
+            ensure_ascii=True, sort_keys=True, default=str,
+        )
+        for i in range(n)
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def merge_nodes_edges(nodes: ray.data.Dataset, edges: ray.data.Dataset) -> ray.data.Dataset:
+    """A6: one merged import stream, nodes then edges
+    (`mg_build_merge_json.py:95-180`). Schemas are pre-aligned by the
+    ``to_memgraph_*`` converters so ``union`` is zero-copy."""
+    return to_memgraph_nodes(nodes).union(to_memgraph_edges(edges))
+
+
+def write_json_array(ds: ray.data.Dataset, path: str) -> dict:
+    """S6: the reference's exact single-file JSON-array byte format —
+    ``[`` + comma-separated ``json.dumps(record, ensure_ascii=True)`` + ``]``
+    (`mg_build_individual_json.py:300-349`, first-record-flag comma logic at
+    `mg_build_merge_json.py:120-128,162-170`).
+
+    Streams ``iter_batches`` so driver memory is one batch; a single output
+    file is inherent to the format (the MemGraph ``import_util.json`` target
+    reads one file) — use ``Dataset.write_json`` for the scale path.
+    """
+    n = 0
+    with open(path, "w") as f:
+        f.write("[")
+        first = True
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+            records = _memgraph_records(batch)
+            for rec in records:
+                if not first:
+                    f.write(",\n")
+                f.write(rec)
+                first = False
+                n += 1
+        f.write("]")
+    return {"path": path, "n_records": n}
+
+
+def _memgraph_records(batch: pa.Table) -> list[str]:
+    """Serialize merged-stream rows back to the reference's record shape
+    (properties re-inflated from the JSON string)."""
+    cols = {c: _chunked(batch[c]).to_pylist() for c in batch.column_names}
+    out = []
+    for i in range(len(batch)):
+        typ = cols["type"][i]
+        rec: dict = {"id": cols["id"][i], "type": typ}
+        if typ == "node":
+            rec["labels"] = cols["labels"][i] or []
+        else:
+            rec["start"] = cols["start"][i]
+            rec["end"] = cols["end"][i]
+            rec["label"] = cols["label"][i]
+        rec["properties"] = json.loads(cols["properties"][i] or "{}")
+        out.append(json.dumps(rec, ensure_ascii=True, sort_keys=True))
+    return out

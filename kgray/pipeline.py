@@ -118,6 +118,14 @@ class KGPipeline:
             json.dump({"stage": stage, "fingerprint": fingerprint, **extra}, f)
         os.replace(tmp, p)
 
+    @staticmethod
+    def _read_blocks() -> int:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        return max(32, 2 * cpus)
+
     # -- stages ---------------------------------------------------------------
     def run(self, transcripts: ray.data.Dataset, fingerprint: str = "") -> dict:
         """Execute end-to-end; returns output paths + metrics."""
@@ -167,7 +175,13 @@ class KGPipeline:
         else:
             m.record("extract", skipped=True)
 
-        linked = ray.data.read_parquet(triples_dir).map_batches(
+        # the checkpoint is small on disk (dictionary+snappy) but fans out
+        # ~20x in memory; without an explicit block override Ray sizes the
+        # read by FILE bytes and packs it into a handful of tasks, pinning
+        # the whole downstream chain to a few cores
+        linked = ray.data.read_parquet(
+            triples_dir, override_num_blocks=self._read_blocks()
+        ).map_batches(
             lambda t: t.filter(t["linked"].combine_chunks()), batch_format="pyarrow"
         )
 
@@ -187,6 +201,7 @@ class KGPipeline:
         #    the triples.
         with m.time_stage("edges"):
             edges = materialize.build_edges(canonical_triples).materialize()
+            edges_pre_tag_count = edges.count()
 
         # 6. node table: distinct edge endpoints + M6/M7 normalization;
         #    then tag edges with endpoint classes (J1) for the layout
@@ -203,8 +218,10 @@ class KGPipeline:
 
             _ensure_parquet_dir(paths["nodes"], NODE_SCHEMA)
             _ensure_parquet_dir(paths["edges"], EDGE_SCHEMA)
+            # counts come from the already-materialized datasets (cached
+            # metadata, no extra execution); tagging doesn't change row counts
             n_nodes = nodes.count()
-            n_edges = ray.data.read_parquet(paths["edges"]).count()
+            n_edges = edges_pre_tag_count
             m.record("write", n_nodes=n_nodes, n_edges=n_edges)
 
         # drop accounting (J2: count, never silently truncate) — cheap

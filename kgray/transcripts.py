@@ -152,15 +152,18 @@ def transcripts_dataset(sf_dir: str, repeat: int = 1, num_blocks: int | None = N
     )
     if repeat > 1:
         def replicate(batch: pa.Table, *, k=repeat) -> pa.Table:
+            # vectorized k-fold replication: ONE take per column + ONE join
+            # for the conv_id suffix (a per-copy loop would pay k kernel
+            # dispatches per task — measured ~50ms/task of pure overhead)
             turns = generate_turns_batch(batch)
-            parts = []
-            for r in range(k):
-                t = turns
-                if r > 0:
-                    conv = _concat(t["conv_id"].combine_chunks(), f"-r{r}")
-                    t = t.set_column(0, "conv_id", conv)
-                parts.append(t)
-            return pa.concat_tables(parts)
+            n = turns.num_rows
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+            rep = turns.take(idx)
+            suffix = pa.array(
+                ["" if r == 0 else f"-r{r}" for r in range(k)], type=pa.string()
+            ).take(pa.array(np.repeat(np.arange(k, dtype=np.int64), n)))
+            conv = _concat(rep["conv_id"].combine_chunks(), suffix)
+            return rep.set_column(0, "conv_id", conv)
         return ds.map_batches(replicate, batch_format="pyarrow")
     return ds.map_batches(generate_turns_batch, batch_format="pyarrow")
 

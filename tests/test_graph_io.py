@@ -1,0 +1,115 @@
+"""Round-trip tests for the graph interchange formats (SURVEY.md §2.1)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from kgray import graph_io
+from kgray.schema import header_to_arrow_schema
+
+NODE_HEADER = "id:ID\tname:string\tcategory:LABEL\tequivalent_identifiers:string[]\tscore:float\trank:int"
+
+
+@pytest.fixture
+def kgx_csv(tmp_path):
+    path = tmp_path / "nodes.csv"
+    path.write_text(
+        "id,name,category,equivalent_identifiers,score,rank\n"
+        "RAW:1,Alpha,biolink:Gene;biolink:NamedThing,RAW:1;EQ:0,0.5,2\n"
+        "RAW:2,Beta,biolink:Disease,RAW:2,,\n"
+    )
+    return str(path)
+
+
+def test_read_kgx_csv_decodes_lists_and_casts(ray_session, kgx_csv):
+    ds = graph_io.read_kgx_csv(kgx_csv, NODE_HEADER, rename_cols={"category": "labels"})
+    t = ds.take_all()
+    by_id = {r["id"]: r for r in t}
+    assert by_id["RAW:1"]["labels"] == ["biolink:Gene", "biolink:NamedThing"]
+    assert by_id["RAW:1"]["equivalent_identifiers"] == ["RAW:1", "EQ:0"]
+    assert by_id["RAW:1"]["score"] == 0.5 and by_id["RAW:1"]["rank"] == 2
+    # empty cells: lists -> [], scalars -> null (Kuzu:141 NaN convention)
+    assert by_id["RAW:2"]["equivalent_identifiers"] == ["RAW:2"]
+    assert by_id["RAW:2"]["score"] is None and by_id["RAW:2"]["rank"] is None
+
+
+def test_kgx_csv_roundtrip(ray_session, kgx_csv, tmp_path):
+    ds = graph_io.read_kgx_csv(kgx_csv, NODE_HEADER)
+    out = str(tmp_path / "out")
+    graph_io.write_kgx_csv(ds, out)
+    back = graph_io.read_kgx_csv(
+        [os.path.join(out, f) for f in sorted(os.listdir(out))], NODE_HEADER
+    ).take_all()
+    orig = ds.take_all()
+    key = lambda r: r["id"]
+    assert sorted(back, key=key) == sorted(orig, key=key)
+
+
+def test_read_graph_jsonl(ray_session, tmp_path):
+    p = tmp_path / "nodes.jsonl"
+    rows = [
+        {"id": "RAW:1", "name": "Alpha", "category": ["biolink:Gene"]},
+        {"id": "RAW:2", "name": "Beta", "category": ["biolink:Disease"]},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    got = graph_io.read_graph_jsonl(str(p)).take_all()
+    assert sorted(got, key=lambda r: r["id"]) == rows
+
+
+def test_schema_manifest(tmp_path):
+    schema = header_to_arrow_schema(NODE_HEADER)
+    path = graph_io.write_schema_manifest(str(tmp_path), schema, extra={"table": "nodes"})
+    m = json.load(open(path))
+    assert m["table"] == "nodes"
+    fields = {f["name"]: f for f in m["fields"]}
+    assert fields["category"]["header_type"] == "LABEL"
+    assert fields["score"]["type"] == "double"
+
+
+def _node_edge_datasets():
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": ["RAW:0", "RAW:2"],
+                "name": ["Ent0", "Ent2"],
+                "labels": [["biolink:Gene"], ["biolink:Disease", "biolink:NamedThing"]],
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subject": ["RAW:0"],
+                "predicate": ["biolink:treats"],
+                "object": ["RAW:2"],
+                "edge_uid": ["abc123"],
+                "n_mentions": [3],
+            }
+        )
+    )
+    return nodes, edges
+
+
+def test_memgraph_merge_and_json_array(ray_session, tmp_path):
+    nodes, edges = _node_edge_datasets()
+    merged = graph_io.merge_nodes_edges(nodes, edges)
+    out = str(tmp_path / "graph.json")
+    res = graph_io.write_json_array(merged, out)
+    assert res["n_records"] == 3
+
+    data = json.load(open(out))  # must be valid JSON (S6 byte format)
+    assert [r["type"] for r in data].count("node") == 2
+    rel = next(r for r in data if r["type"] == "relationship")
+    # M9 key remap: subject->start, object->end, predicate->label
+    assert rel["start"] == "RAW:0" and rel["end"] == "RAW:2"
+    assert rel["label"] == "biolink:treats" and rel["id"] == "abc123"
+    assert rel["properties"]["n_mentions"] == 3
+    node = next(r for r in data if r["id"] == "RAW:2")
+    # M8: original fields nested under properties; labels preserved
+    assert node["labels"] == ["biolink:Disease", "biolink:NamedThing"]
+    assert node["properties"]["name"] == "Ent2"
