@@ -28,7 +28,9 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from kgray import dedup, extract, link, lookups, relational, similarity, streaming, textops
+from kgray import (
+    dedup, extract, link, lookups, multimodal, relational, similarity, streaming, textops,
+)
 from kgray.canonicalize import canonical_map_local, rewrite_ids
 from kgray.link import build_alias_index
 from kgray.materialize import build_edges
@@ -378,7 +380,112 @@ def q_knn_bruteforce(sf_dir: str):
     )
 
 
+def q_ngram_jaccard(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2))
+
+
+def q_cosine_pairs(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _table(similarity.cosine_pairs(emb, threshold=0.4))
+
+
+def _kg_edge_table(sf_dir: str):
+    canonical, _ = _canonical_triples(sf_dir)
+    return build_edges(canonical)
+
+
+def q_neighborhood(sf_dir: str, target: str = "RAW:0"):
+    """A7 neighborhood audit: `match (a {id})-[x]-(b) return type(x),
+    count(b)` (`docs/cypher-cmds.txt:91`) over the canonical edge table."""
+    edges = _kg_edge_table(sf_dir)
+
+    def nbr(t: pa.Table) -> pa.Table:
+        subj = t["subject"] if not isinstance(t["subject"], pa.ChunkedArray) else t["subject"].combine_chunks()
+        obj = t["object"] if not isinstance(t["object"], pa.ChunkedArray) else t["object"].combine_chunks()
+        out_rows = t.filter(pc.equal(subj, target))
+        in_rows = t.filter(pc.equal(obj, target))
+        return pa.table(
+            {
+                "predicate": pa.concat_arrays(
+                    [
+                        pc.cast(out_rows["predicate"].combine_chunks(), pa.string()),
+                        pc.cast(in_rows["predicate"].combine_chunks(), pa.string()),
+                    ]
+                ),
+                "direction": pa.array(
+                    ["out"] * out_rows.num_rows + ["in"] * in_rows.num_rows,
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    per_batch = edges.map_batches(nbr, batch_format="pyarrow")
+    out = relational.grouped_agg(
+        per_batch, keys=["predicate", "direction"], count_alias="n_neighbors"
+    )
+    return _table(out)
+
+
+def q_distinct_labels(sf_dir: str):
+    """A7 distinct labels (UNWIND+collect, `docs/cypher-cmds-1.txt:84-86`)."""
+    from kgray.materialize import build_nodes, catalog_index
+
+    canonical, catalog = _canonical_triples(sf_dir)
+    nodes = build_nodes(
+        canonical, lookups.broadcast(catalog_index(catalog)),
+        endpoint_cols=("subject_id", "object_id"),
+    )
+    flat = nodes.map_batches(
+        lambda t: pa.table({"label": t["labels"].combine_chunks().flatten()}),
+        batch_format="pyarrow",
+    )
+    return pa.table({"label": pa.array(relational.distinct_sorted(flat, "label"))})
+
+
+def q_graph_counts(sf_dir: str):
+    """A7 count queries (`docs/cypher-cmds.txt:103-104`): one row
+    (n_nodes, n_edges) for the canonical graph."""
+    from kgray.materialize import build_nodes, catalog_index
+
+    canonical, catalog = _canonical_triples(sf_dir)
+    edges = build_edges(canonical).materialize()
+    nodes = build_nodes(
+        edges, lookups.broadcast(catalog_index(catalog)),
+        endpoint_cols=("subject", "object"),
+    )
+    return pa.table(
+        {
+            "n_nodes": pa.array([nodes.count()], type=pa.int64()),
+            "n_edges": pa.array([edges.count()], type=pa.int64()),
+        }
+    )
+
+
 # rows-only queries (no SQL-expressible oracle; driver records row counts)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column -> fake-decode actor pool
+    -> feature extraction; deterministic synthetic media corpus."""
+    ds = rd.from_arrow(multimodal.synthetic_media_table(64))
+    out = multimodal.extract_features(multimodal.decode_media(ds, fake=True))
+
+    def fin(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        l2 = pc.list_element(feats, 0)
+        return pa.table(
+            {
+                "media_id": t["media_id"].combine_chunks(),
+                "kind": t["kind"].combine_chunks(),
+                "width": pc.cast(t["width"].combine_chunks(), pa.int64()),
+                "height": pc.cast(t["height"].combine_chunks(), pa.int64()),
+                "n_frames": pc.cast(t["n_frames"].combine_chunks(), pa.int64()),
+                "feat0_e6": pc.cast(pc.round(pc.multiply(l2, 1e6)), pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
 
 def q_lang_id(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -489,10 +596,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": q_windowed_events,
         "sessions": q_sessions,
         "knn_bruteforce": q_knn_bruteforce,
-        # rows-only (non-SQL-expressible)
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_pairs": q_cosine_pairs,
+        "neighborhood": q_neighborhood,
+        "distinct_labels": q_distinct_labels,
+        "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
+        # rows-only (non-SQL-expressible: content hashing / LSH recall /
+        # stubbed media decode)
+        "fingerprints": q_fingerprints,
+        "media_features": q_media_features,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
@@ -648,6 +762,90 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(ts_s) AS session_start, MAX(ts_s) AS session_end
             FROM tagged GROUP BY 1, 2
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(ws) >= 2 THEN
+                  list_distinct(list_transform(generate_series(1, len(ws)-1),
+                                               i -> ws[i] || ' ' || ws[i+1]))
+                WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+                ELSE [] END) AS gram
+              FROM w
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (1000000 * n) // (ca.c + cb.c - n) AS jaccard_ppm
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
+        """,
+        "cosine_pairs": """
+            SELECT vec_a, vec_b, CAST(ROUND(cos * 1e4) AS BIGINT) AS cos_e4
+            FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cos >= 0.4
+        """,
+        "neighborhood": f"""
+            SELECT predicate, direction, n_neighbors FROM (
+              SELECT predicate, 'out' AS direction, COUNT(*) AS n_neighbors
+              FROM ({kg_edges}) WHERE subject = 'RAW:0' GROUP BY 1
+              UNION ALL
+              SELECT predicate, 'in', COUNT(*)
+              FROM ({kg_edges}) WHERE object = 'RAW:0' GROUP BY 1
+            )
+        """,
+        "distinct_labels": f"""
+            SELECT DISTINCT unnest(string_split(labels_str, ';')) AS label
+            FROM ({kg_nodes}) ORDER BY label
+        """,
+        "graph_counts": f"""
+            SELECT (SELECT COUNT(*) FROM ({kg_nodes})) AS n_nodes,
+                   (SELECT COUNT(*) FROM ({kg_edges})) AS n_edges
+        """,
+        "lang_id": """
+            WITH w AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CAST(list_contains(ws,'der') AS INT) + CAST(list_contains(ws,'die') AS INT)
+                  + CAST(list_contains(ws,'das') AS INT) + CAST(list_contains(ws,'und') AS INT)
+                  + CAST(list_contains(ws,'ist') AS INT) AS s_de,
+                CAST(list_contains(ws,'the') AS INT) + CAST(list_contains(ws,'and') AS INT)
+                  + CAST(list_contains(ws,'of') AS INT) + CAST(list_contains(ws,'is') AS INT)
+                  + CAST(list_contains(ws,'was') AS INT) AS s_en,
+                CAST(list_contains(ws,'el') AS INT) + CAST(list_contains(ws,'la') AS INT)
+                  + CAST(list_contains(ws,'los') AS INT) + CAST(list_contains(ws,'es') AS INT)
+                  + CAST(list_contains(ws,'una') AS INT) AS s_es,
+                CAST(list_contains(ws,'le') AS INT) + CAST(list_contains(ws,'la') AS INT)
+                  + CAST(list_contains(ws,'les') AS INT) + CAST(list_contains(ws,'est') AS INT)
+                  + CAST(list_contains(ws,'une') AS INT) AS s_fr
+              FROM w
+            )
+            SELECT doc_id, CASE
+              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "knn_bruteforce": """
             WITH q AS (

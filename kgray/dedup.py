@@ -247,6 +247,113 @@ def _broadcast_texts(docs, id_col, text_col):
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (inverted-index, no approximation)
+# ---------------------------------------------------------------------------
+
+def _word_grams(text: str, k: int) -> set:
+    w = (text or "").split()
+    if len(w) < k:
+        return {" ".join(w)} if w else set()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    max_df: int = 1 << 30,
+) -> ray.data.Dataset:
+    """EXACT word-``k``-gram Jaccard pairs >= ``threshold`` via a distributed
+    inverted-index join (gram -> posting list -> co-occurrence counts) — no
+    LSH approximation, so it is oracle-checkable against SQL.
+
+    ``max_df``: grams appearing in more than this many documents are dropped
+    from the similarity computation in BOTH the numerator and denominator
+    (the standard stop-gram cut for set-similarity joins — a gram shared by
+    half the corpus generates O(df^2) candidate pairs and carries no signal).
+    Default keeps everything.
+
+    Shuffle plan: one gram-keyed exchange of (doc, gram) pairs feeding two
+    reductions (pair co-counts + per-doc retained-gram counts), then a
+    pair-keyed sum; per-doc counts are corpus-vocabulary sized and broadcast
+    (at larger scale, replace the broadcast with a join on doc id).
+    """
+    import ray as _ray
+
+    from .relational import hash_bucketed_groupby
+
+    def to_grams(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            gset = _word_grams(text, k)
+            ids.extend([did] * len(gset))
+            grams.extend(gset)
+        return pa.table({"doc_id": pa.array(ids), "gram": pa.array(grams, type=pa.string())})
+
+    grams_ds = docs.map_batches(to_grams, batch_format="pyarrow").materialize()
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # many grams co-located per bucket; per-gram postings -> pair counts
+        out: dict = {}
+        for _, grp in df.groupby("gram", sort=False):
+            ids = grp["doc_id"].tolist()
+            if len(ids) > max_df or len(ids) < 2:
+                continue
+            ids.sort()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    key = (ids[i], ids[j])
+                    out[key] = out.get(key, 0) + 1
+        return pd.DataFrame(
+            [(a, b, n) for (a, b), n in out.items()],
+            columns=["doc_a", "doc_b", "n_inter"],
+        )
+
+    def bucket_doc_counts(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        kept = df[sizes <= max_df]
+        return kept.groupby("doc_id", sort=False, as_index=False).agg(n=("gram", "size"))
+
+    pair_partials = hash_bucketed_groupby(grams_ds, ["gram"], bucket_pairs)
+    count_partials = hash_bucketed_groupby(grams_ds, ["gram"], bucket_doc_counts)
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], sort=False, as_index=False).agg(
+            n_inter=("n_inter", "sum")
+        )
+
+    pairs = hash_bucketed_groupby(pair_partials, ["doc_a", "doc_b"], sum_pairs)
+
+    # per-doc retained-gram counts: corpus-vocab sized -> broadcast dict
+    doc_counts: dict = {}
+    for b in count_partials.iter_batches(batch_format="pandas", batch_size=1 << 16):
+        for did, n in zip(b["doc_id"], b["n"]):
+            doc_counts[did] = doc_counts.get(did, 0) + int(n)
+    counts_ref = _ray.put(doc_counts)
+
+    def finish(df: pd.DataFrame, _ref=counts_ref) -> pd.DataFrame:
+        counts = _ray.get(_ref)
+        ca = df["doc_a"].map(counts).astype("int64")
+        cb = df["doc_b"].map(counts).astype("int64")
+        n = df["n_inter"].astype("int64")
+        denom = ca + cb - n
+        keep = (n * 1.0 / denom) >= threshold
+        out = pd.DataFrame(
+            {
+                "doc_a": df["doc_a"],
+                "doc_b": df["doc_b"],
+                # exact integer ppm (floor) — FP-free cross-engine compare
+                "jaccard_ppm": (1_000_000 * n) // denom,
+            }
+        )
+        return out[keep.to_numpy()]
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

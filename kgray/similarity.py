@@ -81,6 +81,53 @@ def knn_bruteforce(
     return out
 
 
+def cosine_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine similarity join: every (a, b) with
+    ``cos(a, b) >= threshold`` and ``a < b`` — oracle-checkable (unlike the
+    LSH-bucketed ``dedup.embedding_dedup_pairs``, which trades recall for
+    scale).
+
+    Plan: the normalized corpus matrix is broadcast once (``ray.put``); each
+    batch computes one ``(batch x corpus)`` matmul and emits only
+    above-threshold pairs. O(n^2) similarities but O(n) shuffled bytes. At
+    corpus sizes past broadcast limits, switch to block-partitioned tiling
+    (each task receives one (row-block, col-block) pair) — same kernel.
+    """
+    rows = []
+    for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 16
+    ):
+        rows.append((np.asarray(b[id_col].to_pylist()), _to_matrix(b[vec_col])))
+    all_ids = np.concatenate([r[0] for r in rows])
+    all_unit = _unit(np.vstack([r[1] for r in rows]))
+    order = np.argsort(all_ids, kind="stable")
+    all_ids, all_unit = all_ids[order], all_unit[order]
+    ref = ray.put((all_ids, all_unit))
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids_c, unit_c = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        unit = _unit(_to_matrix(batch[vec_col]))
+        sims = unit @ unit_c.T  # (n_batch, n_corpus)
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids_c[None, :]))
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], type=pa.int64()),
+                "vec_b": pa.array(ids_c[jj], type=pa.int64()),
+                "cos_e4": pa.array(
+                    np.round(sims[ii, jj] * 1e4).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return embeddings.map_batches(part, batch_format="pyarrow")
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
     """Tiny deterministic k-means (seeded init, cosine geometry)."""
     rng = np.random.RandomState(_SEED)

@@ -1,0 +1,154 @@
+"""Dedup + similarity operators on corpora with planted duplicates."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kgray import dedup, multimodal, similarity
+
+
+def _docs_with_dupes():
+    """40 distinct docs + 5 planted near-duplicate pairs."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for j in range(5):
+        base = texts[j].split()
+        base[5] = "CHANGED"  # one-word edit -> high jaccard, not exact
+        rows.append({"doc_id": 100 + j, "text": " ".join(base)})
+    return rows
+
+
+def _true_jaccard_pairs(rows, k, threshold):
+    def grams(t):
+        w = t.split()
+        return set(" ".join(w[i : i + k]) for i in range(len(w) - k + 1))
+
+    gs = {r["doc_id"]: grams(r["text"]) for r in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(gs), 2):
+        inter = len(gs[a] & gs[b])
+        u = len(gs[a]) + len(gs[b]) - inter
+        if u and inter / u >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    rows = _docs_with_dupes()
+    ds = ray.data.from_items(rows)
+    got = dedup.ngram_jaccard_pairs(ds, threshold=0.5, k=2).take_all()
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert got_pairs == _true_jaccard_pairs(rows, 2, 0.5)
+    assert len(got_pairs) >= 5  # the planted pairs are found
+    for r in got:
+        assert 500_000 <= r["jaccard_ppm"] <= 1_000_000
+
+
+def test_minhash_lsh_finds_planted_dupes(ray_session):
+    rows = _docs_with_dupes()
+    ds = ray.data.from_items(rows)
+    got = dedup.minhash_lsh_pairs(ds, threshold=0.7, shingle_k=2).take_all()
+    found = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])) for r in got}
+    for j in range(5):  # every planted pair must surface via some band
+        assert (j, 100 + j) in found
+    for r in got:  # verified exact jaccard, so no false positives
+        assert r["jaccard"] >= 0.7
+
+
+def test_simhash_finds_planted_dupes(ray_session):
+    rows = _docs_with_dupes()
+    ds = ray.data.from_items(rows)
+    got = dedup.simhash_pairs(ds, max_hamming=10).take_all()
+    found = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])) for r in got}
+    assert sum((j, 100 + j) in found for j in range(5)) >= 4
+    for r in got:
+        assert r["hamming"] <= 10
+
+
+def _embeddings_with_dupes(n=60, dim=16):
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((n, dim))
+    mat[50] = mat[0] + rng.standard_normal(dim) * 1e-4  # near-dup of 0
+    mat[51] = mat[1] * 2.0  # exact direction dup of 1
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+        }
+    ), mat
+
+
+def test_cosine_pairs_exact(ray_session):
+    tbl, mat = _embeddings_with_dupes()
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    truth = {
+        (i, j)
+        for i in range(len(mat))
+        for j in range(i + 1, len(mat))
+        if sims[i, j] >= 0.8
+    }
+    ds = ray.data.from_arrow(tbl)
+    got = similarity.cosine_pairs(ds, threshold=0.8).take_all()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == truth
+    assert (0, 50) in truth and (1, 51) in truth  # planted
+
+
+def test_embedding_dedup_lsh_finds_planted(ray_session):
+    tbl, _ = _embeddings_with_dupes()
+    ds = ray.data.from_arrow(tbl)
+    got = dedup.embedding_dedup_pairs(ds, threshold=0.95, dim=16).take_all()
+    found = {(r["vec_a"], r["vec_b"]) for r in got}
+    # sign-LSH: identical directions always share a bucket
+    assert (1, 51) in found
+    assert (0, 50) in found  # 1e-4 perturbation -> same signs (seeded corpus)
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((300, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    queries = mat[:3]
+    exact = similarity.knn_bruteforce(ds, queries, k=5)
+    approx = similarity.knn_ivf(ds, queries, k=5, n_clusters=8, nprobe=4)
+    recalls = []
+    for qid in range(3):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 lists
+
+
+def test_multimodal_plumbing(ray_session):
+    ds = ray.data.from_arrow(multimodal.synthetic_media_table(16))
+    out = multimodal.extract_features(
+        multimodal.decode_media(ds, fake=True), batch_size=4
+    ).take_all()
+    assert len(out) == 16
+    for r in out:
+        assert r["width"] >= 16 and r["height"] >= 16 and 1 <= r["n_frames"] <= 4
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+    # deterministic across runs
+    out2 = multimodal.extract_features(
+        multimodal.decode_media(ray.data.from_arrow(multimodal.synthetic_media_table(16)), fake=True)
+    ).take_all()
+    key = lambda r: r["media_id"]
+    assert sorted(out, key=key) == sorted(out2, key=key)
+
+
+def test_decode_stub_raises_without_fake(ray_session):
+    ds = ray.data.from_arrow(multimodal.synthetic_media_table(4))
+    with pytest.raises(Exception):
+        multimodal.decode_media(ds, fake=False).take_all()
