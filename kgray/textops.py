@@ -128,22 +128,51 @@ _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def fnv1a_64(data: np.ndarray) -> np.ndarray:
-    """Vectorized-ish FNV-1a over an object array of strings (stable,
-    library-independent 64-bit document fingerprint)."""
-    out = np.empty(len(data), dtype=np.uint64)
-    prime = _FNV_PRIME
-    for i, s in enumerate(data):
-        h = _FNV_OFFSET
-        for b in (s or "").encode("utf-8"):
-            h = np.uint64((h ^ np.uint64(b)) * prime & np.uint64(0xFFFFFFFFFFFFFFFF))
-        out[i] = h
+def rolling_hash64(texts: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit polynomial rolling hash per string:
+    ``fp(s) = sum_i byte[i] * P^(L-1-i)`` (uint64 wraparound, P = FNV
+    prime). One numpy pass over the column's raw UTF-8 buffer — no Python
+    per row, no per-byte loop. Deterministic across workers/libraries.
+    Null / empty strings hash to 0."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    offs = np.frombuffer(texts.buffers()[1], dtype=np.int32)[
+        texts.offset : texts.offset + n + 1
+    ].astype(np.int64)
+    data_buf = texts.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8).astype(np.uint64)
+        if data_buf is not None and len(data_buf) > 0
+        else np.empty(0, dtype=np.uint64)
+    )
+    starts, ends = offs[:-1], offs[1:]
+    lengths = ends - starts
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(offs[-1] - offs[0])
+    if total == 0:
+        return out
+    data = data[offs[0] : offs[-1]]
+    starts0, ends0 = starts - offs[0], ends - offs[0]
+    maxlen = int(lengths.max())
+    pows = np.empty(maxlen, dtype=np.uint64)
+    pows[0] = 1
+    if maxlen > 1:
+        np.multiply.accumulate(np.full(maxlen - 1, _FNV_PRIME, dtype=np.uint64), out=pows[1:])
+    exp = np.repeat(ends0 - 1, lengths) - np.arange(total, dtype=np.int64)
+    terms = data * pows[exp]
+    nz = lengths > 0
+    out[nz] = np.add.reduceat(terms, starts0[nz])
     return out
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit FNV-1a content fingerprint, hex-encoded."""
-    h = fnv1a_64(np.asarray(batch[text_col].to_pylist(), dtype=object))
-    return batch.append_column(
-        "fingerprint", pa.array([format(x, "016x") for x in h], type=pa.string())
+    """64-bit rolling-hash content fingerprint, hex-encoded."""
+    h = rolling_hash64(_chunked(batch[text_col]))
+    hexed = np.char.zfill(
+        np.vectorize(lambda x: format(x, "x"), otypes=[object])(h).astype(str), 16
     )
+    return batch.append_column("fingerprint", pa.array(hexed.tolist(), type=pa.string()))
