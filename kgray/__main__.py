@@ -1,0 +1,151 @@
+"""Staged CLI — the engine's analog of the reference's ``--type`` stage
+selector (`Kuzu/kuzu_build_graph_csv.py:621-753`: CONVERT -> CREATE_LUS ->
+BIN -> CREATE_TABLES -> IMPORT, one process per stage, artifacts on disk
+between stages).
+
+Stage map (reference -> kgray):
+
+  convert      CONVERT     generate/order/extract/link -> triples Parquet
+  create_lus   CREATE_LUS  canonical-id map + node-class lookup -> Parquet
+                           checkpoints (the ST4 pickle analog, Kuzu:673-680)
+  bin          BIN+IMPORT  edges/nodes build + partitioned Parquet write
+                           (the terminal sink IS the partitioned table set)
+  tables       CREATE_TABLES  _schema.json + Kuzu DDL + Cypher cast map
+  all          the full checkpointed pipeline (resumable; default)
+
+Every stage is resumable: rerunning skips work whose manifest fingerprint
+matches (pipeline `_manifests/`).
+
+Usage::
+
+    python -m kgray --type=all --sf-dir /root/testdata/sf0.001 --out /tmp/kg
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kgray", description=__doc__)
+    p.add_argument(
+        "--type", default="all",
+        choices=["all", "convert", "create_lus", "bin", "tables"],
+        help="pipeline stage to run (reference --type selector)",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", default="/tmp/kgray_out")
+    p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipeline import KGPipeline
+    from .transcripts import entity_catalog, transcripts_dataset
+
+    os.makedirs(args.out, exist_ok=True)
+    fingerprint = f"{args.sf_dir}|repeat={args.repeat}"
+
+    if args.type in ("all", "convert", "bin"):
+        pipe = KGPipeline(out_dir=args.out, resume=not args.no_resume)
+        stop = "triples" if args.type == "convert" else None
+        res = pipe.run(
+            transcripts_dataset(args.sf_dir, repeat=args.repeat),
+            fingerprint=fingerprint, stop_after=stop,
+        )
+        print(json.dumps({k: v for k, v in res.items() if k != "metrics"}))
+
+    if args.type in ("all", "create_lus"):
+        from .canonicalize import canonical_map_local
+        from .lookups import node_class_lookup
+
+        ck = os.path.join(args.out, "checkpoints")
+        os.makedirs(ck, exist_ok=True)
+        catalog = entity_catalog()
+        canon = canonical_map_local(
+            rd.from_arrow(catalog.select(["id", "equivalent_identifiers"]))
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(list(canon.keys()), type=pa.string()),
+                    "canonical_id": pa.array(list(canon.values()), type=pa.string()),
+                }
+            ),
+            os.path.join(ck, "canonical_map.parquet"),
+        )
+        node_dir = os.path.join(args.out, "nodes")
+        if os.path.isdir(node_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(node_dir) for f in fs
+        ):
+            lookup = node_class_lookup(rd.read_parquet(node_dir))
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(list(lookup.keys()), type=pa.string()),
+                        "primary_class": pa.array(list(lookup.values()), type=pa.string()),
+                    }
+                ),
+                os.path.join(ck, "node_class_lookup.parquet"),
+            )
+        print(json.dumps({"checkpoints": ck}))
+
+    if args.type in ("all", "tables"):
+        from .graph_io import write_schema_manifest
+        from .schema import (
+            EDGE_SCHEMA, NODE_SCHEMA, schema_to_cypher_property_map,
+            schema_to_kuzu_node_ddl, schema_to_kuzu_rel_ddl,
+        )
+
+        node_dir, edge_dir = os.path.join(args.out, "nodes"), os.path.join(args.out, "edges")
+        write_schema_manifest(node_dir, NODE_SCHEMA, extra={"table": "nodes"})
+        write_schema_manifest(edge_dir, EDGE_SCHEMA, extra={"table": "edges"})
+        ddl = {
+            "kuzu_node_ddl": schema_to_kuzu_node_ddl(_typed(NODE_SCHEMA), "Node"),
+            "kuzu_rel_ddl": schema_to_kuzu_rel_ddl(_typed(EDGE_SCHEMA), "Edge", "Node", "Node"),
+            "cypher_node_map": schema_to_cypher_property_map(_typed(NODE_SCHEMA)),
+        }
+        with open(os.path.join(args.out, "ddl.json"), "w") as f:
+            json.dump(ddl, f, indent=1)
+        print(json.dumps({"ddl": os.path.join(args.out, "ddl.json")}))
+
+    return 0
+
+
+def _typed(schema):
+    """Attach header-type metadata to the engine's native output schemas so
+    the DDL generators (which are driven by header tokens) accept them."""
+    import pyarrow as pa
+
+    toks = {
+        pa.string(): "string",
+        pa.bool_(): "boolean",
+        pa.float64(): "float",
+        pa.int64(): "int",
+        pa.list_(pa.string()): "string[]",
+        pa.list_(pa.float64()): "float[]",
+    }
+    fields = []
+    for f in schema:
+        tok = "ID" if f.name == "id" else toks.get(f.type, "string")
+        fields.append(pa.field(f.name, f.type, metadata={b"header_type": tok.encode()}))
+    return pa.schema(fields)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,8 +127,15 @@ class KGPipeline:
         return max(32, 2 * cpus)
 
     # -- stages ---------------------------------------------------------------
-    def run(self, transcripts: ray.data.Dataset, fingerprint: str = "") -> dict:
-        """Execute end-to-end; returns output paths + metrics."""
+    def run(
+        self, transcripts: ray.data.Dataset, fingerprint: str = "",
+        stop_after: str | None = None,
+    ) -> dict:
+        """Execute end-to-end; returns output paths + metrics.
+
+        ``stop_after='triples'`` runs only the extract+link stages and their
+        checkpoint — the CLI's CONVERT stage (reference `--type` selector,
+        `Kuzu/kuzu_build_graph_csv.py:644-693`)."""
         m = self.metrics
         edge_out = os.path.join(self.out_dir, "edges")
         node_out = os.path.join(self.out_dir, "nodes")
@@ -174,6 +181,10 @@ class KGPipeline:
             self._mark_done("triples", fingerprint)
         else:
             m.record("extract", skipped=True)
+
+        if stop_after == "triples":
+            m.write(self.out_dir)
+            return {"triples": triples_dir, "metrics": m.to_dict(), "resumed": False}
 
         # the checkpoint is small on disk (dictionary+snappy) but fans out
         # ~20x in memory; without an explicit block override Ray sizes the

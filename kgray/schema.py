@@ -155,3 +155,73 @@ def header_to_arrow_schema(
 def list_columns_of(schema: pa.Schema) -> list[str]:
     """Names of columns that are ';'-separated lists in CSV serialization."""
     return [f.name for f in schema if pa.types.is_list(f.type)]
+
+
+# ---------------------------------------------------------------------------
+# DDL / cast codegen (S8/M12) — the reference emits Kuzu CREATE TABLE DDL
+# (`Kuzu/kuzu_build_graph_csv.py:390-439,498-535`) and MemGraph LOAD-CSV
+# Cypher property maps with casts (`MemGraph/mg_build_individual_json.py:
+# 156-231,234-267`) from the same typed header. Reproduced here as pure
+# functions over the compiled Arrow schema.
+# ---------------------------------------------------------------------------
+
+_KUZU_TYPE: dict[str, str] = {
+    "ID": "STRING", "START_ID": "STRING", "END_ID": "STRING", "TYPE": "STRING",
+    "string": "STRING", "boolean": "BOOLEAN", "float": "FLOAT", "int": "INT64",
+    "float[]": "FLOAT[]", "string[]": "STRING[]", "LABEL": "STRING[]",
+}
+
+
+def _header_types(schema: pa.Schema) -> dict[str, str]:
+    return {
+        f.name: (f.metadata or {}).get(b"header_type", b"string").decode()
+        for f in schema
+    }
+
+
+def schema_to_kuzu_node_ddl(schema: pa.Schema, table: str, pk: str = "id") -> str:
+    """``CREATE NODE TABLE <t> (col TYPE, ..., PRIMARY KEY (id))`` —
+    mirrors `Kuzu/kuzu_build_graph_csv.py:405-414`."""
+    ht = _header_types(schema)
+    cols = ", ".join(f"{f.name} {_KUZU_TYPE[ht[f.name]]}" for f in schema)
+    return f"CREATE NODE TABLE {table} ({cols}, PRIMARY KEY ({pk}))"
+
+
+def schema_to_kuzu_rel_ddl(
+    schema: pa.Schema, table: str, from_table: str, to_table: str,
+    skip_cols: tuple[str, ...] = ("from", "to"),
+) -> str:
+    """``CREATE REL TABLE <t> (FROM a TO b, col TYPE, ...)`` — mirrors
+    `Kuzu/kuzu_build_graph_csv.py:417-436` (from/to become the FROM/TO
+    clause, not columns)."""
+    ht = _header_types(schema)
+    cols = ", ".join(
+        f"{f.name} {_KUZU_TYPE[ht[f.name]]}" for f in schema if f.name not in skip_cols
+    )
+    return f"CREATE REL TABLE {table} (FROM {from_table} TO {to_table}, {cols})"
+
+
+def schema_to_cypher_property_map(schema: pa.Schema, row_var: str = "row") -> str:
+    """MemGraph LOAD-CSV property map with per-type casts — the `match`
+    at `MemGraph/mg_build_individual_json.py:251-265`: toBoolean/toFloat/
+    toInteger casts, ';'-split for string[], split+toFloat COLLECT for
+    float[]."""
+    ht = _header_types(schema)
+    parts = []
+    for f in schema:
+        tok, col = ht[f.name], f.name
+        src = f"{row_var}.{col}"
+        if tok == "boolean":
+            expr = f"toBoolean({src})"
+        elif tok == "float":
+            expr = f"toFloat({src})"
+        elif tok == "int":
+            expr = f"toInteger({src})"
+        elif tok == "float[]":
+            expr = f"[x IN split({src}, ';') | toFloat(x)]"
+        elif tok in ("string[]", "LABEL"):
+            expr = f"split({src}, ';')"
+        else:
+            expr = src
+        parts.append(f"{col}: {expr}")
+    return "{" + ", ".join(parts) + "}"

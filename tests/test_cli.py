@@ -1,0 +1,59 @@
+"""Staged CLI lifecycle (reference --type selector analog)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from kgray.__main__ import main
+from kgray.schema import (
+    NODE_SCHEMA, schema_to_cypher_property_map, schema_to_kuzu_node_ddl,
+    schema_to_kuzu_rel_ddl,
+)
+
+
+def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "cli")
+    # stage 1: convert -> triples checkpoint only
+    assert main(["--type=convert", f"--sf-dir={sf_dir}", f"--out={out}"]) == 0
+    assert os.path.isdir(os.path.join(out, "triples"))
+    assert not os.path.isdir(os.path.join(out, "edges"))
+
+    # stage 2: bin -> full graph build, resuming the triples checkpoint
+    assert main(["--type=bin", f"--sf-dir={sf_dir}", f"--out={out}"]) == 0
+    assert os.path.isdir(os.path.join(out, "edges"))
+    assert os.path.isdir(os.path.join(out, "nodes"))
+
+    # stage 3: create_lus -> Parquet lookup checkpoints (ST4 analog)
+    assert main(["--type=create_lus", f"--sf-dir={sf_dir}", f"--out={out}"]) == 0
+    canon = pq.read_table(os.path.join(out, "checkpoints", "canonical_map.parquet"))
+    assert canon.num_rows == 1000
+    lk = pq.read_table(os.path.join(out, "checkpoints", "node_class_lookup.parquet"))
+    assert lk.num_rows > 0
+
+    # stage 4: tables -> schema manifests + DDL codegen
+    assert main(["--type=tables", f"--sf-dir={sf_dir}", f"--out={out}"]) == 0
+    ddl = json.load(open(os.path.join(out, "ddl.json")))
+    assert ddl["kuzu_node_ddl"].startswith("CREATE NODE TABLE Node (id STRING")
+    assert "PRIMARY KEY (id)" in ddl["kuzu_node_ddl"]
+    assert ddl["kuzu_rel_ddl"].startswith("CREATE REL TABLE Edge (FROM Node TO Node")
+    assert os.path.exists(os.path.join(out, "nodes", "_schema.json"))
+
+
+def test_ddl_codegen_type_table():
+    import pyarrow as pa
+
+    from kgray.schema import header_to_arrow_schema
+
+    hdr = "id:ID\tname:string\tflag:boolean\tscore:float\trank:int\tvals:float[]\ttags:string[]"
+    schema = header_to_arrow_schema(hdr)
+    ddl = schema_to_kuzu_node_ddl(schema, "T")
+    # full type vocabulary of Kuzu:518-531
+    for frag in ["id STRING", "flag BOOLEAN", "score FLOAT", "rank INT64",
+                 "vals FLOAT[]", "tags STRING[]"]:
+        assert frag in ddl
+    cy = schema_to_cypher_property_map(schema)
+    assert "toBoolean(row.flag)" in cy
+    assert "toInteger(row.rank)" in cy
+    assert "[x IN split(row.vals, ';') | toFloat(x)]" in cy
+    assert "split(row.tags, ';')" in cy
