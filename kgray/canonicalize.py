@@ -143,7 +143,8 @@ def _label_checksum(labels: ray.data.Dataset) -> int:
     def part(t: pa.Table) -> pa.Table:
         s = pd.Series(t["member"].to_pandas() + "\x1f" + t["label"].to_pandas())
         h = pd.util.hash_pandas_object(s, index=False).to_numpy()
-        return pa.table({"h": [int(np.bitwise_xor.reduce(h)) if len(h) else 0]})
+        val = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+        return pa.table({"h": pa.array([val], type=pa.uint64())})
 
     vals = [r["h"] for r in labels.map_batches(part, batch_format="pyarrow").take_all()]
     out = 0
