@@ -66,7 +66,7 @@ def run_bench() -> dict:
 
     # headline: full flagship KG pipeline at corpus x REPEAT, best of N runs
     # (shared-VM noise rejection; see run_scaling docstring)
-    n_runs = int(os.environ.get("KGRAY_BENCH_RUNS", "1"))
+    n_runs = int(os.environ.get("KGRAY_BENCH_RUNS", "2"))
     out_dir = f"/tmp/kgray_bench/num_cpus={NUM_CPUS}"
     run_times = []
     res = None

@@ -73,20 +73,30 @@ class _UnionFind:
         self.parent[rb] = ra
 
 
-def canonical_map_local(nodes_ds: ray.data.Dataset) -> dict[str, str]:
+def canonical_map_local(
+    nodes_ds: "ray.data.Dataset | pa.Table",
+) -> dict[str, str]:
     """Stream (member, key) pairs once; union-find on the driver.
 
     Returns id -> canonical id for every member id (equiv keys are used
     only to connect members, never emitted as canonical ids themselves:
     each key's members union with each other).
+
+    Accepts a plain ``pa.Table`` for catalog-sized inputs — zero Dataset
+    executions (each streaming execution costs ~0.3-1s of fixed executor
+    latency, pure overhead when the vocabulary already sits on the driver).
     """
     uf = _UnionFind()
     first_member_of_key: dict[str, str] = {}
     members: set[str] = set()
-    pairs = nodes_ds.select_columns(["id", "equivalent_identifiers"]).map_batches(
-        explode_equivalents, batch_format="pyarrow"
-    )
-    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+    if isinstance(nodes_ds, pa.Table):
+        batches = [explode_equivalents(nodes_ds.select(["id", "equivalent_identifiers"]))]
+    else:
+        pairs = nodes_ds.select_columns(["id", "equivalent_identifiers"]).map_batches(
+            explode_equivalents, batch_format="pyarrow"
+        )
+        batches = pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
+    for batch in batches:
         for member, key in zip(batch["member"].to_pylist(), batch["key"].to_pylist()):
             members.add(member)
             anchor = first_member_of_key.setdefault(key, member)
@@ -154,12 +164,14 @@ def _label_checksum(labels: ray.data.Dataset) -> int:
 
 
 def canonical_map(
-    nodes_ds: ray.data.Dataset,
+    nodes_ds: "ray.data.Dataset | pa.Table",
     local_limit: int = 20_000_000,
     **kwargs,
 ) -> "dict[str, str] | ray.data.Dataset":
     """Pick the execution path by vocabulary size (ST1-style broadcast dict
     below ``local_limit`` members, distributed propagation above)."""
+    if isinstance(nodes_ds, pa.Table):
+        return canonical_map_local(nodes_ds)
     if nodes_ds.count() <= local_limit:
         return canonical_map_local(nodes_ds)
     return canonical_map_distributed(nodes_ds, **kwargs)

@@ -50,10 +50,24 @@ def read_graph_jsonl(paths, **read_kwargs) -> ray.data.Dataset:
     return ray.data.read_json(paths, **read_kwargs)
 
 
+def infer_field_union(ds: ray.data.Dataset) -> list[str]:
+    """A3 schema key-union: the union of field names over every record
+    (`get_csv_field_names`, `MemGraph/mg_build_individual_json.py:131-153`
+    — a full-scan reduce there; here a per-block set union + driver merge).
+    Sorted for determinism (the reference's dict-order is arrival-dependent).
+    """
+    parts = ds.map_batches(
+        lambda t: pa.table({"field": pa.array(sorted(t.column_names), type=pa.string())}),
+        batch_format="pyarrow",
+    )
+    return sorted(set(parts.unique("field")))
+
+
 def read_kgx_csv(
     paths,
     header_line: str,
     rename_cols: dict[str, str] | None = None,
+    delete_cols: list[str] | None = None,
     list_sep: str = ";",
     **read_kwargs,
 ) -> ray.data.Dataset:
@@ -83,10 +97,15 @@ def read_kgx_csv(
         if f.name not in list_cols and not pa.types.is_string(f.type)
     }
 
+    delete_cols = delete_cols or []  # M4: reformat_del_cols (Kuzu:151, AGE:257-267)
+
     def decode(t: pa.Table) -> pa.Table:
         # M1 rename first, then align by name; tolerate missing columns
         # (schema drift is the norm in the reference, §1.4)
         t = t.rename_columns([rename_cols.get(c, c) for c in t.column_names])
+        drop = [c for c in delete_cols if c in t.column_names]
+        if drop:
+            t = t.drop_columns(drop)
         for col in list_cols:
             if col not in t.column_names:
                 continue

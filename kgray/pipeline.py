@@ -24,6 +24,7 @@ import json
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -199,10 +200,11 @@ class KGPipeline:
         # 4. canonicalization: union-find over equivalent identifiers of the
         #    catalog, applied to edge endpoints via broadcast rewrite
         with m.time_stage("canonicalize"):
-            cat_nodes = ray.data.from_arrow(
+            # catalog is driver-resident -> pure-python union-find, zero
+            # Dataset executions; Dataset path kicks in past local_limit
+            canon = canonicalize.canonical_map(
                 self.catalog.select(["id", "equivalent_identifiers"])
             )
-            canon = canonicalize.canonical_map(cat_nodes)
             canonical_triples = canonicalize.rewrite_ids(linked, canon)
 
         # 5. edge table: partial-dedup combine + one (s,p,o) bucket shuffle.
@@ -235,14 +237,22 @@ class KGPipeline:
             n_edges = edges_pre_tag_count
             m.record("write", n_nodes=n_nodes, n_edges=n_edges)
 
-        # drop accounting (J2: count, never silently truncate) — cheap
-        # aggregates over the Parquet artifact, not pipeline re-executions
+        # drop accounting (J2: count, never silently truncate) — ONE pass
+        # over the 1-column Parquet artifact computing both totals
         art = ray.data.read_parquet(triples_dir, columns=["linked"])
-        n_triples = art.count()
-        n_linked = art.map_batches(
-            lambda t: pa.table({"n": [t.filter(t["linked"].combine_chunks()).num_rows]}),
+        sums = art.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array([t.num_rows], type=pa.int64()),
+                    "n_linked": pa.array(
+                        [pc.sum(t["linked"]).as_py() or 0], type=pa.int64()
+                    ),
+                }
+            ),
             batch_format="pyarrow",
-        ).sum("n") or 0
+        ).sum(["n", "n_linked"])
+        n_triples = sums["sum(n)"] or 0
+        n_linked = sums["sum(n_linked)"] or 0
         m.record("link", triples_in=n_triples, linked=n_linked,
                  dropped_unlinked=n_triples - n_linked,
                  link_rate=round(n_linked / n_triples, 4) if n_triples else 1.0)
