@@ -135,9 +135,12 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             KGRAY_BENCH_HEADLINE_ONLY="1",
             KGRAY_BENCH_RUNS=str(runs_per_level),
-            # scaling needs a compute-bound corpus: per-turn kernel work is
-            # ~5us/core, so amortize fixed pipeline latency with volume
-            KGRAY_BENCH_REPEAT=os.environ.get("KGRAY_SCALING_REPEAT", "400"),
+            # scaling needs a compute-dominated job: per-turn kernel work is
+            # ~5us/core and the pipeline carries ~5s of CPU-count-independent
+            # latency (checkpoint IO, shuffle barriers, executor startup), so
+            # the corpus must be large enough that compute >> fixed cost —
+            # exactly the regime the 10^12-turn criterion describes
+            KGRAY_BENCH_REPEAT=os.environ.get("KGRAY_SCALING_REPEAT", "1600"),
         )
         spinners = [
             subprocess.Popen([sys.executable, "-c", "while True: pass"])

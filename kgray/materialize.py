@@ -181,16 +181,20 @@ def build_nodes(
         )
         return pa.table({"id": ids.unique()})
 
-    # distributed distinct: per-batch unique (combiner) then a groupby —
-    # the node id set never lands on the driver
-    from ray.data.aggregate import Count
+    # distributed distinct: per-batch unique (combiner) then a bucketed
+    # dedup — the node id set never lands on the driver. Bucketed shuffle
+    # instead of Ray's sort-based groupby: on the (small, already-deduped)
+    # edge table the sort shuffle's fixed cost GROWS with cluster size
+    # (measured 1.1s@8cpu -> 1.9s@32cpu); 16 hash buckets keep it flat.
+    from .relational import hash_bucketed_groupby
 
-    ids_ds = (
-        edges_ds.select_columns(list(endpoint_cols))
-        .map_batches(endpoints, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    ids_ds = hash_bucketed_groupby(
+        edges_ds.select_columns(list(endpoint_cols)).map_batches(
+            endpoints, batch_format="pyarrow"
+        ),
+        ["id"],
+        lambda df: df.drop_duplicates("id"),
+        num_buckets=16,
     )
 
     def attrs(t: pa.Table, _ref=catalog_index_ref) -> pa.Table:

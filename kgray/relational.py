@@ -105,8 +105,18 @@ def dup_name_audit(ds, name_col: str):
 
 
 def distinct_sorted(ds, col: str) -> list:
-    """distinct labels / edge types (`docs/cypher-cmds-1.txt:84-86,97`)."""
-    return sorted(ds.unique(col))
+    """distinct labels / edge types (`docs/cypher-cmds-1.txt:84-86,97`).
+
+    Per-block ``unique`` combiner + driver set-merge: the distinct value
+    set is catalog-sized, and Ray's ``Dataset.unique`` aggregate both costs
+    a shuffle and mis-merges blocks that crossed a pandas stage."""
+    parts = ds.map_batches(
+        lambda t: pa.table({col: _chunked(t[col]).unique()}), batch_format="pyarrow"
+    )
+    out: set = set()
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        out.update(b[col].to_pylist())
+    return sorted(out)
 
 
 def sort_limit(ds, col: str, n: int = 1, descending: bool = False):
