@@ -57,6 +57,23 @@ def _sort_turns_in_block(t: pa.Table) -> pa.Table:
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def _partition_counts(ds: ray.data.Dataset, col: str) -> dict:
+    """Row count per output partition key (per-partition lineage). One
+    combiner pass over cached blocks + driver merge of a key-cardinality-
+    sized dict."""
+    parts = ds.map_batches(
+        lambda t, c=col: t.group_by([c]).aggregate([([c], "count")]).rename_columns(
+            [c, "n"]
+        ),
+        batch_format="pyarrow",
+    )
+    out: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for k, n in zip(b[col].to_pylist(), b["n"].to_pylist()):
+            out[str(k)] = out.get(str(k), 0) + int(n)
+    return out
+
+
 def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
     """write_parquet on an empty dataset writes no files; give readers an
     empty-but-typed table so the pipeline degrades gracefully."""
@@ -235,7 +252,17 @@ class KGPipeline:
             # metadata, no extra execution); tagging doesn't change row counts
             n_nodes = nodes.count()
             n_edges = edges_pre_tag_count
-            m.record("write", n_nodes=n_nodes, n_edges=n_edges)
+            # per-partition lineage + skew (cheap: blocks are already cached)
+            node_parts = _partition_counts(nodes, "primary_class")
+            edge_parts = _partition_counts(edges, "predicate")
+            from .metrics import partition_skew
+
+            m.record(
+                "write", n_nodes=n_nodes, n_edges=n_edges,
+                node_partitions=node_parts, edge_partitions=edge_parts,
+                node_skew=partition_skew(list(node_parts.values())),
+                edge_skew=partition_skew(list(edge_parts.values())),
+            )
 
         # drop accounting (J2: count, never silently truncate) — ONE pass
         # over the 1-column Parquet artifact computing both totals
