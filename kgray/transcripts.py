@@ -133,6 +133,8 @@ def transcripts_dataset(sf_dir: str, repeat: int = 1, num_blocks: int | None = N
     would pin the whole fused generate->extract chain to ONE task; split
     the read so downstream map stages parallelize across the cluster.
     """
+    import pyarrow.parquet as pq
+
     import ray.data
 
     if num_blocks is None:
@@ -143,13 +145,23 @@ def transcripts_dataset(sf_dir: str, repeat: int = 1, num_blocks: int | None = N
         except Exception:
             cpus = 8
         num_blocks = max(16, 2 * cpus)
-    # the read itself is one (trivial) task, but override_num_blocks makes
-    # Ray split its output into num_blocks blocks (SplitBlocks), so the
-    # fused generate->extract->link task chain fans out across the cluster
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"],
-        override_num_blocks=num_blocks,
-    )
+    # The seed is ONE tiny parquet (a single row group): `read_parquet` would
+    # funnel it through a single SplitBlocks producer task whose streaming
+    # generator hands blocks to the executor one driver round-trip at a time
+    # (~50ms/block — measured 3.5s to emit 64 sub-KB blocks, serializing the
+    # whole downstream chain). Read the id column driver-side instead and
+    # seed `from_arrow` with pre-split slices: all blocks hit the object
+    # store at once and every downstream task dispatches immediately. A real
+    # transcript corpus (many files, many row groups) reads via
+    # `ray.data.read_parquet` as usual — parallel producers don't trickle.
+    seed = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = seed.num_rows
+    bounds = np.linspace(0, n, num_blocks + 1).astype(np.int64)
+    slices = [
+        seed.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])
+        if b > a
+    ]
+    ds = ray.data.from_arrow(slices)
     if repeat > 1:
         def replicate(batch: pa.Table, *, k=repeat) -> pa.Table:
             # vectorized k-fold replication: ONE take per column + ONE join
