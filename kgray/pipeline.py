@@ -191,26 +191,33 @@ class KGPipeline:
             with m.time_stage("link"):
                 alias_ref = lookups.broadcast(build_alias_index(self.catalog))
                 linked_all = link.link_entities(triples, alias_ref)
-                # cap file size so the read-back fans out across the cluster
-                linked_all.write_parquet(
+                # materialize once: the blocks feed BOTH the checkpoint
+                # write and the downstream stages (no same-run write->read
+                # round trip; the object store spills if they exceed memory)
+                linked_mat = linked_all.materialize()
+                linked_mat.write_parquet(
                     triples_dir, mode="overwrite", max_rows_per_file=1 << 18
                 )
                 _ensure_parquet_dir(triples_dir, LINKED_TRIPLE_SCHEMA)
             self._mark_done("triples", fingerprint)
         else:
             m.record("extract", skipped=True)
+            linked_mat = None
 
         if stop_after == "triples":
             m.write(self.out_dir)
             return {"triples": triples_dir, "metrics": m.to_dict(), "resumed": False}
 
-        # the checkpoint is small on disk (dictionary+snappy) but fans out
-        # ~20x in memory; without an explicit block override Ray sizes the
-        # read by FILE bytes and packs it into a handful of tasks, pinning
-        # the whole downstream chain to a few cores
-        linked = ray.data.read_parquet(
-            triples_dir, override_num_blocks=self._read_blocks()
-        ).map_batches(
+        if linked_mat is None:
+            # resume path: stream the checkpoint. It is small on disk
+            # (dictionary+snappy) but fans out ~20x in memory; without an
+            # explicit block override Ray sizes the read by FILE bytes and
+            # packs it into a handful of tasks, pinning the downstream
+            # chain to a few cores
+            linked_mat = ray.data.read_parquet(
+                triples_dir, override_num_blocks=self._read_blocks()
+            )
+        linked = linked_mat.map_batches(
             lambda t: t.filter(t["linked"].combine_chunks()), batch_format="pyarrow"
         )
 
@@ -265,8 +272,8 @@ class KGPipeline:
             )
 
         # drop accounting (J2: count, never silently truncate) — ONE pass
-        # over the 1-column Parquet artifact computing both totals
-        art = ray.data.read_parquet(triples_dir, columns=["linked"])
+        # over the cached linked column computing both totals
+        art = linked_mat.select_columns(["linked"])
         sums = art.map_batches(
             lambda t: pa.table(
                 {
