@@ -349,6 +349,74 @@ def q_windowed_events(sf_dir: str):
     return _table(out.map_batches(fin, batch_format="pyarrow"))
 
 
+def q_hopping_windows(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = streaming.hopping_window_agg(ds, window_sec=3600, hop_sec=900)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "window_start": pc.cast(t["window_start"], pa.int64()),
+                "sum_value_c": pc.cast(pc.round(pc.multiply(t["sum_value"], 100.0)), pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    out = relational.top_k_per_group(
+        ds, ["o_custkey"], "o_totalprice", k=3, descending=True,
+        tiebreak_cols=["o_orderkey"],
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_c": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_supplier_part_join(sf_dir: str):
+    """Large-large hash join (no broadcastable side by policy): lineitem x
+    supplier keyed on suppkey, revenue per supplier nation."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    joined = relational.shuffle_join(li, sup, on=("l_suppkey",), right_on=("s_suppkey",))
+    out = relational.grouped_agg(
+        joined, keys=["s_nationkey"], sums={"revenue": "rev"}, count_alias="n_items"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                "revenue_c": pc.cast(pc.round(pc.multiply(t["revenue"], 10000.0)), pa.int64()),
+                "n_items": pc.cast(t["n_items"], pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
 def q_sessions(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
@@ -594,6 +662,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "windowed_events": q_windowed_events,
+        "hopping_windows": q_hopping_windows,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "supplier_part_join": q_supplier_part_join,
         "sessions": q_sessions,
         "knn_bruteforce": q_knn_bruteforce,
         "ngram_jaccard": q_ngram_jaccard,
@@ -743,6 +814,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value) * 100.0) AS BIGINT) AS sum_value_c,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_windows": """
+            WITH expanded AS (
+              SELECT user_id, value,
+                     (CAST(FLOOR(epoch(ts)) AS BIGINT) // 900) * 900 - j.j * 900
+                       AS window_start
+              FROM events
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+            )
+            SELECT user_id, window_start,
+                   CAST(ROUND(SUM(value) * 100.0) AS BIGINT) AS sum_value_c,
+                   COUNT(*) AS n_events
+            FROM expanded GROUP BY 1, 2
+        """,
+        "top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "supplier_part_join": """
+            SELECT s.s_nationkey,
+                   CAST(ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0)
+                        AS BIGINT) AS revenue_c,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1
         """,
         "sessions": """
             WITH ordered AS (

@@ -110,6 +110,78 @@ def link_entities(
     )
 
 
+def alias_forms_table(catalog: pa.Table) -> pa.Table:
+    """(form, entity_id) surface-form table with ``build_alias_index``'s
+    precedence flattened in: per form, a name claim beats alias claims, and
+    among alias claims the earliest catalog row wins. The join-path
+    equivalent of the broadcast dict."""
+    import pandas as pd
+
+    rows = []
+    for pos, (eid, name, aliases) in enumerate(
+        zip(
+            catalog["id"].to_pylist(),
+            catalog["name"].to_pylist(),
+            catalog["aliases"].to_pylist(),
+        )
+    ):
+        rows.append((name, eid, 0, pos))
+        for a in aliases or []:
+            rows.append((a, eid, 1, pos))
+            rows.append((a.lower(), eid, 1, pos))
+    df = pd.DataFrame(rows, columns=["form", "entity_id", "prio", "pos"])
+    df = df.sort_values(["form", "prio", "pos"], kind="mergesort").drop_duplicates(
+        "form", keep="first"
+    )
+    return pa.table(
+        {
+            "form": pa.array(df["form"], type=pa.string()),
+            "entity_id": pa.array(df["entity_id"], type=pa.string()),
+        }
+    )
+
+
+def link_entities_join(
+    triples, catalog_forms: "pa.Table", num_partitions: int = 16,
+):
+    """Distributed linking for catalogs past broadcast limits: hash join of
+    the triple stream against the exploded surface-form table (one join per
+    endpoint). Same output contract as ``link_entities``; exact-form match
+    only (the broadcast path's lowercase *fallback* is covered by the
+    pre-lowered alias forms in ``alias_forms_table``).
+
+    Both linking paths sit behind one interface by design (SURVEY.md §7.5
+    broadcast-lookup-scale trap): pick by alias-index size.
+    """
+    import pyarrow.compute as _pc
+
+    import ray.data as _rd
+
+    forms = _rd.from_arrow(catalog_forms)
+    out = triples
+    for col, out_col in (("subject_mention", "subject_id"), ("object_mention", "object_id")):
+        out = out.join(
+            forms, join_type="left_outer", num_partitions=num_partitions,
+            on=(col,), right_on=("form",),
+        )
+        out = out.map_batches(
+            lambda t, oc=out_col: t.rename_columns(
+                [oc if c == "entity_id" else c for c in t.column_names]
+            ).drop_columns([x for x in ("form",) if x in t.column_names]),
+            batch_format="pyarrow",
+        )
+    return out.map_batches(
+        lambda t: t.append_column(
+            "linked",
+            _pc.and_(
+                _pc.is_valid(t["subject_id"].combine_chunks()),
+                _pc.is_valid(t["object_id"].combine_chunks()),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def split_linked(linked_ds):
     """(linked, dropped) pair of lazy datasets; both remain streaming."""
     keep = linked_ds.map_batches(

@@ -147,6 +147,53 @@ def broadcast_lookup_join(
     return fact.map_batches(Joiner, batch_format="pandas", concurrency=pool_concurrency())
 
 
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows per group by ``order_col`` (deterministic: ties broken by
+    ``tiebreak_cols`` ascending).
+
+    Combiner discipline: each batch keeps its LOCAL top-k per group first,
+    so the keyed shuffle moves at most k rows per (group, block) — never
+    the full stream."""
+    tiebreak_cols = tiebreak_cols or []
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [order_col] + tiebreak_cols,
+            ascending=[not descending] + [True] * len(tiebreak_cols),
+            kind="mergesort",
+        )
+        return df.groupby(group_cols, sort=False).head(k)
+
+    combined = ds.map_batches(local_topk, batch_format="pandas")
+    return hash_bucketed_groupby(combined, group_cols, local_topk)
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    num_partitions: int = 32,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Large-large hash join — the J1 pattern when NEITHER side fits a
+    broadcast. Thin policy wrapper over Ray's native hash-shuffle
+    ``Dataset.join`` (also used by the distributed canonicalization path);
+    use ``broadcast_lookup_join`` whenever one side is dimension-sized,
+    it avoids shuffling the fact stream entirely."""
+    return left.join(
+        right, join_type=how, num_partitions=num_partitions,
+        on=on, right_on=right_on,
+    )
+
+
 def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],

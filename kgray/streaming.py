@@ -58,6 +58,66 @@ def windowed_agg(
     )
 
 
+def hopping_window_agg(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+    hop_sec: int = 900,
+) -> ray.data.Dataset:
+    """Hopping (sliding) event-time windows: each event contributes to
+    every window of length ``window_sec`` starting at a ``hop_sec``
+    multiple that covers it. ``hop_sec == window_sec`` degenerates to the
+    tumbling case.
+
+    Vectorized fan-out per batch: an event at t belongs to
+    ``ceil(window/hop)`` windows — indices are computed with numpy repeat
+    arithmetic, then the standard partial-agg + bucketed shuffle runs on
+    the expanded stream. Output: (key, window_start_epoch, sum, count).
+    """
+    assert window_sec % hop_sec == 0, "window must be a multiple of hop"
+    fan = window_sec // hop_sec
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        n = len(epoch)
+        # last window start covering t: floor(t/hop)*hop; prior fan-1 hops
+        last = (epoch // hop_sec) * hop_sec
+        # every one of the fan windows covers the event by construction
+        # (window = fan * hop): starts = last - j*hop, j in [0, fan)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), fan))
+        starts = np.repeat(last, fan) - np.tile(
+            np.arange(fan, dtype=np.int64) * hop_sec, n
+        )
+
+        def col(name):
+            c = t[name]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return c.take(take)
+
+        return pa.table(
+            {
+                key_col: col(key_col),
+                "window_start": pa.array(starts, type=pa.int64()),
+                value_col: col(value_col),
+            }
+        )
+
+    expanded = events.select_columns([key_col, ts_col, value_col]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+    return grouped_agg(
+        expanded,
+        keys=[key_col, "window_start"],
+        sums={"sum_value": value_col},
+        count_alias="n_events",
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     key_col: str = "user_id",

@@ -109,3 +109,38 @@ def test_transcripts_dataset_row_count(sf_dir):
 def test_unlink_plant_rate():
     a = turn_arithmetic(np.arange(0, 1000), np.zeros(1000, dtype=np.int64))
     assert a["unlink1"].sum() > 0
+
+
+def test_join_linking_matches_broadcast_path(ray_session, sf_dir):
+    """The distributed join path and the broadcast-dict path must agree."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from kgray import extract, link, lookups
+    from kgray.link import alias_forms_table, build_alias_index, link_entities_join
+    from kgray.transcripts import entity_catalog, transcripts_dataset
+
+    catalog = entity_catalog()
+    triples = extract.extract_triples(transcripts_dataset(sf_dir))
+
+    bc = link.link_entities(triples, lookups.broadcast(build_alias_index(catalog)))
+    jn = link_entities_join(triples, alias_forms_table(catalog), num_partitions=4)
+
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["subject_mention"],
+                     r["predicate"], r["object_mention"])
+    a = sorted(bc.take_all(), key=key)
+    b = sorted(
+        (
+            {k: r[k] for k in ("conv_id", "turn_idx", "subject_mention", "predicate",
+                               "object_mention", "subject_id", "object_id", "linked")}
+            for r in jn.take_all()
+        ),
+        key=key,
+    )
+    a = [
+        {k: r[k] for k in ("conv_id", "turn_idx", "subject_mention", "predicate",
+                           "object_mention", "subject_id", "object_id", "linked")}
+        for r in a
+    ]
+    assert a == b
