@@ -417,6 +417,45 @@ def q_supplier_part_join(sf_dir: str):
     return _table(out.map_batches(fin, batch_format="pyarrow"))
 
 
+def q_custs_without_events(sf_dir: str):
+    """Anti join: customers with no event-stream activity."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = relational.anti_join(cust, events, on="c_custkey", right_on="user_id")
+    return _table(out.map_batches(
+        lambda t: pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+        }),
+        batch_format="pyarrow",
+    ))
+
+
+def q_event_value_stats(sf_dir: str):
+    """Per-type min/max/sum/count over the event stream (associative
+    partial aggregation; mean derivable as sum/n)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = relational.grouped_agg(
+        ds, keys=["event_type"],
+        sums={"sum_value": "value"}, mins={"min_value": "value"},
+        maxs={"max_value": "value"}, count_alias="n",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        c = lambda col, f: pc.cast(pc.round(pc.multiply(t[col], f)), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "sum_value_c": c("sum_value", 100.0),
+                "min_value_c": c("min_value", 100.0),
+                "max_value_c": c("max_value", 100.0),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
 def q_sessions(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
@@ -665,6 +704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": q_hopping_windows,
         "top_orders_per_cust": q_top_orders_per_cust,
         "supplier_part_join": q_supplier_part_join,
+        "custs_without_events": q_custs_without_events,
+        "event_value_stats": q_event_value_stats,
         "sessions": q_sessions,
         "knn_bruteforce": q_knn_bruteforce,
         "ngram_jaccard": q_ngram_jaccard,
@@ -846,6 +887,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY 1
+        """,
+        "custs_without_events": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "event_value_stats": """
+            SELECT event_type,
+                   CAST(ROUND(SUM(value) * 100.0) AS BIGINT) AS sum_value_c,
+                   CAST(ROUND(MIN(value) * 100.0) AS BIGINT) AS min_value_c,
+                   CAST(ROUND(MAX(value) * 100.0) AS BIGINT) AS max_value_c,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
         """,
         "sessions": """
             WITH ordered AS (

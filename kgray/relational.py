@@ -198,30 +198,94 @@ def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],
     sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
     count_alias: str | None = None,
 ):
-    """groupby + Sum/Count with a per-batch partial pre-aggregation.
+    """groupby + Sum/Min/Max/Count with a per-batch partial pre-aggregation.
 
-    ``sums``: {output_name: input_column}. The shuffle input is one row
-    per key per batch instead of the full stream.
+    Each kwarg maps {output_name: input_column}. The shuffle input is one
+    row per key per batch instead of the full stream; sums/counts re-sum in
+    the reduce, mins/maxs re-min/max (all associative).
     """
-    sums = sums or {}
+    sums, mins, maxs = sums or {}, mins or {}, maxs or {}
 
     def partial(t: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in sorted(set(sums.values()))]
+        aggs += [(c, "min") for c in sorted(set(mins.values()))]
+        aggs += [(c, "max") for c in sorted(set(maxs.values()))]
         if count_alias:
             aggs.append((keys[0], "count"))
         gb = t.group_by(keys).aggregate(aggs)
         cols = {k: gb[k] for k in keys}
         for out, c in sums.items():
             cols[out] = gb[f"{c}_sum"]
+        for out, c in mins.items():
+            cols[out] = gb[f"{c}_min"]
+        for out, c in maxs.items():
+            cols[out] = gb[f"{c}_max"]
         if count_alias:
             cols[count_alias] = gb[f"{keys[0]}_count"]
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    sum_cols = list(sums) + ([count_alias] if count_alias else [])
+    min_cols, max_cols = list(mins), list(maxs)
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, sort=False, as_index=False).sum()
+        agg_spec = {c: (c, "sum") for c in sum_cols}
+        agg_spec.update({c: (c, "min") for c in min_cols})
+        agg_spec.update({c: (c, "max") for c in max_cols})
+        return df.groupby(keys, sort=False, as_index=False).agg(**agg_spec)
 
     return hash_bucketed_groupby(partials, keys, reduce_bucket)
+
+
+def _distinct_keys(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    per_block = ds.select_columns([col]).map_batches(
+        lambda t: pa.table({col: _chunked(t[col]).unique()}), batch_format="pyarrow"
+    )
+    return hash_bucketed_groupby(
+        per_block, [col], lambda df: df.drop_duplicates(col), num_buckets=16
+    )
+
+
+def semi_join(
+    left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+    right_on: str | None = None, num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Rows of ``left`` whose key appears in ``right`` (key-distinct join —
+    never duplicates left rows). The engine-level form of the reference's
+    endpoint-existence filter (J2, `Kuzu:342-347`)."""
+    return _marker_join(left, right, on, right_on, num_partitions, keep_match=True)
+
+
+def anti_join(
+    left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+    right_on: str | None = None, num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Rows of ``left`` with NO key match in ``right``."""
+    return _marker_join(left, right, on, right_on, num_partitions, keep_match=False)
+
+
+def _marker_join(left, right, on, right_on, num_partitions, keep_match: bool):
+    right_on = right_on or on
+    keys = _distinct_keys(right, right_on).map_batches(
+        lambda t, c=right_on: pa.table(
+            {c: _chunked(t[c]), "__match": pa.array([1] * len(t), type=pa.int8())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = left.join(
+        keys, join_type="left_outer", num_partitions=num_partitions,
+        on=(on,), right_on=(right_on,),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        matched = pc.is_valid(_chunked(t["__match"]))
+        out = t.filter(matched if keep_match else pc.invert(matched))
+        return out.drop_columns(
+            [c for c in ("__match", right_on) if c in out.column_names and c != on]
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")

@@ -44,3 +44,20 @@ def test_field_union(ray_session):
     a = ray.data.from_items([{"id": "1", "x": 2}])
     b = ray.data.from_items([{"id": "2", "y": 3}])
     assert infer_field_union(a.union(b)) == ["id", "x", "y"]
+
+
+def test_semi_anti_join(ray_session):
+    from kgray.relational import anti_join, semi_join
+
+    left = ray.data.from_items(
+        [{"k": i, "v": f"r{i}"} for i in range(6)]
+    )
+    right = ray.data.from_items(
+        [{"rk": 1}, {"rk": 1}, {"rk": 3}, {"rk": 4}]  # duplicate key on purpose
+    )
+    semi = semi_join(left, right, on="k", right_on="rk", num_partitions=2).take_all()
+    # key-distinct: no duplication of left rows despite duplicate right keys
+    assert sorted(r["k"] for r in semi) == [1, 3, 4]
+    anti = anti_join(left, right, on="k", right_on="rk", num_partitions=2).take_all()
+    assert sorted(r["k"] for r in anti) == [0, 2, 5]
+    assert all(set(r) == {"k", "v"} for r in semi + anti)
