@@ -100,12 +100,14 @@ def _ints64(t: pa.Table) -> pa.Table:
     return t
 
 
-def _table(ds) -> pa.Table:
+def _table(ds, schema: pa.Schema | None = None) -> pa.Table:
+    """Collect a small result. ``schema`` keeps the contract columns on
+    legitimately-empty results (Ray reports no schema for empty outputs)."""
     if isinstance(ds, pa.Table):
         return _ints64(ds)
     tbls = [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
     if not tbls:
-        return pa.table({})
+        return _ints64(schema.empty_table()) if schema is not None else pa.table({})
     return _ints64(pa.concat_tables(tbls, promote_options="permissive"))
 
 
@@ -422,13 +424,16 @@ def q_custs_without_events(sf_dir: str):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     out = relational.anti_join(cust, events, on="c_custkey", right_on="user_id")
-    return _table(out.map_batches(
-        lambda t: pa.table({
-            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
-            "c_name": t["c_name"],
-        }),
-        batch_format="pyarrow",
-    ))
+    return _table(
+        out.map_batches(
+            lambda t: pa.table({
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+            }),
+            batch_format="pyarrow",
+        ),
+        schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
 
 
 def q_event_value_stats(sf_dir: str):
@@ -489,12 +494,22 @@ def q_knn_bruteforce(sf_dir: str):
 
 def q_ngram_jaccard(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return _table(dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2))
+    return _table(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2),
+        schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_ppm", pa.int64())]
+        ),
+    )
 
 
 def q_cosine_pairs(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return _table(similarity.cosine_pairs(emb, threshold=0.4))
+    return _table(
+        similarity.cosine_pairs(emb, threshold=0.4),
+        schema=pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_e4", pa.int64())]
+        ),
+    )
 
 
 def _kg_edge_table(sf_dir: str):
