@@ -105,10 +105,13 @@ def _word_hashes(texts_col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     word hashing is pandas' siphash (fixed key -> stable across workers)."""
     import pandas as pd
 
-    # Arrow splits '' into [''] (one empty token) unlike Python's split();
-    # route empty/null texts through null so they produce ZERO tokens
-    empty = pc.or_kleene(pc.is_null(texts_col), pc.equal(texts_col, ""))
-    filled = pc.if_else(empty, pa.scalar(None, pa.string()), texts_col)
+    # Match Python's str.split(): Arrow's split keeps leading/trailing empty
+    # tokens and maps '' -> [''] — trim first and route empty/null texts
+    # through null so they produce ZERO tokens
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts_col, ""))
+    filled = pc.if_else(
+        pc.equal(trimmed, ""), pa.scalar(None, pa.string()), trimmed
+    )
     toks = pc.utf8_split_whitespace(filled)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()

@@ -140,7 +140,8 @@ def rolling_hash64(texts: pa.Array) -> np.ndarray:
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
-    offs = np.frombuffer(texts.buffers()[1], dtype=np.int32)[
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    offs = np.frombuffer(texts.buffers()[1], dtype=off_dtype)[
         texts.offset : texts.offset + n + 1
     ].astype(np.int64)
     data_buf = texts.buffers()[2]

@@ -1,0 +1,69 @@
+"""Property tests: vectorized hashers vs straightforward scalar references."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgray.dedup import MinHasher, SimHasher, _gram_hashes, _word_hashes
+from kgray.textops import _FNV_PRIME, rolling_hash64
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _ref_rolling(s: str) -> int:
+    h = 0
+    data = s.encode("utf-8")
+    P = int(_FNV_PRIME)
+    for i, b in enumerate(data):
+        h = (h + b * pow(P, len(data) - 1 - i, 1 << 64)) % (1 << 64)
+    return h
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts_strategy)
+def test_rolling_hash_matches_scalar_reference(texts):
+    got = rolling_hash64(pa.array(texts, type=pa.string()))
+    for s, h in zip(texts, got):
+        assert int(h) == _ref_rolling(s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts_strategy)
+def test_word_hash_row_lengths(texts):
+    _, lengths = _word_hashes(pa.array(texts, type=pa.string()))
+    assert [int(x) for x in lengths] == [len(t.split()) for t in texts]
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts_strategy, st.integers(min_value=1, max_value=4))
+def test_gram_counts(texts, k):
+    word_h, lengths = _word_hashes(pa.array(texts, type=pa.string()))
+    _, n_grams = _gram_hashes(word_h, lengths, k)
+    for t, g in zip(texts, n_grams):
+        w = len(t.split())
+        expect = max(w - k + 1, min(w, 1))
+        assert int(g) == expect
+
+
+def test_minhash_identical_texts_same_signature():
+    mh = MinHasher(shingle_k=2)
+    t = pa.array(["a b c d e", "a b c d e", "f g h i j"])
+    sigs = mh.signatures(t)
+    assert (sigs[0] == sigs[1]).all()
+    assert not (sigs[0] == sigs[2]).all()
+
+
+def test_simhash_column_permutation_invariance_of_rows():
+    sh = SimHasher()
+    a = pa.array(["x y z", "p q r", ""])
+    b = pa.array(["p q r", "", "x y z"])
+    ha = SimHasher.simhash_column(a)
+    hb = SimHasher.simhash_column(b)
+    assert ha[0] == hb[2] and ha[1] == hb[0] and ha[2] == hb[1] == 0
