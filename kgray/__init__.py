@@ -18,3 +18,23 @@ entry points and the pytest fixture.
 """
 
 __version__ = "0.1.0"
+
+# module map (import directly; kept lazy so `import kgray` stays cheap):
+#   kgray.pipeline      staged, resumable flagship (KGPipeline, run_flagship)
+#   kgray.transcripts   deterministic transcript corpus + entity catalog
+#   kgray.extract       TripleExtractor / MentionDetector map stages
+#   kgray.link          broadcast + join entity-linking paths
+#   kgray.canonicalize  union-find canonical maps (local / distributed)
+#   kgray.materialize   edge dedup, node normalization, partitioned writes
+#   kgray.normalize     M1-M7 Arrow kernels (labels, lists, casts)
+#   kgray.schema        typed-header -> Arrow schema + DDL/cast codegen
+#   kgray.graph_io      KGX CSV / JSONL / MemGraph JSON sources & sinks
+#   kgray.relational    joins, grouped aggregates, top-k, runbook queries
+#   kgray.dedup         exact / MinHash-LSH / SimHash / Jaccard / embedding
+#   kgray.similarity    knn (exact + IVF), cosine pair joins
+#   kgray.streaming     tumbling/hopping windows, sessionization
+#   kgray.textops       token counts, quality, lang-ID, fingerprints
+#   kgray.multimodal    binary-payload decode/feature actor plumbing
+#   kgray.validate      strict/lenient table validation + drop accounting
+#   kgray.lookups       broadcast helpers + class lookups
+#   kgray.metrics       stage metrics, lineage manifests, skew stats

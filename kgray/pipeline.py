@@ -96,6 +96,7 @@ class KGPipeline:
         extract_concurrency=None,
         resume: bool = True,
         turn_order: str = "local",
+        checkpoint_memory_reuse: bool = True,
     ):
         """``turn_order`` — how the stable (conv_id, turn_idx) ordering is
         enforced before extraction:
@@ -108,6 +109,13 @@ class KGPipeline:
         - ``'global'``: full ``Dataset.sort`` — for arbitrary unpartitioned
           inputs where conversations span blocks.
         - ``'none'``: input is already ordered.
+
+        ``checkpoint_memory_reuse``: keep the linked-triple blocks pinned in
+        the object store and feed downstream stages from memory (default —
+        right whenever the triple set fits the store). Set False for runs
+        whose triple volume would force heavy plasma spilling: the
+        checkpoint is then written streaming and read back once from disk
+        instead of being spilled AND read.
         """
         self.out_dir = out_dir
         self.catalog = catalog if catalog is not None else entity_catalog()
@@ -115,6 +123,7 @@ class KGPipeline:
         self.extract_concurrency = extract_concurrency
         self.resume = resume
         self.turn_order = turn_order
+        self.checkpoint_memory_reuse = checkpoint_memory_reuse
         self.metrics = StageMetrics(run_id=os.path.basename(out_dir.rstrip("/")))
 
     # -- checkpoint manifests -------------------------------------------------
@@ -191,13 +200,21 @@ class KGPipeline:
             with m.time_stage("link"):
                 alias_ref = lookups.broadcast(build_alias_index(self.catalog))
                 linked_all = link.link_entities(triples, alias_ref)
-                # materialize once: the blocks feed BOTH the checkpoint
-                # write and the downstream stages (no same-run write->read
-                # round trip; the object store spills if they exceed memory)
-                linked_mat = linked_all.materialize()
-                linked_mat.write_parquet(
-                    triples_dir, mode="overwrite", max_rows_per_file=1 << 18
-                )
+                if self.checkpoint_memory_reuse:
+                    # materialize once: the blocks feed BOTH the checkpoint
+                    # write and the downstream stages (no same-run
+                    # write->read round trip)
+                    linked_mat = linked_all.materialize()
+                    linked_mat.write_parquet(
+                        triples_dir, mode="overwrite", max_rows_per_file=1 << 18
+                    )
+                else:
+                    # spill-avoidance path for triple sets >> object store:
+                    # stream straight to the checkpoint, read back below
+                    linked_mat = None
+                    linked_all.write_parquet(
+                        triples_dir, mode="overwrite", max_rows_per_file=1 << 18
+                    )
                 _ensure_parquet_dir(triples_dir, LINKED_TRIPLE_SCHEMA)
             self._mark_done("triples", fingerprint)
         else:
