@@ -37,7 +37,7 @@ from kgray.materialize import build_edges
 from kgray.normalize import join_list_cells
 from kgray.schema import ORDERED_CATEGORIES
 from kgray.transcripts import (
-    FILL_A, FILL_B, NE, PREDICATES, VERBS, entity_catalog, transcripts_dataset,
+    FILL_A, FILL_B, PREDICATES, VERBS, entity_catalog, transcripts_dataset,
 )
 from kgray.util import pool_concurrency
 

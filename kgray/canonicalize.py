@@ -31,7 +31,6 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min
-from .util import pool_concurrency
 
 
 def explode_equivalents(batch: pa.Table) -> pa.Table:

@@ -30,11 +30,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
-
 from .normalize import primary_class, reorder_labels
 from .transcripts import KNOWLEDGE_SOURCE
-from .util import pool_concurrency
 
 
 def _chunked(arr):

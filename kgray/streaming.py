@@ -20,8 +20,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Sum
-
 from .relational import grouped_agg
 
 
