@@ -157,10 +157,11 @@ def transcripts_dataset(sf_dir: str, repeat: int = 1, num_blocks: int | None = N
     seed = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n = seed.num_rows
     # bound per-task memory: ~4 turns/doc x repeat rows per seed doc; cap
-    # blocks at ~400k generated turns each so heap stays flat as the
-    # replication factor grows
+    # blocks at ~600k generated turns each (~200MB heap) so heap stays flat
+    # as the replication factor grows, without over-splitting mid-size runs
+    # (every extra block costs dispatch + object-store round trips)
     est_turns = n * 4 * max(1, repeat)
-    num_blocks = min(n, max(num_blocks, est_turns // 400_000))
+    num_blocks = min(n, max(num_blocks, est_turns // 600_000))
     bounds = np.linspace(0, n, num_blocks + 1).astype(np.int64)
     slices = [
         seed.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])
