@@ -71,3 +71,43 @@ def test_flagship_resume_skips(sf_dir, tmp_path):
     assert out1["resumed"] is False
     out2 = run_flagship(sf_dir, str(tmp_path / "kg2"))
     assert out2["resumed"] is True
+
+
+def test_global_turn_order_matches_local(ray_session, sf_dir, tmp_path):
+    """Block-local sort == global sort when conversations are
+    block-contiguous (the generated corpus's layout)."""
+    import ray.data
+
+    from kgray.pipeline import KGPipeline
+    from kgray.transcripts import transcripts_dataset
+
+    outs = {}
+    for mode in ("local", "global"):
+        pipe = KGPipeline(
+            out_dir=str(tmp_path / mode), resume=False, turn_order=mode
+        )
+        pipe.run(transcripts_dataset(sf_dir), fingerprint=mode)
+        edges = ray.data.read_parquet(str(tmp_path / mode / "edges")).take_all()
+        outs[mode] = sorted(
+            (r["subject"], r["predicate"], r["object"], r["n_mentions"])
+            for r in edges
+        )
+    assert outs["local"] == outs["global"]
+
+
+def test_fingerprint_invalidation_forces_rerun(ray_session, sf_dir, tmp_path):
+    from kgray.pipeline import KGPipeline
+    from kgray.transcripts import transcripts_dataset
+
+    out = str(tmp_path / "fp")
+    pipe = KGPipeline(out_dir=out, resume=True)
+    r1 = pipe.run(transcripts_dataset(sf_dir), fingerprint="v1")
+    assert not r1["resumed"]
+    r2 = KGPipeline(out_dir=out, resume=True).run(
+        transcripts_dataset(sf_dir), fingerprint="v1"
+    )
+    assert r2["resumed"]  # same fingerprint -> skip
+    r3 = KGPipeline(out_dir=out, resume=True).run(
+        transcripts_dataset(sf_dir), fingerprint="v2"
+    )
+    assert not r3["resumed"]  # changed inputs -> full rebuild
