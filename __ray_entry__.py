@@ -692,8 +692,10 @@ def q_kg_flagship(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    return q_kg_flagship("/root/testdata/sf0.001")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+    Returns a pandas DataFrame (the contract's accepted result types are
+    Dataset | DataFrame)."""
+    return q_kg_flagship("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
