@@ -198,40 +198,46 @@ def q_kg_nodes(sf_dir: str):
 # relational / A7 queries over the testdata tables
 # ---------------------------------------------------------------------------
 
+def _cents(col, factor: float = 100.0) -> pa.Array:
+    """Exact per-row fixed-point conversion BEFORE aggregation: money/value
+    columns carry <=2 decimals, so round(x*100) is exact; int64 sums are
+    then order-independent and FP-free at ANY group size (summing doubles
+    first and rounding after drifts past the rounding boundary once groups
+    reach ~1e5 rows — observed at sf0.1)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.cast(pc.round(pc.multiply(col, factor)), pa.int64())
+
+
 def q_q1_pricing(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("rev", rev)
+    def fixed_point(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_pc = _cents(t["l_discount"])  # discount in integer percent
+        # revenue in 1e-4 dollars: cents * (100 - pct) — integer-exact
+        rev_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pc))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _cents(t["l_quantity"]),
+                "price_c": price_c,
+                "rev_e4": rev_e4,
+            }
+        )
 
-    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    ds = ds.map_batches(fixed_point, batch_format="pyarrow")
     out = relational.grouped_agg(
         ds,
         keys=["l_returnflag", "l_linestatus"],
-        sums={"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice", "revenue": "rev"},
+        sums={"sum_qty_c": "qty_c", "sum_base_price_c": "price_c", "revenue_c": "rev_e4"},
         count_alias="n",
     )
-
-    def fin(t: pa.Table) -> pa.Table:
-        # money sums are mathematically integral at these scales
-        # (2dp * 100, 4dp * 1e4): round() absorbs FP summation-order noise
-        cols = {
-            "l_returnflag": t["l_returnflag"],
-            "l_linestatus": t["l_linestatus"],
-            "sum_qty_c": pc.cast(pc.round(pc.multiply(t["sum_qty"], 100.0)), pa.int64()),
-            "sum_base_price_c": pc.cast(
-                pc.round(pc.multiply(t["sum_base_price"], 100.0)), pa.int64()
-            ),
-            "revenue_c": pc.cast(pc.round(pc.multiply(t["revenue"], 10000.0)), pa.int64()),
-            "n": pc.cast(t["n"], pa.int64()),
-        }
-        return pa.table(cols)
-
-    return _table(out.map_batches(fin, batch_format="pyarrow"))
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
 def q_dup_name_audit(sf_dir: str):
@@ -273,20 +279,16 @@ def q_orders_per_nation(sf_dir: str):
     joined = relational.broadcast_lookup_join(
         orders, dim, "o_custkey", "c_custkey", ["n_name"]
     )
-    out = relational.grouped_agg(
-        joined, keys=["n_name"], sums={"total_price": "o_totalprice"}, count_alias="n_orders"
+    joined = joined.map_batches(
+        lambda t: pa.table(
+            {"n_name": t["n_name"], "price_c": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
     )
-
-    def fin(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "n_name": t["n_name"],
-                "total_price_c": pc.cast(pc.round(pc.multiply(t["total_price"], 100.0)), pa.int64()),
-                "n_orders": pc.cast(t["n_orders"], pa.int64()),
-            }
-        )
-
-    return _table(out.map_batches(fin, batch_format="pyarrow"))
+    out = relational.grouped_agg(
+        joined, keys=["n_name"], sums={"total_price_c": "price_c"}, count_alias="n_orders"
+    )
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
 def q_exact_dedup(sf_dir: str):
@@ -332,18 +334,26 @@ def q_quality_scores(sf_dir: str):
     return _table(out.map_batches(fin, batch_format="pyarrow"))
 
 
-def q_windowed_events(sf_dir: str):
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+def _events_cents(sf_dir: str):
+    """events with value pre-converted to exact integer cents (see _cents)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "value_c": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
     )
-    out = streaming.windowed_agg(ds, window_sec=3600)
+
+
+def q_windowed_events(sf_dir: str):
+    out = streaming.windowed_agg(_events_cents(sf_dir), value_col="value_c", window_sec=3600)
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "user_id": pc.cast(t["user_id"], pa.int64()),
                 "window_start": pc.cast(t["window_start"], pa.int64()),
-                "sum_value_c": pc.cast(pc.round(pc.multiply(t["sum_value"], 100.0)), pa.int64()),
+                "sum_value_c": pc.cast(t["sum_value"], pa.int64()),
                 "n_events": pc.cast(t["n_events"], pa.int64()),
             }
         )
@@ -352,15 +362,16 @@ def q_windowed_events(sf_dir: str):
 
 
 def q_hopping_windows(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    out = streaming.hopping_window_agg(ds, window_sec=3600, hop_sec=900)
+    out = streaming.hopping_window_agg(
+        _events_cents(sf_dir), value_col="value_c", window_sec=3600, hop_sec=900
+    )
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "user_id": pc.cast(t["user_id"], pa.int64()),
                 "window_start": pc.cast(t["window_start"], pa.int64()),
-                "sum_value_c": pc.cast(pc.round(pc.multiply(t["sum_value"], 100.0)), pa.int64()),
+                "sum_value_c": pc.cast(t["sum_value"], pa.int64()),
                 "n_events": pc.cast(t["n_events"], pa.int64()),
             }
         )
@@ -397,26 +408,19 @@ def q_supplier_part_join(sf_dir: str):
     )
 
     def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_suppkey": t["l_suppkey"], "rev": r})
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev_e4": r})
 
     li = li.map_batches(rev, batch_format="pyarrow")
     sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     joined = relational.shuffle_join(li, sup, on=("l_suppkey",), right_on=("s_suppkey",))
     out = relational.grouped_agg(
-        joined, keys=["s_nationkey"], sums={"revenue": "rev"}, count_alias="n_items"
+        joined, keys=["s_nationkey"], sums={"revenue_c": "rev_e4"}, count_alias="n_items"
     )
-
-    def fin(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
-                "revenue_c": pc.cast(pc.round(pc.multiply(t["revenue"], 10000.0)), pa.int64()),
-                "n_items": pc.cast(t["n_items"], pa.int64()),
-            }
-        )
-
-    return _table(out.map_batches(fin, batch_format="pyarrow"))
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
 def q_custs_without_events(sf_dir: str):
@@ -440,25 +444,16 @@ def q_event_value_stats(sf_dir: str):
     """Per-type min/max/sum/count over the event stream (associative
     partial aggregation; mean derivable as sum/n)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "value_c": _cents(t["value"])}),
+        batch_format="pyarrow",
+    )
     out = relational.grouped_agg(
         ds, keys=["event_type"],
-        sums={"sum_value": "value"}, mins={"min_value": "value"},
-        maxs={"max_value": "value"}, count_alias="n",
+        sums={"sum_value_c": "value_c"}, mins={"min_value_c": "value_c"},
+        maxs={"max_value_c": "value_c"}, count_alias="n",
     )
-
-    def fin(t: pa.Table) -> pa.Table:
-        c = lambda col, f: pc.cast(pc.round(pc.multiply(t[col], f)), pa.int64())
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "sum_value_c": c("sum_value", 100.0),
-                "min_value_c": c("min_value", 100.0),
-                "max_value_c": c("max_value", 100.0),
-                "n": pc.cast(t["n"], pa.int64()),
-            }
-        )
-
-    return _table(out.map_batches(fin, batch_format="pyarrow"))
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
 def q_sessions(sf_dir: str):
@@ -806,9 +801,10 @@ def oracle_sql() -> dict[str, str]:
     """
     q1 = """
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(l_quantity) * 100.0) AS BIGINT) AS sum_qty_c,
-           CAST(ROUND(SUM(l_extendedprice) * 100.0) AS BIGINT) AS sum_base_price_c,
-           CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT) AS revenue_c,
+           CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS revenue_c,
            COUNT(*) AS n
     FROM lineitem GROUP BY 1, 2
     """
@@ -836,7 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": "SELECT DISTINCT event_type FROM events ORDER BY event_type",
         "orders_per_nation": """
             SELECT n.n_name,
-                   CAST(ROUND(SUM(o.o_totalprice) * 100.0) AS BIGINT) AS total_price_c,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_price_c,
                    COUNT(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -869,20 +865,20 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events": """
             SELECT user_id,
                    CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-                   CAST(ROUND(SUM(value) * 100.0) AS BIGINT) AS sum_value_c,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
         """,
         "hopping_windows": """
             WITH expanded AS (
-              SELECT user_id, value,
+              SELECT user_id, CAST(ROUND(value * 100.0) AS BIGINT) AS value_c,
                      (CAST(FLOOR(epoch(ts)) AS BIGINT) // 900) * 900 - j.j * 900
                        AS window_start
               FROM events
               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
             )
             SELECT user_id, window_start,
-                   CAST(ROUND(SUM(value) * 100.0) AS BIGINT) AS sum_value_c,
+                   CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
                    COUNT(*) AS n_events
             FROM expanded GROUP BY 1, 2
         """,
@@ -899,8 +895,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_part_join": """
             SELECT s.s_nationkey,
-                   CAST(ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0)
-                        AS BIGINT) AS revenue_c,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100.0) AS BIGINT))) AS BIGINT)
+                     AS revenue_c,
                    COUNT(*) AS n_items
             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY 1
@@ -911,9 +908,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_value_stats": """
             SELECT event_type,
-                   CAST(ROUND(SUM(value) * 100.0) AS BIGINT) AS sum_value_c,
-                   CAST(ROUND(MIN(value) * 100.0) AS BIGINT) AS min_value_c,
-                   CAST(ROUND(MAX(value) * 100.0) AS BIGINT) AS max_value_c,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                   MIN(CAST(ROUND(value * 100.0) AS BIGINT)) AS min_value_c,
+                   MAX(CAST(ROUND(value * 100.0) AS BIGINT)) AS max_value_c,
                    COUNT(*) AS n
             FROM events GROUP BY 1
         """,
