@@ -268,16 +268,43 @@ def anti_join(
     return _marker_join(left, right, on, right_on, num_partitions, keep_match=False)
 
 
-def _marker_join(left, right, on, right_on, num_partitions, keep_match: bool):
+def _marker_join(
+    left, right, on, right_on, num_partitions, keep_match: bool,
+    broadcast_limit: int = 5_000_000,
+):
     right_on = right_on or on
-    keys = _distinct_keys(right, right_on).map_batches(
+    keys = _distinct_keys(right, right_on).materialize()
+
+    if keys.count() <= broadcast_limit:
+        # distinct key set is dimension-sized -> broadcast membership filter
+        # (no shuffle of the left stream at all). This is also the robust
+        # path: Ray's hash join fails outright when the build side leaves
+        # some partitions empty (schema-less blocks break the acero join).
+        import ray as _ray
+
+        chunks = [
+            _chunked(b[right_on])
+            for b in keys.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
+        ]
+        value_set = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]) if chunks else pa.array([])
+        set_ref = _ray.put(value_set)
+
+        def member_filter(t: pa.Table, _ref=set_ref) -> pa.Table:
+            vs = _ray.get(_ref)
+            m = pc.is_in(_chunked(t[on]), value_set=vs)
+            return t.filter(m if keep_match else pc.invert(m))
+
+        return left.map_batches(member_filter, batch_format="pyarrow")
+
+    # large-side fallback: marker join through the native hash join
+    marked = keys.map_batches(
         lambda t, c=right_on: pa.table(
             {c: _chunked(t[c]), "__match": pa.array([1] * len(t), type=pa.int8())}
         ),
         batch_format="pyarrow",
     )
     joined = left.join(
-        keys, join_type="left_outer", num_partitions=num_partitions,
+        marked, join_type="left_outer", num_partitions=num_partitions,
         on=(on,), right_on=(right_on,),
     )
 
