@@ -64,3 +64,32 @@ def test_edge_header_schema():
     assert schema.field("label").type == pa.string()
     assert schema.field("p_value").type == pa.list_(pa.float64())
     assert schema.field("negated").type == pa.bool_()
+
+
+def test_predicate_pairs_and_lookup_checkpoint(ray_session, tmp_path):
+    """ST2 distinct pair-sets + ST4 Parquet lookup checkpoint round trip."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from kgray.lookups import load_lookup, predicate_pairs, save_lookup
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "predicate": ["p1", "p1", "p2", "p1"],
+                "subject_class": ["A", "A", "B", "C"],
+                "object_class": ["B", "B", "C", "D"],
+            }
+        )
+    )
+    got = sorted(
+        predicate_pairs(edges).take_all(),
+        key=lambda r: (r["predicate"], r["subject_class"]),
+    )
+    assert [(r["predicate"], r["subject_class"], r["object_class"], r["n_edges"]) for r in got] == [
+        ("p1", "A", "B", 2), ("p1", "C", "D", 1), ("p2", "B", "C", 1),
+    ]
+    p = str(tmp_path / "ck" / "lookup.parquet")
+    save_lookup({"a": "X", "b": "Y"}, p)
+    assert load_lookup(p) == {"a": "X", "b": "Y"}
