@@ -456,6 +456,37 @@ def q_event_value_stats(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = relational.distinct_count_per_group(ds, "event_type", "user_id")
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
+def q_median_price_per_segment(sf_dir: str):
+    """Discrete median order price per customer market segment (broadcast
+    dim join + per-group quantile pick)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    joined = relational.broadcast_lookup_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_mktsegment"]
+    )
+    joined = joined.map_batches(
+        lambda t: pa.table(
+            {"c_mktsegment": t["c_mktsegment"], "price_c": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    out = relational.quantile_disc_per_group(joined, "c_mktsegment", "price_c", q=0.5)
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
+def q_brand_type_concat(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_type"])
+    return _table(relational.sorted_concat_per_group(ds, "p_brand", "p_type"))
+
+
 def q_sessions(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
@@ -718,6 +749,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_join": q_supplier_part_join,
         "custs_without_events": q_custs_without_events,
         "event_value_stats": q_event_value_stats,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "median_price_per_segment": q_median_price_per_segment,
+        "brand_type_concat": q_brand_type_concat,
         "sessions": q_sessions,
         "knn_bruteforce": q_knn_bruteforce,
         "ngram_jaccard": q_ngram_jaccard,
@@ -905,6 +939,22 @@ def oracle_sql() -> dict[str, str]:
         "custs_without_events": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        "median_price_per_segment": """
+            SELECT c.c_mktsegment,
+                   quantile_disc(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT), 0.5)
+                     AS price_c_q
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "brand_type_concat": """
+            SELECT p_brand, string_agg(DISTINCT p_type, ';' ORDER BY p_type)
+                     AS p_type_concat
+            FROM part GROUP BY 1
         """,
         "event_value_stats": """
             SELECT event_type,

@@ -241,6 +241,68 @@ def grouped_agg(
     return hash_bucketed_groupby(partials, keys, reduce_bucket)
 
 
+def distinct_count_per_group(
+    ds: ray.data.Dataset, group_col: str, distinct_col: str
+) -> ray.data.Dataset:
+    """COUNT(DISTINCT distinct_col) per group: per-block pair dedup
+    (combiner), one (group, value)-keyed dedup shuffle, then a counting
+    aggregation — the pair stream is the only thing shuffled, once."""
+    pairs = ds.select_columns([group_col, distinct_col]).map_batches(
+        lambda df: df.drop_duplicates([group_col, distinct_col]),
+        batch_format="pandas",
+    )
+    deduped = hash_bucketed_groupby(
+        pairs, [group_col, distinct_col],
+        lambda df: df.drop_duplicates([group_col, distinct_col]),
+    )
+    return grouped_agg(deduped, keys=[group_col], count_alias="n_distinct")
+
+
+def quantile_disc_per_group(
+    ds: ray.data.Dataset, group_col: str, value_col: str, q: float = 0.5
+) -> ray.data.Dataset:
+    """Discrete quantile per group (the sorted element at index
+    ``floor((n-1) * q)`` — SQL ``quantile_disc`` semantics, deterministic,
+    no interpolation). Groups are co-located by the bucketed shuffle; the
+    per-bucket pick is one sort + vectorized index arithmetic."""
+    import numpy as np
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, value_col], kind="mergesort").reset_index(drop=True)
+        sizes = df.groupby(group_col, sort=False)[value_col].transform("size").to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, df[group_col].to_numpy()[1:] != df[group_col].to_numpy()[:-1]]
+        )
+        n = sizes[starts]
+        idx = starts + np.floor((n - 1) * q).astype(np.int64)
+        out = df.iloc[idx][[group_col, value_col]]
+        return out.rename(columns={value_col: f"{value_col}_q"})
+
+    return hash_bucketed_groupby(
+        ds.select_columns([group_col, value_col]), [group_col], pick
+    )
+
+
+def sorted_concat_per_group(
+    ds: ray.data.Dataset, group_col: str, value_col: str, sep: str = ";"
+) -> ray.data.Dataset:
+    """Distinct values per group, sorted and ``sep``-joined (the UNWIND /
+    collect pattern of the reference's label queries as a groupby)."""
+
+    def concat(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([group_col, value_col]).sort_values(
+            [group_col, value_col], kind="mergesort"
+        )
+        return d.groupby(group_col, sort=False, as_index=False)[value_col].agg(
+            sep.join
+        ).rename(columns={value_col: f"{value_col}_concat"})
+
+    combined = ds.select_columns([group_col, value_col]).map_batches(
+        lambda df: df.drop_duplicates([group_col, value_col]), batch_format="pandas"
+    )
+    return hash_bucketed_groupby(combined, [group_col], concat)
+
+
 def _distinct_keys(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     per_block = ds.select_columns([col]).map_batches(
         lambda t: pa.table({col: _chunked(t[col]).unique()}), batch_format="pyarrow"
