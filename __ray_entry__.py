@@ -456,6 +456,22 @@ def q_event_value_stats(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_props_k_stats(sf_dir: str):
+    """Semi-structured extraction: integer field from the JSON props
+    column (vectorized Arrow regex kernel) aggregated per event type."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = ds.map_batches(
+        lambda t: textops.json_field_int(t, col="props", key="k").drop_columns(["props"]),
+        batch_format="pyarrow",
+    )
+    out = relational.grouped_agg(
+        ds, keys=["event_type"],
+        sums={"sum_k": "k"}, mins={"min_k": "k"}, maxs={"max_k": "k"},
+        count_alias="n",
+    )
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_distinct_users_per_type(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     out = relational.distinct_count_per_group(ds, "event_type", "user_id")
@@ -749,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_join": q_supplier_part_join,
         "custs_without_events": q_custs_without_events,
         "event_value_stats": q_event_value_stats,
+        "props_k_stats": q_props_k_stats,
         "distinct_users_per_type": q_distinct_users_per_type,
         "median_price_per_segment": q_median_price_per_segment,
         "brand_type_concat": q_brand_type_concat,
@@ -939,6 +956,17 @@ def oracle_sql() -> dict[str, str]:
         "custs_without_events": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "props_k_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n
+            FROM x GROUP BY 1
         """,
         "distinct_users_per_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct

@@ -82,6 +82,50 @@ class FeatureExtractStub:
         )
 
 
+class ResizeStub:
+    """Actor stage: (width, height) -> scaled-to-fit target box. The
+    geometry math is real (aspect-preserving fit); only the pixel resample
+    would need a codec. Runs after ``DecodeStub``."""
+
+    def __init__(self, target: int = 224):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = self.target / np.maximum(w, h)
+        return (
+            batch.append_column(
+                "resized_w", pa.array(np.round(w * scale).astype(np.int32))
+            ).append_column(
+                "resized_h", pa.array(np.round(h * scale).astype(np.int32))
+            )
+        )
+
+
+class FrameSampleStub:
+    """Actor stage: pick ``n`` evenly-spaced frame indices per video
+    (deterministic; the indices are the real sampling plan a decoder
+    would execute). Non-video rows get an empty list."""
+
+    def __init__(self, n: int = 4):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        frames = batch["n_frames"].to_pylist()
+        out = []
+        for kind, nf in zip(kinds, frames):
+            if kind != "video" or not nf:
+                out.append([])
+            else:
+                k = min(self.n, nf)
+                out.append([int(i * nf // k) for i in range(k)])
+        return batch.append_column(
+            "sample_frames", pa.array(out, type=pa.list_(pa.int32()))
+        )
+
+
 def decode_media(ds, fake: bool = False, batch_size: int = 64, concurrency=(1, 4)):
     """Wire the decode actor pool. Small batch_size on purpose: payload
     bytes x batch x concurrency is the heap bound for media stages."""

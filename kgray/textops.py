@@ -170,6 +170,24 @@ def rolling_hash64(texts: pa.Array) -> np.ndarray:
     return out
 
 
+def json_field_int(
+    batch: pa.Table, col: str = "props", key: str = "k", out: str | None = None
+) -> pa.Table:
+    """Vectorized integer-field extraction from a JSON-string column via
+    the Arrow ``extract_regex`` C kernel (zero Python per row). Exact for
+    flat numeric fields; nested/escaped documents need a real JSON parser
+    stage (`map_batches` over ``json.loads`` — the slow general path)."""
+    pattern = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)'
+    src = _chunked(batch[col])
+    extracted = pc.extract_regex(src, pattern)
+    vals = pc.if_else(
+        pc.is_valid(extracted),
+        pc.cast(pc.struct_field(extracted, "v"), pa.int64()),
+        pa.scalar(None, pa.int64()),
+    )
+    return batch.append_column(out or key, vals)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit rolling-hash content fingerprint, hex-encoded."""
     h = rolling_hash64(_chunked(batch[text_col]))

@@ -152,3 +152,20 @@ def test_decode_stub_raises_without_fake(ray_session):
     ds = ray.data.from_arrow(multimodal.synthetic_media_table(4))
     with pytest.raises(Exception):
         multimodal.decode_media(ds, fake=False).take_all()
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    ds = ray.data.from_arrow(multimodal.synthetic_media_table(12))
+    out = (
+        multimodal.decode_media(ds, fake=True)
+        .map_batches(multimodal.ResizeStub(target=224), batch_format="pyarrow")
+        .map_batches(multimodal.FrameSampleStub(n=3), batch_format="pyarrow")
+        .take_all()
+    )
+    for r in out:
+        assert max(r["resized_w"], r["resized_h"]) == 224  # aspect-fit
+        if r["kind"] == "video":
+            assert 1 <= len(r["sample_frames"]) <= 3
+            assert all(0 <= f < r["n_frames"] for f in r["sample_frames"])
+        else:
+            assert r["sample_frames"] == []
