@@ -112,12 +112,15 @@ def link_entities(
 
 def alias_forms_table(catalog: pa.Table) -> pa.Table:
     """(form, entity_id) surface-form table with ``build_alias_index``'s
-    precedence flattened in: per form, a name claim beats alias claims, and
-    among alias claims the earliest catalog row wins. The join-path
-    equivalent of the broadcast dict."""
+    precedence flattened in EXACTLY: per form a name claim beats alias
+    claims (names overwrite the dict after aliases); among duplicate
+    NAMES the last catalog row wins (dict assignment), among duplicate
+    ALIASES the earliest wins (setdefault). The join-path equivalent of
+    the broadcast dict."""
     import pandas as pd
 
     rows = []
+    n_rows = catalog.num_rows
     for pos, (eid, name, aliases) in enumerate(
         zip(
             catalog["id"].to_pylist(),
@@ -125,7 +128,7 @@ def alias_forms_table(catalog: pa.Table) -> pa.Table:
             catalog["aliases"].to_pylist(),
         )
     ):
-        rows.append((name, eid, 0, pos))
+        rows.append((name, eid, 0, n_rows - pos))
         for a in aliases or []:
             rows.append((a, eid, 1, pos))
             rows.append((a.lower(), eid, 1, pos))
@@ -144,14 +147,20 @@ def alias_forms_table(catalog: pa.Table) -> pa.Table:
 def link_entities_join(
     triples, catalog_forms: "pa.Table", num_partitions: int = 16,
 ):
-    """Distributed linking for catalogs past broadcast limits: hash join of
-    the triple stream against the exploded surface-form table (one join per
-    endpoint). Same output contract as ``link_entities``; exact-form match
-    only (the broadcast path's lowercase *fallback* is covered by the
-    pre-lowered alias forms in ``alias_forms_table``).
+    """Distributed linking for catalogs past broadcast limits: hash joins of
+    the triple stream against the exploded surface-form table. Same output
+    contract AND matching semantics as ``link_entities``: per endpoint, an
+    exact-form join first, then a lowered-mention fallback join for the
+    rows the exact pass missed (the join-side mirror of the broadcast
+    path's ``get(m) or get(m.lower())``), coalesced exact-first.
 
     Both linking paths sit behind one interface by design (SURVEY.md §7.5
     broadcast-lookup-scale trap): pick by alias-index size.
+
+    Caveat: Ray's hash join crashes when a partition receives ZERO left
+    rows (schema-less block) — only possible when distinct-mention
+    cardinality < ``num_partitions``, i.e. exactly the dimension-sized
+    regime where the broadcast path should have been chosen instead.
     """
     import pyarrow.compute as _pc
 
@@ -160,16 +169,36 @@ def link_entities_join(
     forms = _rd.from_arrow(catalog_forms)
     out = triples
     for col, out_col in (("subject_mention", "subject_id"), ("object_mention", "object_id")):
+        # pass 1: exact surface form
         out = out.join(
             forms, join_type="left_outer", num_partitions=num_partitions,
             on=(col,), right_on=("form",),
         )
         out = out.map_batches(
-            lambda t, oc=out_col: t.rename_columns(
-                [oc if c == "entity_id" else c for c in t.column_names]
-            ).drop_columns([x for x in ("form",) if x in t.column_names]),
+            lambda t, oc=out_col, c=col: t.rename_columns(
+                [f"{oc}__exact" if x == "entity_id" else x for x in t.column_names]
+            ).drop_columns([x for x in ("form",) if x in t.column_names]).append_column(
+                "__lowered", _pc.utf8_lower(t[c].combine_chunks())
+            ),
             batch_format="pyarrow",
         )
+        # pass 2: lowered mention against the SAME form table
+        out = out.join(
+            forms, join_type="left_outer", num_partitions=num_partitions,
+            on=("__lowered",), right_on=("form",),
+        )
+
+        def coalesce(t: pa.Table, oc=out_col) -> pa.Table:
+            exact = t[f"{oc}__exact"].combine_chunks()
+            lowered = t["entity_id"].combine_chunks()
+            merged = _pc.if_else(_pc.is_valid(exact), exact, lowered)
+            t = t.drop_columns(
+                [c for c in (f"{oc}__exact", "entity_id", "__lowered", "form")
+                 if c in t.column_names]
+            )
+            return t.append_column(oc, merged)
+
+        out = out.map_batches(coalesce, batch_format="pyarrow")
     return out.map_batches(
         lambda t: t.append_column(
             "linked",

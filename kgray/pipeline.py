@@ -301,9 +301,10 @@ class KGPipeline:
                 }
             ),
             batch_format="pyarrow",
-        ).sum(["n", "n_linked"])
-        n_triples = sums["sum(n)"] or 0
-        n_linked = sums["sum(n_linked)"] or 0
+        ).sum(["n", "n_linked"]) or {}
+        # Dataset.sum returns None (not a dict) when no blocks are produced
+        n_triples = sums.get("sum(n)", 0) or 0
+        n_linked = sums.get("sum(n_linked)", 0) or 0
         m.record("link", triples_in=n_triples, linked=n_linked,
                  dropped_unlinked=n_triples - n_linked,
                  link_rate=round(n_linked / n_triples, 4) if n_triples else 1.0)

@@ -348,7 +348,13 @@ def _marker_join(
             _chunked(b[right_on])
             for b in keys.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
         ]
-        value_set = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]) if chunks else pa.array([])
+        if not chunks:
+            # empty right side: is_in with a null-typed [] raises on typed
+            # keys — short-circuit instead (anti keeps everything, semi none)
+            return left if not keep_match else left.limit(0)
+        value_set = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]
+        )
         set_ref = _ray.put(value_set)
 
         def member_filter(t: pa.Table, _ref=set_ref) -> pa.Table:

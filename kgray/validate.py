@@ -82,5 +82,6 @@ def drop_count(
             }
         )
 
-    sums = ds.map_batches(count, batch_format="pyarrow").sum(["n", "n_bad"])
-    return {"rows": sums["sum(n)"] or 0, "dropped": sums["sum(n_bad)"] or 0}
+    # Dataset.sum returns None (not a dict) when the input produces no blocks
+    sums = ds.map_batches(count, batch_format="pyarrow").sum(["n", "n_bad"]) or {}
+    return {"rows": sums.get("sum(n)", 0) or 0, "dropped": sums.get("sum(n_bad)", 0) or 0}

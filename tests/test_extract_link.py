@@ -144,3 +144,66 @@ def test_join_linking_matches_broadcast_path(ray_session, sf_dir):
         for r in a
     ]
     assert a == b
+
+
+def test_join_linking_parity_case_variants_and_duplicate_names(ray_session):
+    """Adversarial catalog: case-variant mentions (resolved by the broadcast
+    path's lowered-mention fallback) and duplicate names (broadcast: last
+    catalog row wins) must link IDENTICALLY through the join path."""
+    import ray.data as rd
+
+    from kgray import link as lk
+    from kgray.link import alias_forms_table, build_alias_index, link_entities_join
+
+    catalog = pa.table(
+        {
+            "id": ["E:1", "E:2", "E:3", "E:4"],
+            "name": ["Aspirin", "Tylenol", "Aspirin", "ibuprofen"],
+            "aliases": pa.array(
+                [["ASA"], ["Paracetamol"], [], ["Advil"]],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+    mentions = [
+        "Aspirin",      # duplicate name -> LAST row (E:3) wins in both paths
+        "ASPIRIN",      # case variant of a name: exact miss, lowered miss (no
+                        # lowered name forms) -> unlinked in BOTH paths
+        "asa",          # lowered alias form -> E:1
+        "ASA",          # exact alias -> E:1
+        "PARACETAMOL",  # case variant: lowered matches pre-lowered alias -> E:2
+        "Ibuprofen",    # case variant of a lowercase NAME: lowered hits -> E:4
+        "advil",        # lowered alias -> E:4
+        "nope",         # out of vocabulary
+    ]
+    # distinct per-row object mentions: Ray's hash join needs >= 1 left row
+    # per partition (documented caveat in link_entities_join)
+    objects = ["Tylenol", "Aspirin", "ASA", "asa", "Advil", "ibuprofen",
+               "PARACETAMOL", "miss-1"]
+    triples = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c"] * len(mentions),
+                "turn_idx": pa.array(range(len(mentions)), pa.int32()),
+                "subject_mention": mentions,
+                "predicate": ["p"] * len(mentions),
+                "object_mention": objects,
+            }
+        )
+    )
+    bc = lk.link_entities(triples, build_alias_index(catalog)).take_all()
+    jn = link_entities_join(triples, alias_forms_table(catalog), num_partitions=2).take_all()
+    key = lambda r: r["turn_idx"]
+    cols = ("subject_mention", "subject_id", "object_id", "linked")
+    a = [{k: r[k] for k in cols} for r in sorted(bc, key=key)]
+    b = [{k: r[k] for k in cols} for r in sorted(jn, key=key)]
+    assert a == b
+    by_mention = {r["subject_mention"]: r["subject_id"] for r in a}
+    assert by_mention["Aspirin"] == "E:3"       # last duplicate name wins
+    assert by_mention["ASPIRIN"] is None        # no lowered-name forms
+    assert by_mention["asa"] == "E:1"
+    assert by_mention["PARACETAMOL"] == "E:2"
+    assert by_mention["Ibuprofen"] == "E:4"
+    assert by_mention["nope"] is None
+    by_obj = {r["subject_mention"]: r["object_id"] for r in a}
+    assert by_obj["ASPIRIN"] == "E:3"  # object "Aspirin" -> last dup name
