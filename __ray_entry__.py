@@ -115,6 +115,10 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+# stop-gram cut shared by the ngram_jaccard engine call and its oracle SQL
+_NGRAM_MAX_DF = 1000
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries
 # ---------------------------------------------------------------------------
@@ -273,11 +277,15 @@ def q_orders_per_nation(sf_dir: str):
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     customer = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    )
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    # nation is a true 25-row dimension (broadcast); customer SCALES with the
+    # fact data, so it flows through the size-routed join as a Dataset
+    cust_nation = relational.broadcast_lookup_join(
+        customer, nation, "c_nationkey", "n_nationkey", ["n_name"]
+    )
     joined = relational.broadcast_lookup_join(
-        orders, dim, "o_custkey", "c_custkey", ["n_name"]
+        orders, cust_nation, "o_custkey", "c_custkey", ["n_name"]
     )
     joined = joined.map_batches(
         lambda t: pa.table(
@@ -484,7 +492,7 @@ def q_median_price_per_segment(sf_dir: str):
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
+    )
     joined = relational.broadcast_lookup_join(
         orders, cust, "o_custkey", "c_custkey", ["c_mktsegment"]
     )
@@ -537,7 +545,7 @@ def q_knn_bruteforce(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return _table(
-        dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2),
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2, max_df=_NGRAM_MAX_DF),
         schema=pa.schema(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_ppm", pa.int64())]
         ),
@@ -682,8 +690,19 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
+    """Banded sign-LSH near-dup. The synthetic corpus's max pairwise cosine
+    is ~0.51, so the query runs at threshold 0.4 with short bands (16 x 4
+    planes -> ~94% recall at cos 0.4) so the operator demonstrably emits
+    pairs; the high-threshold regime is covered by the planted-duplicate
+    recall test (tests/test_dedup_similarity.py)."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return _table(dedup.embedding_dedup_pairs(emb, threshold=0.9))
+    return _table(
+        dedup.embedding_dedup_pairs(emb, threshold=0.4, n_bands=16, band_bits=4),
+        schema=pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+             ("cosine", pa.float64()), ("truncated", pa.bool_())]
+        ),
+    )
 
 
 def q_knn_ivf(sf_dir: str):
@@ -1011,7 +1030,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts_s) AS session_start, MAX(ts_s) AS session_end
             FROM tagged GROUP BY 1, 2
         """,
-        "ngram_jaccard": """
+        "ngram_jaccard": f"""
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents
             ), grams AS (
@@ -1022,11 +1041,18 @@ def oracle_sql() -> dict[str, str]:
                 WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
                 ELSE [] END) AS gram
               FROM w
+            ), gram_df AS (
+              -- the engine's max_df stop-gram cut, applied identically:
+              -- over-frequent grams leave BOTH numerator and denominator
+              SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1
+            ), kept AS (
+              SELECT g.doc_id, g.gram FROM grams g
+              JOIN gram_df d ON g.gram = d.gram WHERE d.df <= {_NGRAM_MAX_DF}
             ), counts AS (
-              SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1
+              SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY 1
             ), inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
-              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

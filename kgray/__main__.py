@@ -108,8 +108,10 @@ def main(argv=None) -> int:
     if args.type in ("all", "tables"):
         from .graph_io import write_schema_manifest
         from .schema import (
-            EDGE_SCHEMA, NODE_SCHEMA, schema_to_cypher_property_map,
-            schema_to_kuzu_node_ddl, schema_to_kuzu_rel_ddl,
+            EDGE_SCHEMA, NODE_SCHEMA, generate_import_statements,
+            memgraph_load_csv_edges, memgraph_load_csv_nodes,
+            schema_to_cypher_property_map, schema_to_kuzu_node_ddl,
+            schema_to_kuzu_rel_ddl,
         )
 
         node_dir, edge_dir = os.path.join(args.out, "nodes"), os.path.join(args.out, "edges")
@@ -119,10 +121,30 @@ def main(argv=None) -> int:
             "kuzu_node_ddl": schema_to_kuzu_node_ddl(_typed(NODE_SCHEMA), "Node"),
             "kuzu_rel_ddl": schema_to_kuzu_rel_ddl(_typed(EDGE_SCHEMA), "Edge", "Node", "Node"),
             "cypher_node_map": schema_to_cypher_property_map(_typed(NODE_SCHEMA)),
+            # runnable importer text (the part a migrating user pastes):
+            # MemGraph LOAD CSV templates (MemGraph:163-188) ...
+            "memgraph_load_nodes": memgraph_load_csv_nodes(
+                os.path.join(node_dir, "nodes.csv"),
+                schema_to_cypher_property_map(_typed(NODE_SCHEMA)),
+            ),
+            "memgraph_load_edges": memgraph_load_csv_edges(
+                os.path.join(edge_dir, "edges.csv"),
+                schema_to_cypher_property_map(_typed(EDGE_SCHEMA)),
+            ),
         }
+        # ... and per-partition Kuzu COPY statements off the written layout
+        # (Kuzu:557-613 semantics incl. strict-nodes/lenient-edges)
+        copy_stmts = generate_import_statements(args.out)
+        ddl["kuzu_copy_nodes"] = copy_stmts["nodes"]
+        ddl["kuzu_copy_edges"] = copy_stmts["edges"]
         with open(os.path.join(args.out, "ddl.json"), "w") as f:
             json.dump(ddl, f, indent=1)
-        print(json.dumps({"ddl": os.path.join(args.out, "ddl.json")}))
+        with open(os.path.join(args.out, "import.cypher"), "w") as f:
+            f.write(
+                "\n".join(copy_stmts["nodes"]) + "\n" + "\n".join(copy_stmts["edges"]) + "\n"
+            )
+        print(json.dumps({"ddl": os.path.join(args.out, "ddl.json"),
+                          "import": os.path.join(args.out, "import.cypher")}))
 
     return 0
 

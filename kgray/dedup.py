@@ -241,6 +241,8 @@ class MinHasher:
 
 
 def _jaccard(a: str, b: str, k: int) -> float:
+    """Scalar reference implementation (tests / oracles only — the engine
+    path is the vectorized ``pair_jaccard``)."""
     def grams(t):
         w = t.split()
         if len(w) < k:
@@ -254,6 +256,154 @@ def _jaccard(a: str, b: str, k: int) -> float:
     return inter / (len(ga) + len(gb) - inter)
 
 
+def pair_jaccard(text_a: pa.Array, text_b: pa.Array, k: int) -> np.ndarray:
+    """Row-wise exact word-``k``-gram Jaccard for aligned text columns,
+    fully vectorized over hashed grams (64-bit rolling hashes; a collision
+    would need two distinct grams sharing a 64-bit hash — negligible).
+
+    Matches ``_jaccard`` semantics: rows shorter than ``k`` words contribute
+    one combined gram; two empty texts are similarity 1.0.
+    """
+    def row_gram_sets(col):
+        word_h, lengths = _word_hashes(_chunked(col))
+        grams, n_grams = _gram_hashes(word_h, lengths, k)
+        rows = np.repeat(np.arange(len(n_grams), dtype=np.int64), n_grams)
+        order = np.lexsort((grams, rows))
+        r, g = rows[order], grams[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+        return r[keep], g[keep], len(n_grams)
+
+    ra, ga, n = row_gram_sets(text_a)
+    rb, gb, _ = row_gram_sets(text_b)
+    ca = np.bincount(ra, minlength=n)
+    cb = np.bincount(rb, minlength=n)
+    rr = np.concatenate([ra, rb])
+    gg = np.concatenate([ga, gb])
+    order = np.lexsort((gg, rr))
+    rr, gg = rr[order], gg[order]
+    dup = (rr[1:] == rr[:-1]) & (gg[1:] == gg[:-1])
+    inter = np.bincount(rr[1:][dup], minlength=n)
+    denom = ca + cb - inter
+    out = np.ones(n, dtype=np.float64)  # both-empty rows -> 1.0
+    nz = denom > 0
+    out[nz] = inter[nz] / denom[nz]
+    return out
+
+
+def pairs_from_buckets(
+    df: pd.DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    out_cols: tuple[str, str],
+    max_bucket: int,
+) -> pd.DataFrame:
+    """All within-bucket candidate pairs (a < b) for every bucket in ``df``.
+
+    Buckets beyond ``max_bucket`` ids are capped (hot-bucket guard for
+    degenerate corpora) — never silently: every pair from an oversized
+    bucket carries ``truncated=True`` so downstream consumers can see that
+    recall was cut there. Pair emission is vectorized (``triu_indices``)
+    per bucket; the loop is only over non-singleton buckets.
+    """
+    a_parts, b_parts, t_parts = [], [], []
+    for _, grp in df.groupby(bucket_cols, sort=False):
+        if len(grp) < 2:
+            continue
+        ids = np.sort(grp[id_col].to_numpy())
+        big = len(ids) > max_bucket
+        ids = ids[:max_bucket]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        a_parts.append(ids[ii])
+        b_parts.append(ids[jj])
+        t_parts.append(np.full(len(ii), big))
+    if not a_parts:
+        dt = df[id_col].dtype if len(df) else object
+        return pd.DataFrame(
+            {
+                out_cols[0]: pd.Series([], dtype=dt),
+                out_cols[1]: pd.Series([], dtype=dt),
+                "truncated": pd.Series([], dtype=bool),
+            }
+        )
+    return pd.DataFrame(
+        {
+            out_cols[0]: np.concatenate(a_parts),
+            out_cols[1]: np.concatenate(b_parts),
+            "truncated": np.concatenate(t_parts),
+        }
+    )
+
+
+def attach_pair_payload(
+    pairs: ray.data.Dataset,
+    payload: ray.data.Dataset,
+    pair_cols: tuple[str, str],
+    key_col: str,
+    value_cols: tuple[str, ...],
+    broadcast_limit: int = 100_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Attach per-id payload columns (text, embedding, counts, ...) to BOTH
+    endpoints of a candidate-pair stream — the verify-stage join.
+
+    Size-routed like ``relational._marker_join``: payloads up to
+    ``broadcast_limit`` rows ship once via ``ray.put`` and resolve with a
+    dictionary-encoded lookup (no shuffle of the pair stream); larger
+    payloads go through two hash joins keyed on the pair endpoints, so no
+    whole-corpus object ever lands on the driver. Output columns:
+    ``{value}_a`` / ``{value}_b``.
+    """
+    import ray as _ray
+
+    # materialize once: the routing count, the broadcast scan and BOTH join
+    # probes otherwise each re-execute the payload pipeline from scratch
+    payload = payload.select_columns([key_col, *value_cols]).materialize()
+    n = payload.count()
+    if n <= broadcast_limit:
+        idx: dict = {}
+        types = {}
+        for b in payload.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            for vc in value_cols:
+                types[vc] = b.schema.field(vc).type
+            keys = b[key_col].to_pylist()
+            vals = [b[vc].to_pylist() for vc in value_cols]
+            for i, kk in enumerate(keys):
+                idx[kk] = tuple(v[i] for v in vals)
+        idx_ref = _ray.put(idx)
+        types_ref = types
+
+        def resolve(t: pa.Table, _ref=idx_ref, _types=types_ref) -> pa.Table:
+            lookup = _ray.get(_ref)
+            for side, col in zip(("_a", "_b"), pair_cols):
+                enc = pc.dictionary_encode(_chunked(t[col]))
+                hits = [lookup.get(v) for v in enc.dictionary.to_pylist()]
+                for vi, vc in enumerate(value_cols):
+                    mapped = pa.array(
+                        [h[vi] if h is not None else None for h in hits],
+                        type=_types[vc],
+                    )
+                    t = t.append_column(f"{vc}{side}", mapped.take(enc.indices))
+            return t
+
+        return pairs.map_batches(resolve, batch_format="pyarrow")
+
+    # join path: two endpoint-keyed hash joins, payload renamed per side
+    out = pairs
+    for side, col in zip(("_a", "_b"), pair_cols):
+        out = out.join(
+            payload, join_type="left_outer", num_partitions=num_partitions,
+            on=(col,), right_on=(key_col,),
+        )
+        out = out.map_batches(
+            lambda t, s=side: t.rename_columns(
+                [f"{c}{s}" if c in value_cols else c for c in t.column_names]
+            ).drop_columns([x for x in (key_col,) if x in t.column_names]),
+            batch_format="pyarrow",
+        )
+    return out
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.8,
@@ -263,15 +413,22 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 200,
+    broadcast_limit: int = 100_000,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Candidate generation by LSH band buckets + exact Jaccard verify.
+    """Near-dup pairs: LSH band-bucket candidate generation + exact Jaccard
+    verify. Returns (doc_a, doc_b, jaccard, truncated) with doc_a < doc_b,
+    deduplicated; ``truncated`` marks pairs from a capped hot bucket.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, deduplicated.
-    Buckets larger than ``max_bucket`` are truncated (hot-bucket guard for
-    degenerate corpora) — truncation is counted in the 'truncated' column
-    of oversized groups rather than silent.
+    Scale plan: candidate pairs are generated from (band, hash) buckets
+    WITHOUT text (the shuffle moves 16 small rows per doc), deduped across
+    bands, and only then joined back against the (id, text) table via
+    ``attach_pair_payload`` — broadcast under ``broadcast_limit`` docs,
+    two hash joins beyond it. No whole-corpus driver dict at any size.
+    The verify is the vectorized hashed-gram ``pair_jaccard`` — zero
+    per-pair Python.
     """
-    text_by_id_ref = _broadcast_texts(docs, id_col, text_col)
+    from .relational import hash_bucketed_groupby
 
     bands = docs.map_batches(
         MinHasher,
@@ -283,40 +440,43 @@ def minhash_lsh_pairs(
         concurrency=pool_concurrency(),
     )
 
-    import ray as _ray
+    candidates = hash_bucketed_groupby(
+        bands, ["band_id", "band_hash"],
+        lambda df: pairs_from_buckets(
+            df, ["band_id", "band_hash"], "doc_id", ("doc_a", "doc_b"), max_bucket
+        ),
+    )
+    # same pair can surface from several bands -> dedup BEFORE the payload
+    # join ('False' sorts first, so a pair seen in any clean bucket is kept
+    # untruncated)
+    candidates = exact_dedup(candidates, ["doc_a", "doc_b"], ["truncated"])
 
-    from .relational import hash_bucketed_groupby
+    paired = attach_pair_payload(
+        candidates, docs, ("doc_a", "doc_b"), id_col, (text_col,),
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions,
+    )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # df holds MANY lsh buckets (co-located by coarse hash); iterate
-        # them here instead of paying a Ray task per lsh bucket
-        texts = _ray.get(text_by_id_ref)
-        rows = []
-        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(grp["doc_id"].tolist())[:max_bucket]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    sim = _jaccard(texts.get(ids[i], ""), texts.get(ids[j], ""), shingle_k)
-                    if sim >= threshold:
-                        rows.append((ids[i], ids[j], round(sim, 6)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                    "jaccard": pa.array([], type=pa.float64()),
+                    "truncated": t["truncated"],
+                }
+            )
+        sims = pair_jaccard(t[f"{text_col}_a"], t[f"{text_col}_b"], shingle_k)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "doc_a": _chunked(t["doc_a"]).filter(pa.array(keep)),
+                "doc_b": _chunked(t["doc_b"]).filter(pa.array(keep)),
+                "jaccard": pa.array(np.round(sims[keep], 6), type=pa.float64()),
+                "truncated": _chunked(t["truncated"]).filter(pa.array(keep)),
+            }
+        )
 
-    pairs = hash_bucketed_groupby(bands, ["band_id", "band_hash"], bucket_pairs)
-    # same pair can surface from several bands -> dedup
-    return exact_dedup(pairs, ["doc_a", "doc_b"], "jaccard")
-
-
-def _broadcast_texts(docs, id_col, text_col):
-    """Broadcast id->text for verify stages. Fine for catalog-size corpora;
-    at larger scale the verify step should join text back by id instead."""
-    import ray as _ray
-
-    texts = {}
-    for b in docs.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow", batch_size=1 << 16
-    ):
-        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
-    return _ray.put(texts)
+    return paired.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -336,25 +496,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 2,
-    max_df: int = 1 << 30,
+    max_df: int = 1000,
+    broadcast_limit: int = 500_000,
+    num_partitions: int = 32,
+    stats: dict | None = None,
 ) -> ray.data.Dataset:
     """EXACT word-``k``-gram Jaccard pairs >= ``threshold`` via a distributed
     inverted-index join (gram -> posting list -> co-occurrence counts) — no
-    LSH approximation, so it is oracle-checkable against SQL.
+    LSH approximation, so it is oracle-checkable against SQL (the oracle
+    applies the identical ``max_df`` cut).
 
     ``max_df``: grams appearing in more than this many documents are dropped
     from the similarity computation in BOTH the numerator and denominator
     (the standard stop-gram cut for set-similarity joins — a gram shared by
-    half the corpus generates O(df^2) candidate pairs and carries no signal).
-    Default keeps everything.
+    half the corpus generates O(df^2) candidate pairs and carries no
+    signal). Never silent: when a finite ``max_df`` is set, the number of
+    distinct dropped grams is logged and reported via ``stats``
+    (``{'dropped_grams': n}``) if a dict is passed.
 
-    Shuffle plan: one gram-keyed exchange of (doc, gram) pairs feeding two
-    reductions (pair co-counts + per-doc retained-gram counts), then a
-    pair-keyed sum; per-doc counts are corpus-vocabulary sized and broadcast
-    (at larger scale, replace the broadcast with a join on doc id).
+    Shuffle plan: one gram-keyed exchange of (doc, gram) rows feeding two
+    reductions (pair co-counts + per-doc retained-gram counts), a pair-keyed
+    sum, then the per-doc counts — a Dataset, never a driver dict — are
+    attached back onto the pair stream via the size-routed
+    ``attach_pair_payload`` (broadcast small, hash-join large).
     """
-    import ray as _ray
-
     from .relational import hash_bucketed_groupby
 
     def to_grams(batch: pa.Table) -> pa.Table:
@@ -396,17 +561,39 @@ def ngram_jaccard_pairs(
 
     pairs = hash_bucketed_groupby(pair_partials, ["doc_a", "doc_b"], sum_pairs)
 
-    # per-doc retained-gram counts: corpus-vocab sized -> broadcast dict
-    doc_counts: dict = {}
-    for b in count_partials.iter_batches(batch_format="pandas", batch_size=1 << 16):
-        for did, n in zip(b["doc_id"], b["n"]):
-            doc_counts[did] = doc_counts.get(did, 0) + int(n)
-    counts_ref = _ray.put(doc_counts)
+    # per-doc retained-gram counts: a DATASET (one row per doc after the
+    # bucketed re-sum), attached to the pair stream by the size-routed join
+    doc_counts = hash_bucketed_groupby(
+        count_partials, ["doc_id"],
+        lambda df: df.groupby("doc_id", sort=False, as_index=False).agg(n=("n", "sum")),
+        num_buckets=16,
+    )
 
-    def finish(df: pd.DataFrame, _ref=counts_ref) -> pd.DataFrame:
-        counts = _ray.get(_ref)
-        ca = df["doc_a"].map(counts).astype("int64")
-        cb = df["doc_b"].map(counts).astype("int64")
+    if max_df < (1 << 30):
+        # dropped-gram accounting (J2 discipline: cut, but never silently)
+        import logging
+
+        def over_cut(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("gram", sort=False, as_index=False).size()
+            return g[g["size"] > max_df][["gram"]]
+
+        dropped = hash_bucketed_groupby(grams_ds, ["gram"], over_cut, num_buckets=16).count()
+        if dropped:
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: %d distinct grams over max_df=%d dropped "
+                "from numerator and denominator", dropped, max_df,
+            )
+        if stats is not None:
+            stats["dropped_grams"] = dropped
+
+    paired = attach_pair_payload(
+        pairs, doc_counts, ("doc_a", "doc_b"), "doc_id", ("n",),
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ca = df["n_a"].astype("int64")
+        cb = df["n_b"].astype("int64")
         n = df["n_inter"].astype("int64")
         denom = ca + cb - n
         keep = (n * 1.0 / denom) >= threshold
@@ -420,7 +607,7 @@ def ngram_jaccard_pairs(
         )
         return out[keep.to_numpy()]
 
-    return pairs.map_batches(finish, batch_format="pandas")
+    return paired.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -495,24 +682,45 @@ def simhash_pairs(
     from .relational import hash_bucketed_groupby
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        # vectorized within-bucket verify: pairwise XOR of the uint64
+        # simhashes + table-free popcount via unpackbits — no per-pair Python
+        a_parts, b_parts, d_parts = [], [], []
         for _, grp in df.groupby(["chunk_id", "chunk"], sort=False):
+            if len(grp) < 2:
+                continue
             grp = grp.sort_values("doc_id").head(max_bucket)
-            ids = grp["doc_id"].tolist()
-            hs = grp["simhash"].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                    if d <= max_hamming:
-                        rows.append((ids[i], ids[j], d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+            ids = grp["doc_id"].to_numpy()
+            hs = grp["simhash"].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            x = hs[ii] ^ hs[jj]
+            dist = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+            keep = dist <= max_hamming
+            a_parts.append(ids[ii][keep])
+            b_parts.append(ids[jj][keep])
+            d_parts.append(dist[keep].astype(np.int64))
+        if not a_parts:
+            dt = df["doc_id"].dtype if len(df) else object
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=dt),
+                    "doc_b": pd.Series([], dtype=dt),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_parts),
+                "doc_b": np.concatenate(b_parts),
+                "hamming": np.concatenate(d_parts),
+            }
+        )
 
     pairs = hash_bucketed_groupby(chunks, ["chunk_id", "chunk"], bucket_pairs)
     return exact_dedup(pairs, ["doc_a", "doc_b"], "hamming")
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup (random-hyperplane LSH buckets)
+# embedding-cosine near-dup (BANDED random-hyperplane LSH + exact verify)
 # ---------------------------------------------------------------------------
 
 def embedding_dedup_pairs(
@@ -520,17 +728,38 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_bands: int = 8,
+    band_bits: int = 8,
     dim: int = 64,
     max_bucket: int = 500,
+    broadcast_limit: int = 100_000,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Near-duplicate vector pairs: sign-LSH bucket groupby, then exact
-    cosine verification inside each bucket (numpy matmul)."""
+    """Near-duplicate vector pairs by MULTI-BAND sign-LSH + exact cosine
+    verify. Returns (vec_a, vec_b, cosine, truncated) with vec_a < vec_b.
+
+    Banding gives the same OR-amplification as MinHash LSH: a pair is a
+    candidate if its sign bits agree on ALL ``band_bits`` planes of ANY of
+    the ``n_bands`` bands — recall 1-(1-p^r)^b for per-plane agreement
+    p = 1 - theta/pi, instead of the recall cliff of one monolithic hash
+    table. Tune ``band_bits`` down / ``n_bands`` up for lower thresholds.
+
+    Scale plan mirrors ``minhash_lsh_pairs``: band keys shuffle WITHOUT the
+    vectors (b small rows per vector) through the bucketed groupby;
+    candidate pairs are deduped across bands and only then joined back
+    against the (id, vector) table (size-routed broadcast/hash-join); the
+    verify is one row-wise dot product per pair — no per-pair Python, no
+    whole-corpus driver object, no sort-based groupby. Hot buckets are
+    capped at ``max_bucket`` with the cut flagged per pair (never silent).
+    """
+    from .relational import hash_bucketed_groupby
+
     rng = np.random.RandomState(_RNG_SEED)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_bands * band_bits))
     import ray as _ray
 
     planes_ref = _ray.put(planes)
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
 
     class Bucketer:
         def __init__(self):
@@ -538,32 +767,77 @@ def embedding_dedup_pairs(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-            signs = (vecs @ self._planes) > 0
-            bucket = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+            n = len(vecs)
+            signs = (vecs @ self._planes) > 0  # (n, n_bands*band_bits)
+            bands = signs.reshape(n, n_bands, band_bits)
+            hashes = bands @ weights  # (n, n_bands) int64 band keys
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
             return pa.table(
                 {
-                    "vec_id": _chunked(batch[id_col]),
-                    "bucket": pa.array(bucket, type=pa.int64()),
-                    "vec": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+                    "vec_id": _chunked(batch[id_col]).take(idx),
+                    "band_id": pa.array(
+                        np.tile(np.arange(n_bands, dtype=np.int32), n), type=pa.int32()
+                    ),
+                    "band_hash": pa.array(hashes.reshape(-1), type=pa.int64()),
                 }
             )
 
-    bucketed = embeddings.map_batches(Bucketer, batch_format="pyarrow", concurrency=pool_concurrency())
+    bands_ds = embeddings.map_batches(
+        Bucketer, batch_format="pyarrow", concurrency=pool_concurrency()
+    )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("vec_id").head(max_bucket)
-        ids = df["vec_id"].tolist()
-        mat = np.asarray(df["vec"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        sims = unit @ unit.T
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    rows.append((ids[i], ids[j], round(float(sims[i, j]), 6)))
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+    candidates = hash_bucketed_groupby(
+        bands_ds, ["band_id", "band_hash"],
+        lambda df: pairs_from_buckets(
+            df, ["band_id", "band_hash"], "vec_id", ("vec_a", "vec_b"), max_bucket
+        ),
+    )
+    candidates = exact_dedup(candidates, ["vec_a", "vec_b"], ["truncated"])
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return exact_dedup(pairs, ["vec_a", "vec_b"], "cosine")
+    # vectors ride the verify join as fixed-size binary: acero (Ray's hash
+    # join kernel) rejects list<double> non-key fields, and the fixed-width
+    # encode/decode is a zero-copy buffer view both ways
+    def pack(t: pa.Table) -> pa.Table:
+        mat = np.asarray(_chunked(t[vec_col]).to_pylist(), dtype="<f8")
+        data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+        packed = pa.Array.from_buffers(pa.binary(dim * 8), len(t), [None, data])
+        return pa.table({id_col: _chunked(t[id_col]), "__vec": packed})
+
+    payload = embeddings.map_batches(pack, batch_format="pyarrow")
+    paired = attach_pair_payload(
+        candidates, payload, ("vec_a", "vec_b"), id_col, ("__vec",),
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": t["vec_a"], "vec_b": t["vec_b"],
+                    "cosine": pa.array([], type=pa.float64()),
+                    "truncated": t["truncated"],
+                }
+            )
+
+        def unit(col):
+            arr = _chunked(col)
+            buf = arr.buffers()[1]
+            m = np.frombuffer(buf, dtype=np.float64)[
+                arr.offset * dim : (arr.offset + len(arr)) * dim
+            ].reshape(len(arr), dim)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return m / norms
+
+        sims = np.einsum("ij,ij->i", unit(t["__vec_a"]), unit(t["__vec_b"]))
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "vec_a": _chunked(t["vec_a"]).filter(pa.array(keep)),
+                "vec_b": _chunked(t["vec_b"]).filter(pa.array(keep)),
+                "cosine": pa.array(np.round(sims[keep], 6), type=pa.float64()),
+                "truncated": _chunked(t["truncated"]).filter(pa.array(keep)),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow")

@@ -236,14 +236,29 @@ def write_graph(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
     out_dir: str,
-    partition_edges_by_classes: bool = False,
+    partition_edges_by_classes: bool = True,
+    num_write_buckets: int = 32,
 ) -> dict[str, str]:
-    """Partitioned Parquet sinks (P1/P2). Returns the output paths."""
+    """Partitioned Parquet sinks (P1/P2). Returns the output paths.
+
+    Edge layout defaults to the reference's full P2 binning —
+    (predicate, subject_class, object_class), `Kuzu:344` — with the rows
+    first co-located by a hash of the partition key: ``write_parquet``
+    emits one file per (block x partition-key) combination, so without
+    co-location every key fragments across every block (thousands of tiny
+    files). One bucketed shuffle of the (already deduped, small) edge
+    table caps it at one file per key.
+    """
+    from .relational import hash_bucketed_groupby
+
     node_dir = f"{out_dir}/nodes"
     edge_dir = f"{out_dir}/edges"
     nodes.write_parquet(node_dir, partition_cols=["primary_class"])
     part_cols = ["predicate"]
     if partition_edges_by_classes:
         part_cols += ["subject_class", "object_class"]
+        edges = hash_bucketed_groupby(
+            edges, part_cols, lambda df: df, num_buckets=num_write_buckets
+        )
     edges.write_parquet(edge_dir, partition_cols=part_cols)
     return {"nodes": node_dir, "edges": edge_dir}

@@ -57,20 +57,26 @@ def _sort_turns_in_block(t: pa.Table) -> pa.Table:
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
-def _partition_counts(ds: ray.data.Dataset, col: str) -> dict:
+def _partition_counts(ds: ray.data.Dataset, cols: "str | list[str]") -> dict:
     """Row count per output partition key (per-partition lineage). One
     combiner pass over cached blocks + driver merge of a key-cardinality-
-    sized dict."""
+    sized dict. Multi-column keys join with '/' (the partition-dir shape);
+    a None component is preserved as the string 'None' so callers can see
+    un-partitionable keys."""
+    if isinstance(cols, str):
+        cols = [cols]
     parts = ds.map_batches(
-        lambda t, c=col: t.group_by([c]).aggregate([([c], "count")]).rename_columns(
-            [c, "n"]
+        lambda t, cs=cols: t.group_by(cs).aggregate([([cs[0]], "count")]).rename_columns(
+            cs + ["n"]
         ),
         batch_format="pyarrow",
     )
     out: dict = {}
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-        for k, n in zip(b[col].to_pylist(), b["n"].to_pylist()):
-            out[str(k)] = out.get(str(k), 0) + int(n)
+        keys = zip(*(b[c].to_pylist() for c in cols))
+        for k, n in zip(keys, b["n"].to_pylist()):
+            kk = "/".join(str(x) for x in k)
+            out[kk] = out.get(kk, 0) + int(n)
     return out
 
 
@@ -97,6 +103,7 @@ class KGPipeline:
         resume: bool = True,
         turn_order: str = "local",
         checkpoint_memory_reuse: bool = True,
+        max_edge_partitions: int = 4096,
     ):
         """``turn_order`` — how the stable (conv_id, turn_idx) ordering is
         enforced before extraction:
@@ -124,6 +131,7 @@ class KGPipeline:
         self.resume = resume
         self.turn_order = turn_order
         self.checkpoint_memory_reuse = checkpoint_memory_reuse
+        self.max_edge_partitions = max_edge_partitions
         self.metrics = StageMetrics(run_id=os.path.basename(out_dir.rstrip("/")))
 
     # -- checkpoint manifests -------------------------------------------------
@@ -265,9 +273,22 @@ class KGPipeline:
             class_ref = lookups.broadcast(lookups.node_class_lookup(nodes))
             edges = materialize.tag_edge_classes(edges, class_ref)
 
-        # 7. partitioned writes + metrics
+        # 7. partitioned writes + metrics. Edges get the reference's FULL
+        #    P2 layout — (predicate, subject_class, object_class) bins,
+        #    `Kuzu/kuzu_build_graph_csv.py:344` — guarded: fall back to
+        #    predicate-only when the triple key would explode the partition
+        #    count or contains nulls (un-partitionable keys).
         with m.time_stage("write"):
-            paths = materialize.write_graph(nodes, edges, self.out_dir)
+            triple_cols = ["predicate", "subject_class", "object_class"]
+            triple_counts = _partition_counts(edges, triple_cols)
+            use_classes = (
+                0 < len(triple_counts) <= self.max_edge_partitions
+                and not any("None" in k.split("/") for k in triple_counts)
+            )
+            paths = materialize.write_graph(
+                nodes, edges, self.out_dir,
+                partition_edges_by_classes=use_classes,
+            )
             from .schema import EDGE_SCHEMA, NODE_SCHEMA
 
             _ensure_parquet_dir(paths["nodes"], NODE_SCHEMA)
@@ -278,11 +299,14 @@ class KGPipeline:
             n_edges = edges_pre_tag_count
             # per-partition lineage + skew (cheap: blocks are already cached)
             node_parts = _partition_counts(nodes, "primary_class")
-            edge_parts = _partition_counts(edges, "predicate")
+            edge_parts = (
+                triple_counts if use_classes else _partition_counts(edges, "predicate")
+            )
             from .metrics import partition_skew
 
             m.record(
                 "write", n_nodes=n_nodes, n_edges=n_edges,
+                edge_layout=triple_cols if use_classes else ["predicate"],
                 node_partitions=node_parts, edge_partitions=edge_parts,
                 node_skew=partition_skew(list(node_parts.values())),
                 edge_skew=partition_skew(list(edge_parts.values())),

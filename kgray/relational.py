@@ -126,14 +126,39 @@ def sort_limit(ds, col: str, n: int = 1, descending: bool = False):
 
 def broadcast_lookup_join(
     fact: ray.data.Dataset,
-    dim_df: pd.DataFrame,
+    dim: "pd.DataFrame | ray.data.Dataset",
     fact_key: str,
     dim_key: str,
     take_cols: list[str],
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Attach dimension columns to a fact stream via a broadcast pandas
-    merge — the J1 pattern (`Kuzu:265-271`) without a shuffle."""
-    ref = ray.put(dim_df[[dim_key] + take_cols])
+    """Attach dimension columns to a fact stream — the J1 pattern
+    (`Kuzu:265-271`), SIZE-ROUTED like ``_marker_join``:
+
+    - ``dim`` a DataFrame, or a Dataset counting <= ``broadcast_limit``
+      rows: ship the dim table once (``ray.put``) and pandas-merge per
+      batch — no shuffle of the fact stream;
+    - a larger Dataset: fall back to the hash-shuffle ``ds.join`` so the
+      build side never lands on the driver. A "dimension" that scales with
+      the fact data (e.g. customer) stops being broadcastable at 100x —
+      the route must be by measured size, not by table name.
+    """
+    if not isinstance(dim, pd.DataFrame):
+        # materialize once: the count that drives the route, and whichever
+        # consumer wins (to_pandas or the join build side), all read the
+        # same cached blocks instead of re-executing the dim pipeline
+        dim_ds = dim.select_columns([dim_key] + take_cols).materialize()
+        if dim_ds.count() > broadcast_limit:
+            joined = fact.join(
+                dim_ds, join_type="left_outer", num_partitions=num_partitions,
+                on=(fact_key,), right_on=(dim_key,),
+            )
+            # Ray's join drops the right key column; nothing to clean up
+            return joined
+        dim = dim_ds.to_pandas()
+
+    ref = ray.put(dim[[dim_key] + take_cols])
 
     class Joiner:
         def __init__(self):

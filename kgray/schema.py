@@ -225,3 +225,119 @@ def schema_to_cypher_property_map(schema: pa.Schema, row_var: str = "row") -> st
             expr = src
         parts.append(f"{col}: {expr}")
     return "{" + ", ".join(parts) + "}"
+
+
+# ---------------------------------------------------------------------------
+# COPY / LOAD-CSV statement codegen — the runnable importer text the
+# reference emits around the DDL. Kuzu: one COPY per binned file with the
+# strict-nodes / lenient-edges IGNORE_ERRORS asymmetry
+# (`Kuzu/kuzu_build_graph_csv.py:571,607`); MemGraph: the LOAD CSV templates
+# of `MemGraph/mg_build_individual_json.py:163-188`.
+# ---------------------------------------------------------------------------
+
+def kuzu_copy_node_stmt(node_class: str, path: str, ignore_errors: bool = False) -> str:
+    """`COPY \\`biolink:<Class>\\` FROM "<file>" (HEADER=true, ...)` — the
+    per-class node import, strict by default (`Kuzu:571`)."""
+    flag = "true" if ignore_errors else "false"
+    return (
+        f'COPY `biolink:{node_class}` FROM "{path}" '
+        f'(HEADER=true, DELIMITER=",", IGNORE_ERRORS={flag});'
+    )
+
+
+def kuzu_copy_rel_stmt(
+    predicate: str, subject_class: str, object_class: str, path: str,
+    ignore_errors: bool = True,
+) -> str:
+    """`COPY \\`<pred>\\` FROM '<file>' (from=..., to=..., ...)` — the
+    per-(pred, subj, obj) edge import, lenient by default (`Kuzu:607`)."""
+    flag = "true" if ignore_errors else "false"
+    return (
+        f"COPY `{predicate}` FROM '{path}' "
+        f"(from='biolink:{subject_class}', to='biolink:{object_class}', "
+        f"HEADER=true, DELIMITER=',', IGNORE_ERRORS={flag});"
+    )
+
+
+def memgraph_load_csv_nodes(path: str, property_map: str) -> str:
+    """The node LOAD CSV template (`MemGraph/mg_build_individual_json.py:
+    163-175`): create :Node with the cast property map, then explode the
+    category list into labels via `set n: n.category`."""
+    return (
+        f'load csv from "{path}" with header as row\n'
+        f"create (n: Node {property_map})\n"
+        "with n\n"
+        "    match (n: Node)\n"
+        "    set n: n.category;"
+    )
+
+
+def memgraph_load_csv_edges(path: str, property_map: str) -> str:
+    """The edge LOAD CSV template (`MemGraph/mg_build_individual_json.py:
+    177-188`): MATCH both endpoints by id, CREATE the typed relationship."""
+    return (
+        f'load csv from "{path}" with header as row\n'
+        "with row\n"
+        "  match (a: Node {id: row.subject}), (b: Node {id: row.object})\n"
+        "  create (a)-\n"
+        f"    [e: row.predicate {property_map}]->(b);"
+    )
+
+
+def _partition_value(dirname: str) -> str:
+    """hive dir component 'key=value' -> decoded value."""
+    from urllib.parse import unquote
+
+    return unquote(dirname.split("=", 1)[1])
+
+
+def generate_import_statements(out_dir: str) -> dict[str, list[str]]:
+    """Walk a written graph layout (``write_graph`` output: hive-partitioned
+    ``nodes/primary_class=*`` and ``edges/predicate=*[/subject_class=*/
+    object_class=*]``) and emit the runnable Kuzu COPY statements per
+    partition, in the reference's deterministic order (sorted classes;
+    predicates sorted, then subject class — `Kuzu:557,579-587`). Missing
+    partitions are simply absent (the reference skips missing bin files).
+    """
+    import os
+
+    node_stmts: list[str] = []
+    node_root = os.path.join(out_dir, "nodes")
+    if os.path.isdir(node_root):
+        for d in sorted(os.listdir(node_root)):
+            if not d.startswith("primary_class="):
+                continue
+            node_stmts.append(
+                kuzu_copy_node_stmt(_partition_value(d), os.path.join(node_root, d))
+            )
+
+    edge_stmts: list[str] = []
+    edge_root = os.path.join(out_dir, "edges")
+    if os.path.isdir(edge_root):
+        for pd_ in sorted(os.listdir(edge_root)):
+            if not pd_.startswith("predicate="):
+                continue
+            pred = _partition_value(pd_)
+            pred_dir = os.path.join(edge_root, pd_)
+            triples = []
+            for sd in sorted(os.listdir(pred_dir)):
+                if not sd.startswith("subject_class="):
+                    continue
+                for od in sorted(os.listdir(os.path.join(pred_dir, sd))):
+                    if not od.startswith("object_class="):
+                        continue
+                    triples.append(
+                        (
+                            _partition_value(sd), _partition_value(od),
+                            os.path.join(pred_dir, sd, od),
+                        )
+                    )
+            if triples:
+                for subj, obj, path in sorted(triples):
+                    edge_stmts.append(kuzu_copy_rel_stmt(pred, subj, obj, path))
+            else:
+                # predicate-only layout (class sub-partitioning guarded off)
+                edge_stmts.append(
+                    kuzu_copy_rel_stmt(pred, "NamedThing", "NamedThing", pred_dir)
+                )
+    return {"nodes": node_stmts, "edges": edge_stmts}

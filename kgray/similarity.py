@@ -86,46 +86,123 @@ def cosine_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_limit: int = 65_536,
+    tile_rows: int = 8_192,
 ) -> ray.data.Dataset:
     """EXACT all-pairs cosine similarity join: every (a, b) with
     ``cos(a, b) >= threshold`` and ``a < b`` — oracle-checkable (unlike the
     LSH-bucketed ``dedup.embedding_dedup_pairs``, which trades recall for
     scale).
 
-    Plan: the normalized corpus matrix is broadcast once (``ray.put``); each
-    batch computes one ``(batch x corpus)`` matmul and emits only
-    above-threshold pairs. O(n^2) similarities but O(n) shuffled bytes. At
-    corpus sizes past broadcast limits, switch to block-partitioned tiling
-    (each task receives one (row-block, col-block) pair) — same kernel.
-    """
-    rows = []
-    for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
-        batch_format="pyarrow", batch_size=1 << 16
-    ):
-        rows.append((np.asarray(b[id_col].to_pylist()), _to_matrix(b[vec_col])))
-    all_ids = np.concatenate([r[0] for r in rows])
-    all_unit = _unit(np.vstack([r[1] for r in rows]))
-    order = np.argsort(all_ids, kind="stable")
-    all_ids, all_unit = all_ids[order], all_unit[order]
-    ref = ray.put((all_ids, all_unit))
+    Two size-routed plans, same matmul kernel and identical output:
 
-    def part(batch: pa.Table) -> pa.Table:
-        ids_c, unit_c = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_pylist())
-        unit = _unit(_to_matrix(batch[vec_col]))
-        sims = unit @ unit_c.T  # (n_batch, n_corpus)
-        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids_c[None, :]))
+    - corpus <= ``broadcast_limit`` rows: the normalized matrix is broadcast
+      once (``ray.put``); each batch does one (batch x corpus) matmul and
+      emits only above-threshold pairs. O(n^2) similarities, O(n) shuffle.
+    - beyond it: BLOCK-TILED — the corpus is normalized and materialized as
+      ~``tile_rows``-row Arrow blocks that stay in the OBJECT STORE (the
+      driver holds only their refs); a task grid over the upper-triangular
+      (row-block, col-block) pairs fetches exactly its two blocks zero-copy
+      and matmuls them. No whole-corpus object anywhere; peak task memory
+      is two tiles + the boolean mask.
+    """
+    prep = embeddings.select_columns([id_col, vec_col]).materialize()
+    n = prep.count()
+    if n <= broadcast_limit:
+        rows = []
+        for b in prep.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            rows.append((np.asarray(b[id_col].to_pylist()), _to_matrix(b[vec_col])))
+        all_ids = np.concatenate([r[0] for r in rows])
+        all_unit = _unit(np.vstack([r[1] for r in rows]))
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_unit = all_ids[order], all_unit[order]
+        ref = ray.put((all_ids, all_unit))
+
+        def part(batch: pa.Table) -> pa.Table:
+            ids_c, unit_c = ray.get(ref)
+            ids = np.asarray(batch[id_col].to_pylist())
+            unit = _unit(_to_matrix(batch[vec_col]))
+            sims = unit @ unit_c.T  # (n_batch, n_corpus)
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids_c[None, :]))
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids[ii], type=pa.int64()),
+                    "vec_b": pa.array(ids_c[jj], type=pa.int64()),
+                    "cos_e4": pa.array(
+                        np.round(sims[ii, jj] * 1e4).astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        return embeddings.map_batches(part, batch_format="pyarrow")
+
+    return _cosine_pairs_tiled(prep, threshold, id_col, vec_col, n, tile_rows)
+
+
+def _cosine_pairs_tiled(prep, threshold, id_col, vec_col, n, tile_rows):
+    """The block-tiled plan (see ``cosine_pairs``). Partitioning assumption:
+    ids are globally unique; blocks need not be sorted or disjoint in id
+    range — each unordered pair of blocks is visited exactly once and pairs
+    are emitted as (min_id, max_id)."""
+    import ray.data as rd
+
+    n_blocks = max(1, -(-n // tile_rows))
+
+    def normalize(t: pa.Table) -> pa.Table:
+        unit = _unit(_to_matrix(t[vec_col]))
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {id_col: ids, "__unit": pa.array(unit.tolist(), type=pa.list_(pa.float64()))}
+        )
+
+    mat = prep.repartition(n_blocks).map_batches(
+        normalize, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    block_refs = [
+        ref for bundle in mat.iter_internal_ref_bundles() for ref in bundle.block_refs
+    ]
+    nb = len(block_refs)
+    tiles = [{"bi": i, "bj": j} for i in range(nb) for j in range(i, nb)]
+
+    def tile_kernel(batch, _refs=block_refs):
+        # one task handles a few (row-block, col-block) tiles; each block is
+        # fetched zero-copy from the object store (shared on-node memory)
+        out_a, out_b, out_c = [], [], []
+        for bi, bj in zip(batch["bi"].to_pylist(), batch["bj"].to_pylist()):
+            ta = ray.get(_refs[bi])
+            tb = ray.get(_refs[bj])
+            ids_a = np.asarray(ta[id_col].to_pylist())
+            ids_b = np.asarray(tb[id_col].to_pylist())
+            ua = np.asarray(ta["__unit"].to_pylist(), dtype=np.float64)
+            ub = np.asarray(tb["__unit"].to_pylist(), dtype=np.float64)
+            sims = ua @ ub.T
+            if bi == bj:
+                mask = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                ii, jj = np.nonzero(mask)
+                a, b = ids_a[ii], ids_b[jj]
+            else:
+                ii, jj = np.nonzero(sims >= threshold)
+                a = np.minimum(ids_a[ii], ids_b[jj])
+                b = np.maximum(ids_a[ii], ids_b[jj])
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(np.round(sims[ii, jj] * 1e4).astype(np.int64))
+        if not out_a:
+            out_a = [np.array([], dtype=np.int64)]
+            out_b = [np.array([], dtype=np.int64)]
+            out_c = [np.array([], dtype=np.int64)]
         return pa.table(
             {
-                "vec_a": pa.array(ids[ii], type=pa.int64()),
-                "vec_b": pa.array(ids_c[jj], type=pa.int64()),
-                "cos_e4": pa.array(
-                    np.round(sims[ii, jj] * 1e4).astype(np.int64), type=pa.int64()
-                ),
+                "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cos_e4": pa.array(np.concatenate(out_c), type=pa.int64()),
             }
         )
 
-    return embeddings.map_batches(part, batch_format="pyarrow")
+    tiles_ds = rd.from_items(tiles, override_num_blocks=len(tiles))
+    return tiles_ds.map_batches(tile_kernel, batch_format="pyarrow")
 
 
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:

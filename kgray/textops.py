@@ -112,16 +112,34 @@ class LangId:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            words = set((text or "").lower().split())
-            best, best_score = "und", 0
-            for lang in sorted(self._markers):
-                score = len(words & self._markers[lang])
-                if score > best_score:
-                    best, best_score = lang, score
-            out.append(best)
-        return batch.append_column("lang_pred", pa.array(out, type=pa.string()))
+        # vectorized: one tokenize, one is_in + reduceat per language —
+        # the quality_score_batch pattern; no per-row Python
+        text = pc.utf8_lower(_chunked(batch["text"]))
+        toks = _chunked(pc.utf8_split_whitespace(text))
+        flat = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n = len(lengths)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        nz = lengths > 0
+        langs = sorted(self._markers)
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            # DISTINCT marker hits per row (set-intersection semantics):
+            # count marker words, but each marker at most once per row
+            col = np.zeros(n, dtype=np.int64)
+            for w in sorted(self._markers[lang]):
+                hit = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+                if hit.size and nz.any():
+                    col[nz] += (
+                        np.add.reduceat(hit.astype(np.int64), offsets[:-1][nz]) > 0
+                    ).astype(np.int64)
+            scores[:, li] = col
+        best = np.argmax(scores, axis=1)  # first max wins = sorted-lang tiebreak
+        max_score = scores[np.arange(n), best]
+        lang_arr = np.array(langs, dtype=object)
+        out = np.where(max_score > 0, lang_arr[best], "und")
+        return batch.append_column("lang_pred", pa.array(out.tolist(), type=pa.string()))
 
 
 _FNV_OFFSET = np.uint64(1469598103934665603)

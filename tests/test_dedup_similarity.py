@@ -41,7 +41,7 @@ def _true_jaccard_pairs(rows, k, threshold):
 
 def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
     rows = _docs_with_dupes()
-    ds = ray.data.from_items(rows)
+    ds = ray.data.from_items(rows, override_num_blocks=8)
     got = dedup.ngram_jaccard_pairs(ds, threshold=0.5, k=2).take_all()
     got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
     assert got_pairs == _true_jaccard_pairs(rows, 2, 0.5)
@@ -52,7 +52,7 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
 
 def test_minhash_lsh_finds_planted_dupes(ray_session):
     rows = _docs_with_dupes()
-    ds = ray.data.from_items(rows)
+    ds = ray.data.from_items(rows, override_num_blocks=8)
     got = dedup.minhash_lsh_pairs(ds, threshold=0.7, shingle_k=2).take_all()
     found = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])) for r in got}
     for j in range(5):  # every planted pair must surface via some band
@@ -63,7 +63,7 @@ def test_minhash_lsh_finds_planted_dupes(ray_session):
 
 def test_simhash_finds_planted_dupes(ray_session):
     rows = _docs_with_dupes()
-    ds = ray.data.from_items(rows)
+    ds = ray.data.from_items(rows, override_num_blocks=8)
     got = dedup.simhash_pairs(ds, max_hamming=10).take_all()
     found = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])) for r in got}
     assert sum((j, 100 + j) in found for j in range(5)) >= 4
@@ -169,3 +169,138 @@ def test_multimodal_resize_and_frame_sample(ray_session):
             assert all(0 <= f < r["n_frames"] for f in r["sample_frames"])
         else:
             assert r["sample_frames"] == []
+
+# ---------------------------------------------------------------------------
+# scale-path parity: the join-based verify paths (broadcast_limit=0) must
+# produce the same results as the broadcast paths, with NO whole-corpus
+# ray.put / driver dict anywhere (VERDICT r01 #1-2)
+# ---------------------------------------------------------------------------
+
+
+def _bigger_corpus(mult=10):
+    """~10x the planted-dupe corpus: distinct doc ids per replica, shared
+    vocab so cross-replica similarity stays below thresholds."""
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(80)]
+    rows = []
+    for rep in range(mult):
+        for i in range(40):
+            rows.append(
+                {
+                    "doc_id": rep * 1000 + i,
+                    "text": " ".join(rng.choice(vocab, size=30)),
+                }
+            )
+        # one planted near-dup per replica
+        base = rows[-40]["text"].split()
+        base[5] = "CHANGED"
+        rows.append({"doc_id": rep * 1000 + 500, "text": " ".join(base)})
+    return rows
+
+
+def test_minhash_join_verify_matches_broadcast(ray_session):
+    rows = _bigger_corpus()
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    kw = dict(threshold=0.7, shingle_k=2)
+    bc = dedup.minhash_lsh_pairs(ds, broadcast_limit=1 << 30, **kw).take_all()
+    jn = dedup.minhash_lsh_pairs(ds, broadcast_limit=0, num_partitions=4, **kw).take_all()
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(bc, key=key) == sorted(jn, key=key)
+    assert len(bc) >= 10  # one planted pair per replica
+
+
+def test_ngram_join_counts_match_broadcast(ray_session):
+    rows = _bigger_corpus()
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    stats = {}
+    bc = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.5, k=2, broadcast_limit=1 << 30
+    ).take_all()
+    jn = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.5, k=2, broadcast_limit=0, num_partitions=4, stats=stats
+    ).take_all()
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(bc, key=key) == sorted(jn, key=key)
+    assert len(bc) >= 10
+    assert stats["dropped_grams"] == 0  # corpus far under max_df=1000
+
+
+def test_ngram_max_df_cut_counts_drops(ray_session):
+    """A degenerate shared gram above max_df leaves BOTH numerator and
+    denominator, and the drop is counted (never silent)."""
+    rows = [{"doc_id": i, "text": f"common gram plus unique{i} tail{i}"} for i in range(8)]
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    stats = {}
+    got = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.1, k=2, max_df=4, stats=stats
+    ).take_all()
+    # 'common gram' / 'gram plus' appear in all 8 docs (> max_df=4) -> dropped;
+    # remaining grams are unique per doc -> zero intersections -> no pairs
+    assert got == []
+    assert stats["dropped_grams"] >= 2
+
+
+def test_cosine_pairs_tiled_matches_broadcast(ray_session):
+    tbl, _ = _embeddings_with_dupes(n=120, dim=16)
+    ds = ray.data.from_arrow(tbl)
+    bc = similarity.cosine_pairs(ds, threshold=0.6).take_all()
+    tiled = similarity.cosine_pairs(
+        ds, threshold=0.6, broadcast_limit=0, tile_rows=16
+    ).take_all()
+    key = lambda r: (r["vec_a"], r["vec_b"])
+    assert sorted(bc, key=key) == sorted(tiled, key=key)
+    assert len(bc) > 0
+
+
+def test_embedding_dedup_join_verify_matches_broadcast(ray_session):
+    tbl, _ = _embeddings_with_dupes(n=100, dim=16)
+    ds = ray.data.from_arrow(tbl)
+    kw = dict(threshold=0.8, dim=16, n_bands=16, band_bits=4)
+    bc = dedup.embedding_dedup_pairs(ds, broadcast_limit=1 << 30, **kw).take_all()
+    jn = dedup.embedding_dedup_pairs(ds, broadcast_limit=0, num_partitions=4, **kw).take_all()
+    key = lambda r: (r["vec_a"], r["vec_b"])
+    assert sorted(bc, key=key) == sorted(jn, key=key)
+    found = {(r["vec_a"], r["vec_b"]) for r in bc}
+    assert (0, 50) in found and (1, 51) in found  # planted dupes recalled
+
+
+def test_embedding_dedup_banded_recall_low_threshold(ray_session):
+    """Short bands give usable recall at moderate thresholds — the regime
+    the old single-table LSH structurally missed (VERDICT r01 #4)."""
+    tbl, mat = _embeddings_with_dupes(n=80, dim=16)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    truth = {
+        (i, j)
+        for i in range(len(mat))
+        for j in range(i + 1, len(mat))
+        if sims[i, j] >= 0.8
+    }
+    ds = ray.data.from_arrow(tbl)
+    got = dedup.embedding_dedup_pairs(
+        ds, threshold=0.8, dim=16, n_bands=16, band_bits=4
+    ).take_all()
+    found = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert found <= truth  # exact verify -> no false positives
+    assert len(found) / max(1, len(truth)) >= 0.8  # banded OR-amplified recall
+
+
+def test_minhash_truncation_flagged_not_silent(ray_session):
+    """A hot bucket past max_bucket caps pair generation but flags every
+    emitted pair (the VERDICT r01 doc/code-mismatch fix)."""
+    rows = [{"doc_id": i, "text": "same text for every doc here"} for i in range(12)]
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    got = dedup.minhash_lsh_pairs(ds, threshold=0.5, shingle_k=2, max_bucket=5).take_all()
+    assert len(got) == 10  # C(5,2) from the capped bucket
+    assert all(r["truncated"] for r in got)
+    got_uncapped = dedup.minhash_lsh_pairs(ds, threshold=0.5, shingle_k=2).take_all()
+    assert len(got_uncapped) == 66  # C(12,2)
+    assert not any(r["truncated"] for r in got_uncapped)
+
+
+def test_pair_jaccard_matches_scalar_reference():
+    texts_a = ["a b c d", "", "one", "x y", "a b c d e f"]
+    texts_b = ["a b c e", "", "one two", "x y", "a b c d e f"]
+    got = dedup.pair_jaccard(pa.array(texts_a), pa.array(texts_b), 2)
+    expected = [dedup._jaccard(a, b, 2) for a, b in zip(texts_a, texts_b)]
+    assert np.allclose(got, expected)

@@ -93,3 +93,82 @@ def test_predicate_pairs_and_lookup_checkpoint(ray_session, tmp_path):
     p = str(tmp_path / "ck" / "lookup.parquet")
     save_lookup({"a": "X", "b": "Y"}, p)
     assert load_lookup(p) == {"a": "X", "b": "Y"}
+
+
+def test_kuzu_copy_statements_golden():
+    """Statement text mirrors the reference importers exactly:
+    strict nodes (`Kuzu:571`), lenient edges with from/to qualifiers
+    (`Kuzu:607`)."""
+    from kgray.schema import kuzu_copy_node_stmt, kuzu_copy_rel_stmt
+
+    assert kuzu_copy_node_stmt("Gene", "/d/rk-nodes-bin-Gene.csv") == (
+        'COPY `biolink:Gene` FROM "/d/rk-nodes-bin-Gene.csv" '
+        '(HEADER=true, DELIMITER=",", IGNORE_ERRORS=false);'
+    )
+    assert kuzu_copy_rel_stmt(
+        "biolink:affects", "Gene", "Disease", "/d/rk-edges-bin-affects_Gene_Disease.csv"
+    ) == (
+        "COPY `biolink:affects` FROM '/d/rk-edges-bin-affects_Gene_Disease.csv' "
+        "(from='biolink:Gene', to='biolink:Disease', "
+        "HEADER=true, DELIMITER=',', IGNORE_ERRORS=true);"
+    )
+
+
+def test_memgraph_load_csv_golden():
+    """LOAD CSV templates match `MemGraph/mg_build_individual_json.py:163-188`:
+    node create + label explode; edge endpoint MATCH by id."""
+    from kgray.schema import memgraph_load_csv_edges, memgraph_load_csv_nodes
+
+    nodes = memgraph_load_csv_nodes("/var/log/memgraph/n.csv", "{id: row.id}")
+    assert nodes.splitlines() == [
+        'load csv from "/var/log/memgraph/n.csv" with header as row',
+        "create (n: Node {id: row.id})",
+        "with n",
+        "    match (n: Node)",
+        "    set n: n.category;",
+    ]
+    edges = memgraph_load_csv_edges("/var/log/memgraph/e.csv", "{p: row.p}")
+    assert "match (a: Node {id: row.subject}), (b: Node {id: row.object})" in edges
+    assert edges.endswith("[e: row.predicate {p: row.p}]->(b);")
+
+
+def test_generate_import_statements_walks_partition_layout(tmp_path):
+    """COPY statements are generated per written partition, sorted like the
+    reference's import loops (`Kuzu:557,579-587`); URL-encoded hive values
+    decode back to CURIEs."""
+    import os
+
+    from kgray.schema import generate_import_statements
+
+    root = tmp_path / "g"
+    for d in [
+        "nodes/primary_class=Gene",
+        "nodes/primary_class=Disease",
+        "edges/predicate=biolink%3Aaffects/subject_class=Gene/object_class=Disease",
+        "edges/predicate=biolink%3Aaffects/subject_class=Cell/object_class=Gene",
+        "edges/predicate=biolink%3Atreats/subject_class=Drug/object_class=Disease",
+    ]:
+        os.makedirs(root / d)
+    stmts = generate_import_statements(str(root))
+    assert [s.split(" FROM")[0] for s in stmts["nodes"]] == [
+        "COPY `biolink:Disease`", "COPY `biolink:Gene`",
+    ]
+    assert stmts["edges"][0].startswith(
+        "COPY `biolink:affects` FROM"
+    ) and "from='biolink:Cell', to='biolink:Gene'" in stmts["edges"][0]
+    assert "from='biolink:Gene', to='biolink:Disease'" in stmts["edges"][1]
+    assert stmts["edges"][2].startswith("COPY `biolink:treats` FROM")
+    assert all("IGNORE_ERRORS=false" in s for s in stmts["nodes"])
+    assert all("IGNORE_ERRORS=true" in s for s in stmts["edges"])
+
+
+def test_generate_import_statements_predicate_only_layout(tmp_path):
+    import os
+
+    from kgray.schema import generate_import_statements
+
+    root = tmp_path / "g"
+    os.makedirs(root / "edges/predicate=biolink%3Atreats")
+    stmts = generate_import_statements(str(root))
+    assert len(stmts["edges"]) == 1
+    assert "from='biolink:NamedThing', to='biolink:NamedThing'" in stmts["edges"][0]

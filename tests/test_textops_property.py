@@ -67,3 +67,39 @@ def test_simhash_column_permutation_invariance_of_rows():
     ha = SimHasher.simhash_column(a)
     hb = SimHasher.simhash_column(b)
     assert ha[0] == hb[2] and ha[1] == hb[0] and ha[2] == hb[1] == 0
+
+
+def test_lang_id_vectorized_matches_scalar_reference():
+    """The vectorized LangId must reproduce the scalar set-intersection
+    semantics exactly (distinct marker hits, sorted-language tiebreak,
+    'und' on zero evidence)."""
+    import pyarrow as pa
+
+    from kgray.textops import LANG_MARKERS, LangId
+
+    texts = [
+        "the cat and the dog of is was",      # en, repeated markers count once
+        "el la los es una",                   # es
+        "der die das und ist",                # de
+        "le la les est une",                  # fr
+        "la la la",                           # tie es/fr on {'la'} -> 'es' (sorted first)
+        "", "xyzzy plugh",                    # no evidence -> 'und'
+        "the el",                             # 1-1 tie en/es -> 'en'
+    ]
+    batch = pa.table({"text": pa.array(texts, type=pa.string())})
+    got = LangId()(batch)["lang_pred"].to_pylist()
+
+    def scalar(text):
+        words = set((text or "").lower().split())
+        best, best_score = "und", 0
+        for lang in sorted(LANG_MARKERS):
+            ms = frozenset(LANG_MARKERS[lang])
+            if not ms:
+                continue
+            score = len(words & ms)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    assert got == [scalar(t) for t in texts]
+    assert got[4] == "es" and got[5] == "und" and got[7] == "en"
