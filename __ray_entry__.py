@@ -279,13 +279,14 @@ def q_orders_per_nation(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    # nation is a true 25-row dimension (broadcast); customer SCALES with the
-    # fact data, so it flows through the size-routed join as a Dataset
-    cust_nation = relational.broadcast_lookup_join(
-        customer, nation, "c_nationkey", "n_nationkey", ["n_name"]
+    # customer SCALES with the fact data -> size-routed as a Dataset; nation
+    # is a true 25-row dimension -> plain DataFrame broadcast stage that
+    # FUSES into the same task chain (zero extra Dataset executions)
+    joined = relational.broadcast_lookup_join(
+        orders, customer, "o_custkey", "c_custkey", ["c_nationkey"]
     )
     joined = relational.broadcast_lookup_join(
-        orders, cust_nation, "o_custkey", "c_custkey", ["n_name"]
+        joined, nation, "c_nationkey", "n_nationkey", ["n_name"]
     )
     joined = joined.map_batches(
         lambda t: pa.table(

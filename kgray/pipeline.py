@@ -123,6 +123,11 @@ class KGPipeline:
         whose triple volume would force heavy plasma spilling: the
         checkpoint is then written streaming and read back once from disk
         instead of being spilled AND read.
+
+        ``max_edge_partitions``: cap on the (predicate, subject_class,
+        object_class) partition count for the full P2 edge layout
+        (`Kuzu:344`); past it — or when any class is null — the write
+        falls back to predicate-only binning (skew/explosion guard).
         """
         self.out_dir = out_dir
         self.catalog = catalog if catalog is not None else entity_catalog()
@@ -271,7 +276,9 @@ class KGPipeline:
             cat_ref = lookups.broadcast(catalog_index(self.catalog))
             nodes = materialize.build_nodes(edges, cat_ref).materialize()
             class_ref = lookups.broadcast(lookups.node_class_lookup(nodes))
-            edges = materialize.tag_edge_classes(edges, class_ref)
+            # materialize the tagged table once: the partition-count pass and
+            # the write both consume it (the deduped edge table is small)
+            edges = materialize.tag_edge_classes(edges, class_ref).materialize()
 
         # 7. partitioned writes + metrics. Edges get the reference's FULL
         #    P2 layout — (predicate, subject_class, object_class) bins,

@@ -145,31 +145,42 @@ def broadcast_lookup_join(
       the route must be by measured size, not by table name.
     """
     if not isinstance(dim, pd.DataFrame):
-        # materialize once: the count that drives the route, and whichever
-        # consumer wins (to_pandas or the join build side), all read the
-        # same cached blocks instead of re-executing the dim pipeline
-        dim_ds = dim.select_columns([dim_key] + take_cols).materialize()
-        if dim_ds.count() > broadcast_limit:
+        # count the RAW dim first: for read_parquet sources this is a
+        # metadata-only fast path (no execution); only the winning branch
+        # then executes the dim pipeline once
+        if dim.count() > broadcast_limit:
             joined = fact.join(
-                dim_ds, join_type="left_outer", num_partitions=num_partitions,
+                dim.select_columns([dim_key] + take_cols),
+                join_type="left_outer", num_partitions=num_partitions,
                 on=(fact_key,), right_on=(dim_key,),
             )
             # Ray's join drops the right key column; nothing to clean up
             return joined
-        dim = dim_ds.to_pandas()
+        dim = dim.select_columns([dim_key] + take_cols).to_pandas()
 
     ref = ray.put(dim[[dim_key] + take_cols])
+    # stateless tasks + per-worker dim cache (fuses with the upstream stage;
+    # an actor pool here pays multi-second pool spin-up per query for what
+    # is one broadcast merge)
+    return fact.map_batches(
+        _broadcast_merge,
+        fn_kwargs={"ref": ref, "fact_key": fact_key, "dim_key": dim_key},
+        batch_format="pandas",
+    )
 
-    class Joiner:
-        def __init__(self):
-            self._dim = ray.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(
-                self._dim, how="left", left_on=fact_key, right_on=dim_key
-            ).drop(columns=[dim_key] if dim_key != fact_key else [])
+_DIM_CACHE: dict = {}
 
-    return fact.map_batches(Joiner, batch_format="pandas", concurrency=pool_concurrency())
+
+def _broadcast_merge(df: pd.DataFrame, ref=None, fact_key=None, dim_key=None) -> pd.DataFrame:
+    key = ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref)
+    dim = _DIM_CACHE.get(key)
+    if dim is None:
+        dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        _DIM_CACHE[key] = dim
+    return df.merge(dim, how="left", left_on=fact_key, right_on=dim_key).drop(
+        columns=[dim_key] if dim_key != fact_key else []
+    )
 
 
 def top_k_per_group(

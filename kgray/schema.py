@@ -341,3 +341,13 @@ def generate_import_statements(out_dir: str) -> dict[str, list[str]]:
                     kuzu_copy_rel_stmt(pred, "NamedThing", "NamedThing", pred_dir)
                 )
     return {"nodes": node_stmts, "edges": edge_stmts}
+
+
+def schema_to_age_ddl(node_schema: pa.Schema, edge_schema: pa.Schema) -> dict[str, str]:
+    """AGE-dialect DDL (`AGE/age_build_graph_csv.py:37-43`): one generic
+    ``Node``/``Edge`` table pair instead of Kuzu's per-class/per-predicate
+    tables — same column/type grammar, so it reuses the Kuzu generators."""
+    return {
+        "node": schema_to_kuzu_node_ddl(node_schema, "Node"),
+        "edge": schema_to_kuzu_rel_ddl(edge_schema, "Edge", "Node", "Node"),
+    }

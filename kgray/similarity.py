@@ -233,8 +233,31 @@ def knn_ivf(
 ) -> pd.DataFrame:
     """IVF ANN: train a coarse quantizer on a sample, tag each vector with
     its nearest centroid inside map_batches, search only the ``nprobe``
-    closest inverted lists per query. Same output contract as bruteforce."""
-    sample_tbl = embeddings.limit(train_sample).to_pandas()
+    closest inverted lists per query. Same output contract as bruteforce.
+
+    The training sample is a deterministic HASH-UNIFORM draw (keep rows
+    whose id hash falls under ``train_sample/n``), not first-N — a
+    ``limit()`` sample follows block order, which at scale means one shard
+    of the corpus biases every centroid."""
+    import pandas as _pd
+
+    n = embeddings.count()
+    if n > train_sample:
+        frac = train_sample / n
+
+        def keep_sample(t: pa.Table) -> pa.Table:
+            ids = t[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            h = _pd.util.hash_array(ids.to_numpy(zero_copy_only=False)).astype(np.uint64)
+            mask = (h % np.uint64(1 << 30)) < np.uint64(int(frac * (1 << 30)))
+            return t.filter(pa.array(mask))
+
+        sample_tbl = embeddings.map_batches(
+            keep_sample, batch_format="pyarrow"
+        ).to_pandas()
+    else:
+        sample_tbl = embeddings.to_pandas()
     centroids = _kmeans(
         np.asarray(sample_tbl[vec_col].tolist(), dtype=np.float64), n_clusters
     )

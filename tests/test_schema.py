@@ -172,3 +172,21 @@ def test_generate_import_statements_predicate_only_layout(tmp_path):
     stmts = generate_import_statements(str(root))
     assert len(stmts["edges"]) == 1
     assert "from='biolink:NamedThing', to='biolink:NamedThing'" in stmts["edges"][0]
+
+
+def test_age_ddl_single_node_edge_pair():
+    """AGE dialect (`AGE:37-43`): one generic Node/Edge table pair."""
+    from kgray.schema import header_to_arrow_schema, schema_to_age_ddl
+
+    node = header_to_arrow_schema("id:ID\tname:string\tcategory:LABEL")
+    edge = header_to_arrow_schema(
+        "from:START_ID\tto:END_ID\tsubject:string\tpredicate:string"
+    )
+    ddl = schema_to_age_ddl(node, edge)
+    assert ddl["node"] == (
+        "CREATE NODE TABLE Node (id STRING, name STRING, category STRING[], "
+        "PRIMARY KEY (id))"
+    )
+    assert ddl["edge"] == (
+        "CREATE REL TABLE Edge (FROM Node TO Node, subject STRING, predicate STRING)"
+    )
