@@ -92,6 +92,35 @@ linked AS (
 """
 
 
+_LANG_ID_SQL = """
+            WITH w AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CAST(list_contains(ws,'der') AS INT) + CAST(list_contains(ws,'die') AS INT)
+                  + CAST(list_contains(ws,'das') AS INT) + CAST(list_contains(ws,'und') AS INT)
+                  + CAST(list_contains(ws,'ist') AS INT) AS s_de,
+                CAST(list_contains(ws,'the') AS INT) + CAST(list_contains(ws,'and') AS INT)
+                  + CAST(list_contains(ws,'of') AS INT) + CAST(list_contains(ws,'is') AS INT)
+                  + CAST(list_contains(ws,'was') AS INT) AS s_en,
+                CAST(list_contains(ws,'el') AS INT) + CAST(list_contains(ws,'la') AS INT)
+                  + CAST(list_contains(ws,'los') AS INT) + CAST(list_contains(ws,'es') AS INT)
+                  + CAST(list_contains(ws,'una') AS INT) AS s_es,
+                CAST(list_contains(ws,'le') AS INT) + CAST(list_contains(ws,'la') AS INT)
+                  + CAST(list_contains(ws,'les') AS INT) + CAST(list_contains(ws,'est') AS INT)
+                  + CAST(list_contains(ws,'une') AS INT) AS s_fr
+              FROM w
+            )
+            SELECT doc_id, CASE
+              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+            FROM s
+        """
+
+
 def _ints64(t: pa.Table) -> pa.Table:
     """int32 -> int64 so both compare arms agree on integer width."""
     for i, f in enumerate(t.schema):
@@ -115,8 +144,11 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
-# stop-gram cut shared by the ngram_jaccard engine call and its oracle SQL
-_NGRAM_MAX_DF = 1000
+# Stop-gram cut shared by the ngram_jaccard engine call and its oracle SQL.
+# Measured df distribution of the documents corpus (sf0.1): ~900 fill-phrase
+# bigrams at df~300 contribute ~73M of the 73.2M candidate-pair work; cutting
+# at 200 removes them from BOTH arms and leaves sum(df^2) ~ 2.4k.
+_NGRAM_MAX_DF = 200
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +341,13 @@ def q_exact_dedup(sf_dir: str):
         ds, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"]
     )
     return _table(out)
+
+
+def q_exact_text_dedup(sf_dir: str):
+    """Exact-content corpus dedup: one surviving doc per distinct text
+    (lowest doc_id wins — deterministic representative)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(dedup.exact_dedup(docs, ["text"], ["doc_id"]))
 
 
 def q_token_counts(sf_dir: str):
@@ -666,6 +705,19 @@ def q_lang_id(sf_dir: str):
     return _table(out.select_columns(["doc_id", "lang_pred"]))
 
 
+def q_lang_token_stats(sf_dir: str):
+    """Operator composition: language-ID -> token counting -> per-language
+    aggregate (the corpus-profiling pass a training-data pipeline runs)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(textops.LangId, batch_format="pyarrow", concurrency=pool_concurrency())
+    ds = ds.map_batches(textops.token_count_batch, batch_format="pyarrow")
+    ds = ds.select_columns(["lang_pred", "n_tokens"])
+    out = relational.grouped_agg(
+        ds, keys=["lang_pred"], sums={"sum_tokens": "n_tokens"}, count_alias="n_docs"
+    )
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_fingerprints(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(textops.fingerprint_batch, batch_format="pyarrow")
@@ -692,13 +744,14 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_embedding_dedup(sf_dir: str):
     """Banded sign-LSH near-dup. The synthetic corpus's max pairwise cosine
-    is ~0.51, so the query runs at threshold 0.4 with short bands (16 x 4
-    planes -> ~94% recall at cos 0.4) so the operator demonstrably emits
-    pairs; the high-threshold regime is covered by the planted-duplicate
-    recall test (tests/test_dedup_similarity.py)."""
+    is ~0.51, so the query runs at threshold 0.4 with 32 bands x 8 planes
+    (~65% recall at cos 0.4, selective buckets: expected candidate volume
+    ~ b * n^2 / 2^r) so the operator demonstrably emits pairs without a
+    candidate explosion; the high-threshold regime is covered by the
+    planted-duplicate recall test (tests/test_dedup_similarity.py)."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return _table(
-        dedup.embedding_dedup_pairs(emb, threshold=0.4, n_bands=16, band_bits=4),
+        dedup.embedding_dedup_pairs(emb, threshold=0.4, n_bands=32, band_bits=8),
         schema=pa.schema(
             [("vec_a", pa.int64()), ("vec_b", pa.int64()),
              ("cosine", pa.float64()), ("truncated", pa.bool_())]
@@ -777,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": q_distinct_event_types,
         "orders_per_nation": q_orders_per_nation,
         "exact_dedup": q_exact_dedup,
+        "exact_text_dedup": q_exact_text_dedup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "windowed_events": q_windowed_events,
@@ -797,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
+        "lang_token_stats": q_lang_token_stats,
         "bpe_token_counts": q_bpe_token_counts,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode)
@@ -917,6 +972,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY l_orderkey
                        ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
               FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "exact_text_dedup": """
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents
             ) WHERE rn = 1
         """,
         "token_counts": """
@@ -1089,32 +1151,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM ({kg_nodes})) AS n_nodes,
                    (SELECT COUNT(*) FROM ({kg_edges})) AS n_edges
         """,
-        "lang_id": """
-            WITH w AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
-            ), s AS (
-              SELECT doc_id,
-                CAST(list_contains(ws,'der') AS INT) + CAST(list_contains(ws,'die') AS INT)
-                  + CAST(list_contains(ws,'das') AS INT) + CAST(list_contains(ws,'und') AS INT)
-                  + CAST(list_contains(ws,'ist') AS INT) AS s_de,
-                CAST(list_contains(ws,'the') AS INT) + CAST(list_contains(ws,'and') AS INT)
-                  + CAST(list_contains(ws,'of') AS INT) + CAST(list_contains(ws,'is') AS INT)
-                  + CAST(list_contains(ws,'was') AS INT) AS s_en,
-                CAST(list_contains(ws,'el') AS INT) + CAST(list_contains(ws,'la') AS INT)
-                  + CAST(list_contains(ws,'los') AS INT) + CAST(list_contains(ws,'es') AS INT)
-                  + CAST(list_contains(ws,'una') AS INT) AS s_es,
-                CAST(list_contains(ws,'le') AS INT) + CAST(list_contains(ws,'la') AS INT)
-                  + CAST(list_contains(ws,'les') AS INT) + CAST(list_contains(ws,'est') AS INT)
-                  + CAST(list_contains(ws,'une') AS INT) AS s_fr
-              FROM w
+        "lang_id": _LANG_ID_SQL,
+        "lang_token_stats": f"""
+            WITH l AS ({_LANG_ID_SQL}),
+            t AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
             )
-            SELECT doc_id, CASE
-              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-              ELSE 'fr' END AS lang_pred
-            FROM s
+            SELECT l.lang_pred,
+                   CAST(SUM(t.n_tokens) AS BIGINT) AS sum_tokens,
+                   COUNT(*) AS n_docs
+            FROM l JOIN t ON l.doc_id = t.doc_id
+            GROUP BY 1
         """,
         "bpe_token_counts": r"""
             SELECT doc_id,

@@ -113,3 +113,18 @@ def test_memgraph_merge_and_json_array(ray_session, tmp_path):
     # M8: original fields nested under properties; labels preserved
     assert node["labels"] == ["biolink:Disease", "biolink:NamedThing"]
     assert node["properties"]["name"] == "Ent2"
+
+
+def test_read_kgx_csv_delete_cols(ray_session, tmp_path):
+    """M4 column delete (`Kuzu:151`, `AGE:296`): config-driven drop applied
+    during the ingest decode."""
+    from kgray.graph_io import read_kgx_csv
+
+    p = tmp_path / "n.csv"
+    p.write_text("id,name,junk\nA:1,alpha,x\nA:2,beta,y\n")
+    ds = read_kgx_csv(
+        [str(p)], "id:ID\tname:string\tjunk:string", delete_cols=["junk"]
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert [set(r) for r in rows] == [{"id", "name"}] * 2
+    assert rows[0] == {"id": "A:1", "name": "alpha"}
