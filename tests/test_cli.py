@@ -38,6 +38,18 @@ def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
     assert "PRIMARY KEY (id)" in ddl["kuzu_node_ddl"]
     assert ddl["kuzu_rel_ddl"].startswith("CREATE REL TABLE Edge (FROM Node TO Node")
     assert os.path.exists(os.path.join(out, "nodes", "_schema.json"))
+    # runnable importer text off the written partition layout
+    assert ddl["kuzu_copy_nodes"] and all(
+        s.startswith("COPY `biolink:") and "IGNORE_ERRORS=false" in s
+        for s in ddl["kuzu_copy_nodes"]
+    )
+    assert ddl["kuzu_copy_edges"] and all(
+        "IGNORE_ERRORS=true" in s for s in ddl["kuzu_copy_edges"]
+    )
+    assert 'load csv from "' in ddl["memgraph_load_nodes"]
+    assert "match (a: Node {id: row.subject})" in ddl["memgraph_load_edges"]
+    imp = open(os.path.join(out, "import.cypher")).read()
+    assert imp.count("COPY ") == len(ddl["kuzu_copy_nodes"]) + len(ddl["kuzu_copy_edges"])
 
 
 def test_ddl_codegen_type_table():
