@@ -551,6 +551,73 @@ def q_brand_type_concat(sf_dir: str):
     return _table(relational.sorted_concat_per_group(ds, "p_brand", "p_type"))
 
 
+def q_events_asof_orders(sf_dir: str):
+    """Distributed AS-OF join: each event picks up the most recent order
+    (by order date) of the same customer. The right side is deduped to one
+    row per (custkey, orderdate) first so the as-of pick is deterministic
+    in both engines."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    orders1 = dedup.exact_dedup(orders, ["o_custkey", "o_orderdate"], ["o_orderkey"])
+    out = relational.asof_join(
+        events, orders1,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], take_cols=["o_orderkey"],
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_s": pc.cast(pc.divide(ts.cast(pa.int64()), 1_000_000), pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
+def q_running_totals(sf_dir: str):
+    """Per-user running sum of event value (ordered scan window aggregate);
+    (ts, event_id) totally orders rows within a user, so every intermediate
+    running value is deterministic in both engines."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"], "user_id": t["user_id"],
+                "ts": t["ts"], "value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = streaming.running_total(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        value_col="value_c", out_col="running_c",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "running_c": pc.cast(t["running_c"], pa.int64()),
+            }
+        )
+
+    return _table(out.map_batches(fin, batch_format="pyarrow"))
+
+
 def q_sessions(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
@@ -844,6 +911,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_price_per_segment": q_median_price_per_segment,
         "brand_type_concat": q_brand_type_concat,
         "sessions": q_sessions,
+        "events_asof_orders": q_events_asof_orders,
+        "running_totals": q_running_totals,
         "knn_bruteforce": q_knn_bruteforce,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
@@ -1092,6 +1161,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(ts_s) AS session_start, MAX(ts_s) AS session_end
             FROM tagged GROUP BY 1, 2
+        """,
+        "events_asof_orders": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS ts_s,
+                   o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+            FROM events
         """,
         "ngram_jaccard": f"""
             WITH w AS (

@@ -420,3 +420,118 @@ def _marker_join(
         )
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    take_cols: list[str],
+    direction: str = "backward",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed AS-OF join: for each left row, attach ``take_cols`` from
+    the latest right row with ``right_ts <= left_ts`` (direction
+    'backward'; 'forward' for the earliest ``>=``) sharing the join key.
+    Ray Data has no asof primitive — this composes one from the engine's
+    bucketed-shuffle machinery (SURVEY.md custom-operator rule (a)).
+
+    Plan: both sides are projected to ONE common Arrow schema
+    (side marker, key, ts, payload columns typed-null on the absent side),
+    unioned, and co-located by a hash of the key — a single keyed shuffle;
+    each bucket then runs pandas ``merge_asof`` (a sort-merge over the
+    bucket) and the output is cast back to the declared Arrow types, so
+    int columns survive the pandas null/float round trip.
+
+    Partitioning assumptions: keys are hash-partitionable (no key spans
+    buckets — guaranteed by hashing); within (key, ts) the right side must
+    be UNIQUE for a deterministic pick — pre-dedupe ties upstream (e.g.
+    ``dedup.exact_dedup(right, [key, ts], [tiebreak])``).
+    """
+    import numpy as np
+
+    def arrow_types(ds) -> dict:
+        """Column name -> Arrow type, tolerant of blocks that crossed a
+        pandas stage (PandasBlockSchema carries numpy dtypes, not fields)."""
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        return {
+            n: pa.from_numpy_dtype(t) for n, t in zip(base.names, base.types)
+        }
+
+    l_schema = arrow_types(left)
+    r_schema = arrow_types(right)
+    key_type = l_schema[left_on]
+    ts_type = l_schema[left_ts]
+    l_types = {c: l_schema[c] for c in left_cols}
+    t_types = {c: r_schema[c] for c in take_cols}
+
+    common = pa.schema(
+        [("__side", pa.int8()), ("__key", key_type), ("__ts", ts_type)]
+        + [(c, l_types[c]) for c in left_cols]
+        + [(c, t_types[c]) for c in take_cols]
+    )
+
+    def to_common_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__key": _chunked(t[left_on]).cast(key_type),
+            "__ts": _chunked(t[left_ts]).cast(ts_type),
+        }
+        for c in left_cols:
+            cols[c] = _chunked(t[c])
+        for c in take_cols:
+            cols[c] = pa.nulls(n, type=t_types[c])
+        return pa.table(cols, schema=common)
+
+    def to_common_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "__key": _chunked(t[right_on]).cast(key_type),
+            "__ts": _chunked(t[right_ts]).cast(ts_type),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(n, type=l_types[c])
+        for c in take_cols:
+            cols[c] = _chunked(t[c])
+        return pa.table(cols, schema=common)
+
+    unioned = left.map_batches(to_common_left, batch_format="pyarrow").union(
+        right.map_batches(to_common_right, batch_format="pyarrow")
+    )
+
+    def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        if l.empty:
+            return l[["__key", "__ts"] + left_cols + take_cols]
+        l = l.sort_values("__ts", kind="mergesort")
+        r = r.sort_values("__ts", kind="mergesort")
+        out = pd.merge_asof(
+            l[["__key", "__ts"] + left_cols],
+            r[["__key", "__ts"] + take_cols],
+            on="__ts", by="__key", direction=direction,
+        )
+        return out
+
+    joined = hash_bucketed_groupby(unioned, ["__key"], bucket_asof, num_buckets)
+
+    def restore(df: pd.DataFrame) -> pa.Table:
+        cols = {
+            left_on: pc.cast(pa.Array.from_pandas(df["__key"]), key_type),
+            left_ts: pc.cast(pa.Array.from_pandas(df["__ts"]), ts_type),
+        }
+        for c in left_cols:
+            cols[c] = pc.cast(pa.Array.from_pandas(df[c]), l_types[c])
+        for c in take_cols:
+            cols[c] = pc.cast(pa.Array.from_pandas(df[c]), t_types[c])
+        return pa.table(cols)
+
+    return joined.map_batches(restore, batch_format="pandas")

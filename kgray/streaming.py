@@ -158,3 +158,34 @@ def sessionize(
     return hash_bucketed_groupby(
         events.select_columns([key_col, ts_col, order_col]), [key_col], split
     )
+
+
+def running_total(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_buckets: int = 64,
+):
+    """Per-key running (cumulative) sum of ``value_col`` in ``order_cols``
+    order — the ordered-scan window aggregate (SQL ``SUM() OVER (PARTITION
+    BY key ORDER BY ... ROWS UNBOUNDED PRECEDING)``).
+
+    One keyed shuffle co-locates each key's rows (hash buckets), then a
+    per-bucket mergesort + vectorized ``groupby.cumsum``. Pass an exact
+    integer ``value_col`` (fixed-point cents) for order-independent sums.
+    Pass ``order_cols`` that totally order rows within a key, or ties make
+    the intermediate running values arbitrary.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        df = df.copy(deep=False)
+        df[out_col] = df.groupby(key, sort=False)[value_col].cumsum()
+        return df
+
+    return hash_bucketed_groupby(ds, [key], fn, num_buckets)

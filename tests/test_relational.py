@@ -69,3 +69,101 @@ def test_marker_join_empty_right_side(ray_session):
     empty = ray.data.from_arrow(pa.table({"dk": pa.array([], type=pa.int64())}))
     assert relational.anti_join(fact, empty, on="k", right_on="dk").count() == 6
     assert relational.semi_join(fact, empty, on="k", right_on="dk").count() == 0
+
+
+def test_asof_join_backward_and_nulls(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    def ts(s):
+        return np.datetime64(f"2025-01-0{s}T00:00:00", "us")
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+                "lts": pa.array([ts(3), ts(1), ts(5), ts(2)], type=pa.timestamp("us")),
+                "lid": pa.array([10, 11, 12, 13], type=pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 1, 2], type=pa.int64()),
+                "rts": pa.array([ts(1), ts(2), ts(9)], type=pa.timestamp("us")),
+                "v": pa.array([100, 200, 300], type=pa.int64()),
+            }
+        )
+    )
+    out = relational.asof_join(
+        left, right, left_on="k", right_on="rk", left_ts="lts", right_ts="rts",
+        left_cols=["lid"], take_cols=["v"], num_buckets=4,
+    ).take_all()
+    got = {r["lid"]: r["v"] for r in out}
+    assert got == {
+        10: 200,   # k=1 @d3 -> latest right <= d3 is d2
+        11: 100,   # k=1 @d1 -> exact-match d1 (backward includes equality)
+        12: None,  # k=2 @d5 -> only right is d9 (future) -> null
+        13: None,  # k=3 -> no right rows at all
+    }
+    # int64 take column survives the pandas null round trip as int64/null
+    assert all(isinstance(r["v"], int) for r in out if r["v"] is not None)
+
+
+def test_asof_join_forward(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    def ts(s):
+        return np.datetime64(f"2025-01-0{s}T00:00:00", "us")
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], type=pa.int64()),
+                "lts": pa.array([ts(3)], type=pa.timestamp("us")),
+                "lid": pa.array([10], type=pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 1], type=pa.int64()),
+                "rts": pa.array([ts(1), ts(5)], type=pa.timestamp("us")),
+                "v": pa.array([100, 500], type=pa.int64()),
+            }
+        )
+    )
+    out = relational.asof_join(
+        left, right, left_on="k", right_on="rk", left_ts="lts", right_ts="rts",
+        left_cols=["lid"], take_cols=["v"], direction="forward", num_buckets=2,
+    ).take_all()
+    assert out[0]["v"] == 500  # earliest right >= d3
+
+
+def test_running_total_matches_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from kgray.streaming import running_total
+
+    rng = np.random.RandomState(7)
+    n = 500
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 20, n), type=pa.int64()),
+            "o": pa.array(np.arange(n), type=pa.int64()),
+            "v": pa.array(rng.randint(-50, 50, n), type=pa.int64()),
+        }
+    )
+    out = running_total(
+        ray.data.from_arrow(tbl), key="k", order_cols=["o"], value_col="v",
+        out_col="run", num_buckets=8,
+    ).take_all()
+    df = tbl.to_pandas().sort_values(["k", "o"])
+    df["run"] = df.groupby("k")["v"].cumsum()
+    expected = {(r.k, r.o): r.run for r in df.itertuples()}
+    assert len(out) == n
+    assert all(expected[(r["k"], r["o"])] == r["run"] for r in out)
