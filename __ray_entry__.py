@@ -169,7 +169,9 @@ def q_kg_transcripts(sf_dir: str):
 
 
 def q_kg_extract(sf_dir: str):
-    ds = transcripts_dataset(sf_dir).sort(["conv_id", "turn_idx"])
+    # extraction is per-row; the driver compare is row-order-insensitive
+    # (rows are sorted before hashing), so no global corpus sort is needed
+    ds = transcripts_dataset(sf_dir)
     return _table(extract.extract_triples(ds))
 
 
@@ -181,7 +183,9 @@ def q_kg_mentions(sf_dir: str):
 
 
 def q_kg_linked(sf_dir: str):
-    ds = transcripts_dataset(sf_dir).sort(["conv_id", "turn_idx"])
+    # extraction is per-row; the driver compare is row-order-insensitive
+    # (rows are sorted before hashing), so no global corpus sort is needed
+    ds = transcripts_dataset(sf_dir)
     triples = extract.extract_triples(ds)
     ref = lookups.broadcast(build_alias_index(entity_catalog()))
     linked = link.link_entities(triples, ref)
@@ -195,7 +199,9 @@ def q_kg_linked(sf_dir: str):
 
 
 def _canonical_triples(sf_dir: str):
-    ds = transcripts_dataset(sf_dir).sort(["conv_id", "turn_idx"])
+    # extraction is per-row; the driver compare is row-order-insensitive
+    # (rows are sorted before hashing), so no global corpus sort is needed
+    ds = transcripts_dataset(sf_dir)
     triples = extract.extract_triples(ds)
     catalog = entity_catalog()
     ref = lookups.broadcast(build_alias_index(catalog))
@@ -749,6 +755,13 @@ def q_media_features(sf_dir: str):
     -> feature extraction; deterministic synthetic media corpus."""
     ds = rd.from_arrow(multimodal.synthetic_media_table(64))
     out = multimodal.extract_features(multimodal.decode_media(ds, fake=True))
+    # exercise the full media chain: aspect-preserving resize plan + the
+    # per-video frame-sampling plan (actor stages; deterministic)
+    out = out.map_batches(
+        multimodal.ResizeStub, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    ).map_batches(
+        multimodal.FrameSampleStub, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    )
 
     def fin(t: pa.Table) -> pa.Table:
         feats = t["features"].combine_chunks()
@@ -760,6 +773,11 @@ def q_media_features(sf_dir: str):
                 "width": pc.cast(t["width"].combine_chunks(), pa.int64()),
                 "height": pc.cast(t["height"].combine_chunks(), pa.int64()),
                 "n_frames": pc.cast(t["n_frames"].combine_chunks(), pa.int64()),
+                "resized_w": pc.cast(t["resized_w"].combine_chunks(), pa.int64()),
+                "resized_h": pc.cast(t["resized_h"].combine_chunks(), pa.int64()),
+                "n_sampled": pc.cast(
+                    pc.list_value_length(t["sample_frames"].combine_chunks()), pa.int64()
+                ),
                 "feat0_e6": pc.cast(pc.round(pc.multiply(l2, 1e6)), pa.int64()),
             }
         )
