@@ -523,12 +523,21 @@ def ngram_jaccard_pairs(
     from .relational import hash_bucketed_groupby
 
     def to_grams(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            gset = _word_grams(text, k)
-            ids.extend([did] * len(gset))
-            grams.extend(gset)
-        return pa.table({"doc_id": pa.array(ids), "gram": pa.array(grams, type=pa.string())})
+        # vectorized: rolling-hash k-grams (same equality structure as the
+        # string grams — two docs share a hashed gram iff they share the
+        # word k-gram, modulo a 2^-64 collision), deduped per row to SET
+        # semantics; the shuffle then moves uint64s instead of strings
+        word_h, lengths = _word_hashes(_chunked(batch[text_col]))
+        grams, n_grams = _gram_hashes(word_h, lengths, k)
+        rows = np.repeat(np.arange(len(n_grams), dtype=np.int64), n_grams)
+        order = np.lexsort((grams, rows))
+        r, g = rows[order], grams[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+        ids = _chunked(batch[id_col]).take(pa.array(r[keep]))
+        return pa.table(
+            {"doc_id": ids, "gram": pa.array(g[keep].view(np.int64), type=pa.int64())}
+        )
 
     grams_ds = docs.map_batches(to_grams, batch_format="pyarrow").materialize()
 
