@@ -66,7 +66,7 @@ def run_bench() -> dict:
 
     # headline: full flagship KG pipeline at corpus x REPEAT, best of N runs
     # (shared-VM noise rejection; see run_scaling docstring)
-    n_runs = int(os.environ.get("KGRAY_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("KGRAY_BENCH_RUNS", "3"))
     out_dir = f"/tmp/kgray_bench/num_cpus={NUM_CPUS}"
     run_times = []
     res = None
@@ -85,7 +85,7 @@ def run_bench() -> dict:
         for name in [
             "q1_pricing", "exact_dedup", "orders_per_nation", "windowed_events",
             "sessions", "knn_bruteforce", "quality_scores", "minhash_pairs",
-            "kg_extract",
+            "kg_extract", "ngram_jaccard", "cosine_pairs", "events_asof_orders",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -483,13 +483,6 @@ def minhash_lsh_pairs(
 # exact n-gram Jaccard similarity join (inverted-index, no approximation)
 # ---------------------------------------------------------------------------
 
-def _word_grams(text: str, k: int) -> set:
-    w = (text or "").split()
-    if len(w) < k:
-        return {" ".join(w)} if w else set()
-    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
-
-
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
