@@ -103,3 +103,29 @@ def test_lang_id_vectorized_matches_scalar_reference():
 
     assert got == [scalar(t) for t in texts]
     assert got[4] == "es" and got[5] == "und" and got[7] == "en"
+
+
+def test_pair_jaccard_property_matches_scalar():
+    """Property: the vectorized hashed-gram pair_jaccard equals the scalar
+    string-gram reference on arbitrary word sequences (any k, any lengths,
+    empties included)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgray.dedup import _jaccard, pair_jaccard
+
+    word = st.sampled_from(["a", "b", "c", "dd", "eee", "f0"])
+    text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(text, text), min_size=1, max_size=8),
+           st.integers(min_value=1, max_value=4))
+    def check(pairs, k):
+        a = pa.array([p[0] for p in pairs], type=pa.string())
+        b = pa.array([p[1] for p in pairs], type=pa.string())
+        got = pair_jaccard(a, b, k)
+        expected = [_jaccard(x, y, k) for x, y in pairs]
+        assert all(abs(g - e) < 1e-12 for g, e in zip(got, expected))
+
+    check()
