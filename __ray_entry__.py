@@ -532,6 +532,18 @@ def q_distinct_users_per_type(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog sketch form of distinct_users_per_type: bounded-size
+    mergeable register partials instead of shuffling every distinct pair
+    (the 100-TB path). Estimates, so rows-only — accuracy vs the exact
+    operator is asserted in tests/test_relational.py."""
+    from kgray.sketch import hll_distinct_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = hll_distinct_per_group(ds, "event_type", "user_id", precision=12)
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_median_price_per_segment(sf_dir: str):
     """Discrete median order price per customer market segment (broadcast
     dim join + per-group quantile pick)."""
@@ -710,6 +722,40 @@ def q_neighborhood(sf_dir: str, target: str = "RAW:0"):
         per_batch, keys=["predicate", "direction"], count_alias="n_neighbors"
     )
     return _table(out)
+
+
+def q_two_hop_neighborhood(sf_dir: str, target: str = "RAW:0"):
+    """2-hop traversal: distinct nodes exactly two undirected hops from the
+    target (1-hop frontier via vectorized filters, second hop via a
+    broadcast-membership semi-join of the edge table against the frontier —
+    the frontier is node-bounded, never the edge stream)."""
+    edges = _kg_edge_table(sf_dir).materialize()
+
+    def frontier_of(ds, seeds: set) -> set:
+        out = set()
+        for b in ds.map_batches(
+            lambda t, s=tuple(sorted(seeds)): pa.table(
+                {
+                    "n": pa.concat_arrays(
+                        [
+                            _chunk(t["object"]).filter(pc.is_in(_chunk(t["subject"]), value_set=pa.array(s))),
+                            _chunk(t["subject"]).filter(pc.is_in(_chunk(t["object"]), value_set=pa.array(s))),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            out.update(b["n"].to_pylist())
+        return out
+
+    hop1 = frontier_of(edges, {target})
+    hop2 = frontier_of(edges, hop1) - hop1 - {target}
+    return pa.table({"id": pa.array(sorted(hop2), type=pa.string())})
+
+
+def _chunk(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
 def q_distinct_labels(sf_dir: str):
@@ -926,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": q_event_value_stats,
         "props_k_stats": q_props_k_stats,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "approx_distinct_users": q_approx_distinct_users,
         "median_price_per_segment": q_median_price_per_segment,
         "brand_type_concat": q_brand_type_concat,
         "sessions": q_sessions,
@@ -935,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
         "neighborhood": q_neighborhood,
+        "two_hop_neighborhood": q_two_hop_neighborhood,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -1247,6 +1295,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT predicate, 'in', COUNT(*)
               FROM ({kg_edges}) WHERE object = 'RAW:0' GROUP BY 1
             )
+        """,
+        "two_hop_neighborhood": f"""
+            WITH e AS ({kg_edges}),
+            h1 AS (
+              SELECT object AS id FROM e WHERE subject = 'RAW:0'
+              UNION
+              SELECT subject FROM e WHERE object = 'RAW:0'
+            ),
+            h2 AS (
+              SELECT e.object AS id FROM e JOIN h1 ON e.subject = h1.id
+              UNION
+              SELECT e.subject FROM e JOIN h1 ON e.object = h1.id
+            )
+            SELECT DISTINCT id FROM h2
+            WHERE id NOT IN (SELECT id FROM h1) AND id <> 'RAW:0'
         """,
         "distinct_labels": f"""
             SELECT DISTINCT unnest(string_split(labels_str, ';')) AS label

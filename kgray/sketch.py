@@ -1,0 +1,127 @@
+"""Mergeable sketches for at-scale approximate aggregation.
+
+``hll_distinct_per_group``: HyperLogLog COUNT(DISTINCT) per group — the
+sketch form of ``relational.distinct_count_per_group`` for cardinalities
+where shuffling every distinct (group, value) pair is too expensive. At
+100 TB the exact operator moves one row per distinct pair through the
+exchange; the sketch moves at most ``m = 2^precision`` register rows per
+(group, block) — a fixed-size combiner regardless of cardinality.
+
+Classic HLL (Flajolet et al. 2007): value -> 64-bit hash; the top
+``precision`` bits pick a register, the count of leading zero bits of the
+remainder (+1) is the register's candidate rank; registers take the MAX
+rank seen (associative and idempotent -> partials merge exactly); estimate
+``alpha_m * m^2 / sum(2^-reg)`` with the standard small-range correction.
+Fixed hash seed (pandas siphash) -> deterministic across runs, workers and
+block layouts.
+
+Everything is vectorized: hashing is one ``pd.util.hash_array`` pass,
+ranks come from a ``log2`` trick, and the per-batch register fold is a
+pandas groupby-max over (group, register) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _ranks(h: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash — rank = leading-zero count of the
+    (64 - precision)-bit suffix, + 1."""
+    q = 64 - precision
+    reg = (h >> np.uint64(q)).astype(np.int64)
+    w = h & ((np.uint64(1) << np.uint64(q)) - np.uint64(1))
+    # floor(log2(w)) via float64 is exact for w < 2^53; HLL suffixes are
+    # 64-p bits, so mask down to 52 bits first (only ZERO vs POSITION of
+    # the highest set bit matters, and bits below 52 shift rank by a
+    # constant we account for)
+    rank = np.empty(len(h), dtype=np.int64)
+    zero = w == 0
+    rank[zero] = q + 1
+    nz = ~zero
+    if nz.any():
+        # highest set bit position of w (w > 0); values fit float64 exactly
+        # only below 2^53 — split the range
+        wv = w[nz]
+        high = (wv >> np.uint64(53)).astype(np.uint64)
+        top = np.where(
+            high > 0,
+            53 + np.floor(np.log2(high.astype(np.float64) + (high == 0))).astype(np.int64),
+            np.floor(np.log2(wv.astype(np.float64))).astype(np.int64),
+        )
+        rank[nz] = q - top
+    return reg, rank
+
+
+def hll_partials(
+    df: pd.DataFrame, group_col: str, value_col: str, precision: int
+) -> pd.DataFrame:
+    """Per-batch combiner: (group, register, max rank) rows — at most
+    ``2^precision`` rows per group per batch, whatever the cardinality."""
+    h = pd.util.hash_array(df[value_col].to_numpy()).astype(np.uint64)
+    reg, rank = _ranks(h, precision)
+    part = pd.DataFrame({group_col: df[group_col], "_reg": reg, "_rank": rank})
+    return part.groupby([group_col, "_reg"], sort=False, as_index=False).agg(
+        _rank=("_rank", "max")
+    )
+
+
+def hll_estimate(sub: pd.DataFrame, group_col: str, precision: int) -> pd.DataFrame:
+    """Merge register partials per group and run the HLL estimator."""
+    m = 1 << precision
+    merged = sub.groupby([group_col, "_reg"], sort=False, as_index=False).agg(
+        _rank=("_rank", "max")
+    )
+    out_groups, out_est = [], []
+    for g, grp in merged.groupby(group_col, sort=False):
+        ranks = grp["_rank"].to_numpy()
+        nnz = len(ranks)
+        s = (m - nnz) + np.sum(np.exp2(-ranks.astype(np.float64)))
+        e = _alpha(m) * m * m / s
+        zeros = m - nnz
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        out_groups.append(g)
+        out_est.append(int(round(e)))
+    return pd.DataFrame({group_col: out_groups, "approx_distinct": out_est})
+
+
+def hll_distinct_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    precision: int = 12,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT value_col) per group (standard error
+    ~= 1.04 / sqrt(2^precision); ~1.6% at the default p=12).
+
+    One combiner pass emits bounded (group, register, rank) partials per
+    block; ONE keyed shuffle merges them; the estimator runs per group.
+    Deterministic for a given corpus (fixed hash), like every dedup key in
+    the engine.
+    """
+    from .relational import hash_bucketed_groupby
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        lambda df: hll_partials(df, group_col, value_col, precision),
+        batch_format="pandas",
+    )
+    return hash_bucketed_groupby(
+        parts, [group_col], lambda df: hll_estimate(df, group_col, precision),
+        num_buckets=num_buckets,
+    )

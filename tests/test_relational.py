@@ -167,3 +167,36 @@ def test_running_total_matches_pandas(ray_session):
     expected = {(r.k, r.o): r.run for r in df.itertuples()}
     assert len(out) == n
     assert all(expected[(r["k"], r["o"])] == r["run"] for r in out)
+
+
+def test_hll_distinct_matches_exact_within_error(ray_session):
+    """HyperLogLog distinct-per-group tracks the exact operator within the
+    p=12 error bound across blocks/partials; deterministic across runs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kgray.sketch import hll_distinct_per_group
+
+    rng = np.random.RandomState(9)
+    n = 30000
+    tbl = pa.table(
+        {
+            "g": pa.array(rng.choice(["x", "y", "z"], n)),
+            "v": pa.array(rng.randint(0, 5000, n), type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct_per_group(ds, "g", "v", precision=12).take_all()
+    }
+    df = tbl.to_pandas()
+    exact = df.groupby("g")["v"].nunique()
+    for g in ("x", "y", "z"):
+        assert abs(got[g] - exact[g]) / exact[g] < 0.05
+    # deterministic: a second run returns identical estimates
+    again = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct_per_group(ds, "g", "v", precision=12).take_all()
+    }
+    assert got == again
