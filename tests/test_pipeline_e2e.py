@@ -45,9 +45,17 @@ def test_flagship_end_to_end(sf_dir, tmp_path):
         got = got_nodes[nid]
         assert got["name"] == exp["name"]
         assert got["labels"] == exp["labels"]
-    # partition layout: hive dirs per primary class (P1)
+    # partition layout: hive dirs per primary class (P1) and the FULL P2
+    # (predicate, subject_class, object_class) triple binning (`Kuzu:344`)
     assert glob.glob(str(tmp_path / "kg" / "nodes" / "primary_class=*"))
     assert glob.glob(str(tmp_path / "kg" / "edges" / "predicate=*"))
+    triple_dirs = glob.glob(
+        str(tmp_path / "kg" / "edges" / "predicate=*" / "subject_class=*" / "object_class=*")
+    )
+    assert triple_dirs
+    # co-located write: exactly ONE file per (pred, subj, obj) bin
+    for d in triple_dirs[:20]:
+        assert len(glob.glob(d + "/*.parquet")) == 1
 
     # canonical ids are all even members (union-find merged the pairs)
     assert all(int(i.split(":")[1]) % 2 == 0 for i in got_nodes)
@@ -64,6 +72,11 @@ def test_flagship_end_to_end(sf_dir, tmp_path):
     link = lineage["stages"]["link"]
     assert link["dropped_unlinked"] > 0  # the planted unlinkables were counted
     assert 0.8 < link["link_rate"] < 1.0
+    # lineage records the triple-keyed edge layout and per-bin counts
+    write = lineage["stages"]["write"]
+    assert write["edge_layout"] == ["predicate", "subject_class", "object_class"]
+    assert len(write["edge_partitions"]) == len(triple_dirs)
+    assert sum(write["edge_partitions"].values()) == edges.num_rows
 
 
 def test_flagship_resume_skips(sf_dir, tmp_path):
