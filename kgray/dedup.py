@@ -6,6 +6,16 @@ Shuffle discipline: every variant pre-reduces inside ``map_batches``
 ``groupby`` exchange, so the all-to-all moves one row per key/bucket per
 block — not one per input row. Hash seeds are fixed constants: results are
 deterministic across runs, block layouts and cluster sizes.
+
+Verify discipline (the near-dup family): candidate pairs are generated
+from LSH buckets WITHOUT payloads (texts/vectors never ride the band
+shuffle), deduped across bands, and only then joined back against the
+payload table via the size-routed ``attach_pair_payload`` — a broadcast
+dict under ``broadcast_limit`` rows, two endpoint-keyed hash joins beyond
+it. No whole-corpus object ever lands on the driver, at any scale. All
+verifies are vectorized (hashed-gram Jaccard / xor+popcount Hamming /
+row-wise cosine); hot buckets are capped at ``max_bucket`` with every
+affected pair flagged ``truncated`` — cut, but never silently.
 """
 
 from __future__ import annotations
