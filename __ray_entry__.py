@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from kgray import (
-    dedup, extract, link, lookups, multimodal, relational, similarity, streaming, textops,
+    dedup, extract, graphalgo, link, lookups, multimodal, relational, similarity,
+    streaming, textops,
 )
 from kgray.canonicalize import canonical_map_local, rewrite_ids
 from kgray.link import build_alias_index
@@ -902,6 +903,120 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# graph analytics over the canonical KG (kgray/graphalgo.py)
+# ---------------------------------------------------------------------------
+
+def _canonical_int_edges(sf_dir: str):
+    """Canonical triple stream projected to int64 (src, dst) node ids —
+    'RAW:<i>' -> i (multi-edges preserved: one row per linked mention)."""
+    canonical, _ = _canonical_triples(sf_dir)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.utf8_slice_codeunits(t["subject_id"].combine_chunks(), 4, 1 << 30),
+            pa.int64(),
+        )
+        o = pc.cast(
+            pc.utf8_slice_codeunits(t["object_id"].combine_chunks(), 4, 1 << 30),
+            pa.int64(),
+        )
+        return pa.table({"src": s, "dst": o})
+
+    return canonical.map_batches(to_int, batch_format="pyarrow")
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs -> transitive clusters -> per-doc survivor verdict
+    (the stage a training pipeline runs after any pair-emitting dedup)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2, max_df=_NGRAM_MAX_DF)
+    out = graphalgo.dedup_clusters(docs, pairs)
+    return _table(out)
+
+
+def q_pagerank(sf_dir: str):
+    """5-iteration damping-0.85 PageRank over the canonical KG in int64
+    fixed-point — bit-stable at any parallelism, integer-SQL-reproducible."""
+    out = graphalgo.pagerank(_canonical_int_edges(sf_dir), iters=5)
+    return _table(out)
+
+
+def q_node_degrees(sf_dir: str):
+    out = graphalgo.node_degrees(_canonical_int_edges(sf_dir))
+    return _table(
+        out,
+        schema=pa.schema(
+            [("node_id", pa.int64()), ("out_deg", pa.int64()), ("in_deg", pa.int64())]
+        ),
+    )
+
+
+def q_triangle_count(sf_dir: str):
+    return _table(graphalgo.triangle_count(_canonical_int_edges(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + corpus term stats
+# ---------------------------------------------------------------------------
+
+def q_hash_sample(sf_dir: str):
+    """10% key-coherent Knuth-hash sample of orders — reproducible
+    bit-for-bit at any parallelism and mirrored by integer SQL."""
+    from kgray import sampling
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = sampling.hash_sample(ds, "o_orderkey", rate_ppm=100_000)
+    return _table(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "price_c": _cents(t["o_totalprice"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("price_c", pa.int64())]
+        ),
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """~100 orders from EVERY o_orderpriority stratum however skewed —
+    per-stratum Bernoulli thresholds derived from one grouped count."""
+    from kgray import sampling
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    out = sampling.stratified_sample(
+        ds, ["o_orderpriority"], "o_orderkey", target_per_stratum=100
+    )
+    return _table(
+        out.map_batches(
+            lambda df: df.astype({"o_orderkey": "int64"}), batch_format="pandas"
+        ),
+        schema=pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
+    )
+
+
+def q_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by (tf DESC, term ASC) — shuffle-free."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(docs.map_batches(textops.top_terms_batch, batch_format="pyarrow"))
+
+
+def q_term_df(sf_dir: str):
+    """Corpus top-100 terms by document frequency."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(textops.term_df(docs))
+
+
 def q_kg_flagship(sf_dir: str):
     """Full checkpointed pipeline (writes under /tmp) -> edge table."""
     import tempfile
@@ -988,6 +1103,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "lang_token_stats": q_lang_token_stats,
         "bpe_token_counts": q_bpe_token_counts,
+        "dedup_clusters": q_dedup_clusters,
+        "pagerank": q_pagerank,
+        "node_degrees": q_node_degrees,
+        "triangle_count": q_triangle_count,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "top_terms": q_top_terms,
+        "term_df": q_term_df,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode)
         "fingerprints": q_fingerprints,
@@ -997,6 +1120,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "knn_ivf": q_knn_ivf,
     }
+
+
+# shared CTE chain: verified ngram-Jaccard near-dup pairs (mirrors
+# dedup.ngram_jaccard_pairs with the same max_df stop-gram cut)
+def _ngram_pairs_cte() -> str:
+    return f"""
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ws) >= 2 THEN
+          list_distinct(list_transform(generate_series(1, len(ws)-1),
+                                       i -> ws[i] || ' ' || ws[i+1]))
+        WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+        ELSE [] END) AS gram
+      FROM w
+    ), gram_df AS (
+      SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1
+    ), kept AS (
+      SELECT g.doc_id, g.gram FROM grams g
+      JOIN gram_df d ON g.gram = d.gram WHERE d.df <= {_NGRAM_MAX_DF}
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), ndpairs AS (
+      SELECT doc_a, doc_b, (1000000 * n) // (ca.c + cb.c - n) AS jaccard_ppm
+      FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
+    )"""
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled integer power iteration — the exact fixed-point arithmetic
+    of graphalgo.pagerank (floor division, int64 sums, damping 850/1000)."""
+    sql = f"""{_SQL_PREFIX},
+    {_SQL_LINKED.strip()},
+    e AS (SELECT (s - s % 2) AS src, (o - o % 2) AS dst FROM linked),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS v, COUNT(*) AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT v, {scale} // nn.n AS r FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT n2.v,
+             (150 * {scale}) // (1000 * nn.n) + COALESCE(inf.m, 0) AS r
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS v, CAST(SUM((p.r * 850) // (1000 * d.outdeg)) AS BIGINT) AS m
+        FROM e JOIN r{i-1} p ON e.src = p.v JOIN deg d ON e.src = d.v
+        GROUP BY e.dst
+      ) inf ON inf.v = n2.v
+    )"""
+    sql += f"\n    SELECT v AS node_id, r AS rank_fp FROM r{iters}"
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1277,6 +1460,92 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_ngram_pairs_cte().strip()},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM ndpairs
+              UNION SELECT doc_b, doc_a FROM ndpairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (
+              SELECT a AS doc_id, LEAST(a, MIN(b)) AS cid FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   COALESCE(c.cid, d.doc_id) AS cluster_id,
+                   CAST(d.doc_id = COALESCE(c.cid, d.doc_id) AS BIGINT) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        """,
+        "pagerank": _pagerank_sql(iters=5),
+        "hash_sample": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
+            FROM orders
+            WHERE (o_orderkey * 2654435761) % 4294967296
+                  < (4294967296 * 100000) // 1000000
+        """,
+        "stratified_sample": """
+            WITH n AS (
+              SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1
+            ), lim AS (
+              SELECT o_orderpriority,
+                     LEAST((4294967296 * 100) // GREATEST(n, 1), 4294967296) AS lim
+              FROM n
+            )
+            SELECT o.o_orderkey, o.o_orderpriority
+            FROM orders o JOIN lim l USING (o_orderpriority)
+            WHERE (o.o_orderkey * 2654435761) % 4294967296 < l.lim
+        """,
+        "top_terms": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2
+            ), r AS (
+              SELECT doc_id, term, tf,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+              FROM tf
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= 3
+        """,
+        "term_df": """
+            WITH w AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+              ) WHERE term <> ''
+            )
+            SELECT term, COUNT(*) AS df FROM w
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "node_degrees": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            degrows AS (
+              SELECT (s - s % 2) AS v, 1 AS o_, 0 AS i_ FROM linked
+              UNION ALL
+              SELECT (o - o % 2), 0, 1 FROM linked
+            )
+            SELECT v AS node_id,
+                   CAST(SUM(o_) AS BIGINT) AS out_deg,
+                   CAST(SUM(i_) AS BIGINT) AS in_deg
+            FROM degrows GROUP BY 1
+        """,
+        "triangle_count": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            ue AS (
+              SELECT DISTINCT LEAST(s - s % 2, o - o % 2) AS a,
+                              GREATEST(s - s % 2, o - o % 2) AS b
+              FROM linked WHERE (s - s % 2) <> (o - o % 2)
+            )
+            SELECT COUNT(*) AS n_triangles
+            FROM ue e1
+            JOIN ue e2 ON e1.b = e2.a
+            JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "cosine_pairs": """
             SELECT vec_a, vec_b, CAST(ROUND(cos * 1e4) AS BIGINT) AS cos_e4

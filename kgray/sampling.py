@@ -1,0 +1,111 @@
+"""Deterministic sampling — hash samples and stratified samples.
+
+Training-data pipelines need samples that are (a) reproducible bit-for-bit
+across runs, partitionings and cluster sizes, (b) computable in one
+streaming pass with no global shuffle, and (c) auditable by an external
+system. Random-state samplers (``Dataset.random_sample``) give none of
+these; kgray samples by a KNUTH MULTIPLICATIVE HASH of a caller-named key:
+
+    h(k) = (k * 2654435761) mod 2^32        (Fibonacci hashing; public
+                                             domain constant, Knuth TAOCP v3)
+    keep  <=>  h(k) < floor(2^32 * rate)
+
+Pure int64 arithmetic (no overflow below k < 2^35), so the exact keep set
+is reproducible by integer SQL — every sampler here is oracle-checkable.
+
+Scale: sampling is a stateless vectorized filter fused into the read — no
+shuffle, no driver state. ``stratified_sample`` adds ONE dimension-sized
+grouped count (strata vocabulary, broadcast via ray.put) to derive
+per-stratum rates; the corpus pass itself stays a filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+KNUTH = 2654435761  # 2^32 / phi, rounded to odd
+MOD32 = 1 << 32
+
+
+def _chunked(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def knuth_hash32(keys: np.ndarray) -> np.ndarray:
+    """int64 keys -> uniform int64 in [0, 2^32). Mirrors the SQL form
+    ``(k * 2654435761) % 4294967296`` exactly (callers must keep
+    k < 2^35 so k * KNUTH stays inside int64 — assert upstream)."""
+    k = keys.astype(np.int64, copy=False)
+    return (k * np.int64(KNUTH)) % np.int64(MOD32)
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    rate_ppm: int,
+) -> ray.data.Dataset:
+    """Keep rows where h(key) < 2^32 * rate_ppm / 1e6 — a deterministic
+    ``rate_ppm``-per-million Bernoulli sample keyed on ``key_col``.
+
+    All rows sharing a key are kept or dropped TOGETHER (key-coherent
+    sampling: sample by document / user / order, not by row), which is
+    what makes held-out splits leak-free.
+    """
+    threshold = (MOD32 * rate_ppm) // 1_000_000
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = pc.cast(_chunked(t[key_col]), pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(knuth_hash32(k) < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    strata_cols: list[str],
+    key_col: str,
+    target_per_stratum: int,
+) -> ray.data.Dataset:
+    """~``target_per_stratum`` rows from EVERY stratum, however skewed.
+
+    Two passes: (1) a grouped count over per-batch partials gives each
+    stratum's population (strata vocabulary is dimension-sized — broadcast
+    as a dict via ray.put, same ST1 discipline as the rest of the engine);
+    (2) a stateless filter keeps rows with h(key) < 2^32 * target / count.
+    Strata at or below target are kept whole (threshold clamps to 2^32).
+
+    Expected yield per stratum is target ± O(sqrt(target)) — hash sampling
+    is Bernoulli, not exact-k; exact-k would need a per-stratum top-k
+    shuffle, deliberately avoided.
+    """
+    from .relational import grouped_agg
+
+    counts = grouped_agg(
+        ds.select_columns(strata_cols), keys=strata_cols, count_alias="n"
+    )
+    parts = [
+        b for b in counts.iter_batches(batch_format="pandas", batch_size=1 << 16)
+    ]
+    th = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {c: [] for c in [*strata_cols, "n"]}
+    )
+    th["_lim"] = np.minimum(
+        (MOD32 * target_per_stratum) // np.maximum(th["n"].to_numpy(np.int64), 1),
+        MOD32,
+    )
+    ref = ray.put(th[[*strata_cols, "_lim"]])
+
+    def keep(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        lim_df = ray.get(_ref)
+        h = knuth_hash32(df[key_col].to_numpy(dtype=np.int64))
+        merged = df.merge(lim_df, on=strata_cols, how="left")
+        lim = merged["_lim"].fillna(0).to_numpy(np.int64)
+        return df[h < lim]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -213,3 +213,95 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         np.vectorize(lambda x: format(x, "x"), otypes=[object])(h).astype(str), 16
     )
     return batch.append_column("fingerprint", pa.array(hexed.tolist(), type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# corpus term statistics (TF / DF)
+# ---------------------------------------------------------------------------
+
+def top_terms_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> pa.Table:
+    """Per-document top-``k`` terms by (tf DESC, term ASC).
+
+    Documents are rows, so term frequencies are COMPLETE within a batch —
+    this is embarrassingly parallel (no shuffle at all), unlike the
+    corpus-wide ``term_df``. Tokenization is a plain single-space split
+    with empty tokens dropped (exactly DuckDB's ``string_split(text, ' ')``
+    so the oracle can mirror it). All-pandas-vectorized: explode +
+    value_counts + groupby head.
+    """
+    import pandas as pd
+
+    df = batch.select([id_col, text_col]).to_pandas()
+    ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+    ex = ex[ex["term"].notna() & (ex["term"] != "")]
+    tf = ex.groupby([id_col, "term"], as_index=False).size().rename(columns={"size": "tf"})
+    tf = tf.sort_values(
+        [id_col, "tf", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = tf.groupby(id_col, as_index=False).head(k).copy()
+    top["rn"] = top.groupby(id_col).cumcount() + 1
+    return pa.table(
+        {
+            id_col: pa.array(top[id_col].to_numpy(np.int64)),
+            "term": pa.array(top["term"].astype(str).tolist(), type=pa.string()),
+            "tf": pa.array(top["tf"].to_numpy(np.int64)),
+            "rn": pa.array(top["rn"].to_numpy(np.int64)),
+        }
+    )
+
+
+def term_df(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Corpus document frequencies -> top-``top_n`` terms by (df DESC,
+    term ASC).
+
+    Per-batch combiner emits one row per DISTINCT (doc, term) reduced to
+    per-term partial counts; a bucketed shuffle sums them; each reduced
+    batch is pruned to its own top-``top_n`` (only those can reach the
+    global top) so the driver merges a few hundred candidate rows — never
+    the vocabulary.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        dedup = ex.drop_duplicates()
+        out = dedup.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+        return out
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("term", as_index=False)["df"].sum()
+        return agg.sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    pruned = hash_bucketed_groupby(partials, ["term"], local_top, num_buckets)
+    cands = [b for b in pruned.iter_batches(batch_format="pandas", batch_size=1 << 16)]
+    merged = (
+        pd.concat(cands, ignore_index=True)
+        if cands
+        else pd.DataFrame({"term": [], "df": []})
+    )
+    final = merged.sort_values(
+        ["df", "term"], ascending=[False, True], kind="mergesort"
+    ).head(top_n)
+    return pa.table(
+        {
+            "term": pa.array(final["term"].astype(str).tolist(), type=pa.string()),
+            "df": pa.array(final["df"].to_numpy(np.int64)),
+        }
+    )

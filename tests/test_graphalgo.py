@@ -1,0 +1,172 @@
+"""Graph analytics: connected components / dedup clusters, integer
+PageRank (broadcast vs distributed-join parity), degrees, triangles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from kgray import graphalgo
+
+
+def _pairs_ds(pairs, nblocks=4):
+    t = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pairs], type=pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs], type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+def _edges_ds(edges, nblocks=4):
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], type=pa.int64()),
+            "dst": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+PAIRS = [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13), (3, 1)]
+# components: {1,2,3} -> 1, {7,8} -> 7, {10..13} -> 10
+
+
+class TestConnectedComponents:
+    def test_local(self):
+        out = graphalgo.connected_components_local(_pairs_ds(PAIRS))
+        got = dict(zip(out["id"].to_pylist(), out["component_id"].to_pylist()))
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    def test_distributed_matches_local(self):
+        dist = graphalgo.connected_components_distributed(_pairs_ds(PAIRS))
+        got = {
+            r["id"]: r["component_id"]
+            for b in dist.iter_batches(batch_format="pandas")
+            for r in b.to_dict("records")
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    def test_chain_diameter(self):
+        # a 30-node path graph exercises multi-round label propagation
+        chain = [(i, i + 1) for i in range(30)]
+        dist = graphalgo.connected_components_distributed(_pairs_ds(chain, 8))
+        rows = pa.concat_tables(
+            list(dist.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        )
+        assert set(rows["component_id"].to_pylist()) == {0}
+        assert rows.num_rows == 31
+
+    def test_dedup_clusters_with_singletons(self):
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array(list(range(15)), type=pa.int64())})
+        )
+        out = graphalgo.dedup_clusters(docs, _pairs_ds(PAIRS))
+        t = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        )
+        m = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+        canon = dict(zip(t["doc_id"].to_pylist(), t["is_canonical"].to_pylist()))
+        assert m[1] == m[2] == m[3] == 1 and m[7] == m[8] == 7
+        assert m[10] == m[11] == m[12] == m[13] == 10
+        # singletons are their own cluster and survive
+        assert m[0] == 0 and m[5] == 5 and canon[5] == 1
+        # exactly one survivor per cluster, and it's the min id
+        assert canon[1] == 1 and canon[2] == 0 and canon[3] == 0
+        assert t.num_rows == 15
+
+    def test_dedup_clusters_join_path_matches(self):
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array(list(range(15)), type=pa.int64())})
+        )
+        broadcast = graphalgo.dedup_clusters(docs, _pairs_ds(PAIRS))
+        joined = graphalgo.dedup_clusters(docs, _pairs_ds(PAIRS), local_limit=0)
+
+        def collect(ds):
+            t = pa.concat_tables(
+                list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+            )
+            return sorted(
+                zip(
+                    t["doc_id"].to_pylist(),
+                    t["cluster_id"].to_pylist(),
+                    t["is_canonical"].to_pylist(),
+                )
+            )
+
+        assert collect(broadcast) == collect(joined)
+
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 0), (3, 2), (4, 4)]
+
+
+class TestPageRank:
+    def test_hand_checked_first_iteration(self):
+        # single directed edge 0 -> 1, iters=1, tiny scale for hand math
+        ds = _edges_ds([(0, 1)], 1)
+        out = graphalgo.pagerank(ds, iters=1, scale=1000)
+        got = dict(zip(out["node_id"].to_pylist(), out["rank_fp"].to_pylist()))
+        # N=2, r0 = 500; base = 150*1000 // 2000 = 75
+        # contrib(0->1) = (500*850) // (1000*1) = 425
+        assert got == {0: 75, 1: 75 + 425}
+
+    def test_mass_bound_and_determinism(self):
+        out1 = graphalgo.pagerank(_edges_ds(EDGES, 2), iters=5)
+        out2 = graphalgo.pagerank(_edges_ds(EDGES, 5), iters=5)
+        assert out1.to_pydict() == out2.to_pydict()  # partition-invariant
+        total = sum(out1["rank_fp"].to_pylist())
+        assert 0 < total <= 10**12  # floor division only loses mass
+
+    def test_join_path_matches_broadcast(self):
+        broadcast = graphalgo.pagerank(_edges_ds(EDGES, 3), iters=3)
+        joined_ds = graphalgo.pagerank(_edges_ds(EDGES, 3), iters=3, node_limit=0)
+        t = pa.concat_tables(
+            list(joined_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        )
+        b = sorted(zip(broadcast["node_id"].to_pylist(), broadcast["rank_fp"].to_pylist()))
+        j = sorted(zip(t["node_id"].to_pylist(), t["rank_fp"].to_pylist()))
+        assert b == j
+
+    def test_multi_edges_carry_weight(self):
+        # duplicate edge doubles the contribution
+        single = graphalgo.pagerank(_edges_ds([(0, 1), (0, 2)], 1), iters=1, scale=10**6)
+        double = graphalgo.pagerank(
+            _edges_ds([(0, 1), (0, 1), (0, 2), (0, 2)], 1), iters=1, scale=10**6
+        )
+        s = dict(zip(single["node_id"].to_pylist(), single["rank_fp"].to_pylist()))
+        d = dict(zip(double["node_id"].to_pylist(), double["rank_fp"].to_pylist()))
+        # outdeg doubles with the multiplicity, so per-node inflow is equal
+        # here — but each edge contributed separately (same floor rounding)
+        assert s[1] == d[1] and s[2] == d[2]
+
+
+class TestDegreesTriangles:
+    def test_node_degrees(self):
+        out = graphalgo.node_degrees(_edges_ds(EDGES, 3))
+        t = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        )
+        got = {
+            r["node_id"]: (r["out_deg"], r["in_deg"])
+            for r in t.to_pylist()
+        }
+        assert got == {
+            0: (2, 2),
+            1: (1, 1),
+            2: (2, 3),
+            3: (1, 0),
+            4: (1, 1),
+        }
+
+    def test_triangle_count(self):
+        # triangle 0-1-2 (with reverse + duplicate edges and a self-loop),
+        # plus a pendant 3-2 edge that closes nothing
+        out = graphalgo.triangle_count(_edges_ds(EDGES, 3))
+        assert out["n_triangles"].to_pylist() == [1]
+
+    def test_two_triangles_sharing_edge(self):
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)]
+        out = graphalgo.triangle_count(_edges_ds(edges, 2))
+        assert out["n_triangles"].to_pylist() == [2]

@@ -1,0 +1,90 @@
+"""Deterministic sampling (Knuth hash, stratified) and corpus term stats."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from kgray import sampling, textops
+
+
+def _orders(n=5000, nblocks=4):
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    prio = np.where(keys % 10 == 0, "1-URGENT", np.where(keys % 3 == 0, "2-HIGH", "3-LOW"))
+    t = pa.table({"k": pa.array(keys), "prio": pa.array(prio.tolist(), type=pa.string())})
+    return rd.from_arrow(t).repartition(nblocks), keys, prio
+
+
+class TestHashSample:
+    def test_rate_and_determinism(self):
+        ds, keys, _ = _orders()
+        out1 = sampling.hash_sample(ds, "k", rate_ppm=100_000)
+        out2 = sampling.hash_sample(ds.repartition(9), "k", rate_ppm=100_000)
+        k1 = sorted(r["k"] for b in out1.iter_batches(batch_format="pandas") for r in b.to_dict("records"))
+        k2 = sorted(r["k"] for b in out2.iter_batches(batch_format="pandas") for r in b.to_dict("records"))
+        assert k1 == k2  # partition-invariant
+        # ~10% +- generous tolerance
+        assert 0.05 * len(keys) < len(k1) < 0.15 * len(keys)
+        # the exact keep rule is the documented integer arithmetic
+        th = ((1 << 32) * 100_000) // 1_000_000
+        expected = sorted(int(k) for k in keys if (int(k) * sampling.KNUTH) % (1 << 32) < th)
+        assert k1 == expected
+
+    def test_zero_and_full_rates(self):
+        ds, keys, _ = _orders(500, 2)
+        assert sampling.hash_sample(ds, "k", rate_ppm=0).count() == 0
+        assert sampling.hash_sample(ds, "k", rate_ppm=1_000_000).count() == len(keys)
+
+
+class TestStratifiedSample:
+    def test_yield_per_stratum(self):
+        ds, keys, prio = _orders(9000, 5)
+        out = sampling.stratified_sample(ds, ["prio"], "k", target_per_stratum=150)
+        df = pd.concat(list(out.iter_batches(batch_format="pandas")), ignore_index=True)
+        got = df.groupby("prio").size()
+        for stratum in ("1-URGENT", "2-HIGH", "3-LOW"):
+            # Bernoulli: target +- 4*sqrt(target)
+            assert 100 <= got[stratum] <= 220, (stratum, got[stratum])
+
+    def test_small_stratum_kept_whole(self):
+        t = pa.table(
+            {
+                "k": pa.array(np.arange(1, 1001, dtype=np.int64)),
+                "s": pa.array(["rare"] * 20 + ["common"] * 980),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(3)
+        out = sampling.stratified_sample(ds, ["s"], "k", target_per_stratum=50)
+        df = pd.concat(list(out.iter_batches(batch_format="pandas")), ignore_index=True)
+        assert (df["s"] == "rare").sum() == 20  # below target -> all kept
+
+
+class TestTermStats:
+    def test_top_terms_batch(self):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["b b a a c", "x  y x"]),
+            }
+        )
+        out = textops.top_terms_batch(t, k=2)
+        rows = out.to_pylist()
+        # doc 1: a(2) and b(2) tie -> term ASC breaks it
+        assert rows[0] == {"doc_id": 1, "term": "a", "tf": 2, "rn": 1}
+        assert rows[1] == {"doc_id": 1, "term": "b", "tf": 2, "rn": 2}
+        # doc 2: double space yields an empty token which must be dropped
+        assert rows[2] == {"doc_id": 2, "term": "x", "tf": 2, "rn": 1}
+        assert rows[3] == {"doc_id": 2, "term": "y", "tf": 1, "rn": 2}
+
+    def test_term_df_order_and_truncation(self):
+        docs = [f"common t{i}" for i in range(30)]  # 'common' df=30, t_i df=1
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+                "text": pa.array(docs),
+            }
+        )
+        out = textops.term_df(rd.from_arrow(t).repartition(3), top_n=5)
+        assert out["term"].to_pylist() == ["common", "t0", "t1", "t10", "t11"]
+        assert out["df"].to_pylist() == [30, 1, 1, 1, 1]
