@@ -1017,6 +1017,24 @@ def q_term_df(sf_dir: str):
     return _table(textops.term_df(docs))
 
 
+def q_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing for training windows (rows-only:
+    next-fit carries running state — not SQL-expressible; invariants are
+    pytest-enforced in tests/test_packing.py)."""
+    from kgray import packing
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    with_tokens = docs.map_batches(
+        textops.token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    out = packing.pack_sequences(with_tokens, budget=512, num_groups=8)
+    return _table(
+        out.map_batches(
+            lambda df: df.astype("int64"), batch_format="pandas"
+        )
+    )
+
+
 def q_kg_flagship(sf_dir: str):
     """Full checkpointed pipeline (writes under /tmp) -> edge table."""
     import tempfile
@@ -1112,7 +1130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "term_df": q_term_df,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
-        # stubbed media decode)
+        # stubbed media decode / stateful packing scan)
+        "pack_sequences": q_pack_sequences,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
         "minhash_pairs": q_minhash_pairs,
