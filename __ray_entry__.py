@@ -1017,6 +1017,59 @@ def q_term_df(sf_dir: str):
     return _table(textops.term_df(docs))
 
 
+def q_event_pairs(sf_dir: str):
+    """Same-user event pairs within +-1 hour — the interval-join operator
+    (bucketized range join; each qualifying pair matched exactly once)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_s = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 1_000_000
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts_s": pa.array(ts_s, type=pa.int64()),
+            }
+        )
+
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    right = base.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_b": t["event_id"],
+                "lo": pc.subtract(t["ts_s"], pa.scalar(3600, pa.int64())),
+                "hi": pc.add(t["ts_s"], pa.scalar(3600, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = streaming.interval_join(
+        base, right, key="user_id", time_col="ts_s",
+        lo_col="lo", hi_col="hi", bucket_sec=3600,
+    )
+    out = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_a": t["event_id"],
+                "event_b": t["event_b"],
+            }
+        ).filter(pc.less(t["event_id"], t["event_b"])),
+        batch_format="pyarrow",
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("user_id", pa.int64()), ("event_a", pa.int64()), ("event_b", pa.int64())]
+        ),
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Token-budget sequence packing for training windows (rows-only:
     next-fit carries running state — not SQL-expressible; invariants are
@@ -1129,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
         "term_df": q_term_df,
+        "event_pairs": q_event_pairs,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -1541,6 +1595,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, COUNT(*) AS df FROM w
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "event_pairs": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+            )
+            SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND b.ts_s BETWEEN a.ts_s - 3600 AND a.ts_s + 3600
         """,
         "node_degrees": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

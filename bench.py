@@ -86,6 +86,7 @@ def run_bench() -> dict:
             "q1_pricing", "exact_dedup", "orders_per_nation", "windowed_events",
             "sessions", "knn_bruteforce", "quality_scores", "minhash_pairs",
             "kg_extract", "ngram_jaccard", "cosine_pairs", "events_asof_orders",
+            "pagerank", "dedup_clusters", "pack_sequences", "stratified_sample",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -189,3 +189,75 @@ def running_total(
         return df
 
     return hash_bucketed_groupby(ds, [key], fn, num_buckets)
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    time_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_sec: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Distributed range join: left rows matched to right INTERVALS —
+    emit left x right where ``lo <= t <= hi`` and the keys agree, each
+    qualifying pair exactly once.
+
+    Ray Data has equi-joins only, so the range predicate is bucketized
+    (the standard interval-join decomposition): every right interval is
+    replicated to each ``bucket_sec``-wide time bucket it overlaps (a
+    vectorized ``np.repeat`` fan-out, ceil(span/bucket)+1 copies), the
+    left side lands in exactly ONE bucket (t // bucket_sec), and an
+    equi-join on (key, bucket) + an exact range filter finishes the job.
+    Left-in-one-bucket is what makes each pair match exactly once — no
+    dedup pass needed.
+
+    Pick ``bucket_sec`` ~ the typical interval span: replication factor is
+    span/bucket_sec, while too-large buckets inflate the per-bucket join
+    fan-in (at 100 TB both matter; skewed hot (key, bucket) pairs salt the
+    same way as any equi-join). All times are int64 (epoch seconds or any
+    monotone integer clock). Payload column names must be disjoint between
+    the two sides (rename upstream) — only ``key`` is shared.
+    """
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        # integer floor-div, exact for any int64 clock (numpy // floors
+        # toward -inf, matching the bucket math in expand_right)
+        tn = _chunked_i64(t[time_col]).to_numpy(zero_copy_only=False)
+        return t.append_column("_b", pa.array(tn // bucket_sec, type=pa.int64()))
+
+    def expand_right(t: pa.Table) -> pa.Table:
+        lo = _chunked_i64(t[lo_col]).to_numpy(zero_copy_only=False)
+        hi = _chunked_i64(t[hi_col]).to_numpy(zero_copy_only=False)
+        b0 = lo // bucket_sec
+        b1 = hi // bucket_sec
+        counts = np.maximum(b1 - b0 + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        # intra-row offset 0..counts[i]-1 for each replicated copy
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+        out = t.take(pa.array(idx))
+        return out.append_column("_b", pa.array(b0[idx] + pos, type=pa.int64()))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(expand_right, batch_format="pyarrow")
+    joined = lt.join(
+        rt, join_type="inner", num_partitions=num_partitions, on=(key, "_b")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts = _chunked_i64(t[time_col])
+        keep = pc.and_(
+            pc.greater_equal(ts, _chunked_i64(t[lo_col])),
+            pc.less_equal(ts, _chunked_i64(t[hi_col])),
+        )
+        return t.filter(keep).drop_columns(["_b"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _chunked_i64(arr):
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return a.cast(pa.int64()) if a.type != pa.int64() else a
