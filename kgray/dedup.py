@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from .util import pool_concurrency
+from .util import join_partitions, pool_concurrency
 
 _MERSENNE = (1 << 61) - 1
 _RNG_SEED = 24601  # fixed engine seed — deterministic across runs/workers
@@ -402,7 +402,8 @@ def attach_pair_payload(
     out = pairs
     for side, col in zip(("_a", "_b"), pair_cols):
         out = out.join(
-            payload, join_type="left_outer", num_partitions=num_partitions,
+            payload, join_type="left_outer",
+            num_partitions=join_partitions(num_partitions),
             on=(col,), right_on=(key_col,),
         )
         out = out.map_batches(

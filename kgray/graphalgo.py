@@ -57,8 +57,12 @@ def _clamp_partitions(requested: int, n_rows: int, rows_per_partition: int = 409
     """Ray's hash join misbehaves (schema-less empty build partitions; at
     worst a hang) when key cardinality is far below num_partitions — clamp
     the partition count to the known row count so tiny inputs use tiny
-    fan-outs while large inputs keep the requested parallelism."""
-    return max(2, min(requested, n_rows // rows_per_partition + 2))
+    fan-outs while large inputs keep the requested parallelism. Delegates
+    to ``util.join_partitions`` which additionally caps at the cluster CPU
+    count (more aggregator actors than cores deadlocks small sessions)."""
+    from .util import join_partitions
+
+    return join_partitions(requested, n_rows, rows_per_partition)
 
 
 # ---------------------------------------------------------------------------

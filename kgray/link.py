@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from .util import pool_concurrency
+from .util import join_partitions, pool_concurrency
 
 
 def build_alias_index(catalog: pa.Table) -> dict[str, str]:
@@ -171,7 +171,8 @@ def link_entities_join(
     for col, out_col in (("subject_mention", "subject_id"), ("object_mention", "object_id")):
         # pass 1: exact surface form
         out = out.join(
-            forms, join_type="left_outer", num_partitions=num_partitions,
+            forms, join_type="left_outer",
+            num_partitions=join_partitions(num_partitions),
             on=(col,), right_on=("form",),
         )
         out = out.map_batches(
@@ -184,7 +185,8 @@ def link_entities_join(
         )
         # pass 2: lowered mention against the SAME form table
         out = out.join(
-            forms, join_type="left_outer", num_partitions=num_partitions,
+            forms, join_type="left_outer",
+            num_partitions=join_partitions(num_partitions),
             on=("__lowered",), right_on=("form",),
         )
 

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Sum
-from .util import pool_concurrency
+from .util import join_partitions, pool_concurrency
 
 
 def _chunked(arr):
@@ -151,7 +151,8 @@ def broadcast_lookup_join(
         if dim.count() > broadcast_limit:
             joined = fact.join(
                 dim.select_columns([dim_key] + take_cols),
-                join_type="left_outer", num_partitions=num_partitions,
+                join_type="left_outer",
+                num_partitions=join_partitions(num_partitions),
                 on=(fact_key,), right_on=(dim_key,),
             )
             # Ray's join drops the right key column; nothing to clean up
@@ -225,7 +226,7 @@ def shuffle_join(
     use ``broadcast_lookup_join`` whenever one side is dimension-sized,
     it avoids shuffling the fact stream entirely."""
     return left.join(
-        right, join_type=how, num_partitions=num_partitions,
+        right, join_type=how, num_partitions=join_partitions(num_partitions),
         on=on, right_on=right_on,
     )
 
@@ -351,19 +352,29 @@ def _distinct_keys(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
 def semi_join(
     left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     right_on: str | None = None, num_partitions: int = 32,
+    broadcast_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Rows of ``left`` whose key appears in ``right`` (key-distinct join —
     never duplicates left rows). The engine-level form of the reference's
-    endpoint-existence filter (J2, `Kuzu:342-347`)."""
-    return _marker_join(left, right, on, right_on, num_partitions, keep_match=True)
+    endpoint-existence filter (J2, `Kuzu:342-347`). Above
+    ``broadcast_limit`` distinct keys, a bloom pre-filter drops definite
+    non-matches before the shuffle (see ``_bloom_prefilter``)."""
+    return _marker_join(
+        left, right, on, right_on, num_partitions, keep_match=True,
+        broadcast_limit=broadcast_limit,
+    )
 
 
 def anti_join(
     left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     right_on: str | None = None, num_partitions: int = 32,
+    broadcast_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Rows of ``left`` with NO key match in ``right``."""
-    return _marker_join(left, right, on, right_on, num_partitions, keep_match=False)
+    return _marker_join(
+        left, right, on, right_on, num_partitions, keep_match=False,
+        broadcast_limit=broadcast_limit,
+    )
 
 
 def _marker_join(
@@ -400,6 +411,17 @@ def _marker_join(
 
         return left.map_batches(member_filter, batch_format="pyarrow")
 
+    if keep_match:
+        # Bloom pre-filter before the shuffle: the bitmap is built from
+        # streamed key HASHES (8 B per distinct key to the driver — not the
+        # key values) and broadcast once; bloom-negative left rows are
+        # DEFINITE non-matches (no false negatives) and never enter the
+        # join, so the all-to-all moves only candidates. The exact join on
+        # the survivors absorbs the ~0.05% false positives. Anti joins
+        # can't use this (they'd need the negatives as output, which would
+        # split the stream into two executions of the left lineage).
+        left = _bloom_prefilter(left, keys, on, right_on)
+
     # large-side fallback: marker join through the native hash join
     marked = keys.map_batches(
         lambda t, c=right_on: pa.table(
@@ -408,7 +430,8 @@ def _marker_join(
         batch_format="pyarrow",
     )
     joined = left.join(
-        marked, join_type="left_outer", num_partitions=num_partitions,
+        marked, join_type="left_outer",
+        num_partitions=join_partitions(num_partitions, n_rows=keys.count()),
         on=(on,), right_on=(right_on,),
     )
 
@@ -420,6 +443,73 @@ def _marker_join(
         )
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+_BLOOM_PROBES = 8
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_MAX_BITS = 1 << 31  # 256 MiB bitmap cap (broadcast once per node)
+
+
+def _bloom_hash(col):
+    """Stable uint64 hash of an Arrow column — pandas' siphash with its
+    fixed default key (the same choice add_bucket_column relies on), so
+    worker and driver agree across processes. Ints are normalized to
+    int64 first: pandas hashes int32 and int64 of equal value differently."""
+    import numpy as np
+
+    arr = _chunked(col)
+    if pa.types.is_integer(arr.type) and arr.type != pa.int64():
+        arr = arr.cast(pa.int64())
+    s = pd.Series(arr.to_pandas())
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+
+
+def _bloom_positions(h, m_bits: int):
+    """Double hashing: k probe positions from one 64-bit hash (Kirsch &
+    Mitzenmacher: pos_i = h1 + i*h2 keeps the bloom fpr bound)."""
+    import numpy as np
+
+    h1 = h
+    h2 = (h >> np.uint64(17)) | np.uint64(1)  # odd -> full-period stride
+    mask = np.uint64(m_bits - 1)  # m_bits is a power of two
+    return [
+        (h1 + np.uint64(i) * h2) & mask for i in range(_BLOOM_PROBES)
+    ]
+
+
+def _bloom_prefilter(left, keys, on, right_on):
+    """Keep only left rows whose key MIGHT appear in ``keys`` (distinct,
+    materialized). Sound for semi joins: no false negatives."""
+    import numpy as np
+
+    import ray as _ray
+
+    n = keys.count()
+    m_bits = 1 << max(10, min((n * _BLOOM_BITS_PER_KEY - 1).bit_length(),
+                              _BLOOM_MAX_BITS.bit_length() - 1))
+    bitmap = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for b in keys.map_batches(
+        lambda t, c=right_on: pa.table({"h": pa.array(_bloom_hash(t[c]), type=pa.uint64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        h = b["h"].to_numpy(zero_copy_only=False)
+        for pos in _bloom_positions(h, m_bits):
+            np.bitwise_or.at(
+                bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    ref = _ray.put(bitmap)
+
+    def flt(t: pa.Table, _ref=ref) -> pa.Table:
+        bm = _ray.get(_ref)
+        h = _bloom_hash(t[on])
+        keep = np.ones(len(h), dtype=bool)
+        for pos in _bloom_positions(h, m_bits):
+            word = bm[(pos >> np.uint64(6)).astype(np.int64)]
+            keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(keep))
+
+    return left.map_batches(flt, batch_format="pyarrow")
 
 
 def asof_join(

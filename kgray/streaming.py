@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 
 import ray.data
 from .relational import grouped_agg
+from .util import join_partitions
 
 
 def windowed_agg(
@@ -244,7 +245,8 @@ def interval_join(
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(expand_right, batch_format="pyarrow")
     joined = lt.join(
-        rt, join_type="inner", num_partitions=num_partitions, on=(key, "_b")
+        rt, join_type="inner", num_partitions=join_partitions(num_partitions),
+        on=(key, "_b"),
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -37,3 +37,27 @@ def pool_concurrency(cap: int = 64, floor: int = 4) -> tuple[int, int]:
     except Exception:
         n = floor
     return (1, max(floor, min(cap, n)))
+
+def join_partitions(requested: int, n_rows: int | None = None,
+                    rows_per_partition: int = 4096) -> int:
+    """Clamp a hash-join partition count to what the cluster can schedule.
+
+    Ray's hash-shuffle join runs one aggregator actor per partition;
+    requesting far more aggregators than the session has CPUs deadlocks the
+    streaming executor (verified: ``num_partitions=32`` on a 4-CPU local
+    session never completes, while 8 does). Clamping to the CPU count keeps
+    wide sessions at full fan-out and makes small test sessions safe. When
+    the caller knows the input row count, also clamp so dimension-sized
+    inputs don't fan out into empty build partitions (acero rejects the
+    schema-less blocks they produce)."""
+    cap = requested
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cap = min(cap, int(ray.cluster_resources().get("CPU", cap)))
+    except Exception:
+        pass
+    if n_rows is not None:
+        cap = min(cap, n_rows // rows_per_partition + 2)
+    return max(2, cap)

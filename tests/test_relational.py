@@ -200,3 +200,66 @@ def test_hll_distinct_matches_exact_within_error(ray_session):
         for r in hll_distinct_per_group(ds, "g", "v", precision=12).take_all()
     }
     assert got == again
+
+
+def test_semi_join_bloom_shuffle_path_matches_broadcast(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import relational
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(2000, dtype=np.int64) % 700),
+                "payload": pa.array(np.arange(2000, dtype=np.int64)),
+            }
+        )
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"dk": pa.array(np.arange(0, 700, 3, dtype=np.int64))})
+    ).repartition(3)
+
+    def collect(ds):
+        t = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        )
+        return sorted(zip(t["k"].to_pylist(), t["payload"].to_pylist()))
+
+    broadcast = relational.semi_join(left, right, on="k", right_on="dk")
+    # broadcast_limit=0 forces the bloom-prefilter + shuffle-join path
+    bloomed = relational.semi_join(
+        left, right, on="k", right_on="dk", broadcast_limit=0
+    )
+    expected = collect(broadcast)
+    assert expected == collect(bloomed)
+    assert len(expected) == sum(1 for i in range(2000) if (i % 700) % 3 == 0)
+
+    # anti on the shuffle path (no bloom) must stay exact too
+    anti = relational.anti_join(left, right, on="k", right_on="dk", broadcast_limit=0)
+    assert anti.count() == 2000 - len(expected)
+
+
+def test_bloom_prefilter_sound_and_selective(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import relational
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(50_000, dtype=np.int64))})
+    ).repartition(4)
+    keys = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(0, 50_000, 100, dtype=np.int64))})
+    ).materialize()
+
+    out = relational._bloom_prefilter(left, keys, "k", "k")
+    kept = set()
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        kept.update(b["k"].to_pylist())
+    truth = set(range(0, 50_000, 100))
+    assert truth <= kept  # soundness: zero false negatives
+    fpr = (len(kept) - len(truth)) / (50_000 - len(truth))
+    assert fpr < 0.01  # 16 bits/key, 8 probes -> ~5e-4 expected
