@@ -862,6 +862,67 @@ def q_bpe_token_counts(sf_dir: str):
     return _table(out.select_columns(["doc_id", "n_bpe_tokens"]))
 
 
+# Corpus-hitting mask pattern appended to the PII defaults so the scrub
+# query exercises real replacements on the synthetic corpus (which plants
+# no actual PII — the PII patterns themselves are covered by unit tests).
+_SCRUB_PATTERNS = textops.PII_PATTERNS + ((r"\b(key|hash)\b", "[MASK]"),)
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle generated from the SAME pattern list the engine applies —
+    one CTE per pattern, counting matches on the text as it stands at
+    that step (Arrow and DuckDB both run RE2, so the pattern strings are
+    portable verbatim)."""
+    steps = ["s0 AS (SELECT doc_id, text AS t, 0 AS n FROM documents)"]
+    prev = "s0"
+    for i, (pat, repl) in enumerate(_SCRUB_PATTERNS, start=1):
+        p = pat.replace("'", "''")
+        steps.append(
+            f"s{i} AS (SELECT doc_id, regexp_replace(t, '{p}', '{repl}', 'g') AS t,"
+            f" n + len(regexp_split_to_array(t, '{p}')) - 1 AS n FROM {prev})"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n".join(steps)
+        + f"\nSELECT doc_id, t AS clean_text, CAST(n AS BIGINT) AS n_redactions FROM {prev}"
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: textops.scrub_text_batch(t, patterns=_SCRUB_PATTERNS),
+        batch_format="pyarrow",
+    )
+    return _table(out.select_columns(["doc_id", "clean_text", "n_redactions"]))
+
+
+def q_chunk_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textops.chunk_text_batch, batch_format="pyarrow")
+    return _table(out)
+
+
+def _mod97_split(t: "pa.Table", keep_bench: bool) -> "pa.Table":
+    m = _chunk(t["doc_id"]).to_numpy(zero_copy_only=False) % 97 == 0
+    return t.filter(pa.array(m if keep_bench else ~m))
+
+
+def q_decontaminate(sf_dir: str):
+    """Training-set decontamination: every 97th document stands in for the
+    held-out benchmark; corpus docs sharing any 8-word shingle with it are
+    dropped. Output = surviving doc ids."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: _mod97_split(t, keep_bench=True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        lambda t: _mod97_split(t, keep_bench=False), batch_format="pyarrow"
+    )
+    out = dedup.decontaminate(corpus, bench, k=8)
+    return _table(out.select_columns(["doc_id"]))
+
+
 def q_minhash_pairs(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return _table(
@@ -1183,6 +1244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "term_df": q_term_df,
         "event_pairs": q_event_pairs,
+        "pii_scrub": q_pii_scrub,
+        "chunk_docs": q_chunk_docs,
+        "decontaminate": q_decontaminate,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -1604,6 +1668,43 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND b.ts_s BETWEEN a.ts_s - 3600 AND a.ts_s + 3600
+        """,
+        "pii_scrub": _pii_scrub_sql(),
+        "chunk_docs": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     greatest(CAST(ceil((length(text) - 48) / 40.0) AS INT) + 1, 1)
+                       AS n_chunks
+              FROM documents
+            ),
+            fan AS (
+              SELECT doc_id, text, n_chunks,
+                     unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+              FROM base
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   substring(text, CAST(chunk_id * 40 + 1 AS INT), 48) AS chunk,
+                   CAST(n_chunks AS BIGINT) AS n_chunks
+            FROM fan
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(words[i : i + 7], ' ') AS gram
+              FROM (SELECT doc_id, words,
+                           unnest(generate_series(1, greatest(len(words) - 7, 1))) AS i
+                    FROM w)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            bad AS (
+              SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+              WHERE g.doc_id % 97 <> 0
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "node_degrees": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

@@ -854,3 +854,70 @@ def embedding_dedup_pairs(
         )
 
     return paired.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (shared-shingle removal)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_partitions: int = 32,
+    broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Drop every document that shares at least one ``k``-word shingle with
+    the ``benchmark`` corpus — the standard training-set decontamination
+    pass (eval contamination travels as verbatim runs, so one shared
+    shingle is the drop signal).
+
+    Distributed as two key-only exchanges, no text ever rides a shuffle:
+
+    1. both sides expand to (id, gram-hash) rows via the same vectorized
+       rolling-hash kernel as MinHash (``_gram_hashes``; rows shorter than
+       ``k`` words fold into one whole-row gram);
+    2. ``semi_join`` keeps contaminated doc grams — benchmark gram hashes
+       are dimension-sized (8 B per distinct shingle), so this is normally
+       the broadcast membership path, and past ``broadcast_limit`` it
+       rides the bloom-prefiltered hash join;
+    3. ``anti_join`` removes the distinct contaminated ids from ``docs``.
+
+    Gram equality is 64-bit-hash equality: a cross-sequence collision
+    (~n_grams^2 / 2^64) can spuriously drop a document, which at training
+    scale is an accepted no-op (dedup-side false positives cost one doc,
+    never correctness of survivors' content).
+    """
+    from .relational import anti_join, semi_join
+
+    def grams(t: pa.Table, with_ids: bool) -> pa.Table:
+        wh, lens = _word_hashes(_chunked(t[text_col]))
+        gh, n = _gram_hashes(wh, lens, k)
+        cols = {"gram": pa.array(gh, type=pa.uint64())}
+        if with_ids:
+            ids = _chunked(t[id_col]).to_numpy(zero_copy_only=False)
+            cols[id_col] = pa.array(np.repeat(ids, n))
+        out = pa.table(cols)
+        # per-batch distinct: shrink the exchange before it happens
+        import pandas as pd
+
+        return pa.Table.from_pandas(
+            out.to_pandas().drop_duplicates(), preserve_index=False
+        ).cast(out.schema)
+
+    doc_grams = docs.select_columns([id_col, text_col]).map_batches(
+        lambda t: grams(t, with_ids=True), batch_format="pyarrow"
+    )
+    bench_grams = benchmark.select_columns([text_col]).map_batches(
+        lambda t: grams(t, with_ids=False), batch_format="pyarrow"
+    )
+    contaminated = semi_join(
+        doc_grams, bench_grams, on="gram",
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+    )
+    return anti_join(
+        docs, contaminated, on=id_col,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+    )

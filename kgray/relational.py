@@ -453,13 +453,21 @@ _BLOOM_MAX_BITS = 1 << 31  # 256 MiB bitmap cap (broadcast once per node)
 def _bloom_hash(col):
     """Stable uint64 hash of an Arrow column — pandas' siphash with its
     fixed default key (the same choice add_bucket_column relies on), so
-    worker and driver agree across processes. Ints are normalized to
-    int64 first: pandas hashes int32 and int64 of equal value differently."""
+    worker and driver agree across processes. Ints are normalized to the
+    uint64 BIT PATTERN of their 64-bit widening (pandas hashes int32 and
+    int64 of equal value differently; a value cast would overflow on
+    uint64 keys above int64 max). Null keys hash as 0 — a bloom false
+    positive at worst, and the exact join treats null as no-match anyway."""
     import numpy as np
 
     arr = _chunked(col)
-    if pa.types.is_integer(arr.type) and arr.type != pa.int64():
-        arr = arr.cast(pa.int64())
+    if pa.types.is_integer(arr.type):
+        if arr.null_count:
+            arr = pc.fill_null(arr, 0)
+        np_arr = arr.to_numpy()
+        if np_arr.dtype != np.uint64:
+            np_arr = np_arr.astype(np.int64, copy=False).view(np.uint64)
+        return pd.util.hash_array(np_arr)
     s = pd.Series(arr.to_pandas())
     return pd.util.hash_pandas_object(s, index=False).to_numpy()
 

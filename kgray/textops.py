@@ -305,3 +305,96 @@ def term_df(
             "df": pa.array(final["df"].to_numpy(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# pattern scrub (PII redaction) and training-context chunking
+# ---------------------------------------------------------------------------
+
+# Default PII redaction set. Arrow's regex engine is RE2 (same as DuckDB's),
+# so the identical pattern strings drive both the engine and the oracle.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"(\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}", "[PHONE]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"https?://[^\s]+", "[URL]"),
+)
+
+
+def scrub_text_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    out_col: str = "clean_text",
+    count_col: str = "n_redactions",
+) -> pa.Table:
+    """Redact every ``patterns`` match (PII scrub) — all Arrow RE2 C kernels.
+
+    Patterns apply SEQUENTIALLY and each is counted on the text as it
+    stands at that step (a phone inside an already-redacted URL is not
+    double-counted) — mirror the same ordering in any oracle."""
+    text = _chunked(batch[text_col])
+    counts = np.zeros(len(text), dtype=np.int64)
+    for pat, repl in patterns:
+        counts += pc.fill_null(pc.count_substring_regex(text, pat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        text = pc.replace_substring_regex(text, pat, repl)
+    return batch.append_column(out_col, text).append_column(
+        count_col, pa.array(counts)
+    )
+
+
+def chunk_text_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 48,
+    overlap: int = 8,
+) -> pa.Table:
+    """Fan each document out into fixed-width training-context chunks.
+
+    Windows of ``size`` codepoints advance by ``size - overlap``; the last
+    window clips at the text end; every document emits at least one chunk
+    (short/empty texts emit themselves). Embarrassingly parallel — chunking
+    is complete within a batch, no shuffle — and vectorized: one Arrow
+    slice kernel per chunk INDEX (bounded by the longest doc in the batch,
+    independent of row count), never per row. Slicing counts codepoints,
+    matching SQL ``substring`` character semantics.
+
+    Emits (id_col, chunk_id, chunk, n_chunks).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    text = _chunked(batch[text_col])
+    n = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    n = n.astype(np.int64)
+    n_chunks = np.where(n <= size, 1, -(-(n - size) // stride) + 1)
+    ids = _chunked(batch[id_col])
+    out = []
+    for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
+        idx = np.nonzero(n_chunks > j)[0]
+        sel = pa.array(idx)
+        out.append(
+            pa.table(
+                {
+                    id_col: ids.take(sel),
+                    "chunk_id": pa.array(np.full(len(idx), j, dtype=np.int64)),
+                    "chunk": pc.utf8_slice_codeunits(
+                        text.take(sel), start=j * stride, stop=j * stride + size
+                    ),
+                    "n_chunks": pa.array(n_chunks[idx]),
+                }
+            )
+        )
+    if not out:
+        return pa.table(
+            {
+                id_col: pa.array([], type=ids.type),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.string()),
+                "n_chunks": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(out)

@@ -59,5 +59,10 @@ def join_partitions(requested: int, n_rows: int | None = None,
     except Exception:
         pass
     if n_rows is not None:
-        cap = min(cap, n_rows // rows_per_partition + 2)
-    return max(2, cap)
+        # ceil, floor 1: a build side at or under one partition's worth of
+        # rows gets exactly ONE partition, which can never be empty — the
+        # guaranteed-safe shape for acero (the forced-shuffle test regime;
+        # production key counts exceed the broadcast limit and always land
+        # on the CPU cap above)
+        cap = min(cap, max(1, -(-n_rows // rows_per_partition)))
+    return max(1, cap)
