@@ -923,6 +923,39 @@ def q_decontaminate(sf_dir: str):
     return _table(out.select_columns(["doc_id"]))
 
 
+def q_corpus_clean(sf_dir: str):
+    """Composite training-corpus cleaning pipeline — the flagship of the
+    training-data family: benchmark holdout (every 97th doc) -> language
+    filter (en) -> quality floor (>= 10 tokens) -> exact dedup (lowest
+    doc_id per distinct text) -> shingle decontamination vs the holdout ->
+    per-survivor token counts. Each stage is a streaming batch transform;
+    the only exchanges are exact_dedup's bucketed shuffle and the two
+    key-only joins inside decontaminate."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: _mod97_split(t, keep_bench=True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        lambda t: _mod97_split(t, keep_bench=False), batch_format="pyarrow"
+    )
+    corpus = corpus.map_batches(
+        textops.LangId, batch_format="pyarrow", concurrency=pool_concurrency()
+    )
+    corpus = corpus.map_batches(textops.token_count_batch, batch_format="pyarrow")
+    corpus = corpus.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(_chunk(t["lang_pred"]), "en"),
+                pc.greater_equal(_chunk(t["n_tokens"]), 10),
+            )
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "text", "n_tokens"])
+    corpus = dedup.exact_dedup(corpus, ["text"], ["doc_id"])
+    out = dedup.decontaminate(corpus, bench, k=8)
+    return _table(out.select_columns(["doc_id", "n_tokens"]))
+
+
 def q_minhash_pairs(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return _table(
@@ -1247,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
         "decontaminate": q_decontaminate,
+        "corpus_clean": q_corpus_clean,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -1705,6 +1739,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "corpus_clean": f"""
+            WITH l AS ({_LANG_ID_SQL}),
+            en AS (
+              SELECT d.doc_id, d.text,
+                     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents d JOIN l USING (doc_id)
+              WHERE l.lang_pred = 'en'
+                AND len(string_split(d.text, ' ')) >= 10
+                AND d.doc_id % 97 <> 0
+            ),
+            ded AS (
+              SELECT doc_id, text, n_tokens FROM (
+                SELECT doc_id, text, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM en
+              ) WHERE rn = 1
+            ),
+            w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(words[i : i + 7], ' ') AS gram
+              FROM (SELECT doc_id, words,
+                           unnest(generate_series(1, greatest(len(words) - 7, 1))) AS i
+                    FROM w)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            bad AS (
+              SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+              WHERE g.doc_id % 97 <> 0
+            )
+            SELECT doc_id, n_tokens FROM ded
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "node_degrees": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

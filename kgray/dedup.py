@@ -892,6 +892,13 @@ def decontaminate(
     """
     from .relational import anti_join, semi_join
 
+    # the corpus stream is consumed twice (gram expansion feeding the semi
+    # join, then as the anti join's left side); pin the blocks once so an
+    # expensive upstream chain (language-ID actors, a dedup shuffle) isn't
+    # recomputed — the object store spills past memory, which beats a
+    # second full execution
+    docs = docs.materialize()
+
     def grams(t: pa.Table, with_ids: bool) -> pa.Table:
         wh, lens = _word_hashes(_chunked(t[text_col]))
         gh, n = _gram_hashes(wh, lens, k)

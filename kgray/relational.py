@@ -340,15 +340,6 @@ def sorted_concat_per_group(
     return hash_bucketed_groupby(combined, [group_col], concat)
 
 
-def _distinct_keys(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
-    per_block = ds.select_columns([col]).map_batches(
-        lambda t: pa.table({col: _chunked(t[col]).unique()}), batch_format="pyarrow"
-    )
-    return hash_bucketed_groupby(
-        per_block, [col], lambda df: df.drop_duplicates(col), num_buckets=16
-    )
-
-
 def semi_join(
     left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     right_on: str | None = None, num_partitions: int = 32,
@@ -382,26 +373,33 @@ def _marker_join(
     broadcast_limit: int = 5_000_000,
 ):
     right_on = right_on or on
-    keys = _distinct_keys(right, right_on).materialize()
+    # block-level uniques first: when they already fit the broadcast budget
+    # the distinct finishes on the driver with NO shuffle — the bucketed
+    # groupby's fixed cost (seconds at wide CPU counts) would dwarf a
+    # dimension-sized key set
+    per_block = right.select_columns([right_on]).map_batches(
+        lambda t, c=right_on: pa.table({c: _chunked(t[c]).unique()}),
+        batch_format="pyarrow",
+    ).materialize()
 
-    if keys.count() <= broadcast_limit:
-        # distinct key set is dimension-sized -> broadcast membership filter
-        # (no shuffle of the left stream at all). This is also the robust
+    def collect_unique(ds_keys):
+        chunks = [
+            _chunked(b[right_on]).combine_chunks()
+            if isinstance(_chunked(b[right_on]), pa.ChunkedArray)
+            else _chunked(b[right_on])
+            for b in ds_keys.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
+        ]
+        if not chunks:
+            return None
+        return pa.concat_arrays(chunks).unique()
+
+    def broadcast_filter(value_set: pa.Array):
+        # dimension-sized key set -> broadcast membership filter (no
+        # shuffle of the left stream at all). This is also the robust
         # path: Ray's hash join fails outright when the build side leaves
         # some partitions empty (schema-less blocks break the acero join).
         import ray as _ray
 
-        chunks = [
-            _chunked(b[right_on])
-            for b in keys.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
-        ]
-        if not chunks:
-            # empty right side: is_in with a null-typed [] raises on typed
-            # keys — short-circuit instead (anti keeps everything, semi none)
-            return left if not keep_match else left.limit(0)
-        value_set = pa.concat_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]
-        )
         set_ref = _ray.put(value_set)
 
         def member_filter(t: pa.Table, _ref=set_ref) -> pa.Table:
@@ -410,6 +408,23 @@ def _marker_join(
             return t.filter(m if keep_match else pc.invert(m))
 
         return left.map_batches(member_filter, batch_format="pyarrow")
+
+    if per_block.count() <= broadcast_limit:
+        value_set = collect_unique(per_block)
+        if value_set is None:
+            # empty right side: is_in with a null-typed [] raises on typed
+            # keys — short-circuit instead (anti keeps everything, semi none)
+            return left if not keep_match else left.limit(0)
+        return broadcast_filter(value_set)
+
+    # block-level uniques exceed the budget: run the full distinct shuffle,
+    # then re-check (cross-block overlap can still shrink below the limit)
+    keys = hash_bucketed_groupby(
+        per_block, [right_on], lambda df: df.drop_duplicates(right_on),
+        num_buckets=16,
+    ).materialize()
+    if keys.count() <= broadcast_limit:
+        return broadcast_filter(collect_unique(keys))
 
     if keep_match:
         # Bloom pre-filter before the shuffle: the bitmap is built from
