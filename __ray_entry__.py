@@ -833,7 +833,7 @@ def q_media_features(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(textops.LangId, batch_format="pyarrow", concurrency=pool_concurrency())
+    out = ds.map_batches(textops.LangId(), batch_format="pyarrow")
     return _table(out.select_columns(["doc_id", "lang_pred"]))
 
 
@@ -841,7 +841,7 @@ def q_lang_token_stats(sf_dir: str):
     """Operator composition: language-ID -> token counting -> per-language
     aggregate (the corpus-profiling pass a training-data pipeline runs)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(textops.LangId, batch_format="pyarrow", concurrency=pool_concurrency())
+    ds = ds.map_batches(textops.LangId(), batch_format="pyarrow")
     ds = ds.map_batches(textops.token_count_batch, batch_format="pyarrow")
     ds = ds.select_columns(["lang_pred", "n_tokens"])
     out = relational.grouped_agg(
@@ -939,7 +939,7 @@ def q_corpus_clean(sf_dir: str):
         lambda t: _mod97_split(t, keep_bench=False), batch_format="pyarrow"
     )
     corpus = corpus.map_batches(
-        textops.LangId, batch_format="pyarrow", concurrency=pool_concurrency()
+        textops.LangId(), batch_format="pyarrow"
     )
     corpus = corpus.map_batches(textops.token_count_batch, batch_format="pyarrow")
     corpus = corpus.map_batches(

@@ -99,11 +99,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 class LangId:
-    """Actor stage: stopword-profile language-ID heuristic.
+    """Stopword-profile language-ID heuristic.
 
     Scores each language by marker-word hits; ties and zero-evidence rows
     fall back to 'und'. (Synthetic corpora have no real language signal —
     this op exists for the operator surface and its plumbing.)
+
+    The marker state is a tiny dict, so pass a prebuilt INSTANCE to
+    task-based ``map_batches`` (it ships with the task, built once on the
+    driver) — an actor pool's spin-up costs more than the state is worth.
+    A real model-backed language ID would go back to the class-with-
+    ``concurrency`` actor form.
     """
 
     def __init__(self, markers: dict[str, tuple[str, ...]] | None = None):
