@@ -384,9 +384,7 @@ def _marker_join(
 
     def collect_unique(ds_keys):
         chunks = [
-            _chunked(b[right_on]).combine_chunks()
-            if isinstance(_chunked(b[right_on]), pa.ChunkedArray)
-            else _chunked(b[right_on])
+            _chunked(b[right_on])
             for b in ds_keys.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
         ]
         if not chunks:
