@@ -1111,6 +1111,30 @@ def q_term_df(sf_dir: str):
     return _table(textops.term_df(docs))
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Per-doc top-3 keywords by integer tf-idf ((tf * 1e6) // df)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = textops.tfidf_top_terms(docs, k=3)
+    return _table(out.map_batches(_ints64_df, batch_format="pandas"))
+
+
+def _ints64_df(df):
+    for c in df.columns:
+        if df[c].dtype.kind in "iu" and str(df[c].dtype) != "int64":
+            df = df.assign(**{c: df[c].astype("int64")})
+    return df
+
+
+def q_train_val_split(sf_dir: str):
+    """Leak-free held-out split: every document labeled train/val/test by
+    key-coherent Knuth hash (10% val, 5% test)."""
+    from kgray import sampling
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = sampling.hash_split(docs, "doc_id", val_permille=100, test_permille=50)
+    return _table(out)
+
+
 def q_event_pairs(sf_dir: str):
     """Same-user event pairs within +-1 hour — the interval-join operator
     (bucketized range join; each qualifying pair matched exactly once)."""
@@ -1276,6 +1300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
         "term_df": q_term_df,
+        "tfidf_keywords": q_tfidf_keywords,
+        "train_val_split": q_train_val_split,
         "event_pairs": q_event_pairs,
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
@@ -1702,6 +1728,37 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND b.ts_s BETWEEN a.ts_s - 3600 AND a.ts_s + 3600
+        """,
+        "tfidf_keywords": """
+            WITH tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+              ) WHERE term <> '' GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     (tf.tf * 1000000) // df.df AS score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term
+                     ) AS rn
+              FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score,
+                   CAST(rn AS BIGINT) AS rn
+            FROM ranked WHERE rn <= 3
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 100
+                        THEN 'val'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 150
+                        THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
         """,
         "pii_scrub": _pii_scrub_sql(),
         "chunk_docs": """

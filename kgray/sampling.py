@@ -109,3 +109,36 @@ def stratified_sample(
         return df[h < lim]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_permille: int = 100,
+    test_permille: int = 0,
+    split_col: str = "split",
+) -> ray.data.Dataset:
+    """Label every row 'train' / 'val' / 'test' by key hash — the
+    leak-free held-out split a training pipeline cuts before anything
+    else. Key-coherent (all rows of a key land in one split), stateless,
+    reproducible at any parallelism, and integer-SQL-mirrorable:
+
+        bucket = ((k * 2654435761) % 2^32) % 1000
+        val:   bucket <  val_permille
+        test:  val_permille <= bucket < val_permille + test_permille
+        train: the rest
+    """
+    if not 0 <= val_permille + test_permille <= 1000:
+        raise ValueError("permille budgets must sum within [0, 1000]")
+
+    def label(t: pa.Table) -> pa.Table:
+        k = pc.cast(_chunked(t[key_col]), pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = knuth_hash32(k) % np.int64(1000)
+        out = np.where(
+            bucket < val_permille,
+            "val",
+            np.where(bucket < val_permille + test_permille, "test", "train"),
+        )
+        return t.append_column(split_col, pa.array(out.tolist(), type=pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -404,3 +404,103 @@ def chunk_text_batch(
             }
         )
     return pa.concat_tables(out)
+
+
+def tfidf_top_terms(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    score_scale: int = 1_000_000,
+    vocab_broadcast_limit: int = 2_000_000,
+    num_buckets: int = 32,
+):
+    """Per-document top-``k`` keywords by integer tf-idf score.
+
+    ``score = (tf * score_scale) // df`` — pure int64 arithmetic, so the
+    ranking is bit-stable across engines and SQL-mirrorable (1/df keeps
+    idf's ordering at fixed tf; ``ln()`` would introduce cross-engine
+    float rounding at rank boundaries). Ties break on term.
+
+    Two passes over the corpus, both streaming: (1) per-batch (doc, term,
+    tf) partials reduce to corpus document frequencies via one bucketed
+    sum (vocabulary-sized output); (2) the same tf explode re-runs with
+    the df table attached. When the vocabulary fits
+    ``vocab_broadcast_limit`` it ships once via ``ray.put`` and pass 2 is
+    shuffle-free — a doc's rows never leave their batch, so the per-doc
+    top-k is embarrassingly parallel. A larger vocabulary degrades to a
+    term-keyed hash join plus a doc-keyed bucketed top-k.
+
+    Tokenization matches ``top_terms_batch`` (single-space split, empty
+    tokens dropped) so the same SQL mirror applies.
+    """
+    import pandas as pd
+
+    import ray as _ray
+
+    from .relational import hash_bucketed_groupby, shuffle_join
+    from .util import join_partitions
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        return (
+            ex.groupby([id_col, "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [id_col, "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = df.groupby(id_col, as_index=False).head(k).copy()
+        out["rn"] = out.groupby(id_col).cumcount() + 1
+        return out
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(tf_rows, batch_format="pandas")
+
+    # corpus document frequencies: tf rows are one per (doc, term), so the
+    # per-term row count IS df; per-batch partial -> one bucketed sum
+    df_partial = tf.map_batches(
+        lambda d: d.groupby("term", as_index=False).size().rename(columns={"size": "df"}),
+        batch_format="pandas",
+    )
+    df_ds = hash_bucketed_groupby(
+        df_partial, ["term"],
+        lambda d: d.groupby("term", as_index=False)["df"].sum(),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    if df_ds.count() <= vocab_broadcast_limit:
+        vocab = pd.concat(
+            list(df_ds.iter_batches(batch_format="pandas", batch_size=1 << 20)),
+            ignore_index=True,
+        ) if df_ds.count() else pd.DataFrame({"term": [], "df": []})
+        ref = _ray.put(pd.Series(
+            vocab["df"].to_numpy(np.int64), index=vocab["term"]
+        ))
+
+        def score_local(d: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            dfs = _ray.get(_ref)
+            d = d.copy()
+            d["df"] = d["term"].map(dfs).astype(np.int64)
+            d["score"] = (d["tf"].to_numpy(np.int64) * score_scale) // d["df"].to_numpy(
+                np.int64
+            )
+            return topk(d)
+
+        return tf.map_batches(score_local, batch_format="pandas")
+
+    joined = shuffle_join(
+        tf, df_ds, on=("term",),
+        num_partitions=join_partitions(num_buckets),
+    )
+    scored = joined.map_batches(
+        lambda d: d.assign(
+            score=(d["tf"].to_numpy(np.int64) * score_scale)
+            // d["df"].to_numpy(np.int64)
+        ),
+        batch_format="pandas",
+    )
+    return hash_bucketed_groupby(scored, [id_col], topk, num_buckets=num_buckets)

@@ -1,0 +1,85 @@
+"""tf-idf keyword extraction and the hash train/val/test split."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _toy_docs():
+    import ray.data as rd
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "apple egg egg egg fig",
+        "cherry date fig",
+        "unique singleton words only",
+    ]
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(5)), "text": texts})
+    ).repartition(2)
+
+
+def _collect(ds):
+    import pandas as pd
+
+    dfs = list(ds.iter_batches(batch_format="pandas", batch_size=1 << 16))
+    out = pd.concat(dfs, ignore_index=True)
+    return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+
+
+def test_tfidf_ranks_rare_terms_above_common(ray_session):
+    from kgray.textops import tfidf_top_terms
+
+    out = _collect(tfidf_top_terms(_toy_docs(), k=2))
+    by_doc = {d: list(g["term"]) for d, g in out.groupby("doc_id")}
+    # doc 0: apple tf=2 df=2 -> 1e6; banana tf=1 df=2, cherry tf=1 df=2 ->
+    # 5e5 each, banana wins the term tiebreak
+    assert by_doc[0] == ["apple", "banana"]
+    # doc 2: egg tf=3 df=1 -> 3e6 beats apple tf=1 df=2
+    assert by_doc[2][0] == "egg"
+    # singleton-word doc: all score 1e6, term-alphabetical
+    assert by_doc[4] == ["only", "singleton"]
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    from kgray.textops import tfidf_top_terms
+
+    broadcast = _collect(tfidf_top_terms(_toy_docs(), k=3))
+    joined = _collect(tfidf_top_terms(_toy_docs(), k=3, vocab_broadcast_limit=0))
+    cols = ["doc_id", "term", "tf", "df", "score", "rn"]
+    assert broadcast[cols].astype(str).values.tolist() == \
+        joined[cols].astype(str).values.tolist()
+
+
+def test_hash_split_coherent_and_mirrorable(ray_session):
+    import ray.data as rd
+
+    from kgray.sampling import hash_split
+
+    ids = np.arange(20_000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(4)
+    out = {}
+    for b in hash_split(ds, "doc_id", val_permille=100, test_permille=50).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 16
+    ):
+        out.update(zip(b["doc_id"].to_pylist(), b["split"].to_pylist()))
+
+    bucket = (ids * 2654435761) % (1 << 32) % 1000
+    expect = np.where(bucket < 100, "val", np.where(bucket < 150, "test", "train"))
+    assert all(out[i] == expect[i] for i in ids)
+    n_val = sum(1 for v in out.values() if v == "val")
+    n_test = sum(1 for v in out.values() if v == "test")
+    # Bernoulli-by-hash: ~10% / ~5% within a loose band
+    assert 0.08 < n_val / len(ids) < 0.12
+    assert 0.035 < n_test / len(ids) < 0.065
+
+
+def test_hash_split_rejects_bad_budget(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from kgray.sampling import hash_split
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1]}))
+    with pytest.raises(ValueError):
+        hash_split(ds, "doc_id", val_permille=900, test_permille=200)
