@@ -119,6 +119,19 @@ def test_decontaminate_drops_planted_overlap(ray_session):
     assert dropped == [0, 7, 9]  # 11's 7-gram is below the shingle width
 
 
+def test_decontaminate_empty_benchmark_keeps_everything(ray_session):
+    import ray.data as rd
+
+    from kgray.dedup import decontaminate
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a b c d e f g h"] * 3})
+    )
+    bench = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
+    out = decontaminate(docs, bench, k=8)
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 2, 3]
+
+
 def test_decontaminate_forced_bloom_join_path(ray_session):
     import ray.data as rd
 
