@@ -263,3 +263,11 @@ def test_bloom_prefilter_sound_and_selective(ray_session):
     assert truth <= kept  # soundness: zero false negatives
     fpr = (len(kept) - len(truth)) / (50_000 - len(truth))
     assert fpr < 0.01  # 16 bits/key, 8 probes -> ~5e-4 expected
+
+    # the distributed partial-bitmap build (forced via threshold 0) must
+    # produce the identical bitmap -> identical kept set
+    dist = relational._bloom_prefilter(left, keys, "k", "k", partial_threshold=0)
+    kept_dist = set()
+    for b in dist.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        kept_dist.update(b["k"].to_pylist())
+    assert kept_dist == kept
