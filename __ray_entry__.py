@@ -533,6 +533,32 @@ def q_distinct_users_per_type(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_windowed_distinct_users(sf_dir: str):
+    """Tumbling-window distinct users per event type — the
+    windowed-cardinality composition (window assignment is a vectorized
+    map; the (type, window, user) dedup shuffle is the only exchange)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "ts"]
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        epoch_us = _chunk(t["ts"]).cast(pa.int64())
+        win = pc.multiply(pc.divide(epoch_us, 3600 * 1_000_000), 3600)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.cast(win, pa.int64()),
+                "user_id": t["user_id"],
+            }
+        )
+
+    win = ds.map_batches(add_window, batch_format="pyarrow")
+    out = relational.distinct_count_per_group(
+        win, ["event_type", "window_start"], "user_id"
+    )
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog sketch form of distinct_users_per_type: bounded-size
     mergeable register partials instead of shuffling every distinct pair
@@ -1302,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "tfidf_keywords": q_tfidf_keywords,
         "train_val_split": q_train_val_split,
+        "windowed_distinct_users": q_windowed_distinct_users,
         "event_pairs": q_event_pairs,
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
@@ -1728,6 +1755,12 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND b.ts_s BETWEEN a.ts_s - 3600 AND a.ts_s + 3600
+        """,
+        "windowed_distinct_users": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1, 2
         """,
         "tfidf_keywords": """
             WITH tf AS (

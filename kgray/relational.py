@@ -279,20 +279,21 @@ def grouped_agg(
 
 
 def distinct_count_per_group(
-    ds: ray.data.Dataset, group_col: str, distinct_col: str
+    ds: ray.data.Dataset, group_col: "str | list[str]", distinct_col: str
 ) -> ray.data.Dataset:
-    """COUNT(DISTINCT distinct_col) per group: per-block pair dedup
-    (combiner), one (group, value)-keyed dedup shuffle, then a counting
-    aggregation — the pair stream is the only thing shuffled, once."""
-    pairs = ds.select_columns([group_col, distinct_col]).map_batches(
-        lambda df: df.drop_duplicates([group_col, distinct_col]),
-        batch_format="pandas",
+    """COUNT(DISTINCT distinct_col) per group (single- or multi-column):
+    per-block pair dedup (combiner), one (group, value)-keyed dedup
+    shuffle, then a counting aggregation — the pair stream is the only
+    thing shuffled, once."""
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    cols = group_cols + [distinct_col]
+    pairs = ds.select_columns(cols).map_batches(
+        lambda df: df.drop_duplicates(cols), batch_format="pandas"
     )
     deduped = hash_bucketed_groupby(
-        pairs, [group_col, distinct_col],
-        lambda df: df.drop_duplicates([group_col, distinct_col]),
+        pairs, cols, lambda df: df.drop_duplicates(cols)
     )
-    return grouped_agg(deduped, keys=[group_col], count_alias="n_distinct")
+    return grouped_agg(deduped, keys=group_cols, count_alias="n_distinct")
 
 
 def quantile_disc_per_group(
