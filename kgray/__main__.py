@@ -19,6 +19,12 @@ matches (pipeline `_manifests/`).
 Usage::
 
     python -m kgray --type=all --sf-dir /root/testdata/sf0.001 --out /tmp/kg
+
+On a multi-node cluster the same CLI is the job entry point — the driver
+attaches to the cluster named by RAY_ADDRESS::
+
+    ray job submit --working-dir . -- \
+        python -m kgray --type=all --sf-dir s3://corpus/turns --out s3://kg/run1
 """
 
 from __future__ import annotations
@@ -45,7 +51,12 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # standalone: a local session; under `ray job submit` (or any set
+        # RAY_ADDRESS) this attaches to the running cluster instead
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False, logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
