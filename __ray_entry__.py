@@ -1263,6 +1263,165 @@ def q_kg_flagship(sf_dir: str):
     return _table(edges.map_batches(fin, batch_format="pyarrow"))
 
 
+def q_tool_transitions(sf_dir: str):
+    """Transcript step-transition matrix: which (role[:tool]) step follows
+    which across each conversation's ordered turns — per-conv ordered scan
+    via one keyed shuffle + bounded-partial reduce
+    (streaming.ordered_transitions)."""
+    ds = transcripts_dataset(sf_dir)
+
+    def step(t: pa.Table) -> pa.Table:
+        role = t["role"].combine_chunks()
+        tool = t["tool"].combine_chunks()
+        lab = pc.if_else(
+            pc.not_equal(tool, ""),
+            pc.binary_join_element_wise(role, tool, ":"),
+            role,
+        )
+        return pa.table(
+            {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"], "step": lab}
+        )
+
+    steps = ds.map_batches(step, batch_format="pyarrow")
+    out = streaming.ordered_transitions(
+        steps, "conv_id", "turn_idx", "step",
+        from_alias="from_step", to_alias="to_step",
+    )
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality filter over documents: duplicate-word
+    and top-bigram fractions (ppm ints), shuffle-free map_batches."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        docs.map_batches(textops.repetition_stats_batch, batch_format="pyarrow")
+    )
+
+
+def q_mention_lift(sf_dir: str):
+    """Entity co-occurrence lift over linked triples: for each (subject,
+    object) pair seen >= 2 times, fixed-point lift = n_ab * N / (n_a * n_b)
+    in ppm — the PMI-style association score a KG curation pass ranks
+    candidate edges by. Runs over CANONICAL ids (post union-find merge) so
+    coreferent mentions pool their evidence. Marginals are vocabulary-sized
+    (dimension tables by construction), attached via the size-routed
+    broadcast join."""
+    canonical, _ = _canonical_triples(sf_dir)
+    pairs_in = canonical.map_batches(
+        lambda t: t.select(["subject_id", "object_id"]),
+        batch_format="pyarrow",
+    ).materialize()  # three aggregate consumers; don't re-run extraction
+
+    n_total = pairs_in.count()
+    pair_counts = relational.grouped_agg(
+        pairs_in, keys=["subject_id", "object_id"], count_alias="n_ab"
+    )
+    subj_marg = relational.grouped_agg(
+        pairs_in, keys=["subject_id"], count_alias="n_a"
+    )
+    obj_marg = relational.grouped_agg(
+        pairs_in, keys=["object_id"], count_alias="n_b"
+    )
+    hot = pair_counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_ab"].combine_chunks(), 2)),
+        batch_format="pyarrow",
+    )
+    hot = relational.broadcast_lookup_join(
+        hot, subj_marg, "subject_id", "subject_id", ["n_a"]
+    )
+    hot = relational.broadcast_lookup_join(
+        hot, obj_marg, "object_id", "object_id", ["n_b"]
+    )
+
+    def lift(t: pa.Table, n=n_total) -> pa.Table:
+        n_ab = pc.cast(t["n_ab"].combine_chunks(), pa.int64())
+        n_a = pc.cast(t["n_a"].combine_chunks(), pa.int64())
+        n_b = pc.cast(t["n_b"].combine_chunks(), pa.int64())
+        num = pc.multiply(pc.multiply(n_ab, pa.scalar(n, pa.int64())),
+                          pa.scalar(1_000_000, pa.int64()))
+        return pa.table(
+            {
+                "subject_id": t["subject_id"],
+                "object_id": t["object_id"],
+                "n_ab": n_ab,
+                "lift_ppm": pc.divide(num, pc.multiply(n_a, n_b)),
+            }
+        )
+
+    return _table(
+        hot.map_batches(lift, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("subject_id", pa.string()),
+                ("object_id", pa.string()),
+                ("n_ab", pa.int64()),
+                ("lift_ppm", pa.int64()),
+            ]
+        ),
+    )
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Per-type p50/p90/p99 of event value via the mergeable fixed-point
+    histogram sketch (cent bins) — bounded exchange at any scale."""
+    from kgray import sketch
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = sketch.histogram_quantiles(events, "event_type", "value", qs=(50, 90, 99))
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
+def q_rollup_revenue(sf_dir: str):
+    """Multi-level ROLLUP aggregate: order revenue by (nation, segment), by
+    nation, and grand total. The distributed work is one size-routed dim
+    join + a 125-leaf partial aggregation; rollup levels derive from the
+    leaf table (tiny by construction) without re-reading the fact stream."""
+    import pandas as pd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["o_custkey"], "rev_c": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    joined = relational.broadcast_lookup_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_nationkey", "c_mktsegment"]
+    )
+    leaves = relational.grouped_agg(
+        joined,
+        keys=["c_nationkey", "c_mktsegment"],
+        sums={"rev_c": "rev_c"},
+        count_alias="n_orders",
+    )
+    leaf = _table(leaves).to_pandas()
+    leaf = leaf.rename(columns={"c_nationkey": "nationkey", "c_mktsegment": "segment"})
+    sub = leaf.groupby("nationkey", as_index=False)[["rev_c", "n_orders"]].sum()
+    sub["segment"] = "ALL"
+    tot = pd.DataFrame(
+        {
+            "nationkey": [-1],
+            "segment": ["ALL"],
+            "rev_c": [leaf["rev_c"].sum()],
+            "n_orders": [leaf["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([leaf, sub, tot], ignore_index=True)[
+        ["nationkey", "segment", "rev_c", "n_orders"]
+    ]
+    return _ints64(pa.Table.from_pandas(
+        out.astype({"nationkey": "int64", "rev_c": "int64", "n_orders": "int64"}),
+        preserve_index=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1334,6 +1493,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "decontaminate": q_decontaminate,
         "corpus_clean": q_corpus_clean,
+        "tool_transitions": q_tool_transitions,
+        "repetition_filter": q_repetition_filter,
+        "mention_lift": q_mention_lift,
+        "quantile_sketch": q_quantile_sketch,
+        "rollup_revenue": q_rollup_revenue,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -1864,6 +2028,94 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens FROM ded
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "tool_transitions": f"""{_SQL_PREFIX}
+            SELECT
+              CASE (t % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                           ELSE 'tool:search' END AS from_step,
+              CASE ((t + 1) % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                                 ELSE 'tool:search' END AS to_step,
+              COUNT(*) AS n
+            FROM calc WHERE t < c % 7
+            GROUP BY 1, 2
+        """,
+        "repetition_filter": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            base AS (
+              SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+              FROM w
+            ),
+            grams AS (
+              SELECT doc_id, unnest(
+                list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS g
+              FROM w WHERE len(ws) >= 2
+            ),
+            gtop AS (
+              SELECT doc_id, MAX(c) AS top_c FROM (
+                SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            m AS (
+              SELECT b.doc_id, b.n_words,
+                ((b.n_words - b.n_distinct) * 1000000)
+                  // greatest(b.n_words, 1) AS dup_word_ppm,
+                CASE WHEN b.n_words < 2 THEN 0
+                     ELSE (COALESCE(g.top_c, 0) * 1000000) // (b.n_words - 1)
+                END AS top_bigram_ppm
+              FROM base b LEFT JOIN gtop g USING (doc_id)
+            )
+            SELECT doc_id, n_words, dup_word_ppm, top_bigram_ppm,
+                   CAST(dup_word_ppm < 900000 AND top_bigram_ppm < 200000
+                        AS BIGINT) AS keep
+            FROM m
+        """,
+        "mention_lift": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            canon AS (SELECT (s - s % 2) AS s, (o - o % 2) AS o FROM linked),
+            pairs AS (SELECT s, o, COUNT(*) AS n_ab FROM canon GROUP BY 1, 2),
+            sm AS (SELECT s, COUNT(*) AS n_a FROM canon GROUP BY 1),
+            om AS (SELECT o, COUNT(*) AS n_b FROM canon GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS n FROM canon)
+            SELECT 'RAW:' || p.s AS subject_id, 'RAW:' || p.o AS object_id,
+                   p.n_ab,
+                   (p.n_ab * t.n * 1000000) // (sm.n_a * om.n_b) AS lift_ppm
+            FROM pairs p
+            JOIN sm ON sm.s = p.s
+            JOIN om ON om.o = p.o
+            CROSS JOIN tot t
+            WHERE p.n_ab >= 2
+        """,
+        "quantile_sketch": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS bin FROM events
+            ),
+            g AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, bin,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM g
+            )
+            SELECT event_type,
+                   MIN(bin) FILTER (WHERE cum * 100 >= 50 * tot) AS p50_c,
+                   MIN(bin) FILTER (WHERE cum * 100 >= 90 * tot) AS p90_c,
+                   MIN(bin) FILTER (WHERE cum * 100 >= 99 * tot) AS p99_c
+            FROM w GROUP BY 1
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(c_nationkey, -1) AS nationkey,
+                   CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+                        ELSE c_mktsegment END AS segment,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP(c_nationkey, c_mktsegment)
         """,
         "node_degrees": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

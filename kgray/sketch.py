@@ -125,3 +125,57 @@ def hll_distinct_per_group(
         parts, [group_col], lambda df: hll_estimate(df, group_col, precision),
         num_buckets=num_buckets,
     )
+
+
+def histogram_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: tuple[int, ...] = (50, 90, 99),
+    unit: float = 100.0,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles via a mergeable fixed-point
+    histogram sketch: value -> integer bin ``floor(value * unit)``; the
+    q-th percentile is the smallest bin whose cumulative count reaches
+    ``ceil(q% * n)`` (the standard lower-quantile on the binned CDF).
+
+    Exact within bin resolution (1/unit), deterministic, and
+    shuffle-bounded: the exchange moves one (group, bin, count) partial
+    row per distinct bin per block — fixed size regardless of row count,
+    which is what makes per-group percentiles viable at 100 TB where an
+    exact distributed sort per group is not.
+
+    Output: one row per group with columns ``p{q}_c`` (int64 bins).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg, hash_bucketed_groupby
+
+    def binify(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        b = pc.cast(pc.floor(pc.multiply(col, unit)), pa.int64())
+        return pa.table({group_col: t[group_col], "bin": b})
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, value_col]).map_batches(
+            binify, batch_format="pyarrow"
+        ),
+        keys=[group_col, "bin"],
+        count_alias="n",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "bin"], kind="mergesort")
+        g = df.groupby(group_col, sort=False)
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        tot = g["n"].transform("sum").to_numpy(np.int64)
+        cols = {}
+        for q in qs:
+            ok = df[cum * 100 >= q * tot]
+            cols[f"p{q}_c"] = ok.groupby(group_col, sort=False)["bin"].first()
+        return pd.DataFrame(cols).reset_index()
+
+    return hash_bucketed_groupby(counts, [group_col], finish, num_buckets)

@@ -263,3 +263,44 @@ def interval_join(
 def _chunked_i64(arr):
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     return a.cast(pa.int64()) if a.type != pa.int64() else a
+
+
+def ordered_transitions(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+    from_alias: str = "from_v",
+    to_alias: str = "to_v",
+):
+    """Adjacent-pair (bigram) transition counts per ordered key sequence —
+    e.g. which tool call follows which across agent-transcript turns.
+
+    One keyed shuffle co-locates each key's rows (hash buckets), a
+    per-bucket mergesort + vectorized shift emits (from, to) PARTIAL
+    counts (one row per distinct transition per bucket, not per row), and
+    a tiny keyed reduce sums partials — so the second exchange moves at
+    most |alphabet|^2 x num_buckets rows regardless of corpus size.
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg, hash_bucketed_groupby
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, order_col], kind="mergesort")
+        k = df[key_col].to_numpy()
+        v = df[val_col].to_numpy()
+        if len(df) < 2:
+            return pd.DataFrame({from_alias: [], to_alias: [], "n": []}).astype(
+                {"n": "int64"}
+            )
+        same = k[1:] == k[:-1]
+        out = pd.DataFrame({from_alias: v[:-1][same], to_alias: v[1:][same]})
+        g = out.groupby([from_alias, to_alias], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    partials = hash_bucketed_groupby(
+        ds.select_columns([key_col, order_col, val_col]), [key_col], fn, num_buckets
+    )
+    return grouped_agg(partials, keys=[from_alias, to_alias], sums={"n": "n"})

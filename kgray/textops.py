@@ -504,3 +504,70 @@ def tfidf_top_terms(
         batch_format="pandas",
     )
     return hash_bucketed_groupby(scored, [id_col], topk, num_buckets=num_buckets)
+
+
+def repetition_stats_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_word_max_ppm: int = 900_000,
+    top_bigram_max_ppm: int = 200_000,
+) -> pa.Table:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1),
+    doc-local so it runs as a plain map_batches with NO shuffle:
+
+    - ``dup_word_ppm``   = floor(1e6 * (n_words - n_distinct_words) / n_words)
+    - ``top_bigram_ppm`` = floor(1e6 * count(most frequent word bigram)
+                                      / n_bigrams)
+    - ``keep`` = both below their thresholds (int64 0/1)
+
+    Splitting is the single-space split (matches SQL ``string_split``);
+    per-doc distinct/bigram counts run as pandas C-level groupbys over the
+    flattened word stream — no Python loop over rows or words.
+    """
+    import pandas as pd
+
+    texts = _chunked(batch[text_col])
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_docs = len(words)
+    n_words = pc.list_value_length(words).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    flat = pd.Series(words.flatten().to_pandas(), copy=False)
+
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        nd = flat.groupby(doc_idx, sort=False).nunique()
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy(np.int64)
+
+    top_bigram = np.zeros(n_docs, dtype=np.int64)
+    if len(flat) > 1:
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            grams = flat.iloc[:-1].reset_index(drop=True)[same].str.cat(
+                flat.iloc[1:].reset_index(drop=True)[same], sep=" "
+            )
+            gdoc = doc_idx[:-1][same]
+            cnt = grams.groupby([gdoc, grams.to_numpy()], sort=False).size()
+            top = cnt.groupby(level=0).max()
+            top_bigram[top.index.to_numpy()] = top.to_numpy(np.int64)
+
+    safe_w = np.maximum(n_words, 1)
+    dup_ppm = ((n_words - n_distinct) * 1_000_000) // safe_w
+    n_bigrams = np.maximum(n_words - 1, 1)
+    top_ppm = np.where(
+        n_words < 2, 0, (top_bigram * 1_000_000) // n_bigrams
+    ).astype(np.int64)
+    keep = ((dup_ppm < dup_word_max_ppm) & (top_ppm < top_bigram_max_ppm)).astype(
+        np.int64
+    )
+    return pa.table(
+        {
+            id_col: pc.cast(_chunked(batch[id_col]), pa.int64()),
+            "n_words": pa.array(n_words),
+            "dup_word_ppm": pa.array(dup_ppm),
+            "top_bigram_ppm": pa.array(top_ppm),
+            "keep": pa.array(keep),
+        }
+    )

@@ -1,0 +1,101 @@
+"""Unit tests for the round-2 additions: repetition quality stats,
+ordered transition counts, and histogram-sketch quantiles — each checked
+against a straightforward scalar reference on small in-memory data."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from kgray.sketch import histogram_quantiles
+from kgray.streaming import ordered_transitions
+from kgray.textops import repetition_stats_batch
+
+
+def _ref_repetition(text: str) -> tuple[int, int, int]:
+    words = text.split(" ")
+    n = len(words)
+    dup_ppm = ((n - len(set(words))) * 1_000_000) // max(n, 1)
+    if n < 2:
+        top_ppm = 0
+    else:
+        grams = collections.Counter(zip(words, words[1:]))
+        top_ppm = (max(grams.values()) * 1_000_000) // (n - 1)
+    return n, dup_ppm, top_ppm
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "a b a b a",
+        "x",
+        "same same same same",
+        "one two three four five six",
+        "",  # split(' ') of '' -> [''] (one word), matches SQL string_split
+        "repeat pair repeat pair repeat pair tail",
+    ],
+)
+def test_repetition_stats_matches_reference(text):
+    t = pa.table({"doc_id": [7], "text": [text]})
+    out = repetition_stats_batch(t).to_pylist()[0]
+    n, dup_ppm, top_ppm = _ref_repetition(text)
+    assert out["n_words"] == n
+    assert out["dup_word_ppm"] == dup_ppm
+    assert out["top_bigram_ppm"] == top_ppm
+    assert out["keep"] == int(dup_ppm < 900_000 and top_ppm < 200_000)
+
+
+def test_repetition_stats_batched_multi_doc():
+    texts = ["a a a a", "b c d e", "z", "m n m n m n"]
+    t = pa.table({"doc_id": list(range(4)), "text": texts})
+    out = repetition_stats_batch(t).to_pandas().sort_values("doc_id")
+    for row, text in zip(out.itertuples(), texts):
+        n, dup_ppm, top_ppm = _ref_repetition(text)
+        assert (row.n_words, row.dup_word_ppm, row.top_bigram_ppm) == (
+            n, dup_ppm, top_ppm,
+        )
+
+
+def test_ordered_transitions_counts(ray_session):
+    # two keys with interleaved arrival order; transitions follow order_col
+    rows = [
+        {"k": "a", "i": 2, "v": "y"},
+        {"k": "a", "i": 0, "v": "x"},
+        {"k": "b", "i": 1, "v": "x"},
+        {"k": "a", "i": 1, "v": "x"},
+        {"k": "b", "i": 0, "v": "x"},
+        {"k": "c", "i": 0, "v": "z"},  # single-turn key: no transition
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (
+        ordered_transitions(ds, "k", "i", "v", num_buckets=4)
+        .to_pandas()
+        .sort_values(["from_v", "to_v"])
+        .reset_index(drop=True)
+    )
+    # a: x->x->y ; b: x->x ; c: none
+    expected = {("x", "x"): 2, ("x", "y"): 1}
+    got = {(r.from_v, r.to_v): r.n for r in out.itertuples()}
+    assert got == expected
+
+
+def test_histogram_quantiles_matches_scalar_cdf(ray_session):
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.exponential(50.0, size=2000), 2)
+    grp = np.where(np.arange(2000) % 2 == 0, "even", "odd")
+    ds = rd.from_pandas(pd.DataFrame({"g": grp, "value": vals}))
+    out = histogram_quantiles(ds, "g", "value", qs=(50, 90, 99)).to_pandas()
+    out = out.set_index("g").sort_index()
+
+    for g in ("even", "odd"):
+        bins = np.floor(vals[grp == g] * 100).astype(np.int64)
+        bins.sort()
+        n = len(bins)
+        for q in (50, 90, 99):
+            # smallest bin whose cumulative count reaches ceil(q% * n)
+            k = -(-q * n // 100)  # ceil
+            assert out.loc[g, f"p{q}_c"] == bins[k - 1]
