@@ -1372,6 +1372,22 @@ def q_quantile_sketch(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_event_mode_value(sf_dir: str):
+    """Deterministic MODE (most frequent cents value, ties -> smallest)
+    per event type — exercises the salted two-phase holistic groupby: the
+    6 event types are maximal hot keys (each ~1/6 of the corpus), spread
+    across content-hash salts before any per-key work."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    events = events.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "value_c": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+    out = relational.mode_per_group(events, "event_type", "value_c")
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_rollup_revenue(sf_dir: str):
     """Multi-level ROLLUP aggregate: order revenue by (nation, segment), by
     nation, and grand total. The distributed work is one size-routed dim
@@ -1498,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_lift": q_mention_lift,
         "quantile_sketch": q_quantile_sketch,
         "rollup_revenue": q_rollup_revenue,
+        "event_mode_value": q_event_mode_value,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2106,6 +2123,19 @@ def oracle_sql() -> dict[str, str]:
                    MIN(bin) FILTER (WHERE cum * 100 >= 90 * tot) AS p90_c,
                    MIN(bin) FILTER (WHERE cum * 100 >= 99 * tot) AS p99_c
             FROM w GROUP BY 1
+        """,
+        "event_mode_value": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_c,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, value_c AS value_c_mode, n AS n_mode
+            FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY n DESC, value_c ASC
+            ) = 1
         """,
         "rollup_revenue": """
             SELECT COALESCE(c_nationkey, -1) AS nationkey,

@@ -296,28 +296,124 @@ def distinct_count_per_group(
     return grouped_agg(deduped, keys=group_cols, count_alias="n_distinct")
 
 
+def salted_groupby(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    partial_fn,
+    merge_fn,
+    num_salts: int = 16,
+    num_buckets: int = 64,
+    salt_cols: "list[str] | None" = None,
+) -> ray.data.Dataset:
+    """Two-phase holistic groupby for MERGEABLE per-key functions — the
+    hot-key escape hatch ``hash_bucketed_groupby``'s docstring points at.
+
+    Phase 1 tags every row with a deterministic content-hash salt over the
+    non-key columns (``salt_cols`` to override) and buckets by
+    (key, salt): a key holding 99% of the corpus is spread over
+    ``num_salts`` independent tasks instead of melting one worker. Each
+    bucket runs ``partial_fn`` (pandas-vectorized, groups by ``key_cols``
+    itself, may emit several partial rows per key). Phase 2 re-buckets the
+    partials — by construction a bounded stream — by key alone and runs
+    ``merge_fn``. Both callables get the same frame contract as
+    ``hash_bucketed_groupby``'s ``fn``.
+
+    Correctness requires partial/merge to be a decomposition of the
+    holistic function (merge(partial(A) ∪ partial(B)) == fn(A ∪ B));
+    salts are content-derived, so the result is row-order-free.
+    """
+    import numpy as np
+
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        cols = salt_cols or [c for c in df.columns if c not in key_cols]
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in cols or key_cols:
+            h = h * np.uint64(1099511628211) + pd.util.hash_pandas_object(
+                df[c], index=False
+            ).to_numpy()
+        df = df.copy(deep=False)
+        df["_salt"] = (h % np.uint64(num_salts)).astype(np.int64)
+        return df
+
+    salted = ds.map_batches(salt, batch_format="pandas")
+    partials = hash_bucketed_groupby(
+        salted,
+        key_cols + ["_salt"],
+        lambda df: partial_fn(df.drop(columns=["_salt"])),
+        num_buckets,
+    )
+    return hash_bucketed_groupby(partials, key_cols, merge_fn, num_buckets)
+
+
 def quantile_disc_per_group(
     ds: ray.data.Dataset, group_col: str, value_col: str, q: float = 0.5
 ) -> ray.data.Dataset:
     """Discrete quantile per group (the sorted element at index
     ``floor((n-1) * q)`` — SQL ``quantile_disc`` semantics, deterministic,
-    no interpolation). Groups are co-located by the bucketed shuffle; the
-    per-bucket pick is one sort + vectorized index arithmetic."""
+    no interpolation).
+
+    Skew-immune by construction: the raw stream is first reduced to
+    (group, value, n) COUNTS — the per-block combiner inside
+    ``grouped_agg`` bounds what each block emits by its distinct values,
+    and the shuffle key includes the value, so a single giant group (e.g.
+    5 market segments over the whole fact table) is hash-spread instead of
+    landing in one task. The per-group pick then walks the value-sorted
+    count CDF to the target rank — identical result to sorting the raw
+    rows, with the exchange bounded by value cardinality, not row count.
+    """
     import numpy as np
 
+    def partial_counts(t: pa.Table) -> pa.Table:
+        return t.group_by([group_col, value_col]).aggregate(
+            [([value_col], "count")]
+        ).rename_columns([group_col, value_col, "n"])
+
+    counts = ds.select_columns([group_col, value_col]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
+
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([group_col, value_col], kind="mergesort").reset_index(drop=True)
-        sizes = df.groupby(group_col, sort=False)[value_col].transform("size").to_numpy()
-        starts = np.flatnonzero(
-            np.r_[True, df[group_col].to_numpy()[1:] != df[group_col].to_numpy()[:-1]]
-        )
-        n = sizes[starts]
-        idx = starts + np.floor((n - 1) * q).astype(np.int64)
-        out = df.iloc[idx][[group_col, value_col]]
+        df = df.groupby([group_col, value_col], sort=False, as_index=False)["n"].sum()
+        df = df.sort_values([group_col, value_col], kind="mergesort")
+        g = df.groupby(group_col, sort=False)
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        tot = g["n"].transform("sum").to_numpy(np.int64)
+        rank = np.floor((tot - 1) * q).astype(np.int64)  # 0-based target
+        hit = df[cum >= rank + 1]
+        out = hit.groupby(group_col, sort=False, as_index=False)[value_col].first()
         return out.rename(columns={value_col: f"{value_col}_q"})
 
-    return hash_bucketed_groupby(
-        ds.select_columns([group_col, value_col]), [group_col], pick
+    return hash_bucketed_groupby(counts, [group_col], pick)
+
+
+def mode_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    num_salts: int = 16,
+) -> ray.data.Dataset:
+    """Most frequent value per group, ties broken by smallest value
+    (deterministic MODE). Built on ``salted_groupby``: phase-1 partials
+    are per-(group, value) counts computed on salt-spread slices of each
+    group, phase 2 sums counts and argmaxes — a hot group costs
+    ``num_salts`` bounded tasks, never one giant one."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([group_col, value_col], sort=False, as_index=False).size(
+        ).rename(columns={"size": "n"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby([group_col, value_col], sort=False, as_index=False)["n"].sum()
+        c = c.sort_values([group_col, "n", value_col],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.groupby(group_col, sort=False, as_index=False).first()
+        return top.rename(
+            columns={value_col: f"{value_col}_mode", "n": "n_mode"}
+        )
+
+    return salted_groupby(
+        ds.select_columns([group_col, value_col]),
+        [group_col], partial, merge, num_salts=num_salts,
     )
 
 

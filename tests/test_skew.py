@@ -59,3 +59,60 @@ def test_skewed_edges_correct(ray_session):
     assert sum(r["n_mentions"] for r in edges) == n
     # provenance is the minimum (conv, turn) key, deterministic under skew
     assert hot["first_conv_id"] == "conv-0"
+
+
+def test_salted_groupby_hot_key_mode(ray_session):
+    """One key holds 99% of rows; mode via the salted two-phase groupby
+    must equal the scalar reference, and every phase-1 (key, salt) slice
+    must be ~1/num_salts of the hot key (the skew-spread guarantee)."""
+    import pandas as pd
+
+    from kgray.relational import mode_per_group
+
+    rng = np.random.RandomState(7)
+    n = 50_000
+    hot = rng.random(n) < 0.99
+    key = np.where(hot, "hot", "cold")
+    val = np.where(hot, rng.randint(0, 50, n), rng.randint(0, 5, n)).astype(np.int64)
+    df = pd.DataFrame({"k": key, "v": val})
+
+    ds = ray.data.from_pandas(df, override_num_blocks=8)
+    out = (
+        mode_per_group(ds, "k", "v", num_salts=8)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+
+    for k, sub in df.groupby("k"):
+        cnt = sub.groupby("v").size()
+        top_n = cnt.max()
+        expect = cnt[cnt == top_n].index.min()  # ties -> smallest value
+        assert out.loc[k, "v_mode"] == expect
+        assert out.loc[k, "n_mode"] == top_n
+
+
+def test_quantile_disc_counts_matches_row_sort(ray_session):
+    """Count-CDF quantile pick == sorting the raw rows, across qs and
+    group sizes (incl. a size-1 group and a giant skewed group)."""
+    import pandas as pd
+
+    from kgray.relational import quantile_disc_per_group
+
+    rng = np.random.RandomState(3)
+    ks = np.r_[np.repeat("giant", 30_000), np.repeat("mid", 500), ["one"]]
+    vs = np.r_[
+        rng.randint(0, 100, 30_000), rng.randint(0, 1_000_000, 500), [42]
+    ].astype(np.int64)
+    df = pd.DataFrame({"g": ks, "x": vs})
+    ds = ray.data.from_pandas(df, override_num_blocks=8)
+
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        out = (
+            quantile_disc_per_group(ds, "g", "x", q=q)
+            .to_pandas()
+            .set_index("g")["x_q"]
+        )
+        for g, sub in df.groupby("g"):
+            xs = np.sort(sub["x"].to_numpy())
+            assert out[g] == xs[int(np.floor((len(xs) - 1) * q))], (g, q)
