@@ -1372,6 +1372,32 @@ def q_quantile_sketch(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_segment_pivot(sf_dir: str):
+    """Cross-tab / PIVOT: customer counts per (nation, market segment)
+    spread into one column per segment. The only exchange is the
+    125-leaf count-partial stream (combiner inside grouped_agg); the
+    reshape is a vectorized pivot of that tiny leaf table, co-located
+    per nation by the bucketed shuffle."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    leaves = relational.grouped_agg(
+        cust, keys=["c_nationkey", "c_mktsegment"], count_alias="n"
+    )
+
+    def pivot(df):
+        p = df.pivot_table(
+            index="c_nationkey", columns="c_mktsegment", values="n",
+            aggfunc="sum", fill_value=0,
+        ).reindex(columns=segs, fill_value=0)
+        p.columns = ["n_" + s.lower() for s in p.columns]
+        return p.reset_index().rename(columns={"c_nationkey": "nationkey"})
+
+    out = relational.hash_bucketed_groupby(leaves, ["c_nationkey"], pivot)
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_event_mode_value(sf_dir: str):
     """Deterministic MODE (most frequent cents value, ties -> smallest)
     per event type — exercises the salted two-phase holistic groupby: the
@@ -1515,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": q_quantile_sketch,
         "rollup_revenue": q_rollup_revenue,
         "event_mode_value": q_event_mode_value,
+        "segment_pivot": q_segment_pivot,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2123,6 +2150,15 @@ def oracle_sql() -> dict[str, str]:
                    MIN(bin) FILTER (WHERE cum * 100 >= 90 * tot) AS p90_c,
                    MIN(bin) FILTER (WHERE cum * 100 >= 99 * tot) AS p99_c
             FROM w GROUP BY 1
+        """,
+        "segment_pivot": """
+            SELECT c_nationkey AS nationkey,
+                   COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS n_automobile,
+                   COUNT(*) FILTER (c_mktsegment = 'BUILDING')   AS n_building,
+                   COUNT(*) FILTER (c_mktsegment = 'FURNITURE')  AS n_furniture,
+                   COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS n_household,
+                   COUNT(*) FILTER (c_mktsegment = 'MACHINERY')  AS n_machinery
+            FROM customer GROUP BY 1
         """,
         "event_mode_value": """
             WITH c AS (

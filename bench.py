@@ -88,7 +88,8 @@ def run_bench() -> dict:
             "kg_extract", "ngram_jaccard", "cosine_pairs", "events_asof_orders",
             "pagerank", "dedup_clusters", "pack_sequences", "stratified_sample",
             "corpus_clean", "decontaminate", "chunk_docs", "pii_scrub",
-            "tfidf_keywords",
+            "tfidf_keywords", "tool_transitions", "repetition_filter",
+            "quantile_sketch", "event_mode_value", "mention_lift",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -386,6 +386,22 @@ def quantile_disc_per_group(
     return hash_bucketed_groupby(counts, [group_col], pick)
 
 
+def _mode_partial(df: pd.DataFrame, group_col: str, value_col: str) -> pd.DataFrame:
+    """Per-(group, value) counts — the mergeable phase-1 of MODE."""
+    return df.groupby([group_col, value_col], sort=False, as_index=False).size(
+    ).rename(columns={"size": "n"})
+
+
+def _mode_merge(df: pd.DataFrame, group_col: str, value_col: str) -> pd.DataFrame:
+    """Sum count partials per (group, value), then argmax per group with
+    the deterministic tie-break (highest count, then smallest value)."""
+    c = df.groupby([group_col, value_col], sort=False, as_index=False)["n"].sum()
+    c = c.sort_values([group_col, "n", value_col],
+                      ascending=[True, False, True], kind="mergesort")
+    top = c.groupby(group_col, sort=False, as_index=False).first()
+    return top.rename(columns={value_col: f"{value_col}_mode", "n": "n_mode"})
+
+
 def mode_per_group(
     ds: ray.data.Dataset,
     group_col: str,
@@ -397,23 +413,12 @@ def mode_per_group(
     are per-(group, value) counts computed on salt-spread slices of each
     group, phase 2 sums counts and argmaxes — a hot group costs
     ``num_salts`` bounded tasks, never one giant one."""
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby([group_col, value_col], sort=False, as_index=False).size(
-        ).rename(columns={"size": "n"})
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        c = df.groupby([group_col, value_col], sort=False, as_index=False)["n"].sum()
-        c = c.sort_values([group_col, "n", value_col],
-                          ascending=[True, False, True], kind="mergesort")
-        top = c.groupby(group_col, sort=False, as_index=False).first()
-        return top.rename(
-            columns={value_col: f"{value_col}_mode", "n": "n_mode"}
-        )
-
     return salted_groupby(
         ds.select_columns([group_col, value_col]),
-        [group_col], partial, merge, num_salts=num_salts,
+        [group_col],
+        lambda df, g=group_col, v=value_col: _mode_partial(df, g, v),
+        lambda df, g=group_col, v=value_col: _mode_merge(df, g, v),
+        num_salts=num_salts,
     )
 
 

@@ -129,3 +129,39 @@ def test_pair_jaccard_property_matches_scalar():
         assert all(abs(g - e) < 1e-12 for g, e in zip(got, expected))
 
     check()
+
+
+def test_mode_decomposition_property():
+    """Property: the salted MODE decomposition is exact — for ANY split of
+    the rows into slices, merge(concat(partial(slice_i))) equals the
+    direct single-pass mode with the same tie-break (max count, then
+    smallest value)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgray.relational import _mode_merge, _mode_partial
+
+    row = st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                    st.integers(min_value=0, max_value=5))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=40),
+           st.lists(st.integers(min_value=0, max_value=3),
+                    min_size=1, max_size=40))
+    def check(rows, cut_salts):
+        df = pd.DataFrame(rows, columns=["g", "v"])
+        # arbitrary row->slice assignment (cycled to cover all rows)
+        salts = [cut_salts[i % len(cut_salts)] for i in range(len(df))]
+        parts = [
+            _mode_partial(df[pd.Series(salts, index=df.index) == s], "g", "v")
+            for s in sorted(set(salts))
+        ]
+        got = _mode_merge(pd.concat(parts, ignore_index=True), "g", "v")
+        got = got.set_index("g").sort_index()
+
+        direct = _mode_merge(_mode_partial(df, "g", "v"), "g", "v")
+        direct = direct.set_index("g").sort_index()
+        pd.testing.assert_frame_equal(got, direct)
+
+    check()
