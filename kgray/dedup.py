@@ -779,7 +779,9 @@ def embedding_dedup_pairs(
             self._planes = _ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            from .util import list_to_matrix
+
+            vecs = list_to_matrix(batch[vec_col], dtype=np.float64)
             n = len(vecs)
             signs = (vecs @ self._planes) > 0  # (n, n_bands*band_bits)
             bands = signs.reshape(n, n_bands, band_bits)
@@ -811,7 +813,9 @@ def embedding_dedup_pairs(
     # join kernel) rejects list<double> non-key fields, and the fixed-width
     # encode/decode is a zero-copy buffer view both ways
     def pack(t: pa.Table) -> pa.Table:
-        mat = np.asarray(_chunked(t[vec_col]).to_pylist(), dtype="<f8")
+        from .util import list_to_matrix
+
+        mat = list_to_matrix(t[vec_col], dtype="<f8")
         data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
         packed = pa.Array.from_buffers(pa.binary(dim * 8), len(t), [None, data])
         return pa.table({id_col: _chunked(t[id_col]), "__vec": packed})

@@ -22,8 +22,15 @@ from .util import pool_concurrency
 _SEED = 24601
 
 
+def _chunk1(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    # zero-copy values-buffer view + reshape — no per-element Python
+    from .util import list_to_matrix
+
+    return list_to_matrix(col, dtype=np.float64)
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -49,7 +56,7 @@ def knn_bruteforce(
             self._q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col].to_pylist())
+            ids = _chunk1(batch[id_col]).to_numpy()
             mat = _unit(_to_matrix(batch[vec_col]))
             sims = self._q @ mat.T  # (n_queries, n_batch)
             n_q, n_b = sims.shape
@@ -111,7 +118,7 @@ def cosine_pairs(
     if n <= broadcast_limit:
         rows = []
         for b in prep.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-            rows.append((np.asarray(b[id_col].to_pylist()), _to_matrix(b[vec_col])))
+            rows.append((_chunk1(b[id_col]).to_numpy(), _to_matrix(b[vec_col])))
         all_ids = np.concatenate([r[0] for r in rows])
         all_unit = _unit(np.vstack([r[1] for r in rows]))
         order = np.argsort(all_ids, kind="stable")
@@ -120,7 +127,7 @@ def cosine_pairs(
 
         def part(batch: pa.Table) -> pa.Table:
             ids_c, unit_c = ray.get(ref)
-            ids = np.asarray(batch[id_col].to_pylist())
+            ids = _chunk1(batch[id_col]).to_numpy()
             unit = _unit(_to_matrix(batch[vec_col]))
             sims = unit @ unit_c.T  # (n_batch, n_corpus)
             ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids_c[None, :]))
@@ -153,9 +160,10 @@ def _cosine_pairs_tiled(prep, threshold, id_col, vec_col, n, tile_rows):
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        return pa.table(
-            {id_col: ids, "__unit": pa.array(unit.tolist(), type=pa.list_(pa.float64()))}
+        packed = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(unit).reshape(-1)), unit.shape[1]
         )
+        return pa.table({id_col: ids, "__unit": packed})
 
     mat = prep.repartition(n_blocks).map_batches(
         normalize, batch_format="pyarrow", batch_size=None
@@ -173,10 +181,10 @@ def _cosine_pairs_tiled(prep, threshold, id_col, vec_col, n, tile_rows):
         for bi, bj in zip(batch["bi"].to_pylist(), batch["bj"].to_pylist()):
             ta = ray.get(_refs[bi])
             tb = ray.get(_refs[bj])
-            ids_a = np.asarray(ta[id_col].to_pylist())
-            ids_b = np.asarray(tb[id_col].to_pylist())
-            ua = np.asarray(ta["__unit"].to_pylist(), dtype=np.float64)
-            ub = np.asarray(tb["__unit"].to_pylist(), dtype=np.float64)
+            ids_a = _chunk1(ta[id_col]).to_numpy()
+            ids_b = _chunk1(tb[id_col]).to_numpy()
+            ua = _to_matrix(ta["__unit"])
+            ub = _to_matrix(tb["__unit"])
             sims = ua @ ub.T
             if bi == bj:
                 mask = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
@@ -275,7 +283,7 @@ def knn_ivf(
             self._probes = ray.get(probes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col].to_pylist())
+            ids = _chunk1(batch[id_col]).to_numpy()
             mat = _unit(_to_matrix(batch[vec_col]))
             assign = np.argmax(mat @ self._c.T, axis=1)
             keep = np.isin(assign, list(wanted))
