@@ -607,12 +607,12 @@ def q_events_asof_orders(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
     )
-    orders1 = dedup.exact_dedup(orders, ["o_custkey", "o_orderdate"], ["o_orderkey"])
     out = relational.asof_join(
-        events, orders1,
+        events, orders,
         left_on="user_id", right_on="o_custkey",
         left_ts="ts", right_ts="o_orderdate",
         left_cols=["event_id"], take_cols=["o_orderkey"],
+        dedup_right=True,  # fused min-orderkey pick per (custkey, orderdate)
     )
 
     def fin(t: pa.Table) -> pa.Table:

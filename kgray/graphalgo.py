@@ -405,10 +405,95 @@ def pagerank(
     a Dataset and ride hash joins — no driver-side state at all.
     """
     edges = edges_ds.select_columns([src, dst]).materialize()
+    res = _pagerank_counts(edges, src, dst, iters, scale, node_limit=node_limit)
+    if res is not None:
+        return res
     n_nodes_probe = _vocab_count(edges, src, dst)
     if n_nodes_probe <= node_limit:
         return _pagerank_broadcast(edges, src, dst, iters, scale)
     return _pagerank_join(edges, src, dst, iters, scale, num_buckets)
+
+
+def _pagerank_counts(
+    edges, src, dst, iters, scale, pair_limit=5_000_000, node_limit=20_000_000
+):
+    """Fast path: ONE distributed reduction of the edge stream to
+    (src, dst, multiplicity) per-batch partials, then every power
+    iteration as exact int64 numpy over the collected count table.
+
+    Valid because identical edges contribute identical floored values —
+    ``m * ((r[s]*850) // (1000*deg[s]))`` equals summing m copies — so
+    the result is bit-identical to the per-edge streaming loop while
+    paying one Dataset execution instead of one per iteration (the
+    per-execution fixed cost dominated the 5-iteration runtime at small
+    vocabularies). Returns None (caller falls back to the streaming /
+    join paths) if the partial stream exceeds ``pair_limit`` rows —
+    the driver only ever holds a bounded table.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                src: pc.cast(_chunked(t[src]), pa.int64()),
+                dst: pc.cast(_chunked(t[dst]), pa.int64()),
+            }
+        )
+        return t.group_by([src, dst]).aggregate([([dst], "count")]).rename_columns(
+            [src, dst, "m"]
+        )
+
+    parts: list[pa.Table] = []
+    total = 0
+    for b in edges.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        parts.append(b)
+        total += b.num_rows
+        if total > pair_limit:
+            return None
+
+    if not parts or total == 0:
+        return pa.table(
+            {
+                "node_id": pa.array([], type=pa.int64()),
+                "rank_fp": pa.array([], type=pa.int64()),
+            }
+        )
+
+    df = (
+        pa.concat_tables(parts)
+        .to_pandas()
+        .groupby([src, dst], as_index=False)["m"]
+        .sum()
+    )
+    s = df[src].to_numpy(np.int64)
+    d = df[dst].to_numpy(np.int64)
+    m = df["m"].to_numpy(np.int64)
+    ids = np.union1d(s, d)
+    if len(ids) > node_limit:
+        # honor the caller's broadcast-vs-join routing contract: past the
+        # node limit ranks must live in a Dataset, not on the driver
+        return None
+    si = np.searchsorted(ids, s)
+    di = np.searchsorted(ids, d)
+    n = len(ids)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, si, m)
+
+    ranks = np.full(n, scale // n, dtype=np.int64)
+    base = (150 * scale) // (1000 * n)
+    for _ in range(iters):
+        c = (ranks[si] * _DAMP_NUM) // (_DAMP_DEN * deg[si]) * m
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, c)
+        ranks = base + acc
+
+    return pa.table(
+        {
+            "node_id": pa.array(ids, type=pa.int64()),
+            "rank_fp": pa.array(ranks, type=pa.int64()),
+        }
+    )
 
 
 def _vocab_count(edges, src, dst) -> int:

@@ -682,6 +682,7 @@ def asof_join(
     take_cols: list[str],
     direction: str = "backward",
     num_buckets: int = 32,
+    dedup_right: bool = False,
 ) -> ray.data.Dataset:
     """Distributed AS-OF join: for each left row, attach ``take_cols`` from
     the latest right row with ``right_ts <= left_ts`` (direction
@@ -698,8 +699,12 @@ def asof_join(
 
     Partitioning assumptions: keys are hash-partitionable (no key spans
     buckets — guaranteed by hashing); within (key, ts) the right side must
-    be UNIQUE for a deterministic pick — pre-dedupe ties upstream (e.g.
-    ``dedup.exact_dedup(right, [key, ts], [tiebreak])``).
+    be UNIQUE for a deterministic pick — pass ``dedup_right=True`` to keep
+    the lexicographically-smallest ``take_cols`` row per (key, ts) FUSED
+    into this join's own shuffle (a per-batch partial dedup before the
+    union + a completing dedup inside the co-located bucket — exactly
+    ``dedup.exact_dedup(right, [key, ts], take_cols)`` semantics without
+    paying its separate exchange).
     """
     import numpy as np
 
@@ -752,8 +757,18 @@ def asof_join(
             cols[c] = _chunked(t[c])
         return pa.table(cols, schema=common)
 
+    def partial_dedup_right(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(take_cols, kind="mergesort").drop_duplicates(
+            subset=["__key", "__ts"], keep="first"
+        )
+
+    right_common = right.map_batches(to_common_right, batch_format="pyarrow")
+    if dedup_right:
+        right_common = right_common.map_batches(
+            partial_dedup_right, batch_format="pandas"
+        )
     unioned = left.map_batches(to_common_left, batch_format="pyarrow").union(
-        right.map_batches(to_common_right, batch_format="pyarrow")
+        right_common
     )
 
     def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
@@ -761,6 +776,8 @@ def asof_join(
         r = df[df["__side"] == 1]
         if l.empty:
             return l[["__key", "__ts"] + left_cols + take_cols]
+        if dedup_right:
+            r = partial_dedup_right(r)
         l = l.sort_values("__ts", kind="mergesort")
         r = r.sort_values("__ts", kind="mergesort")
         out = pd.merge_asof(
