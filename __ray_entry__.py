@@ -1311,18 +1311,24 @@ def q_mention_lift(sf_dir: str):
     pairs_in = canonical.map_batches(
         lambda t: t.select(["subject_id", "object_id"]),
         batch_format="pyarrow",
-    ).materialize()  # three aggregate consumers; don't re-run extraction
+    )
 
-    n_total = pairs_in.count()
+    # ONE aggregation scans the triple stream; the total and both marginals
+    # derive from the (much smaller) pair-count table itself — n_a is just
+    # sum(n_ab) over the subject, so re-scanning the stream per marginal
+    # would pay two extra full executions for nothing
     pair_counts = relational.grouped_agg(
         pairs_in, keys=["subject_id", "object_id"], count_alias="n_ab"
-    )
+    ).materialize()
+    n_total = int(pair_counts.sum("n_ab") or 0)
+    # materialized so the size-routed join's count probe + collect don't
+    # each re-execute the aggregation
     subj_marg = relational.grouped_agg(
-        pairs_in, keys=["subject_id"], count_alias="n_a"
-    )
+        pair_counts, keys=["subject_id"], sums={"n_a": "n_ab"}
+    ).materialize()
     obj_marg = relational.grouped_agg(
-        pairs_in, keys=["object_id"], count_alias="n_b"
-    )
+        pair_counts, keys=["object_id"], sums={"n_b": "n_ab"}
+    ).materialize()
     hot = pair_counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_ab"].combine_chunks(), 2)),
         batch_format="pyarrow",
