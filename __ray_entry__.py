@@ -1378,6 +1378,17 @@ def q_quantile_sketch(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid components in exact int64 fixed-point
+    (sum + count per (label, dimension); the mean is consumer-side) —
+    bit-stable class prototypes for centroid-distance curation."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = similarity.label_centroids(emb)
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_segment_pivot(sf_dir: str):
     """Cross-tab / PIVOT: customer counts per (nation, market segment)
     spread into one column per segment. The only exchange is the
@@ -1548,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": q_rollup_revenue,
         "event_mode_value": q_event_mode_value,
         "segment_pivot": q_segment_pivot,
+        "label_centroids": q_label_centroids,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2156,6 +2168,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(bin) FILTER (WHERE cum * 100 >= 90 * tot) AS p90_c,
                    MIN(bin) FILTER (WHERE cum * 100 >= 99 * tot) AS p99_c
             FROM w GROUP BY 1
+        """,
+        "label_centroids": """
+            WITH u AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            )
+            SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q,
+                   COUNT(*) AS n
+            FROM u GROUP BY 1, 2
         """,
         "segment_pivot": """
             SELECT c_nationkey AS nationkey,

@@ -317,3 +317,49 @@ def knn_ivf(
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["score"] = out["score"].round(6)
     return out
+
+
+def label_centroids(
+    embeddings: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Per-label embedding centroid (prototype vector) as EXACT int64
+    fixed-point component sums + counts — the class-prototype aggregation
+    a curation pass uses for centroid-distance outlier filtering.
+
+    Each batch reduces to (label, pos, sum_q, n) partials with one
+    ``np.add.at`` over the zero-copy matrix — the exchange moves
+    n_labels x dim rows per block regardless of row count, and integer
+    sums are order-free, so the result is bit-stable at any parallelism.
+    The mean is left to the consumer (sum_q // n floors differently in
+    numpy vs SQL for negative sums; the sums themselves are exact in
+    both arms).
+    """
+    from .relational import grouped_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        q = np.round(mat * scale).astype(np.int64)
+        labs = _chunk1(t[label_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(labs, return_inverse=True)
+        k, d = len(uniq), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), type=pa.int64()),
+                "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "sum_q": pa.array(sums.reshape(-1), type=pa.int64()),
+                "n": pa.array(np.repeat(cnt, d), type=pa.int64()),
+            }
+        )
+
+    parts = embeddings.select_columns([label_col, vec_col]).map_batches(
+        part, batch_format="pyarrow"
+    )
+    return grouped_agg(
+        parts, keys=["label", "pos"], sums={"sum_q": "sum_q", "n": "n"}
+    )

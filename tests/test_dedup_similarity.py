@@ -304,3 +304,33 @@ def test_pair_jaccard_matches_scalar_reference():
     got = dedup.pair_jaccard(pa.array(texts_a), pa.array(texts_b), 2)
     expected = [dedup._jaccard(a, b, 2) for a, b in zip(texts_a, texts_b)]
     assert np.allclose(got, expected)
+
+
+def test_label_centroids_exact_sums(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.similarity import label_centroids
+
+    rng = np.random.RandomState(11)
+    n, d = 300, 8
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    labels = rng.randint(0, 3, n)
+    tbl = pa.table(
+        {
+            "label": pa.array(labels, type=pa.int32()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    out = label_centroids(ds).to_pandas()
+
+    q = np.round(mat.astype(np.float64) * 1_000_000).astype(np.int64)
+    for lab in np.unique(labels):
+        sel = q[labels == lab]
+        sub = out[out["label"] == lab].sort_values("pos")
+        assert (sub["sum_q"].to_numpy() == sel.sum(axis=0)).all()
+        assert (sub["n"].to_numpy() == len(sel)).all()
