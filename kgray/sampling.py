@@ -84,16 +84,26 @@ def stratified_sample(
     is Bernoulli, not exact-k; exact-k would need a per-stratum top-k
     shuffle, deliberately avoided.
     """
-    from .relational import grouped_agg
-
-    counts = grouped_agg(
-        ds.select_columns(strata_cols), keys=strata_cols, count_alias="n"
+    # per-batch partial counts merged on the DRIVER — the strata
+    # vocabulary is dimension-sized by assumption, so collecting
+    # vocab-per-block partials costs one execution and NO shuffle (the
+    # previous grouped_agg paid a bucketed-reduce exchange whose fixed
+    # cost dwarfed the count itself)
+    counts = ds.select_columns(strata_cols).map_batches(
+        lambda df: df.groupby(strata_cols, sort=False, as_index=False)
+        .size()
+        .rename(columns={"size": "n"}),
+        batch_format="pandas",
     )
     parts = [
         b for b in counts.iter_batches(batch_format="pandas", batch_size=1 << 16)
     ]
-    th = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
-        {c: [] for c in [*strata_cols, "n"]}
+    th = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(strata_cols, sort=False, as_index=False)["n"]
+        .sum()
+        if parts
+        else pd.DataFrame({c: [] for c in [*strata_cols, "n"]})
     )
     th["_lim"] = np.minimum(
         (MOD32 * target_per_stratum) // np.maximum(th["n"].to_numpy(np.int64), 1),
