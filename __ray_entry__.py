@@ -1290,6 +1290,35 @@ def q_tool_transitions(sf_dir: str):
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 
 
+def q_conv_stats(sf_dir: str):
+    """Per-conversation shape profile — turn count, per-role counts and
+    tool-call count — the conversation-level stats a transcript-curation
+    pass filters on (e.g. drop tool-free or user-only conversations).
+    Indicator ints are vectorized per batch; one combined grouped_agg is
+    the only exchange."""
+    ds = transcripts_dataset(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        role = t["role"].combine_chunks()
+        tool = t["tool"].combine_chunks()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "is_user": pc.cast(pc.equal(role, "user"), pa.int64()),
+                "is_assistant": pc.cast(pc.equal(role, "assistant"), pa.int64()),
+                "is_tool": pc.cast(pc.not_equal(tool, ""), pa.int64()),
+            }
+        )
+
+    out = relational.grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        keys=["conv_id"],
+        sums={"n_user": "is_user", "n_assistant": "is_assistant", "n_tool": "is_tool"},
+        count_alias="n_turns",
+    )
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_repetition_filter(sf_dir: str):
     """Gopher-style repetition quality filter over documents: duplicate-word
     and top-bigram fractions (ppm ints), shuffle-free map_batches."""
@@ -1553,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "corpus_clean": q_corpus_clean,
         "tool_transitions": q_tool_transitions,
+        "conv_stats": q_conv_stats,
         "repetition_filter": q_repetition_filter,
         "mention_lift": q_mention_lift,
         "quantile_sketch": q_quantile_sketch,
@@ -2100,6 +2130,14 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n
             FROM calc WHERE t < c % 7
             GROUP BY 1, 2
+        """,
+        "conv_stats": f"""{_SQL_PREFIX}
+            SELECT 'conv-' || c AS conv_id,
+                   COUNT(*) FILTER (t % 3 = 0) AS n_user,
+                   COUNT(*) FILTER (t % 3 = 1) AS n_assistant,
+                   COUNT(*) FILTER (t % 3 = 2) AS n_tool,
+                   COUNT(*) AS n_turns
+            FROM calc GROUP BY 1
         """,
         "repetition_filter": """
             WITH w AS (
