@@ -170,3 +170,27 @@ class TestDegreesTriangles:
         edges = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)]
         out = graphalgo.triangle_count(_edges_ds(edges, 2))
         assert out["n_triangles"].to_pylist() == [2]
+
+
+def test_pagerank_counts_path_bit_identical_to_stream(ray_session):
+    """The single-pass multiplicity fast path must reproduce the
+    per-edge streaming loop BIT-identically on random multigraphs
+    (identical edges contribute identical floored values)."""
+    rng = np.random.RandomState(23)
+    n_edges = 4000
+    src = rng.randint(0, 60, n_edges)
+    dst = rng.randint(0, 60, n_edges)
+    t = pa.table(
+        {"src": pa.array(src, type=pa.int64()), "dst": pa.array(dst, type=pa.int64())}
+    )
+
+    fast = graphalgo._pagerank_counts(
+        rd.from_arrow(t).repartition(8).materialize(), "src", "dst", 4, 10**12
+    )
+    slow = graphalgo._pagerank_broadcast(
+        rd.from_arrow(t).repartition(8).materialize(), "src", "dst", 4, 10**12
+    )
+    f = fast.to_pandas().sort_values("node_id").reset_index(drop=True)
+    s = slow.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert (f["node_id"] == s["node_id"]).all()
+    assert (f["rank_fp"] == s["rank_fp"]).all()

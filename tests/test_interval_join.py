@@ -82,3 +82,52 @@ def test_brute_force_parity():
         if lk == rk and lo <= t <= hi
     )
     assert got == expected
+
+
+def test_asof_dedup_right_matches_separate_dedup(ray_session):
+    """asof_join(dedup_right=True) must equal exact_dedup on
+    (key, ts) with the take column as the order key, followed by the
+    plain as-of join — the fused path is an optimization, not a
+    semantics change."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgray import dedup
+    from kgray.relational import asof_join
+
+    rng = np.random.RandomState(5)
+    n_l, n_r = 800, 600
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, n_l).astype(np.int64),
+            "ts": rng.randint(0, 1000, n_l).astype(np.int64),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    # right has DUPLICATE (k, ts) rows with differing payloads
+    right = pd.DataFrame(
+        {
+            "rk": rng.randint(0, 20, n_r).astype(np.int64),
+            "rts": rng.randint(0, 1000, n_r).astype(np.int64) // 50 * 50,
+            "payload": rng.randint(0, 10**6, n_r).astype(np.int64),
+        }
+    )
+
+    def run(fused: bool) -> pd.DataFrame:
+        l_ds = rd.from_pandas(left, override_num_blocks=4)
+        r = rd.from_pandas(right, override_num_blocks=4)
+        if not fused:
+            r = dedup.exact_dedup(r, ["rk", "rts"], ["payload"])
+        out = asof_join(
+            l_ds, r, left_on="k", right_on="rk", left_ts="ts", right_ts="rts",
+            left_cols=["lid"], take_cols=["payload"], dedup_right=fused,
+        )
+        return (
+            out.to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)[["lid", "payload"]]
+        )
+
+    a, b = run(True), run(False)
+    pd.testing.assert_frame_equal(a, b)
