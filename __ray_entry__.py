@@ -694,6 +694,31 @@ def q_knn_bruteforce(sf_dir: str):
     )
 
 
+def q_knn_filtered(sf_dir: str):
+    """Filtered vector search: exact cosine top-k restricted to corpus rows
+    passing a metadata predicate (label % 3 == 0). The filter is a
+    vectorized Arrow predicate pushed ahead of the matmul scan — the
+    standard pre-filtered ANN pattern, so the scan touches only the
+    qualifying third of the corpus."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = relational.filter_batches(
+        emb,
+        lambda t: pa.array(
+            t["label"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) % 3 == 0
+        ),
+    )
+    queries = _query_vectors(sf_dir)
+    out = similarity.knn_bruteforce(emb, queries, k=10)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return _table(
@@ -1556,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "running_totals": q_running_totals,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_filtered": q_knn_filtered,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_pairs": q_cosine_pairs,
         "neighborhood": q_neighborhood,
@@ -2348,6 +2374,22 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id
                      ) AS rn
               FROM q CROSS JOIN embeddings e
+            ) WHERE rn <= 10
+        """,
+        "knn_filtered": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 4
+            )
+            SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id
+                     ) AS rn
+              FROM q CROSS JOIN embeddings e
+              WHERE e.label % 3 = 0
             ) WHERE rn <= 10
         """,
     }
