@@ -1087,6 +1087,15 @@ def q_pagerank(sf_dir: str):
     return _table(out)
 
 
+def q_bfs_distances(sf_dir: str):
+    """3-hop BFS distance labels from canonical node 0 over the directed
+    canonical edge stream — per-hop broadcast-frontier expansion, one
+    vectorized edge-stream pass per hop, no shuffle."""
+    return _ints64(
+        graphalgo.bfs_distances(_canonical_int_edges(sf_dir), source=0, max_hops=3)
+    )
+
+
 def q_node_degrees(sf_dir: str):
     out = graphalgo.node_degrees(_canonical_int_edges(sf_dir))
     return _table(
@@ -1594,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
         "node_degrees": q_node_degrees,
+        "bfs_distances": q_bfs_distances,
         "triangle_count": q_triangle_count,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -2276,6 +2286,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+        """,
+        "bfs_distances": f"""{_SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)},
+            {_SQL_LINKED.strip()},
+            dedges AS (SELECT (s - s % 2) AS src, (o - o % 2) AS dst FROM linked),
+            walk(node, d) AS (
+              SELECT 0, 0
+              UNION
+              SELECT e.dst, w.d + 1
+              FROM walk w JOIN dedges e ON e.src = w.node
+              WHERE w.d < 3
+            )
+            SELECT node AS node_id, MIN(d) AS dist FROM walk GROUP BY 1
         """,
         "node_degrees": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

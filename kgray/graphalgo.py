@@ -778,3 +778,67 @@ def _pair_key(a, b) -> pa.Array:
     a64 = pc.cast(_chunked(a), pa.int64())
     b64 = pc.cast(_chunked(b), pa.int64())
     return pc.add(pc.multiply(a64, pa.scalar(1 << 31, pa.int64())), b64)
+
+
+def bfs_distances(
+    edges_ds: ray.data.Dataset,
+    source: int,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    frontier_limit: int = 50_000_000,
+) -> pa.Table:
+    """BFS distance labels (hop counts) from ``source`` over the directed
+    edge stream, out to ``max_hops`` — iterative frontier expansion, the
+    k-hop generalization of the two-hop neighborhood audit.
+
+    Each hop is ONE vectorized pass over the edge stream: the frontier id
+    set is broadcast (``ray.put``) and every batch emits the unique
+    successors of frontier rows (``pc.is_in`` + filter + unique) — no
+    shuffle at any hop. The visited map lives on the driver and is
+    node-VOCABULARY sized; ``frontier_limit`` guards the assumption (past
+    it, a semi-join frontier would be the scale path — not needed while
+    canonical entity vocabularies are dimension-sized, which the linker
+    guarantees by construction).
+
+    The source row is always emitted with dist 0, reachable or not (the
+    SQL mirror seeds its recursion the same way).
+    """
+    edges = edges_ds.select_columns([src, dst]).materialize()
+    dist: dict[int, int] = {int(source): 0}
+    frontier = [int(source)]
+
+    for d in range(1, max_hops + 1):
+        ref = ray.put(pa.array(frontier, type=pa.int64()))
+
+        def nexts(t: pa.Table, _ref=ref) -> pa.Table:
+            fa = ray.get(_ref)
+            s = pc.cast(_chunked(t[src]), pa.int64())
+            hit = pc.is_in(s, value_set=fa)
+            return pa.table(
+                {"v": pc.cast(_chunked(t[dst]), pa.int64()).filter(hit).unique()}
+            )
+
+        found: set[int] = set()
+        for b in edges.map_batches(nexts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            found.update(b["v"].to_pylist())
+        frontier = [v for v in found if v not in dist]
+        if not frontier:
+            break
+        if len(dist) + len(frontier) > frontier_limit:
+            raise ValueError(
+                f"bfs_distances visited set would exceed frontier_limit="
+                f"{frontier_limit}; use a join-based frontier for this graph"
+            )
+        for v in frontier:
+            dist[v] = d
+
+    nodes = sorted(dist)
+    return pa.table(
+        {
+            "node_id": pa.array(nodes, type=pa.int64()),
+            "dist": pa.array([dist[v] for v in nodes], type=pa.int64()),
+        }
+    )

@@ -194,3 +194,22 @@ def test_pagerank_counts_path_bit_identical_to_stream(ray_session):
     s = slow.to_pandas().sort_values("node_id").reset_index(drop=True)
     assert (f["node_id"] == s["node_id"]).all()
     assert (f["rank_fp"] == s["rank_fp"]).all()
+
+
+def test_bfs_distances_hand_checked(ray_session):
+    """0->1->2->3->4 chain plus a shortcut 0->3 and an unreachable node:
+    dist must be the MIN hop count, bounded by max_hops."""
+    t = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 3, 0, 9], type=pa.int64()),
+            "dst": pa.array([1, 2, 3, 4, 3, 9], type=pa.int64()),
+        }
+    )
+    out = graphalgo.bfs_distances(rd.from_arrow(t), source=0, max_hops=3)
+    got = dict(zip(out["node_id"].to_pylist(), out["dist"].to_pylist()))
+    # 4 is reachable at hop 2 via the 0->3 shortcut; 9 is unreachable
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    out1 = graphalgo.bfs_distances(rd.from_arrow(t), source=0, max_hops=1)
+    got1 = dict(zip(out1["node_id"].to_pylist(), out1["dist"].to_pylist()))
+    assert got1 == {0: 0, 1: 1, 3: 1}
