@@ -1544,6 +1544,99 @@ def q_rollup_revenue(sf_dir: str):
     ))
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """CDC latest-wins snapshot: the full row of each user's most recent
+    event (ts DESC, event_id ASC tiebreak) — keyed argmax via
+    ``top_k_per_group(k=1)``, so the shuffle moves at most one row per
+    (user, block), never the event stream."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_s": pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+                "event_type": t["event_type"],
+                "value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = relational.top_k_per_group(
+        ds, ["user_id"], "ts_s", k=1, descending=True, tiebreak_cols=["event_id"]
+    )
+    return _table(out)
+
+
+def q_event_gap_stats(sf_dir: str):
+    """Per-user inter-event gap statistics (the LAG-diff window aggregate
+    reduced to n/sum/max per key); single-event users have no gap and are
+    absent, matching the oracle's NULL-LAG filter."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts_s": pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = streaming.gap_stats(ds, "user_id", ["ts_s", "event_id"], "ts_s")
+    return _table(out.map_batches(_ints64_df, batch_format="pandas"))
+
+
+def q_above_mean_counts(sf_dir: str):
+    """Per-type count of events strictly above the type mean — the
+    two-pass broadcast-stats pattern (tiny grouped sums closed over by the
+    second streaming pass; value*n > sum keeps the comparison in exact
+    int64, no float mean)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "value_c": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.above_mean_per_group(ds, "event_type", "value_c")
+
+
+def q_postings(sf_dir: str):
+    """Capped inverted index over the document corpus: per term the true
+    df plus the first-20 ascending doc ids comma-joined (truncation
+    visible via df, never silent)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = textops.postings_index(docs, k=20)
+    return _table(out.map_batches(_ints64_df, batch_format="pandas"))
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonical text normalization over the punctuation-rich props JSON
+    column — pure Arrow kernel chain (lower / RE2 strip / collapse /
+    trim), zero per-row Python."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    ).map_batches(
+        lambda t: textops.normalize_text_batch(t, text_col="props"),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "norm_text": t["norm_text"],
+                "n_chars": t["n_chars"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _table(ds)
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1626,6 +1719,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_mode_value": q_event_mode_value,
         "segment_pivot": q_segment_pivot,
         "label_centroids": q_label_centroids,
+        "latest_event_per_user": q_latest_event_per_user,
+        "event_gap_stats": q_event_gap_stats,
+        "above_mean_counts": q_above_mean_counts,
+        "postings": q_postings,
+        "text_normalize": q_text_normalize,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2413,5 +2511,75 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e
               WHERE e.label % 3 = 0
             ) WHERE rn <= 10
+        """,
+        "latest_event_per_user": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) // 1000000 AS ts_s,
+                   event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_c
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY ts_s DESC, event_id ASC
+            ) = 1
+        """,
+        "event_gap_stats": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s
+              FROM events
+            ), g AS (
+              SELECT user_id,
+                     ts_s - LAG(ts_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_s, event_id
+                     ) AS gap
+              FROM e
+            )
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
+        """,
+        "above_mean_counts": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events
+            ), s AS (
+              SELECT event_type, CAST(SUM(value_c) AS BIGINT) AS sm,
+                     COUNT(*) AS n
+              FROM ev GROUP BY 1
+            )
+            SELECT s.event_type, s.n AS n_total,
+                   CAST(SUM(CASE WHEN ev.value_c * s.n > s.sm
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM s JOIN ev ON s.event_type = ev.event_type
+            GROUP BY 1, 2
+        """,
+        "postings": """
+            WITH w AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+              ) WHERE term <> ''
+            ), r AS (
+              SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+              FROM w
+            )
+            SELECT term, COUNT(*) AS df,
+                   string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM r GROUP BY term
+        """,
+        "text_normalize": """
+            WITH n AS (
+              SELECT event_id,
+                     trim(regexp_replace(regexp_replace(lower(props),
+                          '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'), ' ')
+                     AS norm_text
+              FROM events
+            )
+            SELECT event_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars
+            FROM n
         """,
     }

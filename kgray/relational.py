@@ -278,6 +278,70 @@ def grouped_agg(
     return hash_bucketed_groupby(partials, keys, reduce_bucket)
 
 
+def above_mean_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    count_alias: str = "n_above",
+    total_alias: str = "n_total",
+) -> pa.Table:
+    """Two-pass broadcast-stats filter: per group, how many rows lie
+    strictly above the group mean.
+
+    Pass 1 is a tiny grouped (sum, count) collected once; pass 2 streams
+    the fact table a second time comparing ``value*n > sum`` — exact
+    integer arithmetic, no float mean — with the stats closed over by the
+    tasks (dimension-sized broadcast, not a shuffle join) and per-batch
+    partial counts feeding a final tiny reduce. ``ds`` is executed twice;
+    pass a cheap re-readable source (a column-pruned parquet read) or
+    materialize first. Pass an integer ``value_col`` (fixed-point cents).
+    """
+    stats = _table_local(
+        grouped_agg(ds, keys=[group_col], sums={"_s": value_col}, count_alias="_n")
+    ).to_pandas()
+    if group_col not in stats.columns:  # degenerate empty input
+        return pa.table({})
+    s_map = dict(zip(stats[group_col], stats["_s"].astype("int64")))
+    n_map = dict(zip(stats[group_col], stats["_n"].astype("int64")))
+
+    def partial(df: pd.DataFrame, _s=s_map, _n=n_map) -> pd.DataFrame:
+        n = df[group_col].map(_n).to_numpy(dtype="int64")
+        s = df[group_col].map(_s).to_numpy(dtype="int64")
+        above = df[value_col].to_numpy(dtype="int64") * n > s
+        out = (
+            df.loc[above, [group_col]]
+            .groupby(group_col, as_index=False)
+            .size()
+            .rename(columns={"size": "_a"})
+        )
+        return out.astype({"_a": "int64"})
+
+    counts = _table_local(
+        grouped_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            keys=[group_col],
+            sums={"_a": "_a"},
+        )
+    ).to_pandas()
+    if group_col not in counts.columns:  # no group had any above-mean row
+        counts = pd.DataFrame({group_col: stats[group_col][:0], "_a": []})
+    merged = stats.merge(counts, on=group_col, how="left")
+    merged["_a"] = merged["_a"].fillna(0).astype("int64")
+    return pa.table(
+        {
+            group_col: pa.array(merged[group_col]),
+            total_alias: pa.array(merged["_n"].astype("int64")),
+            count_alias: pa.array(merged["_a"]),
+        }
+    )
+
+
+def _table_local(ds: ray.data.Dataset) -> pa.Table:
+    """Collect a small Dataset result to one Arrow table (empty-safe)."""
+    tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    return pa.concat_tables(tbls, promote_options="permissive") if tbls else pa.table({})
+
+
 def distinct_count_per_group(
     ds: ray.data.Dataset, group_col: "str | list[str]", distinct_col: str
 ) -> ray.data.Dataset:

@@ -265,6 +265,52 @@ def _chunked_i64(arr):
     return a.cast(pa.int64()) if a.type != pa.int64() else a
 
 
+def gap_stats(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    ts_col: str,
+    num_buckets: int = 64,
+):
+    """Per-key statistics of the deltas between consecutive ordered rows —
+    the ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ...)`` window
+    aggregate reduced to (n_gaps, sum_gap, max_gap) per key.
+
+    One keyed shuffle co-locates each key's rows; the per-bucket reducer
+    mergesorts, takes a vectorized shifted difference, and aggregates —
+    so the output is one row per key (keys with a single row have no gap
+    and are absent, matching SQL's NULL-LAG filter). Pass integer
+    ``ts_col`` (epoch seconds) so sums are exact, and ``order_cols`` that
+    totally order rows within a key.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort")
+        k = df[key_col].to_numpy()
+        v = df[ts_col].to_numpy()
+        if len(df) < 2:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype=df[key_col].dtype),
+                 "n_gaps": pd.Series([], dtype="int64"),
+                 "sum_gap": pd.Series([], dtype="int64"),
+                 "max_gap": pd.Series([], dtype="int64")}
+            )
+        same = k[1:] == k[:-1]
+        gaps = pd.DataFrame({key_col: k[1:][same], "gap": (v[1:] - v[:-1])[same]})
+        out = gaps.groupby(key_col, sort=False, as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap=("gap", "sum"), max_gap=("gap", "max")
+        )
+        return out.astype({"n_gaps": "int64", "sum_gap": "int64", "max_gap": "int64"})
+
+    cols = [key_col] + [c for c in order_cols if c != key_col]
+    if ts_col not in cols:
+        cols.append(ts_col)
+    return hash_bucketed_groupby(ds.select_columns(cols), [key_col], fn, num_buckets)
+
+
 def ordered_transitions(
     ds: ray.data.Dataset,
     key_col: str,

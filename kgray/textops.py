@@ -261,6 +261,71 @@ def top_terms_batch(
     )
 
 
+def normalize_text_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> pa.Table:
+    """Canonical text normalization: lowercase, non-alphanumerics to
+    spaces, space runs collapsed, ends trimmed — entirely Arrow C kernels
+    (``utf8_lower`` + two RE2 ``replace_substring_regex`` passes), zero
+    per-row Python. DuckDB mirrors it verbatim with
+    ``trim(regexp_replace(regexp_replace(lower(x),'[^a-z0-9 ]+',' ','g'),' +',' ','g'))``.
+    """
+    s = pc.utf8_lower(_chunked(batch[text_col]))
+    s = pc.replace_substring_regex(s, "[^a-z0-9 ]+", " ")
+    s = pc.replace_substring_regex(s, " +", " ")
+    s = pc.utf8_trim(s, " ")
+    out = batch.append_column(out_col, s)
+    return out.append_column("n_chars", pc.cast(pc.utf8_length(s), pa.int64()))
+
+
+def postings_index(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    num_buckets: int = 32,
+):
+    """Capped inverted index: per term, the TRUE document frequency plus
+    the first ``k`` doc ids ascending, comma-joined.
+
+    Combiner discipline as in ``term_df``: each batch emits its distinct
+    (term, doc) pairs, one keyed shuffle co-locates terms, the per-bucket
+    reducer sorts, truncates the postings list at ``k`` and joins. The cap
+    bounds the payload per term at scale; ``df`` carries the untruncated
+    count so the cut is visible in the output, never silent.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        return ex.drop_duplicates()
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["term", id_col]).sort_values(
+            ["term", id_col], kind="mergesort"
+        )
+        dfc = df.groupby("term", sort=False).size().rename("df")
+        heads = df.groupby("term", sort=False).head(k)
+        posts = heads.groupby("term", sort=False)[id_col].agg(
+            lambda s: ",".join(map(str, s))
+        )
+        return pd.DataFrame(
+            {
+                "term": dfc.index.to_numpy(),
+                "df": dfc.to_numpy().astype("int64"),
+                "postings": posts.reindex(dfc.index).to_numpy(),
+            }
+        )
+
+    combined = ds.map_batches(pairs, batch_format="pandas")
+    return hash_bucketed_groupby(combined, ["term"], build, num_buckets)
+
+
 def term_df(
     ds,
     text_col: str = "text",

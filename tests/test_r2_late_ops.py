@@ -1,0 +1,108 @@
+"""Round-2 late operators: gap stats, above-mean counts, postings index,
+text normalization (engine result vs an independent pandas/python check)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from kgray import relational, textops
+from kgray.streaming import gap_stats
+
+
+def _events_tbl(n=400, n_keys=17, seed=3):
+    rng = np.random.RandomState(seed)
+    return pa.table(
+        {
+            "k": pa.array(rng.randint(0, n_keys, n), type=pa.int64()),
+            "eid": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(rng.randint(0, 10_000, n), type=pa.int64()),
+            "v": pa.array(rng.randint(-500, 500, n), type=pa.int64()),
+        }
+    )
+
+
+def test_gap_stats_matches_pandas(ray_session):
+    tbl = _events_tbl()
+    out = gap_stats(
+        ray.data.from_arrow(tbl), "k", ["ts", "eid"], "ts", num_buckets=8
+    ).take_all()
+    df = tbl.to_pandas().sort_values(["k", "ts", "eid"])
+    df["gap"] = df["ts"] - df.groupby("k")["ts"].shift(1)
+    g = df.dropna(subset=["gap"]).groupby("k")["gap"]
+    expected = {
+        k: (int(s.size), int(s.sum()), int(s.max())) for k, s in g
+    }
+    got = {r["k"]: (r["n_gaps"], r["sum_gap"], r["max_gap"]) for r in out}
+    assert got == expected
+
+
+def test_gap_stats_single_row_keys_absent(ray_session):
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 2], type=pa.int64()),
+            "eid": pa.array([0, 1, 2], type=pa.int64()),
+            "ts": pa.array([5, 10, 25], type=pa.int64()),
+        }
+    )
+    out = gap_stats(ray.data.from_arrow(tbl), "k", ["ts", "eid"], "ts").take_all()
+    assert {r["k"]: (r["n_gaps"], r["sum_gap"], r["max_gap"]) for r in out} == {
+        2: (1, 15, 15)
+    }
+
+
+def test_above_mean_per_group_exact(ray_session):
+    tbl = _events_tbl(n=300, n_keys=5, seed=11)
+    out = relational.above_mean_per_group(
+        ray.data.from_arrow(tbl), "k", "v"
+    ).to_pandas()
+    df = tbl.to_pandas()
+    stats = df.groupby("k")["v"].agg(["sum", "size"])
+    for r in out.itertuples():
+        s, n = stats.loc[r.k, "sum"], stats.loc[r.k, "size"]
+        expected = int((df.loc[df["k"] == r.k, "v"] * n > s).sum())
+        assert (r.n_total, r.n_above) == (n, expected)
+    assert set(out["k"]) == set(stats.index)
+
+
+def test_above_mean_per_group_constant_group_zero(ray_session):
+    tbl = pa.table(
+        {"k": pa.array([1, 1, 1], type=pa.int64()),
+         "v": pa.array([7, 7, 7], type=pa.int64())}
+    )
+    out = relational.above_mean_per_group(ray.data.from_arrow(tbl), "k", "v")
+    assert out.to_pylist() == [{"k": 1, "n_total": 3, "n_above": 0}]
+
+
+def test_postings_index_truncates_visibly(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), type=pa.int64()),
+            # 'common' in all 8 docs, 'rare' only in docs 2 and 5
+            "text": [
+                "common rare x2" if i in (2, 5) else "common only"
+                for i in range(8)
+            ],
+        }
+    )
+    out = textops.postings_index(
+        ray.data.from_arrow(docs), k=3, num_buckets=4
+    ).take_all()
+    by_term = {r["term"]: r for r in out}
+    assert by_term["common"]["df"] == 8
+    assert by_term["common"]["postings"] == "0,1,2"  # capped at k=3, df true
+    assert by_term["rare"]["df"] == 2
+    assert by_term["rare"]["postings"] == "2,5"
+    assert by_term["only"]["df"] == 6
+
+
+def test_normalize_text_batch_kernels():
+    t = pa.table(
+        {"text": ['  Hello, WORLD!! {"k": 42}', "", "a--b  c", "ALL CAPS"]}
+    )
+    out = textops.normalize_text_batch(t)
+    assert out["norm_text"].to_pylist() == [
+        "hello world k 42", "", "a b c", "all caps"
+    ]
+    assert out["n_chars"].to_pylist() == [16, 0, 5, 8]
