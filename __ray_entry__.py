@@ -1637,6 +1637,98 @@ def q_text_normalize(sf_dir: str):
     return _table(ds)
 
 
+def q_rolling_value_sums(sf_dir: str):
+    """Per-user 3-row bounded rolling sum (SUM OVER ROWS 2 PRECEDING) —
+    cumsum minus group-wise shift after one keyed shuffle, exact int64."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_s": pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+                "value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = streaming.rolling_sum(
+        ds, key="user_id", order_cols=["ts_s", "event_id"],
+        value_col="value_c", window=3, out_col="rolling_c",
+    )
+    return _table(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "rolling_c": pc.cast(t["rolling_c"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_embedding_norms(sf_dir: str):
+    """Exact fixed-point L2 norms over the embedding table (quantize
+    components to int64 ppm first; squared sum exact in both arms)."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _table(similarity.embedding_norms(emb))
+
+
+def q_funnel_counts(sf_dir: str):
+    """Signup→purchase conversion funnel: per-user first-touch minima
+    (conditional-null columns + one grouped min), then partial counts —
+    the ordered two-step funnel without any self-join."""
+    import pandas as pd
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts_s = pc.divide(t["ts"].cast(pa.int64()), 1_000_000)
+        null64 = pa.scalar(None, pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_signup": pc.if_else(
+                    pc.equal(t["event_type"], "signup"), ts_s, null64
+                ),
+                "ts_purchase": pc.if_else(
+                    pc.equal(t["event_type"], "purchase"), ts_s, null64
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).map_batches(pre, batch_format="pyarrow")
+    mins = relational.grouped_agg(
+        ds, keys=["user_id"],
+        mins={"ts_signup": "ts_signup", "ts_purchase": "ts_purchase"},
+    )
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_signup_users": [int(df["ts_signup"].notna().sum())],
+                "n_purchase_users": [int(df["ts_purchase"].notna().sum())],
+                "n_converted": [int((df["ts_signup"] < df["ts_purchase"]).sum())],
+            }
+        )
+
+    parts = _table(mins.map_batches(cnt, batch_format="pandas")).to_pandas()
+    out = parts.sum(axis=0)
+    return pa.table(
+        {
+            "n_signup_users": pa.array([int(out["n_signup_users"])], pa.int64()),
+            "n_purchase_users": pa.array([int(out["n_purchase_users"])], pa.int64()),
+            "n_converted": pa.array([int(out["n_converted"])], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1724,6 +1816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_mean_counts": q_above_mean_counts,
         "postings": q_postings,
         "text_normalize": q_text_normalize,
+        "rolling_value_sums": q_rolling_value_sums,
+        "embedding_norms": q_embedding_norms,
+        "funnel_counts": q_funnel_counts,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2581,5 +2676,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, norm_text,
                    CAST(length(norm_text) AS BIGINT) AS n_chars
             FROM n
+        """,
+        "rolling_value_sums": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(SUM(value_c) OVER (
+                     PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling_c
+            FROM e
+        """,
+        "embedding_norms": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(FLOOR(SQRT(CAST(SUM(q * q) AS DOUBLE))) AS BIGINT)
+                   AS norm_fp
+            FROM u GROUP BY 1
+        """,
+        "funnel_counts": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) // 1000000 AS ts_s
+              FROM events
+            ), m AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'signup' THEN ts_s END)
+                       AS ts_signup,
+                     MIN(CASE WHEN event_type = 'purchase' THEN ts_s END)
+                       AS ts_purchase
+              FROM e GROUP BY 1
+            )
+            SELECT CAST(COUNT(ts_signup) AS BIGINT) AS n_signup_users,
+                   CAST(COUNT(ts_purchase) AS BIGINT) AS n_purchase_users,
+                   CAST(SUM(CASE WHEN ts_signup < ts_purchase
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM m
         """,
     }

@@ -363,3 +363,33 @@ def label_centroids(
     return grouped_agg(
         parts, keys=["label", "pos"], sums={"sum_q": "sum_q", "n": "n"}
     )
+
+
+def embedding_norms(
+    embeddings: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Per-vector L2 norm in exact fixed point — the magnitude column a
+    curation pass derives before cosine work (so unnormalized embeddings
+    are visible as data, not silently renormalized).
+
+    Components are quantized to ``round(scale * x)`` int64 FIRST, so the
+    squared sum is exact integer arithmetic in both the engine and the SQL
+    oracle, and the final sqrt+floor is a single correctly-rounded double
+    op — bit-identical across arms (same trick as ``label_centroids``).
+    Embarrassingly parallel: one zero-copy batch kernel, no shuffle.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        q = np.round(mat * scale).astype(np.int64)
+        ss = (q * q).sum(axis=1)
+        norm = np.floor(np.sqrt(ss.astype(np.float64))).astype(np.int64)
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids), "norm_fp": pa.array(norm)})
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        part, batch_format="pyarrow"
+    )

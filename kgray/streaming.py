@@ -265,6 +265,39 @@ def _chunked_i64(arr):
     return a.cast(pa.int64()) if a.type != pa.int64() else a
 
 
+def rolling_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling",
+    num_buckets: int = 64,
+):
+    """Per-key bounded rolling sum over the last ``window`` ordered rows
+    (inclusive) — SQL ``SUM() OVER (PARTITION BY key ORDER BY ... ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Same one-shuffle plan as ``running_total``; the bounded window is a
+    cumsum minus its group-wise ``shift(window)`` (exact integer
+    arithmetic, no per-row loop). Pass an integer ``value_col``.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        df = df.copy(deep=False)
+        cs = df.groupby(key, sort=False)[value_col].cumsum()
+        df["_cs"] = cs
+        shifted = df.groupby(key, sort=False)["_cs"].shift(window)
+        df[out_col] = (cs - shifted.fillna(0)).astype("int64")
+        return df.drop(columns=["_cs"])
+
+    return hash_bucketed_groupby(ds, [key], fn, num_buckets)
+
+
 def gap_stats(
     ds: ray.data.Dataset,
     key_col: str,

@@ -106,3 +106,38 @@ def test_normalize_text_batch_kernels():
         "hello world k 42", "", "a b c", "all caps"
     ]
     assert out["n_chars"].to_pylist() == [16, 0, 5, 8]
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    from kgray.streaming import rolling_sum
+
+    tbl = _events_tbl(n=300, n_keys=9, seed=5)
+    out = rolling_sum(
+        ray.data.from_arrow(tbl), key="k", order_cols=["ts", "eid"],
+        value_col="v", window=3, out_col="roll", num_buckets=8,
+    ).take_all()
+    df = tbl.to_pandas().sort_values(["k", "ts", "eid"])
+    df["roll"] = (
+        df.groupby("k")["v"].rolling(3, min_periods=1).sum().to_numpy()
+    )
+    expected = {(r.k, r.eid): int(r.roll) for r in df.itertuples()}
+    assert len(out) == 300
+    assert all(expected[(r["k"], r["eid"])] == r["roll"] for r in out)
+
+
+def test_embedding_norms_exact_fixed_point(ray_session):
+    from kgray.similarity import embedding_norms
+
+    vecs = np.array([[3.0, 4.0], [0.0, 0.0], [1.0, 1.0]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        }
+    )
+    out = {
+        r["vec_id"]: r["norm_fp"]
+        for r in embedding_norms(ray.data.from_arrow(tbl)).take_all()
+    }
+    # 3-4-5 triangle: exactly 5e6; sqrt(2)*1e6 floored
+    assert out == {0: 5_000_000, 1: 0, 2: int(np.floor(np.sqrt(2e12)))}
