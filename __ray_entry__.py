@@ -1729,6 +1729,108 @@ def q_funnel_counts(sf_dir: str):
     )
 
 
+_Q3_CUTOFF_S = 883_612_800  # 1998-01-01 UTC
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 analog: top-10 unshipped-revenue orders for the BUILDING
+    segment — dimension semi-filter, size-routed order attach, one grouped
+    sum, and a constant-key local-top-k combiner so the global top-10
+    never full-sorts the aggregate (at most 10 rows per block move)."""
+    cutoff = pa.scalar(_Q3_CUTOFF_S, pa.int64())
+    cust = relational.filter_batches(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ),
+        lambda t: pc.equal(t["c_mktsegment"].combine_chunks(), "BUILDING"),
+    ).select_columns(["c_custkey"])
+
+    def o_pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_date_s": pc.divide(t["o_orderdate"].cast(pa.int64()), 1_000_000),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_pre, batch_format="pyarrow")
+    orders = relational.filter_batches(
+        orders, lambda t: pc.less(t["o_date_s"].combine_chunks(), cutoff)
+    )
+    orders_b = relational.semi_join(orders, cust, "o_custkey", "c_custkey")
+
+    def l_pre(t: pa.Table) -> pa.Table:
+        ship_s = pc.divide(t["l_shipdate"].cast(pa.int64()), 1_000_000)
+        price_c = _cents(t["l_extendedprice"])
+        disc_pc = _cents(t["l_discount"])
+        rev_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pc))
+        return pa.table(
+            {"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+             "ship_s": ship_s, "rev_e4": rev_e4}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(l_pre, batch_format="pyarrow")
+    li = relational.filter_batches(
+        li, lambda t: pc.greater(t["ship_s"].combine_chunks(), cutoff)
+    ).select_columns(["l_orderkey", "rev_e4"])
+
+    joined = relational.broadcast_lookup_join(
+        li, orders_b.select_columns(["o_orderkey", "o_date_s"]),
+        "l_orderkey", "o_orderkey", ["o_date_s"], how="inner",
+    )
+    agg = relational.grouped_agg(
+        joined, keys=["l_orderkey", "o_date_s"], sums={"revenue_e4": "rev_e4"}
+    )
+    withg = agg.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    top = relational.top_k_per_group(
+        withg, ["_g"], "revenue_e4", k=10, descending=True,
+        tiebreak_cols=["o_date_s", "l_orderkey"],
+    )
+    return _table(
+        top.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "o_date_s": pc.cast(t["o_date_s"], pa.int64()),
+                    "revenue_e4": pc.cast(t["revenue_e4"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix over the event stream: distinct
+    users per (first-active week, week offset); one user-keyed shuffle
+    derives cohorts and offsets together."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "w": pc.divide(
+                    pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+                    pa.scalar(604_800, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = streaming.cohort_retention(ds, "user_id", "w")
+    return _table(out.map_batches(_ints64_df, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1819,6 +1921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value_sums": q_rolling_value_sums,
         "embedding_norms": q_embedding_norms,
         "funnel_counts": q_funnel_counts,
+        "shipping_priority": q_shipping_priority,
+        "cohort_retention": q_cohort_retention,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2719,5 +2823,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN ts_signup < ts_purchase
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
             FROM m
+        """,
+        "shipping_priority": f"""
+            WITH o AS (
+              SELECT o_orderkey,
+                     epoch_us(o_orderdate) // 1000000 AS o_date_s
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND epoch_us(o_orderdate) // 1000000 < {_Q3_CUTOFF_S}
+            ), l AS (
+              SELECT l_orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+              FROM lineitem
+              WHERE epoch_us(l_shipdate) // 1000000 > {_Q3_CUTOFF_S}
+            )
+            SELECT o_orderkey, o_date_s,
+                   CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4
+            FROM l JOIN o ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+            ORDER BY revenue_e4 DESC, o_date_s ASC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "cohort_retention": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // 1000000) // 604800 AS w
+              FROM events
+            ), c AS (
+              SELECT user_id, MIN(w) AS cw FROM p GROUP BY 1
+            )
+            SELECT c.cw AS cohort_period, p.w - c.cw AS period_offset,
+                   COUNT(*) AS n_users
+            FROM p JOIN c ON p.user_id = c.user_id
+            GROUP BY 1, 2
         """,
     }

@@ -132,6 +132,7 @@ def broadcast_lookup_join(
     take_cols: list[str],
     broadcast_limit: int = 2_000_000,
     num_partitions: int = 32,
+    how: str = "left",
 ) -> ray.data.Dataset:
     """Attach dimension columns to a fact stream — the J1 pattern
     (`Kuzu:265-271`), SIZE-ROUTED like ``_marker_join``:
@@ -151,7 +152,7 @@ def broadcast_lookup_join(
         if dim.count() > broadcast_limit:
             joined = fact.join(
                 dim.select_columns([dim_key] + take_cols),
-                join_type="left_outer",
+                join_type="left_outer" if how == "left" else "inner",
                 num_partitions=join_partitions(num_partitions),
                 on=(fact_key,), right_on=(dim_key,),
             )
@@ -165,7 +166,7 @@ def broadcast_lookup_join(
     # is one broadcast merge)
     return fact.map_batches(
         _broadcast_merge,
-        fn_kwargs={"ref": ref, "fact_key": fact_key, "dim_key": dim_key},
+        fn_kwargs={"ref": ref, "fact_key": fact_key, "dim_key": dim_key, "how": how},
         batch_format="pandas",
     )
 
@@ -173,13 +174,15 @@ def broadcast_lookup_join(
 _DIM_CACHE: dict = {}
 
 
-def _broadcast_merge(df: pd.DataFrame, ref=None, fact_key=None, dim_key=None) -> pd.DataFrame:
+def _broadcast_merge(
+    df: pd.DataFrame, ref=None, fact_key=None, dim_key=None, how: str = "left"
+) -> pd.DataFrame:
     key = ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref)
     dim = _DIM_CACHE.get(key)
     if dim is None:
         dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         _DIM_CACHE[key] = dim
-    return df.merge(dim, how="left", left_on=fact_key, right_on=dim_key).drop(
+    return df.merge(dim, how=how, left_on=fact_key, right_on=dim_key).drop(
         columns=[dim_key] if dim_key != fact_key else []
     )
 

@@ -265,6 +265,48 @@ def _chunked_i64(arr):
     return a.cast(pa.int64()) if a.type != pa.int64() else a
 
 
+def cohort_retention(
+    ds: ray.data.Dataset,
+    key_col: str,
+    period_col: str,
+    num_buckets: int = 64,
+):
+    """Cohort retention counts: distinct users per (cohort period, period
+    offset), where a user's cohort is their FIRST active period.
+
+    Single keyed shuffle: a per-batch distinct-(key, period) combiner,
+    then one user-keyed bucket pass that dedups, derives the per-user
+    cohort min, and emits (cohort, offset) partial counts — the final
+    reduce moves only n_cohorts x n_offsets rows. Pass an integer
+    ``period_col`` (e.g. epoch-week)."""
+    import pandas as pd
+
+    from .relational import grouped_agg, hash_bucketed_groupby
+
+    pairs = ds.select_columns([key_col, period_col]).map_batches(
+        lambda df: df.drop_duplicates([key_col, period_col]),
+        batch_format="pandas",
+    )
+
+    def cohort(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([key_col, period_col])
+        cw = d.groupby(key_col, sort=False)[period_col].transform("min")
+        out = pd.DataFrame(
+            {"cohort_period": cw, "period_offset": d[period_col] - cw}
+        )
+        return (
+            out.groupby(["cohort_period", "period_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+            .astype("int64")
+        )
+
+    parts = hash_bucketed_groupby(pairs, [key_col], cohort, num_buckets)
+    return grouped_agg(
+        parts, keys=["cohort_period", "period_offset"], sums={"n_users": "n_users"}
+    )
+
+
 def rolling_sum(
     ds: ray.data.Dataset,
     key: str,

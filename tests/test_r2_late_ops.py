@@ -141,3 +141,53 @@ def test_embedding_norms_exact_fixed_point(ray_session):
     }
     # 3-4-5 triangle: exactly 5e6; sqrt(2)*1e6 floored
     assert out == {0: 5_000_000, 1: 0, 2: int(np.floor(np.sqrt(2e12)))}
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    from kgray.streaming import cohort_retention
+
+    rng = np.random.RandomState(13)
+    n = 500
+    tbl = pa.table(
+        {
+            "u": pa.array(rng.randint(0, 40, n), type=pa.int64()),
+            "w": pa.array(rng.randint(0, 6, n), type=pa.int64()),
+        }
+    )
+    out = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(
+            ray.data.from_arrow(tbl), "u", "w", num_buckets=8
+        ).take_all()
+    }
+    df = tbl.to_pandas().drop_duplicates()
+    df["cw"] = df.groupby("u")["w"].transform("min")
+    exp = (
+        df.assign(off=df["w"] - df["cw"])
+        .groupby(["cw", "off"])
+        .size()
+        .to_dict()
+    )
+    assert out == exp
+
+
+def test_broadcast_lookup_join_inner_both_routes(ray_session):
+    fact, dim = _fact_dim_small()
+    for limit in (100, 0):  # broadcast route, then forced shuffle-join route
+        out = relational.broadcast_lookup_join(
+            fact, dim, "k", "dk", ["name"], broadcast_limit=limit, how="inner"
+        ).take_all()
+        got = sorted((r["k"], r["x"], r["name"]) for r in out)
+        assert got == [(1, 10, "n1"), (2, 20, "n2"), (2, 21, "n2")]
+
+
+def _fact_dim_small():
+    fact = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 9], type=pa.int64()),
+                  "x": pa.array([10, 20, 21, 90], type=pa.int64())})
+    )
+    dim = ray.data.from_arrow(
+        pa.table({"dk": pa.array([1, 2, 3], type=pa.int64()),
+                  "name": ["n1", "n2", "n3"]})
+    )
+    return fact, dim
