@@ -1831,6 +1831,46 @@ def q_cohort_retention(sf_dir: str):
     return _table(out.map_batches(_ints64_df, batch_format="pandas"))
 
 
+def q_feature_scale(sf_dir: str):
+    """Per-dimension min-max feature scaling over the embedding table —
+    exact fixed-point two-pass (dim-length stats broadcast, then one
+    re-stream applying the integer scale)."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _table(similarity.feature_scale(emb))
+
+
+def q_segment_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the segment cross-tab reshaped back to long form —
+    the wide→long operator as a batch-local vectorized melt after the
+    same 125-leaf pivot exchange."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    leaves = relational.grouped_agg(
+        cust, keys=["c_nationkey", "c_mktsegment"], count_alias="n"
+    )
+
+    def pivot(df):
+        p = df.pivot_table(
+            index="c_nationkey", columns="c_mktsegment", values="n",
+            aggfunc="sum", fill_value=0,
+        ).reindex(columns=segs, fill_value=0)
+        p.columns = ["n_" + s.lower() for s in p.columns]
+        return p.reset_index().rename(columns={"c_nationkey": "nationkey"})
+
+    wide = relational.hash_bucketed_groupby(leaves, ["c_nationkey"], pivot)
+    melted = wide.map_batches(
+        lambda df: df.melt(
+            id_vars=["nationkey"], var_name="segment", value_name="n"
+        ).astype({"nationkey": "int64", "n": "int64"}),
+        batch_format="pandas",
+    )
+    return _table(melted)
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1923,6 +1963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
+        "feature_scale": q_feature_scale,
+        "segment_unpivot": q_segment_unpivot,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2857,5 +2899,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_users
             FROM p JOIN c ON p.user_id = c.user_id
             GROUP BY 1, 2
+        """,
+        "feature_scale": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            ), s AS (
+              SELECT pos, MIN(q) AS mn, MAX(q) AS mx FROM u GROUP BY 1
+            )
+            SELECT u.vec_id, u.pos,
+                   CAST(CASE WHEN s.mx = s.mn THEN 0
+                        ELSE (u.q - s.mn) * 1000000 // (s.mx - s.mn)
+                        END AS BIGINT) AS scaled_ppm
+            FROM u JOIN s ON u.pos = s.pos
+        """,
+        "segment_unpivot": """
+            WITH c AS (
+              SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+                     COUNT(*) AS n
+              FROM customer GROUP BY 1, 2
+            ), segs AS (
+              SELECT unnest(['AUTOMOBILE', 'BUILDING', 'FURNITURE',
+                             'HOUSEHOLD', 'MACHINERY']) AS seg
+            ), nk AS (SELECT DISTINCT nationkey FROM c)
+            SELECT nk.nationkey, 'n_' || lower(segs.seg) AS segment,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM nk CROSS JOIN segs
+            LEFT JOIN c ON c.nationkey = nk.nationkey AND c.seg = segs.seg
         """,
     }

@@ -393,3 +393,65 @@ def embedding_norms(
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         part, batch_format="pyarrow"
     )
+
+
+def feature_scale(
+    embeddings: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Per-dimension min-max normalization (the classic feature scaler a
+    training pipeline runs before quantization) — entirely in exact fixed
+    point so both arms agree bit-for-bit.
+
+    Two-pass broadcast-stats: pass 1 reduces each batch to per-dimension
+    (min, max) partials (dim rows per block, tiny) and collects the final
+    dim-length table once; pass 2 re-streams the vectors applying
+    ``(q - min) * scale // (max - min)`` with the stats closed over by the
+    tasks. Output is long-form (id, pos, scaled_ppm) int64 rows. A
+    constant dimension scales to 0 (range guard), matching the oracle.
+    """
+    from .relational import grouped_agg
+
+    def stats_part(t: pa.Table) -> pa.Table:
+        q = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64)
+        d = q.shape[1] if len(q) else 0
+        return pa.table(
+            {
+                "pos": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "mn": pa.array(q.min(axis=0) if len(q) else [], type=pa.int64()),
+                "mx": pa.array(q.max(axis=0) if len(q) else [], type=pa.int64()),
+            }
+        )
+
+    stats_ds = grouped_agg(
+        embeddings.select_columns([vec_col]).map_batches(
+            stats_part, batch_format="pyarrow"
+        ),
+        keys=["pos"], mins={"mn": "mn"}, maxs={"mx": "mx"},
+    )
+    stats = stats_ds.to_pandas().sort_values("pos")
+    mn = stats["mn"].to_numpy(dtype=np.int64)
+    rng = stats["mx"].to_numpy(dtype=np.int64) - mn
+    safe_rng = np.where(rng == 0, 1, rng)
+
+    def apply(t: pa.Table, _mn=mn, _rng=rng, _safe=safe_rng) -> pa.Table:
+        q = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64)
+        scaled = (q - _mn) * scale // _safe
+        scaled[:, _rng == 0] = 0
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = q.shape
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d), type=pa.int64()),
+                "pos": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), n)
+                ),
+                "scaled_ppm": pa.array(scaled.reshape(-1), type=pa.int64()),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        apply, batch_format="pyarrow"
+    )

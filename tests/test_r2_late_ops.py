@@ -191,3 +191,25 @@ def _fact_dim_small():
                   "name": ["n1", "n2", "n3"]})
     )
     return fact, dim
+
+
+def test_feature_scale_exact_and_constant_dim(ray_session):
+    from kgray.similarity import feature_scale
+
+    vecs = np.array(
+        [[0.0, 5.0, 1.0], [1.0, 5.0, 3.0], [0.5, 5.0, 2.0]], dtype=np.float64
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        }
+    )
+    out = {
+        (r["vec_id"], r["pos"]): r["scaled_ppm"]
+        for r in feature_scale(ray.data.from_arrow(tbl)).take_all()
+    }
+    # dim 1: min 0, max 1e6 -> 0 / 1e6 / 5e5; dim 2 constant -> 0; dim 3 linear
+    assert out[(0, 1)] == 0 and out[(1, 1)] == 1_000_000 and out[(2, 1)] == 500_000
+    assert out[(0, 2)] == out[(1, 2)] == out[(2, 2)] == 0
+    assert out[(0, 3)] == 0 and out[(1, 3)] == 1_000_000 and out[(2, 3)] == 500_000
