@@ -431,7 +431,18 @@ def feature_scale(
         ),
         keys=["pos"], mins={"mn": "mn"}, maxs={"mx": "mx"},
     )
-    stats = stats_ds.to_pandas().sort_values("pos")
+    stats = stats_ds.to_pandas()
+    if "pos" not in stats.columns or not len(stats):  # degenerate empty input
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "scaled_ppm": pa.array([], pa.int64()),
+                }
+            )
+        )
+    stats = stats.sort_values("pos")
     mn = stats["mn"].to_numpy(dtype=np.int64)
     rng = stats["mx"].to_numpy(dtype=np.int64) - mn
     safe_rng = np.where(rng == 0, 1, rng)

@@ -41,3 +41,30 @@ def test_empty_graph_ops(ray_session):
     bfs = bfs_distances(e, source=0)
     assert bfs.num_rows == 1 and bfs["dist"].to_pylist() == [0]
     assert _pagerank_counts(e.materialize(), "src", "dst", 3, 10**12).num_rows == 0
+
+
+def test_empty_session_r2_late_ops(ray_session):
+    from kgray.relational import above_mean_per_group
+    from kgray.similarity import embedding_norms, feature_scale
+    from kgray.streaming import cohort_retention, gap_stats, rolling_sum
+    from kgray.textops import postings_index
+
+    ev = _empty({"k": "int64", "eid": "int64", "ts": "int64", "v": "int64"})
+    assert gap_stats(ev, "k", ["ts", "eid"], "ts").count() == 0
+    assert rolling_sum(ev, "k", ["ts", "eid"], "v", window=3).count() == 0
+    assert cohort_retention(ev.select_columns(["k", "ts"]), "k", "ts").count() == 0
+    assert above_mean_per_group(ev, "k", "v").num_rows == 0
+
+    docs = _empty({"doc_id": "int64", "text": str})
+    assert postings_index(docs).count() == 0
+
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    assert embedding_norms(emb).count() == 0
+    assert feature_scale(emb).count() == 0
