@@ -1871,6 +1871,53 @@ def q_segment_unpivot(sf_dir: str):
     return _table(melted)
 
 
+def q_user_activity_coverage(sf_dir: str):
+    """FULL OUTER coverage audit between the event users and the order
+    customers: how many ids appear in events only / orders only / both.
+    Distinct streams reduce per block first; the overlap is one
+    bloom-prefiltered semi join, and the two "only" counts derive by
+    subtraction — no outer shuffle of either side."""
+    ev_users = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": pc.cast(t["user_id"], pa.int64()).unique()}
+        ),
+        batch_format="pyarrow",
+    )
+    ev_users = relational.hash_bucketed_groupby(
+        ev_users, ["user_id"], lambda df: df.drop_duplicates(["user_id"])
+    )
+    ord_custs = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": pc.cast(t["o_custkey"], pa.int64()).unique()}
+        ),
+        batch_format="pyarrow",
+    )
+    ord_custs = relational.hash_bucketed_groupby(
+        ord_custs, ["o_custkey"], lambda df: df.drop_duplicates(["o_custkey"])
+    )
+    # each distinct set is consumed twice (count + semi join): materialize
+    # once so the dedup shuffle doesn't re-run; blocks stay distributed in
+    # the object store (bounded by key cardinality, not corpus size)
+    ev_users = ev_users.materialize()
+    ord_custs = ord_custs.materialize()
+    n_ev = ev_users.count()
+    n_ord = ord_custs.count()
+    n_both = relational.semi_join(
+        ev_users, ord_custs, "user_id", "o_custkey"
+    ).count()
+    return pa.table(
+        {
+            "n_events_only": pa.array([n_ev - n_both], pa.int64()),
+            "n_orders_only": pa.array([n_ord - n_both], pa.int64()),
+            "n_both": pa.array([n_both], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1965,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "feature_scale": q_feature_scale,
         "segment_unpivot": q_segment_unpivot,
+        "user_activity_coverage": q_user_activity_coverage,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2929,5 +2977,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
             FROM nk CROSS JOIN segs
             LEFT JOIN c ON c.nationkey = nk.nationkey AND c.seg = segs.seg
+        """,
+        "user_activity_coverage": """
+            WITH e AS (SELECT DISTINCT user_id FROM events),
+                 o AS (SELECT DISTINCT o_custkey FROM orders),
+                 f AS (
+                   SELECT e.user_id, o.o_custkey
+                   FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+                 )
+            SELECT
+              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_events_only,
+              CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_orders_only,
+              CAST(SUM(CASE WHEN user_id IS NOT NULL AND o_custkey IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+            FROM f
         """,
     }
