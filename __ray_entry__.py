@@ -1918,6 +1918,44 @@ def q_user_activity_coverage(sf_dir: str):
     )
 
 
+def q_group_sample(sf_dir: str):
+    """Deterministic per-group sample: 2 exemplar events per type chosen
+    by Knuth-hash order (the eval-set picker — stable under any
+    partitioning, no RNG state). A computed hash column + the local-top-k
+    combiner; at most k rows per (group, block) ever move."""
+    def pre(t: pa.Table) -> pa.Table:
+        eid = (
+            t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # Knuth multiplicative hash, exact in int64 for id < 2^32; numpy
+        # because pyarrow has no modulo kernel
+        hv = (eid * 2654435761) % (1 << 32)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": pa.array(eid, type=pa.int64()),
+                "hv": pa.array(hv, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    ).map_batches(pre, batch_format="pyarrow")
+    out = relational.top_k_per_group(
+        ds, ["event_type"], "hv", k=2, descending=False, tiebreak_cols=["event_id"]
+    )
+    return _table(
+        out.map_batches(
+            lambda t: pa.table(
+                {"event_type": t["event_type"],
+                 "event_id": pc.cast(t["event_id"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -2013,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_scale": q_feature_scale,
         "segment_unpivot": q_segment_unpivot,
         "user_activity_coverage": q_user_activity_coverage,
+        "group_sample": q_group_sample,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2993,5 +3032,16 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN user_id IS NOT NULL AND o_custkey IS NOT NULL
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
             FROM f
+        """,
+        "group_sample": """
+            WITH h AS (
+              SELECT event_type, event_id,
+                     (event_id * 2654435761) % 4294967296 AS hv
+              FROM events
+            )
+            SELECT event_type, event_id FROM h
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY hv, event_id
+            ) <= 2
         """,
     }
