@@ -1956,6 +1956,53 @@ def q_group_sample(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 3 update rounds) over the embedding
+    table in exact integer arithmetic — the iterative-algorithm pattern:
+    per-round one streaming pass with driver-broadcast centroids and
+    (cid, pos) partial sums; bit-identical to the unrolled SQL mirror."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return similarity.kmeans_assign(emb, k=8, iters=3)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 10**6,
+                offset: int = 16_000_000) -> str:
+    """Unrolled Lloyd iterations mirroring similarity.kmeans_assign: the
+    engine runs ``iters`` centroid updates then one final assignment, so
+    the SQL unrolls a{1..iters+1} with c{1..iters}. The +offset keeps all
+    quantized components positive so integer mean floors agree."""
+    sql = f"""
+    WITH u AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                  AS BIGINT) + {offset} AS q
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, q FROM u WHERE vec_id < {k})"""
+    for i in range(1, iters + 2):
+        sql += f""",
+    d{i} AS (
+      SELECT u.vec_id, c.cid, SUM((u.q - c.q) * (u.q - c.q)) AS d
+      FROM u JOIN c{i-1} c ON u.pos = c.pos GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id, cid FROM d{i}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    )"""
+        if i <= iters:
+            sql += f""",
+    c{i} AS (
+      SELECT a.cid, u.pos, CAST(SUM(u.q) // COUNT(*) AS BIGINT) AS q
+      FROM u JOIN a{i} a ON u.vec_id = a.vec_id GROUP BY 1, 2
+    )"""
+    sql += f"""
+    SELECT vec_id, cid AS cluster FROM a{iters + 1}"""
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -2052,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_unpivot": q_segment_unpivot,
         "user_activity_coverage": q_user_activity_coverage,
         "group_sample": q_group_sample,
+        "kmeans_clusters": q_kmeans_clusters,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3044,4 +3092,5 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY event_type ORDER BY hv, event_id
             ) <= 2
         """,
+        "kmeans_clusters": _kmeans_sql(k=8, iters=3),
     }

@@ -466,3 +466,103 @@ def feature_scale(
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         apply, batch_format="pyarrow"
     )
+
+
+def kmeans_assign(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: int = 16_000_000,
+) -> pa.Table:
+    """Distributed Lloyd k-means over the embedding table with EXACT
+    integer arithmetic end to end, so every assignment is bit-identical
+    to an unrolled SQL mirror.
+
+    Components quantize to ``round(scale*x) + offset`` (the offset keeps
+    every value positive so centroid means ``sum // n`` floor identically
+    in numpy and SQL; squared distances are invariant to the common
+    shift). Init is the ``k`` smallest ids. Each iteration is ONE streaming
+    pass: per-batch argmin assignment against the driver-broadcast k x d
+    centroid matrix plus (cid, pos, sum_q, n) partial emission — the
+    exchange moves k x d rows per block, never the vectors. Clusters that
+    lose all members are dropped (matching SQL's natural inner-join drop).
+    Ties in distance break to the smallest cid in both arms. Returns the
+    final (id, cluster) assignment.
+    """
+    from .relational import grouped_agg
+
+    def quant(t: pa.Table) -> np.ndarray:
+        return np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64) + offset
+
+    import pyarrow.compute as _pc
+
+    def _seed_filter(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.less(t[id_col].combine_chunks(), k))
+
+    seed_tbl = pa.concat_tables(
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(_seed_filter, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    )
+    order = np.argsort(
+        _chunk1(seed_tbl[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    cents = quant(seed_tbl)[order]          # (k, d), cid = row index
+    cids = np.arange(len(cents), dtype=np.int64)
+
+    def dists(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # exact int64 squared distances, one cluster at a time (k is small)
+        out = np.empty((len(q), len(c)), dtype=np.int64)
+        for j in range(len(c)):
+            d = q - c[j]
+            out[:, j] = (d * d).sum(axis=1)
+        return out
+
+    for _ in range(iters):
+        def part(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
+            q = quant(t)
+            assign = _ids[np.argmin(dists(q, _c), axis=1)]
+            uniq, codes = np.unique(assign, return_inverse=True)
+            kk, d = len(uniq), q.shape[1]
+            sums = np.zeros((kk, d), dtype=np.int64)
+            np.add.at(sums, codes, q)
+            cnt = np.bincount(codes, minlength=kk).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.repeat(uniq, d), type=pa.int64()),
+                    "pos": pa.array(np.tile(np.arange(d, dtype=np.int64), kk)),
+                    "sum_q": pa.array(sums.reshape(-1), type=pa.int64()),
+                    "n": pa.array(np.repeat(cnt, d), type=pa.int64()),
+                }
+            )
+
+        stats = grouped_agg(
+            embeddings.select_columns([vec_col]).map_batches(
+                part, batch_format="pyarrow"
+            ),
+            keys=["cid", "pos"], sums={"sum_q": "sum_q", "n": "n"},
+        ).to_pandas().sort_values(["cid", "pos"])
+        d = stats["pos"].max() + 1
+        cids = stats["cid"].to_numpy(dtype=np.int64)[::d].copy()
+        cents = (
+            stats["sum_q"].to_numpy(dtype=np.int64)
+            // stats["n"].to_numpy(dtype=np.int64)
+        ).reshape(len(cids), d)
+
+    def final(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
+        q = quant(t)
+        assign = _ids[np.argmin(dists(q, _c), axis=1)]
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {id_col: pa.array(ids), "cluster": pa.array(assign, type=pa.int64())}
+        )
+
+    out = embeddings.select_columns([id_col, vec_col]).map_batches(
+        final, batch_format="pyarrow"
+    )
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    )

@@ -213,3 +213,29 @@ def test_feature_scale_exact_and_constant_dim(ray_session):
     assert out[(0, 1)] == 0 and out[(1, 1)] == 1_000_000 and out[(2, 1)] == 500_000
     assert out[(0, 2)] == out[(1, 2)] == out[(2, 2)] == 0
     assert out[(0, 3)] == 0 and out[(1, 3)] == 1_000_000 and out[(2, 3)] == 500_000
+
+
+def test_kmeans_assign_planted_clusters(ray_session):
+    from kgray.similarity import kmeans_assign
+
+    rng = np.random.RandomState(17)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    pts = np.vstack(
+        [c + rng.normal(0, 0.3, size=(30, 2)) for c in centers]
+    )
+    # ids 0..2 are one point from each planted cluster (the k-means seeds)
+    order = np.concatenate([[0, 30, 60], np.delete(np.arange(90), [0, 30, 60])])
+    pts = pts[order]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(90), type=pa.int64()),
+            "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+        }
+    )
+    out = kmeans_assign(
+        ray.data.from_arrow(tbl), k=3, iters=3
+    ).to_pandas().sort_values("vec_id")
+    lab = out["cluster"].to_numpy()
+    truth = np.array([0, 1, 2] + [0] * 29 + [1] * 29 + [2] * 29)
+    # well-separated planted clusters: assignment == truth exactly
+    assert (lab == truth).all()
