@@ -2003,6 +2003,34 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 10**6,
     return sql
 
 
+_EPOCH_2024_S = 1_704_067_200  # 2024-01-01 UTC: corpus time origin
+
+
+def q_trend_per_type(sf_dir: str):
+    """Per-type value trend: the least-squares slope of value-vs-time as
+    an exact int64 rational (grouped_linfit) — x in hours since the
+    corpus epoch so per-batch moments stay in int64."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "x_h": pc.divide(
+                    pc.subtract(
+                        pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+                        pa.scalar(_EPOCH_2024_S, pa.int64()),
+                    ),
+                    pa.scalar(3600, pa.int64()),
+                ),
+                "value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -2100,6 +2128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_coverage": q_user_activity_coverage,
         "group_sample": q_group_sample,
         "kmeans_clusters": q_kmeans_clusters,
+        "trend_per_type": q_trend_per_type,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3093,4 +3122,20 @@ def oracle_sql() -> dict[str, str]:
             ) <= 2
         """,
         "kmeans_clusters": _kmeans_sql(k=8, iters=3),
+        "trend_per_type": f"""
+            WITH e AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 - {_EPOCH_2024_S}) // 3600 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+            ), s AS (
+              SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM e GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+            FROM s
+        """,
     }

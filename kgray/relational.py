@@ -339,6 +339,59 @@ def above_mean_per_group(
     )
 
 
+def grouped_linfit(
+    ds: ray.data.Dataset, group_col: str, x_col: str, y_col: str
+) -> pa.Table:
+    """Per-group least-squares trend as an EXACT rational: returns
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)`` as separate int64
+    numerator/denominator — no division, so there is no float and no
+    floor-vs-truncate divergence between arms (DuckDB ``//`` truncates
+    where numpy floors).
+
+    The five moments are associative int64 partials (one row per group
+    per batch); the cross products run driver-side in Python ints (exact
+    at any magnitude) on the tiny reduced table. Pass pre-bounded integer
+    ``x_col`` (e.g. hours since corpus epoch) so per-batch Σx² stays in
+    int64.
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype="int64")
+        y = df[y_col].to_numpy(dtype="int64")
+        d = pd.DataFrame(
+            {group_col: df[group_col], "_sx": x, "_sy": y,
+             "_sxy": x * y, "_sxx": x * x, "_n": 1}
+        )
+        return d.groupby(group_col, sort=False, as_index=False).sum()
+
+    sums = _table_local(
+        grouped_agg(
+            ds.map_batches(part, batch_format="pandas"),
+            keys=[group_col],
+            sums={c: c for c in ("_sx", "_sy", "_sxy", "_sxx", "_n")},
+        )
+    ).to_pandas()
+    if group_col not in sums.columns:  # degenerate empty input
+        return pa.table({})
+    rows = {group_col: [], "n": [], "slope_num": [], "slope_den": []}
+    for i in range(len(sums)):
+        # itertuples mangles underscore-led names; index the columns directly
+        n, sx, sy = (int(sums["_n"].iat[i]), int(sums["_sx"].iat[i]),
+                     int(sums["_sy"].iat[i]))
+        rows[group_col].append(sums[group_col].iat[i])
+        rows["n"].append(n)
+        rows["slope_num"].append(n * int(sums["_sxy"].iat[i]) - sx * sy)
+        rows["slope_den"].append(n * int(sums["_sxx"].iat[i]) - sx * sx)
+    return pa.table(
+        {
+            group_col: pa.array(rows[group_col]),
+            "n": pa.array(rows["n"], pa.int64()),
+            "slope_num": pa.array(rows["slope_num"], pa.int64()),
+            "slope_den": pa.array(rows["slope_den"], pa.int64()),
+        }
+    )
+
+
 def _table_local(ds: ray.data.Dataset) -> pa.Table:
     """Collect a small Dataset result to one Arrow table (empty-safe)."""
     tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20))

@@ -239,3 +239,25 @@ def test_kmeans_assign_planted_clusters(ray_session):
     truth = np.array([0, 1, 2] + [0] * 29 + [1] * 29 + [2] * 29)
     # well-separated planted clusters: assignment == truth exactly
     assert (lab == truth).all()
+
+
+def test_grouped_linfit_exact_rational(ray_session):
+    tbl = pa.table(
+        {
+            "g": pa.array([0, 0, 0, 1, 1], type=pa.int64()),
+            "x": pa.array([0, 1, 2, 10, 20], type=pa.int64()),
+            "y": pa.array([5, 7, 9, 100, 50], type=pa.int64()),
+        }
+    )
+    out = {
+        r["g"]: (r["n"], r["slope_num"], r["slope_den"])
+        for r in relational.grouped_linfit(
+            ray.data.from_arrow(tbl), "g", "x", "y"
+        ).to_pylist()
+    }
+    # group 0: perfect slope 2 -> num/den = 12/6; group 1: slope -5 -> -500/100
+    assert out[0] == (3, 12, 6)
+    assert out[1] == (2, -500, 100)
+    # empty input degenerates to an empty table, never raises
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    assert relational.grouped_linfit(empty, "g", "x", "y").num_rows == 0
