@@ -90,6 +90,8 @@ def run_bench() -> dict:
             "corpus_clean", "decontaminate", "chunk_docs", "pii_scrub",
             "tfidf_keywords", "tool_transitions", "repetition_filter",
             "quantile_sketch", "event_mode_value", "mention_lift",
+            "kmeans_clusters", "shipping_priority", "cohort_retention",
+            "rolling_value_sums",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
