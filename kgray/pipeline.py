@@ -351,3 +351,124 @@ def run_flagship(sf_dir: str, out_dir: str, repeat: int = 1, resume: bool = True
     transcripts = transcripts_dataset(sf_dir, repeat=repeat)
     pipe = KGPipeline(out_dir=out_dir, resume=resume)
     return pipe.run(transcripts, fingerprint=f"{sf_dir}|repeat={repeat}")
+
+
+def update_graph(
+    out_dir: str,
+    new_transcripts: ray.data.Dataset,
+    catalog=None,
+    rules=None,
+    turn_order: str = "local",
+) -> dict:
+    """Incremental append: run extract → link → canonicalize → dedup on a
+    DELTA of transcripts and merge the result into an EXISTING graph
+    output, never rewriting a finished partition.
+
+    New candidate edges are anti-joined against the existing edge ``uid``
+    set (key-only: the existing table contributes one pruned column, and
+    the marker join size-routes broadcast-vs-shuffle); candidate nodes
+    likewise against existing ``id``. Class tags for the fresh edges come
+    from existing ∪ fresh nodes so an endpoint whose node row already
+    exists still tags correctly. Files APPEND into the same hive layout
+    (``write_parquet`` SaveMode.APPEND — existing files untouched; the
+    layout — full triple vs predicate-only — is detected from the dirs on
+    disk), and ``lineage.json`` gains an ``update`` record with the
+    new/duplicate edge accounting. Union semantics are idempotent:
+    re-applying the same delta adds zero rows.
+
+    The CDC half of the reference's per-partition import loop (P4): the
+    reference re-imports whole files; here only never-seen (s, p, o)
+    edges and never-seen endpoints touch the sink.
+    """
+    import glob as _glob
+
+    from . import relational
+    from .materialize import build_edges, build_nodes, tag_edge_classes
+
+    catalog = catalog if catalog is not None else entity_catalog()
+    m = StageMetrics(run_id=f"update:{os.path.basename(out_dir.rstrip('/'))}")
+    edge_dir = f"{out_dir}/edges"
+    node_dir = f"{out_dir}/nodes"
+
+    with m.time_stage("delta_extract"):
+        if turn_order == "global":
+            ordered = new_transcripts.sort(["conv_id", "turn_idx"])
+        elif turn_order == "local":
+            ordered = new_transcripts.map_batches(
+                _sort_turns_in_block, batch_format="pyarrow"
+            )
+        else:
+            ordered = new_transcripts
+        triples = extract.extract_triples(ordered, rules=rules)
+        alias_ref = lookups.broadcast(build_alias_index(catalog))
+        linked = link.link_entities(triples, alias_ref).map_batches(
+            lambda t: t.filter(t["linked"].combine_chunks()), batch_format="pyarrow"
+        )
+        canon = canonicalize.canonical_map(
+            catalog.select(["id", "equivalent_identifiers"])
+        )
+        cand_edges = build_edges(canonicalize.rewrite_ids(linked, canon)).materialize()
+
+    with m.time_stage("dedup_vs_existing"):
+        existing_uids = ray.data.read_parquet(edge_dir, columns=["edge_uid"])
+        fresh_edges = relational.anti_join(
+            cand_edges, existing_uids, "edge_uid", "edge_uid"
+        ).materialize()
+        n_cand = cand_edges.count()
+        n_fresh = fresh_edges.count()
+
+        cat_ref = lookups.broadcast(catalog_index(catalog))
+        cand_nodes = build_nodes(fresh_edges, cat_ref)
+        existing_node_keys = ray.data.read_parquet(node_dir, columns=["id"])
+        fresh_nodes = relational.anti_join(
+            cand_nodes, existing_node_keys, "id", "id"
+        ).materialize()
+        n_new_nodes = fresh_nodes.count()
+
+    with m.time_stage("append"):
+        # class lookup over existing ∪ fresh nodes: endpoints whose node
+        # rows predate this delta still tag with their real class
+        existing_min = ray.data.read_parquet(
+            node_dir, columns=["id", "primary_class"]
+        )
+        lookup = lookups.node_class_lookup(existing_min)
+        lookup.update(lookups.node_class_lookup(fresh_nodes))
+        class_ref = lookups.broadcast(lookup)
+        tagged = tag_edge_classes(fresh_edges, class_ref)
+        # match the layout already on disk
+        use_classes = bool(_glob.glob(f"{edge_dir}/predicate=*/subject_class=*"))
+        if n_new_nodes:
+            fresh_nodes.write_parquet(node_dir, partition_cols=["primary_class"])
+        if n_fresh:
+            part_cols = ["predicate"] + (
+                ["subject_class", "object_class"] if use_classes else []
+            )
+            if use_classes:
+                tagged = relational.hash_bucketed_groupby(
+                    tagged, part_cols, lambda df: df, num_buckets=32
+                )
+            tagged.write_parquet(edge_dir, partition_cols=part_cols)
+        paths = {"nodes": node_dir, "edges": edge_dir}
+
+    m.record(
+        "update", candidate_edges=n_cand, new_edges=n_fresh,
+        duplicate_edges_skipped=n_cand - n_fresh, new_nodes=n_new_nodes,
+        edge_layout=(
+            ["predicate", "subject_class", "object_class"]
+            if use_classes else ["predicate"]
+        ),
+    )
+    # fold the update record into the existing lineage file
+    lineage_path = os.path.join(out_dir, "lineage.json")
+    doc = {}
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            doc = json.load(f)
+    doc.setdefault("updates", []).append(m.to_dict())
+    with open(lineage_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    return {
+        "nodes": paths["nodes"], "edges": paths["edges"],
+        "new_edges": n_fresh, "duplicate_edges_skipped": n_cand - n_fresh,
+        "new_nodes": n_new_nodes, "metrics": m.to_dict(),
+    }
