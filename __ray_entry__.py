@@ -2031,6 +2031,14 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_bm25_keywords(sf_dir: str):
+    """Per-doc top-3 keywords by exact-integer BM25 (rational odds-ratio
+    idf, no transcendentals) — two tiny stat passes then a shuffle-free
+    scoring pass."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(textops.bm25_keywords(docs, k=3))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -2129,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": q_group_sample,
         "kmeans_clusters": q_kmeans_clusters,
         "trend_per_type": q_trend_per_type,
+        "bm25_keywords": q_bm25_keywords,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3137,5 +3146,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
             FROM s
+        """,
+        "bm25_keywords": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), toks_f AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS dl FROM toks_f GROUP BY 1
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM dl
+            ), df AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+            ), sc AS (
+              SELECT t.doc_id, t.term,
+                CAST((1000 * (22 * t.tf * s.total)
+                      * (2 * s.n_docs - 2 * d.df + 1))
+                     // (((10 * t.tf + 3) * s.total + 9 * l.dl * s.n_docs)
+                         * (2 * d.df + 1)) AS BIGINT) AS score_ppk
+              FROM tf t
+              JOIN dl l ON t.doc_id = l.doc_id
+              JOIN df d ON t.term = d.term
+              CROSS JOIN stats s
+            )
+            SELECT doc_id, term, score_ppk,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY score_ppk DESC, term
+                   ) AS BIGINT) AS rn
+            FROM sc
+            QUALIFY rn <= 3
         """,
     }

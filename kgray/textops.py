@@ -636,3 +636,84 @@ def repetition_stats_batch(
             "keep": pa.array(keep),
         }
     )
+
+
+def bm25_keywords(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_buckets: int = 32,
+):
+    """Per-doc top-``k`` keywords by an EXACT-INTEGER BM25 variant
+    (k1=1.2, b=0.75, and the classic log-idf replaced by the raw odds
+    ratio ``(2N - 2df + 1) / (2df + 1)`` so no transcendental ever enters
+    — every score is one positive integer floor division, reproducible
+    bit-for-bit in SQL):
+
+        score_ppk = (1000 · 22·tf·T · idf_num)
+                    // (((10·tf + 3)·T + 9·dl·N) · idf_den)
+
+    with T = total corpus tokens, N = docs, dl = doc length. Two cheap
+    stat passes (df map + (N, T) scalars — the df dict is vocabulary-
+    sized, bounded by language, and broadcast once), then a shuffle-free
+    scoring pass: tf and dl are complete within a batch because docs are
+    rows. int64 bound: 1000·22·tf·T·idf_num must stay < 2^63 — holds to
+    ~1e7 docs at this corpus shape; drop the ppk scale for more.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        return ex[ex["term"].notna() & (ex["term"] != "")]
+
+    def df_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = _tok(df).drop_duplicates()
+        return d.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+
+    def df_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False)["df"].sum()
+
+    df_map: dict = {}
+    reduced = hash_bucketed_groupby(
+        ds.map_batches(df_part, batch_format="pandas"), ["term"], df_sum, num_buckets
+    )
+    for b in reduced.iter_batches(batch_format="pandas", batch_size=1 << 16):
+        df_map.update(zip(b["term"], b["df"].astype("int64")))
+
+    def nt_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok(df)
+        return pd.DataFrame({"n_docs": [len(df)], "total": [len(toks)]})
+
+    nt = ds.map_batches(nt_part, batch_format="pandas").sum(["n_docs", "total"]) or {}
+    n_docs = int(nt.get("sum(n_docs)", 0) or 0)
+    total = int(nt.get("sum(total)", 0) or 0)
+
+    def score(df: pd.DataFrame, _df=df_map, _n=n_docs, _t=total) -> pd.DataFrame:
+        toks = _tok(df)
+        tf = toks.groupby([id_col, "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        dl = toks.groupby(id_col, as_index=False).size().rename(columns={"size": "dl"})
+        m = tf.merge(dl, on=id_col)
+        tfv = m["tf"].to_numpy(dtype="int64")
+        dlv = m["dl"].to_numpy(dtype="int64")
+        dfv = m["term"].map(_df).to_numpy(dtype="int64")
+        idf_num = 2 * _n - 2 * dfv + 1
+        idf_den = 2 * dfv + 1
+        num = 1000 * (22 * tfv * _t) * idf_num
+        den = ((10 * tfv + 3) * _t + 9 * dlv * _n) * idf_den
+        m["score_ppk"] = num // den
+        m = m.sort_values(
+            [id_col, "score_ppk", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = m.groupby(id_col, sort=False).head(k).copy()
+        top["rn"] = top.groupby(id_col, sort=False).cumcount() + 1
+        return top[[id_col, "term", "score_ppk", "rn"]].astype(
+            {id_col: "int64", "score_ppk": "int64", "rn": "int64"}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -261,3 +261,27 @@ def test_grouped_linfit_exact_rational(ray_session):
     # empty input degenerates to an empty table, never raises
     empty = ray.data.from_arrow(tbl.slice(0, 0))
     assert relational.grouped_linfit(empty, "g", "x", "y").num_rows == 0
+
+
+def test_bm25_keywords_formula_and_ranking(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "apple apple banana",   # apple tf=2 rare -> top
+                "banana banana banana", # only banana
+                "apple cherry",
+            ],
+        }
+    )
+    out = textops.bm25_keywords(ray.data.from_arrow(docs), k=2).to_pandas()
+    top0 = out[out["doc_id"] == 0].sort_values("rn")
+    # apple (tf 2, df 2) must outrank banana (tf 1, df 2) in doc 0
+    assert list(top0["term"]) == ["apple", "banana"]
+    # spot-check the exact integer formula for doc 0 / apple:
+    # N=3, T=8, tf=2, dl=3, df=2 -> num=1000*22*2*8*(2*3-4+1), den=((20+3)*8+9*3*3)*(2*2+1)
+    num = 1000 * 22 * 2 * 8 * 3
+    den = ((10 * 2 + 3) * 8 + 9 * 3 * 3) * 5
+    assert int(top0.iloc[0]["score_ppk"]) == num // den
+    # every doc emits at most k rows with rn 1..k
+    assert out.groupby("doc_id")["rn"].max().le(2).all()
