@@ -2031,6 +2031,14 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Terms heavier than 1/32 of the corpus tokens with exact counts —
+    the two-pass candidate-then-verify heavy-hitters pattern (no
+    vocabulary shuffle, provably complete candidate set)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return textops.heavy_hitters(docs, k=32)
+
+
 def q_bm25_keywords(sf_dir: str):
     """Per-doc top-3 keywords by exact-integer BM25 (rational odds-ratio
     idf, no transcendentals) — two tiny stat passes then a shuffle-free
@@ -2138,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "trend_per_type": q_trend_per_type,
         "bm25_keywords": q_bm25_keywords,
+        "heavy_hitters": q_heavy_hitters,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3178,5 +3187,15 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rn
             FROM sc
             QUALIFY rn <= 3
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            ), toks_f AS (
+              SELECT term FROM toks WHERE term <> ''
+            ), s AS (SELECT COUNT(*) AS total FROM toks_f),
+            c AS (SELECT term, COUNT(*) AS n FROM toks_f GROUP BY 1)
+            SELECT term, CAST(n AS BIGINT) AS n
+            FROM c CROSS JOIN s WHERE n * 32 > total
         """,
     }

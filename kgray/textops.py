@@ -717,3 +717,64 @@ def bm25_keywords(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def heavy_hitters(
+    ds,
+    text_col: str = "text",
+    k: int = 16,
+):
+    """Terms occupying more than 1/``k`` of all corpus tokens, with exact
+    counts — the two-pass heavy-hitters pattern:
+
+    pass 1 collects CANDIDATES: each batch keeps terms heavier than 1/k
+    of its own tokens (at most k per batch). A globally-heavy term's
+    corpus fraction is a weighted average of its batch fractions, so it
+    must exceed 1/k in at least one batch — the candidate union provably
+    covers every true heavy hitter while staying k x n_blocks small.
+    pass 2 re-streams once counting ONLY the broadcast candidates plus
+    the total, then applies the exact threshold ``n * k > total`` — the
+    output is exact and deterministic (no sketch error, no merge-order
+    dependence), yet no pass ever shuffles or holds the vocabulary.
+    """
+    import pandas as pd
+
+    def _tok(df: pd.DataFrame) -> pd.Series:
+        ex = df[text_col].str.split(" ").explode()
+        return ex[ex.notna() & (ex != "")]
+
+    def cand_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok(df)
+        vc = toks.value_counts()
+        heavy = vc[vc * k > len(toks)]
+        return pd.DataFrame({"term": heavy.index.astype(str)})
+
+    cands: set = set()
+    for b in ds.map_batches(cand_part, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=1 << 16
+    ):
+        cands.update(b["term"])
+    cand_list = sorted(cands)
+
+    def count_part(df: pd.DataFrame, _c=frozenset(cand_list)) -> pd.DataFrame:
+        toks = _tok(df)
+        hits = toks[toks.isin(_c)]
+        vc = hits.value_counts()
+        out = pd.DataFrame({"term": vc.index.astype(str), "n": vc.to_numpy()})
+        out.loc[len(out)] = ["", len(toks)]  # total-token tally rides along
+        return out.astype({"n": "int64"})
+
+    from .relational import grouped_agg
+
+    sums = grouped_agg(
+        ds.map_batches(count_part, batch_format="pandas"),
+        keys=["term"], sums={"n": "n"},
+    ).to_pandas()
+    total = int(sums.loc[sums["term"] == "", "n"].sum())
+    out = sums[(sums["term"] != "") & (sums["n"] * k > total)]
+    return pa.table(
+        {
+            "term": pa.array(out["term"].astype(str), type=pa.string()),
+            "n": pa.array(out["n"].astype("int64")),
+        }
+    )

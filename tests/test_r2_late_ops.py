@@ -285,3 +285,26 @@ def test_bm25_keywords_formula_and_ranking(ray_session):
     assert int(top0.iloc[0]["score_ppk"]) == num // den
     # every doc emits at most k rows with rn 1..k
     assert out.groupby("doc_id")["rn"].max().le(2).all()
+
+
+def test_heavy_hitters_exact_and_complete(ray_session):
+    # skewed corpus: 'hot' dominates; 'warm' sits just above 1/4; the rest
+    # are a long tail no single batch promotes
+    texts = (["hot hot hot warm"] * 10) + [f"cold{i} x{i} y{i}" for i in range(10)]
+    docs = pa.table({"text": texts})
+    out = {
+        r["term"]: r["n"]
+        for r in textops.heavy_hitters(
+            ray.data.from_arrow(docs), k=4
+        ).to_pylist()
+    }
+    # 70 tokens total: hot=30 (3/7), warm=10 (1/7 < 1/4 -> excluded)
+    assert out == {"hot": 30}
+    # lower threshold admits warm with its exact count
+    out2 = {
+        r["term"]: r["n"]
+        for r in textops.heavy_hitters(
+            ray.data.from_arrow(docs), k=8
+        ).to_pylist()
+    }
+    assert out2 == {"hot": 30, "warm": 10}
