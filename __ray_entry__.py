@@ -2031,6 +2031,35 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_ohlc_hourly(sf_dir: str):
+    """Hourly OHLC (open/high/low/close/count) of event value per type —
+    the ordered FIRST/LAST_VALUE aggregate with mergeable order-key
+    partials; one row per (type, hour, block) ever moves."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "win": pc.multiply(
+                    pc.divide(
+                        pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+                        pa.scalar(3600, pa.int64()),
+                    ),
+                    pa.scalar(3600, pa.int64()),
+                ),
+                "ts_s": pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = streaming.ohlc(ds, "event_type", "win", ["ts_s", "event_id"], "value_c")
+    return _table(out)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Terms heavier than 1/32 of the corpus tokens with exact counts —
     the two-pass candidate-then-verify heavy-hitters pattern (no
@@ -2147,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_per_type": q_trend_per_type,
         "bm25_keywords": q_bm25_keywords,
         "heavy_hitters": q_heavy_hitters,
+        "ohlc_hourly": q_ohlc_hourly,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3197,5 +3227,26 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT term, COUNT(*) AS n FROM toks_f GROUP BY 1)
             SELECT term, CAST(n AS BIGINT) AS n
             FROM c CROSS JOIN s WHERE n * 32 > total
+        """,
+        "ohlc_hourly": """
+            WITH e AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 3600) * 3600 AS win,
+                     epoch_us(ts) // 1000000 AS ts_s,
+                     event_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events
+            )
+            SELECT DISTINCT event_type, win,
+                   FIRST_VALUE(value_c) OVER w AS open_v,
+                   MAX(value_c) OVER w AS high_v,
+                   MIN(value_c) OVER w AS low_v,
+                   LAST_VALUE(value_c) OVER w AS close_v,
+                   COUNT(*) OVER w AS n
+            FROM e
+            WINDOW w AS (
+              PARTITION BY event_type, win ORDER BY ts_s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            )
         """,
     }

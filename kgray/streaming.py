@@ -265,6 +265,72 @@ def _chunked_i64(arr):
     return a.cast(pa.int64()) if a.type != pa.int64() else a
 
 
+def ohlc(
+    ds: ray.data.Dataset,
+    key_col: str,
+    window_col: str,
+    order_cols: list[str],
+    value_col: str,
+    num_buckets: int = 64,
+):
+    """Per-(key, window) OHLC summary — open (FIRST_VALUE), high, low,
+    close (LAST_VALUE), count — the ordered first/last aggregate SQL
+    expresses with an UNBOUNDED window frame.
+
+    First/last are not plain associative aggregates, but they ARE
+    mergeable when each partial carries its ordering key: the per-batch
+    combiner reduces every (key, window) to one row holding (open order
+    key, open value, close order key, close value, hi, lo, n), and the
+    bucket reducer merges partials by re-running the same pick — so the
+    shuffle moves one row per (key, window, block), never the events.
+    ``order_cols`` must totally order rows within a window.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    keys = [key_col, window_col]
+    o1, o2 = order_cols[0], order_cols[1] if len(order_cols) > 1 else order_cols[0]
+
+    def combine(df: pd.DataFrame, first_pass: bool) -> pd.DataFrame:
+        if first_pass:
+            df = df.assign(
+                _o1o=df[o1], _o2o=df[o2], _vo=df[value_col],
+                _o1c=df[o1], _o2c=df[o2], _vc=df[value_col],
+                _hi=df[value_col], _lo=df[value_col], _n=1,
+            )
+        d = df.sort_values(keys + ["_o1o", "_o2o"], kind="mergesort")
+        opens = d.drop_duplicates(keys, keep="first")[keys + ["_o1o", "_o2o", "_vo"]]
+        d2 = df.sort_values(keys + ["_o1c", "_o2c"], kind="mergesort")
+        closes = d2.drop_duplicates(keys, keep="last")[keys + ["_o1c", "_o2c", "_vc"]]
+        rest = df.groupby(keys, sort=False, as_index=False).agg(
+            _hi=("_hi", "max"), _lo=("_lo", "min"), _n=("_n", "sum")
+        )
+        out = rest.merge(opens, on=keys).merge(closes, on=keys)
+        return out.astype({"_n": "int64"})
+
+    partials = ds.map_batches(
+        lambda df: combine(df, first_pass=True), batch_format="pandas"
+    )
+    merged = hash_bucketed_groupby(
+        partials, keys, lambda df: combine(df, first_pass=False), num_buckets
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: df[key_col], window_col: df[window_col],
+                "open_v": df["_vo"].astype("int64"),
+                "high_v": df["_hi"].astype("int64"),
+                "low_v": df["_lo"].astype("int64"),
+                "close_v": df["_vc"].astype("int64"),
+                "n": df["_n"].astype("int64"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def cohort_retention(
     ds: ray.data.Dataset,
     key_col: str,

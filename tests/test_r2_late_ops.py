@@ -308,3 +308,33 @@ def test_heavy_hitters_exact_and_complete(ray_session):
         ).to_pylist()
     }
     assert out2 == {"hot": 30, "warm": 10}
+
+
+def test_ohlc_merges_partials_across_blocks(ray_session):
+    from kgray.streaming import ohlc
+
+    rng = np.random.RandomState(23)
+    n = 600
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 4, n), type=pa.int64()),
+            "win": pa.array(rng.randint(0, 3, n) * 3600, type=pa.int64()),
+            "ts": pa.array(rng.randint(0, 10_000, n), type=pa.int64()),
+            "eid": pa.array(np.arange(n), type=pa.int64()),
+            "v": pa.array(rng.randint(-999, 999, n), type=pa.int64()),
+        }
+    )
+    # many small blocks so the combiner + merge path is actually exercised
+    ds = ray.data.from_arrow(tbl).repartition(12)
+    got = {
+        (r["k"], r["win"]): (r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n"])
+        for r in ohlc(ds, "k", "win", ["ts", "eid"], "v", num_buckets=8).take_all()
+    }
+    df = tbl.to_pandas().sort_values(["k", "win", "ts", "eid"])
+    exp = {}
+    for (k, w), g in df.groupby(["k", "win"]):
+        exp[(k, w)] = (
+            int(g["v"].iloc[0]), int(g["v"].max()), int(g["v"].min()),
+            int(g["v"].iloc[-1]), len(g),
+        )
+    assert got == exp
