@@ -2031,6 +2031,13 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Part names within edit distance 1 — FastSS deletion-neighborhood
+    blocking (complete for radius 1) + exact one-edit verify."""
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return _table(dedup.fuzzy_name_pairs(parts, col="p_name"))
+
+
 def q_ohlc_hourly(sf_dir: str):
     """Hourly OHLC (open/high/low/close/count) of event value per type —
     the ordered FIRST/LAST_VALUE aggregate with mergeable order-key
@@ -2177,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_keywords": q_bm25_keywords,
         "heavy_hitters": q_heavy_hitters,
         "ohlc_hourly": q_ohlc_hourly,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3248,5 +3256,11 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY event_type, win ORDER BY ts_s, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
             )
+        """,
+        "fuzzy_name_pairs": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
         """,
     }

@@ -932,3 +932,92 @@ def decontaminate(
         docs, contaminated, on=id_col,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
+
+
+def _one_edit(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 in one O(len) scan (no DP table)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = edits = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        else:
+            edits += 1
+            if edits > 1:
+                return False
+            j += 1
+    return True
+
+
+def fuzzy_name_pairs(
+    ds,
+    col: str = "p_name",
+    num_buckets: int = 32,
+    out_a: str = "name_a",
+    out_b: str = "name_b",
+):
+    """Distinct name pairs within edit distance 1 — fuzzy entity-name
+    matching via FastSS deletion-neighborhood blocking.
+
+    Every distance-<=1 pair shares a member of D1(x) = {x} ∪ {x minus one
+    char} (substitution: delete the differing char from both; ins/del:
+    the shorter string IS a deletion of the longer), so bucketing by
+    deletion variant is a COMPLETE blocking scheme for this radius; a
+    variant collision can reach distance 2, so candidates are verified
+    with an exact O(len) one-edit scan — no false positives survive.
+
+    Per-name Python here runs over the DISTINCT name vocabulary (already
+    deduped by the first shuffle), which is bounded by the catalog, not
+    the corpus — for corpus-scale fuzzy joins use the MinHash family.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    names = ds.select_columns([col]).map_batches(
+        lambda df: df.drop_duplicates([col]), batch_format="pandas"
+    )
+    names = hash_bucketed_groupby(
+        names, [col], lambda df: df.drop_duplicates([col]), num_buckets
+    )
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        rows_n, rows_v = [], []
+        for s in df[col].astype(str):
+            rows_n.append(s)
+            rows_v.append(s)
+            for i in range(len(s)):
+                rows_n.append(s)
+                rows_v.append(s[:i] + s[i + 1:])
+        return pd.DataFrame({"name": rows_n, "variant": rows_v}).drop_duplicates()
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, g in df.groupby("variant", sort=False):
+            ns = sorted(set(g["name"]))
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    a_out.append(ns[i])
+                    b_out.append(ns[j])
+        return pd.DataFrame({out_a: a_out, out_b: b_out}).drop_duplicates()
+
+    cand = hash_bucketed_groupby(
+        names.map_batches(variants, batch_format="pandas"),
+        ["variant"], emit_pairs, num_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([out_a, out_b])
+        keep = [bool(_one_edit(x, y)) for x, y in zip(df[out_a], df[out_b])]
+        return df[pd.Series(keep, index=df.index)]
+
+    return hash_bucketed_groupby(cand, [out_a, out_b], verify, num_buckets)

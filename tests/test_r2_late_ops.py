@@ -338,3 +338,21 @@ def test_ohlc_merges_partials_across_blocks(ray_session):
             int(g["v"].iloc[-1]), len(g),
         )
     assert got == exp
+
+
+def test_fuzzy_name_pairs_radius_one_complete_and_exact(ray_session):
+    from kgray.dedup import _one_edit, fuzzy_name_pairs
+
+    # one-edit scan vs all edit kinds + a distance-2 variant-collision trap
+    assert _one_edit("cat", "cat") and _one_edit("cat", "cut")      # sub
+    assert _one_edit("cat", "cats") and _one_edit("cart", "cat")    # ins/del
+    assert not _one_edit("ab", "ba")  # distance 2 but shares deletion variants
+    assert not _one_edit("cat", "dog")
+
+    names = ["gold ring", "bold ring", "gold rings", "silver bar",
+             "ab", "ba", "gold ring"]
+    ds = ray.data.from_arrow(pa.table({"p_name": names}))
+    got = sorted(
+        (r["name_a"], r["name_b"]) for r in fuzzy_name_pairs(ds).take_all()
+    )
+    assert got == [("bold ring", "gold ring"), ("gold ring", "gold rings")]
