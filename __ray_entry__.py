@@ -2031,6 +2031,38 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_value_quartiles(sf_dir: str):
+    """NTILE(4) quartile label per event within its type (rank buckets,
+    SQL's uneven-split semantics) — one keyed shuffle, vectorized ranks."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = relational.ntile_per_group(
+        ds, "event_type", ["value_c", "event_id"], k=4
+    )
+    return _table(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "event_type": t["event_type"],
+                    "tile": pc.cast(t["tile"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """Part names within edit distance 1 — FastSS deletion-neighborhood
     blocking (complete for radius 1) + exact one-edit verify."""
@@ -2185,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "ohlc_hourly": q_ohlc_hourly,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_quartiles": q_value_quartiles,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3262,5 +3295,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.p_name AS name_a, b.p_name AS name_b
             FROM n a JOIN n b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        "value_quartiles": """
+            SELECT event_id, event_type,
+                   CAST(NTILE(4) OVER (
+                     PARTITION BY event_type
+                     ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+                   ) AS BIGINT) AS tile
+            FROM events
         """,
     }

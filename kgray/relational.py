@@ -339,6 +339,47 @@ def above_mean_per_group(
     )
 
 
+def ntile_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    k: int = 4,
+    out_col: str = "tile",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``NTILE(k) OVER (PARTITION BY group ORDER BY ...)`` — equal-size
+    rank buckets per group (the first ``n mod k`` buckets take the extra
+    row, exactly SQL's split).
+
+    One keyed shuffle co-locates each group; the per-bucket reducer
+    mergesorts, derives 1-based ranks with a vectorized group cumcount,
+    and applies the NTILE formula — no per-row Python. ``order_cols``
+    must totally order rows within a group or tile assignment at bucket
+    boundaries is arbitrary.
+    """
+    import numpy as np
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col] + order_cols, kind="mergesort")
+        df = df.copy(deep=False)
+        g = df.groupby(group_col, sort=False)
+        r = g.cumcount().to_numpy() + 1          # 1-based rank in group
+        n = g[group_col].transform("size").to_numpy()
+        small = n // k                            # floor bucket size
+        rem = n % k                               # first `rem` buckets get +1
+        cut = rem * (small + 1)                   # rows covered by big buckets
+        in_big = r <= cut
+        tile = np.where(
+            in_big,
+            (r - 1) // np.maximum(small + 1, 1) + 1,
+            rem + (r - 1 - cut) // np.maximum(small, 1) + 1,
+        )
+        df[out_col] = tile.astype("int64")
+        return df
+
+    return hash_bucketed_groupby(ds, [group_col], fn, num_buckets)
+
+
 def grouped_linfit(
     ds: ray.data.Dataset, group_col: str, x_col: str, y_col: str
 ) -> pa.Table:

@@ -356,3 +356,26 @@ def test_fuzzy_name_pairs_radius_one_complete_and_exact(ray_session):
         (r["name_a"], r["name_b"]) for r in fuzzy_name_pairs(ds).take_all()
     )
     assert got == [("bold ring", "gold ring"), ("gold ring", "gold rings")]
+
+
+def test_ntile_uneven_split_matches_sql_semantics(ray_session):
+    # n=10, k=4 -> bucket sizes 3,3,2,2 (first n%k buckets take the extra)
+    tbl = pa.table(
+        {
+            "g": pa.array([0] * 10, type=pa.int64()),
+            "o": pa.array(list(range(10)), type=pa.int64()),
+        }
+    )
+    out = relational.ntile_per_group(
+        ray.data.from_arrow(tbl), "g", ["o"], k=4, num_buckets=4
+    ).to_pandas().sort_values("o")
+    assert list(out["tile"]) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # tiny group: n=2, k=4 -> tiles 1 and 2, never an empty-middle skip
+    t2 = pa.table(
+        {"g": pa.array([5, 5], type=pa.int64()),
+         "o": pa.array([0, 1], type=pa.int64())}
+    )
+    out2 = relational.ntile_per_group(
+        ray.data.from_arrow(t2), "g", ["o"], k=4
+    ).to_pandas().sort_values("o")
+    assert list(out2["tile"]) == [1, 2]
