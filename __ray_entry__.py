@@ -2031,6 +2031,29 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_dq_profile(sf_dir: str):
+    """One-pass data-quality profile of the event stream (n / nulls /
+    lexicographic min-max per column, string-compared in both arms)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = relational.dq_profile(
+        ds, ["event_id", "user_id", "event_type", "value_c"]
+    )
+    return _table(out)
+
+
 def q_value_quartiles(sf_dir: str):
     """NTILE(4) quartile label per event within its type (rank buckets,
     SQL's uneven-split semantics) — one keyed shuffle, vectorized ranks."""
@@ -2218,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_hourly": q_ohlc_hourly,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_quartiles": q_value_quartiles,
+        "dq_profile": q_dq_profile,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3303,5 +3327,30 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY CAST(round(value * 100) AS BIGINT), event_id
                    ) AS BIGINT) AS tile
             FROM events
+        """,
+        "dq_profile": """
+            WITH e AS (
+              SELECT CAST(event_id AS VARCHAR) AS event_id,
+                     CAST(user_id AS VARCHAR) AS user_id,
+                     event_type,
+                     CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                       AS value_c
+              FROM events
+            )
+            SELECT 'event_id' AS column, COUNT(*) AS n,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   MIN(event_id) AS min_s, MAX(event_id) AS max_s FROM e
+            UNION ALL
+            SELECT 'user_id', COUNT(*),
+                   CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                   MIN(user_id), MAX(user_id) FROM e
+            UNION ALL
+            SELECT 'event_type', COUNT(*),
+                   CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+                   MIN(event_type), MAX(event_type) FROM e
+            UNION ALL
+            SELECT 'value_c', COUNT(*),
+                   CAST(COUNT(*) - COUNT(value_c) AS BIGINT),
+                   MIN(value_c), MAX(value_c) FROM e
         """,
     }

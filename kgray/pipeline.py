@@ -353,6 +353,20 @@ def run_flagship(sf_dir: str, out_dir: str, repeat: int = 1, resume: bool = True
     return pipe.run(transcripts, fingerprint=f"{sf_dir}|repeat={repeat}")
 
 
+def snapshot_diff(old_dir: str, new_dir: str) -> dict:
+    """Edge-level diff between two graph outputs: added / removed edge
+    counts via two key-only anti joins — only the pruned ``edge_uid``
+    column is ever read or shuffled, so diffing two 100-TB-scale outputs
+    moves key streams, not edge payloads."""
+    from . import relational
+
+    old = ray.data.read_parquet(f"{old_dir}/edges", columns=["edge_uid"])
+    new = ray.data.read_parquet(f"{new_dir}/edges", columns=["edge_uid"])
+    added = relational.anti_join(new, old, "edge_uid", "edge_uid").count()
+    removed = relational.anti_join(old, new, "edge_uid", "edge_uid").count()
+    return {"added_edges": added, "removed_edges": removed}
+
+
 def update_graph(
     out_dir: str,
     new_transcripts: ray.data.Dataset,

@@ -339,6 +339,55 @@ def above_mean_per_group(
     )
 
 
+def dq_profile(
+    ds: ray.data.Dataset,
+    columns: list[str],
+) -> ray.data.Dataset:
+    """Data-quality profile: one output row per column with (n, n_null,
+    min_s, max_s) — the pre-training table audit.
+
+    A single streaming pass: each batch emits one partial row per column
+    (values compared as strings so heterogeneous columns share one
+    output schema; both arms cast identically), then a tiny keyed
+    reduce. Lexicographic min/max — document that "10" < "9" under this
+    ordering; it is a profile, not arithmetic.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = t[c]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            s = pc.cast(col, pa.string())
+            valid = pc.drop_null(s)
+            names.append(c)
+            ns.append(len(s))
+            nulls.append(len(s) - len(valid))
+            if len(valid):
+                mins.append(pc.min(valid).as_py())
+                maxs.append(pc.max(valid).as_py())
+            else:
+                mins.append(None)
+                maxs.append(None)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_s": pa.array(mins, pa.string()),
+                "max_s": pa.array(maxs, pa.string()),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(part, batch_format="pyarrow"),
+        keys=["column"],
+        sums={"n": "n", "n_null": "n_null"},
+        mins={"min_s": "min_s"},
+        maxs={"max_s": "max_s"},
+    )
+
+
 def ntile_per_group(
     ds: ray.data.Dataset,
     group_col: str,

@@ -54,3 +54,10 @@ def test_update_graph_matches_oneshot(ray_session, tmp_path):
         "candidate_edges"
     ]
     assert _edge_uids(f"{inc_dir}/edges") == _edge_uids(f"{full_dir}/edges")
+
+    # snapshot diff between the incremental and one-shot outputs is empty
+    from kgray.pipeline import snapshot_diff
+
+    assert snapshot_diff(full_dir, inc_dir) == {
+        "added_edges": 0, "removed_edges": 0,
+    }
