@@ -2031,6 +2031,51 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_dense_windows(sf_dir: str):
+    """Time-spine densification: hourly event counts per type INCLUDING
+    empty hours as explicit zero rows (sparse aggregate → dense series).
+    The spine is (types × hour range) — both driver-small by construction
+    (min/max from one pruned metadata-cheap pass) — merged against the
+    sparse grouped counts; the event stream itself is aggregated once and
+    never re-scanned."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "win": pc.multiply(
+                    pc.divide(
+                        pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+                        pa.scalar(3600, pa.int64()),
+                    ),
+                    pa.scalar(3600, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sparse = _table(
+        relational.grouped_agg(ds, keys=["event_type", "win"], count_alias="n")
+    ).to_pandas()
+    types = sorted(sparse["event_type"].unique())
+    lo, hi = int(sparse["win"].min()), int(sparse["win"].max())
+    spine = pd.MultiIndex.from_product(
+        [types, range(lo, hi + 3600, 3600)], names=["event_type", "win"]
+    ).to_frame(index=False)
+    dense = spine.merge(sparse, on=["event_type", "win"], how="left")
+    dense["n"] = dense["n"].fillna(0).astype("int64")
+    return pa.table(
+        {
+            "event_type": pa.array(dense["event_type"], pa.string()),
+            "win": pa.array(dense["win"].astype("int64")),
+            "n": pa.array(dense["n"]),
+        }
+    )
+
+
 def q_dq_profile(sf_dir: str):
     """One-pass data-quality profile of the event stream (n / nulls /
     lexicographic min-max per column, string-compared in both arms)."""
@@ -2242,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_quartiles": q_value_quartiles,
         "dq_profile": q_dq_profile,
+        "dense_windows": q_dense_windows,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -3352,5 +3398,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value_c', COUNT(*),
                    CAST(COUNT(*) - COUNT(value_c) AS BIGINT),
                    MIN(value_c), MAX(value_c) FROM e
+        """,
+"dense_windows": """
+            WITH e AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 3600) * 3600 AS win
+              FROM events
+            ), sparse AS (
+              SELECT event_type, win, COUNT(*) AS n FROM e GROUP BY 1, 2
+            ), bounds AS (
+              SELECT MIN(win) AS lo, MAX(win) AS hi FROM e
+            ), wins AS (
+              SELECT CAST(unnest(generate_series(b.lo, b.hi, 3600))
+                          AS BIGINT) AS win
+              FROM bounds b
+            ), spine AS (
+              SELECT t.event_type, w.win
+              FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN wins w
+            )
+            SELECT s.event_type, s.win,
+                   CAST(COALESCE(sp.n, 0) AS BIGINT) AS n
+            FROM spine s LEFT JOIN sparse sp
+              ON s.event_type = sp.event_type AND s.win = sp.win
         """,
     }
