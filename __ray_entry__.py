@@ -2031,6 +2031,15 @@ def q_trend_per_type(sf_dir: str):
     return relational.grouped_linfit(ds, "event_type", "x_h", "value_c")
 
 
+def q_context_pairs(sf_dir: str):
+    """SFT training-example construction: (context, target) pairs per
+    assistant turn, context = previous up-to-2 turns newline-joined —
+    one conv-keyed shuffle, vectorized group shifts."""
+    from kgray.transcripts import context_pairs
+
+    return _table(context_pairs(transcripts_dataset(sf_dir), k=2))
+
+
 def q_dense_windows(sf_dir: str):
     """Time-spine densification: hourly event counts per type INCLUDING
     empty hours as explicit zero rows (sparse aggregate → dense series).
@@ -2288,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartiles": q_value_quartiles,
         "dq_profile": q_dq_profile,
         "dense_windows": q_dense_windows,
+        "context_pairs": q_context_pairs,
         # rows-only (non-SQL-expressible: content hashing / LSH recall /
         # stubbed media decode / stateful packing scan)
         "pack_sequences": q_pack_sequences,
@@ -2376,6 +2386,25 @@ def oracle_sql() -> dict[str, str]:
            CAST(epoch(TIMESTAMP '2025-01-01') AS BIGINT) + 3600*c + 60*t AS ts_epoch
     FROM calc, consts
     """
+    context_pairs_sql = f"""{_SQL_PREFIX},
+    tr AS (
+      SELECT 'conv-'||c AS conv_id, t AS turn_idx,
+             CAST(t % 3 AS INT) AS r3,
+             {text_expr} AS text
+      FROM calc, consts
+    ), w AS (
+      SELECT conv_id, turn_idx, r3, text,
+             LAG(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS l1,
+             LAG(text, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS l2
+      FROM tr
+    )
+    SELECT conv_id, turn_idx,
+           ltrim(COALESCE(l2, '') || chr(10) || COALESCE(l1, ''), chr(10))
+             AS context,
+           text AS target
+    FROM w WHERE r3 = 1
+    """
+
     kg_extract = f"""{_SQL_PREFIX}
     SELECT 'conv-'||c AS conv_id, t AS turn_idx,
            'Ent'||s1 AS subject_mention, preds[CAST(p1 AS INT)+1] AS predicate,
@@ -3399,7 +3428,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(value_c) AS BIGINT),
                    MIN(value_c), MAX(value_c) FROM e
         """,
-"dense_windows": """
+        "context_pairs": context_pairs_sql,
+        "dense_windows": """
             WITH e AS (
               SELECT event_type,
                      (epoch_us(ts) // 1000000 // 3600) * 3600 AS win

@@ -233,3 +233,41 @@ def entity_catalog() -> pa.Table:
             "canonical_name": canonical_name,
         }
     )
+
+
+def context_pairs(ds, k: int = 2):
+    """Training-example construction over the transcript stream: for each
+    assistant turn, a (context, target) pair where context is the previous
+    up-to-``k`` turns newline-joined in order — the window that a
+    supervised fine-tuning pipeline feeds the model.
+
+    One conv-keyed shuffle co-locates each conversation; the per-bucket
+    reducer mergesorts and builds contexts with vectorized group-wise
+    shifts (no per-row Python). Turns near the conversation start keep
+    whatever context exists (leading separators trimmed), matching SQL's
+    NULL-LAG + ltrim semantics.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        parts = [g["text"].shift(i).fillna("") for i in range(k, 0, -1)]
+        ctx = parts[0]
+        for p in parts[1:]:
+            ctx = ctx + "\n" + p
+        ctx = ctx.str.lstrip("\n")
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "context": ctx,
+                "target": df["text"],
+            }
+        )
+        return out[(df["role"] == "assistant").to_numpy()]
+
+    cols = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return hash_bucketed_groupby(cols, ["conv_id"], fn)
