@@ -770,6 +770,10 @@ def heavy_hitters(
         ds.map_batches(count_part, batch_format="pandas"),
         keys=["term"], sums={"n": "n"},
     ).to_pandas()
+    if "term" not in sums.columns:  # degenerate empty input
+        return pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
     total = int(sums.loc[sums["term"] == "", "n"].sum())
     out = sums[(sums["term"] != "") & (sums["n"] * k > total)]
     return pa.table(

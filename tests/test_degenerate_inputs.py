@@ -68,3 +68,29 @@ def test_empty_session_r2_late_ops(ray_session):
     )
     assert embedding_norms(emb).count() == 0
     assert feature_scale(emb).count() == 0
+
+
+def test_empty_session6_late_ops(ray_session):
+    from kgray.dedup import fuzzy_name_pairs
+    from kgray.relational import dq_profile, grouped_linfit, ntile_per_group
+    from kgray.streaming import ohlc
+    from kgray.textops import bm25_keywords, heavy_hitters
+    from kgray.transcripts import context_pairs
+
+    ev = _empty({"k": "int64", "win": "int64", "ts": "int64",
+                 "eid": "int64", "v": "int64"})
+    assert ohlc(ev, "k", "win", ["ts", "eid"], "v").count() == 0
+    assert ntile_per_group(ev, "k", ["v", "eid"]).count() == 0
+    assert grouped_linfit(ev, "k", "ts", "v").num_rows == 0
+    prof = dq_profile(ev.select_columns(["k", "v"]), ["k", "v"]).take_all()
+    assert {r["column"]: (r["n"], r["n_null"]) for r in prof} == {} or all(
+        r["n"] == 0 for r in prof
+    )
+
+    docs = _empty({"doc_id": "int64", "text": str})
+    assert bm25_keywords(docs).count() == 0
+    assert heavy_hitters(docs).num_rows == 0
+    assert fuzzy_name_pairs(docs.select_columns(["text"]), col="text").count() == 0
+
+    tr = _empty({"conv_id": str, "turn_idx": "int64", "role": str, "text": str})
+    assert context_pairs(tr).count() == 0
