@@ -518,11 +518,13 @@ def ngram_jaccard_pairs(
     distinct dropped grams is logged and reported via ``stats``
     (``{'dropped_grams': n}``) if a dict is passed.
 
-    Shuffle plan: one gram-keyed exchange of (doc, gram) rows feeding two
-    reductions (pair co-counts + per-doc retained-gram counts), a pair-keyed
-    sum, then the per-doc counts — a Dataset, never a driver dict — are
-    attached back onto the pair stream via the size-routed
-    ``attach_pair_payload`` (broadcast small, hash-join large).
+    Shuffle plan: ONE gram-keyed exchange of (doc, gram) rows whose
+    per-bucket pass emits all three reductions as a tagged union (pair
+    co-counts, per-doc retained-gram counts, over-``max_df`` drop audit) —
+    the gram stream, the widest dataset in the plan, is shuffled exactly
+    once. A pair-keyed sum follows, then the per-doc counts — a Dataset,
+    never a driver dict — are attached back onto the pair stream via the
+    size-routed ``attach_pair_payload`` (broadcast small, hash-join large).
     """
     from .relational import hash_bucketed_groupby
 
@@ -543,29 +545,64 @@ def ngram_jaccard_pairs(
             {"doc_id": ids, "gram": pa.array(g[keep].view(np.int64), type=pa.int64())}
         )
 
-    grams_ds = docs.map_batches(to_grams, batch_format="pyarrow").materialize()
+    grams_ds = docs.map_batches(to_grams, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # many grams co-located per bucket; postings self-merge -> pair
-        # counts, all C kernels (a per-gram Python pair loop measured ~8x
-        # slower at 5k docs). The merge materializes sum(df^2) candidate
-        # rows per bucket — max_df is the guard against degenerate grams.
+    def fused_gram_pass(df: pd.DataFrame) -> pd.DataFrame:
+        # one pass per bucket emits a tagged union: kind 0 = candidate-pair
+        # partial (a,b = doc pair, n = co-count), kind 1 = per-doc
+        # retained-gram count (a = doc, n = count), kind 2 = distinct
+        # over-max_df grams dropped in this bucket (audit; a gram hashes to
+        # exactly one bucket, so per-bucket distincts sum to the global
+        # figure). The postings self-merge materializes sum(df^2) candidate
+        # rows per bucket — max_df is the guard against degenerate grams;
+        # all C kernels (a per-gram Python pair loop measured ~8x slower).
         sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
-        kept = df[(sizes <= max_df) & (sizes >= 2)]
+        within = sizes <= max_df
+        kept = df[within & (sizes >= 2)]
         m = kept.merge(kept, on="gram")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m.groupby(["doc_id_x", "doc_id_y"], sort=False, as_index=False).size()
-        return out.rename(
-            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "n_inter"}
+        pairs_p = m.groupby(["doc_id_x", "doc_id_y"], sort=False, as_index=False).size()
+        counts_p = (
+            df[within].groupby("doc_id", sort=False, as_index=False).agg(n=("gram", "size"))
         )
+        parts = [
+            pd.DataFrame(
+                {"kind": 0, "a": pairs_p["doc_id_x"], "b": pairs_p["doc_id_y"],
+                 "n": pairs_p["size"]}
+            ),
+            # b = a keeps the column's dtype stable (b is ignored for kind 1)
+            pd.DataFrame(
+                {"kind": 1, "a": counts_p["doc_id"], "b": counts_p["doc_id"],
+                 "n": counts_p["n"]}
+            ),
+        ]
+        if max_df < (1 << 30):
+            n_drop = int(df.loc[~within, "gram"].nunique())
+            if n_drop:
+                parts.append(
+                    pd.DataFrame(
+                        {"kind": [2], "a": df["doc_id"].iloc[:1].reset_index(drop=True),
+                         "b": df["doc_id"].iloc[:1].reset_index(drop=True),
+                         "n": [n_drop]}
+                    )
+                )
+        out = pd.concat(parts, ignore_index=True)
+        out["kind"] = out["kind"].astype("int8")
+        out["n"] = out["n"].astype("int64")
+        return out
 
-    def bucket_doc_counts(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
-        kept = df[sizes <= max_df]
-        return kept.groupby("doc_id", sort=False, as_index=False).agg(n=("gram", "size"))
+    # partial-sized (pairs + vocab + audit rows), pinned once for 3 readers
+    fused = hash_bucketed_groupby(grams_ds, ["gram"], fused_gram_pass).materialize()
 
-    pair_partials = hash_bucketed_groupby(grams_ds, ["gram"], bucket_pairs)
-    count_partials = hash_bucketed_groupby(grams_ds, ["gram"], bucket_doc_counts)
+    def _split(kind_val: int, names: list[str], cols: list[str]):
+        def take(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(_chunked(t["kind"]), kind_val))
+            return pa.table({nm: f[c] for nm, c in zip(names, cols)})
+
+        return fused.map_batches(take, batch_format="pyarrow")
+
+    pair_partials = _split(0, ["doc_a", "doc_b", "n_inter"], ["a", "b", "n"])
+    count_partials = _split(1, ["doc_id", "n"], ["a", "n"])
 
     def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["doc_a", "doc_b"], sort=False, as_index=False).agg(
@@ -586,11 +623,7 @@ def ngram_jaccard_pairs(
         # dropped-gram accounting (J2 discipline: cut, but never silently)
         import logging
 
-        def over_cut(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("gram", sort=False, as_index=False).size()
-            return g[g["size"] > max_df][["gram"]]
-
-        dropped = hash_bucketed_groupby(grams_ds, ["gram"], over_cut, num_buckets=16).count()
+        dropped = int(_split(2, ["n"], ["n"]).sum("n") or 0)
         if dropped:
             logging.getLogger(__name__).info(
                 "ngram_jaccard_pairs: %d distinct grams over max_df=%d dropped "
