@@ -457,7 +457,14 @@ def q_top_orders_per_cust(sf_dir: str):
 
 def q_supplier_part_join(sf_dir: str):
     """Large-large hash join (no broadcastable side by policy): lineitem x
-    supplier keyed on suppkey, revenue per supplier nation."""
+    supplier keyed on suppkey, revenue per supplier nation.
+
+    The join key is the (functional) grouping key, so the fact side is
+    pre-reduced per block first — one (suppkey, sum, count) row per key
+    per block — and the shuffle join moves key-cardinality-sized sides
+    instead of the raw lineitem stream (sums/counts re-sum after the
+    join; inner-join drop semantics are unchanged because unmatched
+    partials drop exactly like unmatched rows)."""
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice", "l_discount"]
     )
@@ -467,13 +474,24 @@ def q_supplier_part_join(sf_dir: str):
             _cents(t["l_extendedprice"]),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
         )
-        return pa.table({"l_suppkey": t["l_suppkey"], "rev_e4": r})
+        gb = pa.table({"l_suppkey": t["l_suppkey"], "rev_e4": r}).group_by(
+            ["l_suppkey"]
+        ).aggregate([("rev_e4", "sum"), ("l_suppkey", "count")])
+        return pa.table(
+            {
+                "l_suppkey": gb["l_suppkey"],
+                "rev_e4": gb["rev_e4_sum"],
+                "n_part": pc.cast(gb["l_suppkey_count"], pa.int64()),
+            }
+        )
 
-    li = li.map_batches(rev, batch_format="pyarrow")
+    li = li.map_batches(rev, batch_format="pyarrow").materialize()
     sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    joined = relational.shuffle_join(li, sup, on=("l_suppkey",), right_on=("s_suppkey",))
+    joined = relational.shuffle_join(
+        li, sup, on=("l_suppkey",), right_on=("s_suppkey",), n_rows=li.count()
+    )
     out = relational.grouped_agg(
-        joined, keys=["s_nationkey"], sums={"revenue_c": "rev_e4"}, count_alias="n_items"
+        joined, keys=["s_nationkey"], sums={"revenue_c": "rev_e4", "n_items": "n_part"}
     )
     return _table(out.map_batches(_ints64, batch_format="pyarrow"))
 

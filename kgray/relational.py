@@ -222,14 +222,24 @@ def shuffle_join(
     right_on: tuple[str, ...] | None = None,
     num_partitions: int = 32,
     how: str = "inner",
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Large-large hash join — the J1 pattern when NEITHER side fits a
     broadcast. Thin policy wrapper over Ray's native hash-shuffle
     ``Dataset.join`` (also used by the distributed canonicalization path);
     use ``broadcast_lookup_join`` whenever one side is dimension-sized,
-    it avoids shuffling the fact stream entirely."""
+    it avoids shuffling the fact stream entirely.
+
+    ``n_rows``: pass the larger side's row count when it is already known
+    (e.g. from a materialized input) — each join partition costs one
+    aggregator actor (~100ms fixed each), so a pre-reduced input that
+    shrank below the requested fan-out should shrink the fan-out with it;
+    at scale the count exceeds the cap and full fan-out is kept."""
     return left.join(
-        right, join_type=how, num_partitions=join_partitions(num_partitions),
+        right, join_type=how,
+        num_partitions=join_partitions(
+            num_partitions, n_rows, rows_per_partition=65536
+        ),
         on=on, right_on=right_on,
     )
 
