@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from .util import join_partitions, pool_concurrency
+from .util import join_partitions, stateful_task_batches
 
 _MERSENNE = (1 << 61) - 1
 _RNG_SEED = 24601  # fixed engine seed — deterministic across runs/workers
@@ -441,14 +441,15 @@ def minhash_lsh_pairs(
     """
     from .relational import hash_bucketed_groupby
 
-    bands = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
+    # light state (two 64-entry coefficient arrays): cached tasks, not an
+    # actor pool — see util.stateful_task_batches
+    bands = stateful_task_batches(
+        docs, MinHasher,
+        dict(
             id_col=id_col, text_col=text_col, num_perm=num_perm,
             n_bands=n_bands, shingle_k=shingle_k,
         ),
         batch_format="pyarrow",
-        concurrency=pool_concurrency(),
     )
 
     candidates = hash_bucketed_groupby(
@@ -718,11 +719,9 @@ def simhash_pairs(
     max_bucket: int = 200,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash chunk blocking + Hamming verify."""
-    chunks = docs.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+    chunks = stateful_task_batches(
+        docs, SimHasher, dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=pool_concurrency(),
     )
 
     from .relational import hash_bucketed_groupby
@@ -769,6 +768,43 @@ def simhash_pairs(
 # embedding-cosine near-dup (BANDED random-hyperplane LSH + exact verify)
 # ---------------------------------------------------------------------------
 
+class SignBucketer:
+    """Task stage (cached per worker): banded sign-LSH band keys per vector.
+
+    The hyperplanes are regenerated deterministically from the fixed seed in
+    ``__init__`` — a (dim x n_bands*band_bits) draw is microseconds, so no
+    broadcast object is needed and the per-worker instance cache keys purely
+    on the scalar parameters."""
+
+    def __init__(self, id_col: str, vec_col: str, n_bands: int,
+                 band_bits: int, dim: int):
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_bands, self.band_bits = n_bands, band_bits
+        rng = np.random.RandomState(_RNG_SEED)
+        self._planes = rng.standard_normal((dim, n_bands * band_bits))
+        self._weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .util import list_to_matrix
+
+        n_bands = self.n_bands
+        vecs = list_to_matrix(batch[self.vec_col], dtype=np.float64)
+        n = len(vecs)
+        signs = (vecs @ self._planes) > 0  # (n, n_bands*band_bits)
+        bands = signs.reshape(n, n_bands, self.band_bits)
+        hashes = bands @ self._weights  # (n, n_bands) int64 band keys
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        return pa.table(
+            {
+                "vec_id": _chunked(batch[self.id_col]).take(idx),
+                "band_id": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n), type=pa.int32()
+                ),
+                "band_hash": pa.array(hashes.reshape(-1), type=pa.int64()),
+            }
+        )
+
+
 def embedding_dedup_pairs(
     embeddings: ray.data.Dataset,
     threshold: float = 0.95,
@@ -800,38 +836,11 @@ def embedding_dedup_pairs(
     """
     from .relational import hash_bucketed_groupby
 
-    rng = np.random.RandomState(_RNG_SEED)
-    planes = rng.standard_normal((dim, n_bands * band_bits))
-    import ray as _ray
-
-    planes_ref = _ray.put(planes)
-    weights = 1 << np.arange(band_bits, dtype=np.int64)
-
-    class Bucketer:
-        def __init__(self):
-            self._planes = _ray.get(planes_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from .util import list_to_matrix
-
-            vecs = list_to_matrix(batch[vec_col], dtype=np.float64)
-            n = len(vecs)
-            signs = (vecs @ self._planes) > 0  # (n, n_bands*band_bits)
-            bands = signs.reshape(n, n_bands, band_bits)
-            hashes = bands @ weights  # (n, n_bands) int64 band keys
-            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
-            return pa.table(
-                {
-                    "vec_id": _chunked(batch[id_col]).take(idx),
-                    "band_id": pa.array(
-                        np.tile(np.arange(n_bands, dtype=np.int32), n), type=pa.int32()
-                    ),
-                    "band_hash": pa.array(hashes.reshape(-1), type=pa.int64()),
-                }
-            )
-
-    bands_ds = embeddings.map_batches(
-        Bucketer, batch_format="pyarrow", concurrency=pool_concurrency()
+    bands_ds = stateful_task_batches(
+        embeddings, SignBucketer,
+        dict(id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+             band_bits=band_bits, dim=dim),
+        batch_format="pyarrow",
     )
 
     candidates = hash_bucketed_groupby(

@@ -17,7 +17,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from .util import pool_concurrency
+from .util import stateful_task_batches
 
 _SEED = 24601
 
@@ -39,6 +39,38 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+class _PartialTopK:
+    """Task stage (cached per worker): local cosine top-k of each batch
+    against the broadcast query matrix (``q_ref`` = ``ray.put`` ref; a local
+    ``ray.get`` is zero-copy)."""
+
+    def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
+        self._q = ray.get(q_ref)
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = _chunk1(batch[self.id_col]).to_numpy()
+        mat = _unit(_to_matrix(batch[self.vec_col]))
+        sims = self._q @ mat.T  # (n_queries, n_batch)
+        n_q, n_b = sims.shape
+        kk = min(self.k, n_b)
+        # local top-k per query (argpartition, then exact sort of the k)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], "vec_id": [], "score": []}
+        for qi in range(n_q):
+            sel = part[qi]
+            rows["query_id"].extend([qi] * kk)
+            rows["vec_id"].extend(ids[sel].tolist())
+            rows["score"].extend(sims[qi, sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "vec_id": pa.array(rows["vec_id"]),
+                "score": pa.array(rows["score"], type=pa.float64()),
+            }
+        )
+
+
 def knn_bruteforce(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
@@ -51,34 +83,10 @@ def knn_bruteforce(
     q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     q_ref = ray.put(q_unit)
 
-    class PartialTopK:
-        def __init__(self):
-            self._q = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = _chunk1(batch[id_col]).to_numpy()
-            mat = _unit(_to_matrix(batch[vec_col]))
-            sims = self._q @ mat.T  # (n_queries, n_batch)
-            n_q, n_b = sims.shape
-            kk = min(k, n_b)
-            # local top-k per query (argpartition, then exact sort of the k)
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = {"query_id": [], "vec_id": [], "score": []}
-            for qi in range(n_q):
-                sel = part[qi]
-                rows["query_id"].extend([qi] * kk)
-                rows["vec_id"].extend(ids[sel].tolist())
-                rows["score"].extend(sims[qi, sel].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                    "vec_id": pa.array(rows["vec_id"]),
-                    "score": pa.array(rows["score"], type=pa.float64()),
-                }
-            )
-
-    partials = embeddings.map_batches(
-        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=pool_concurrency()
+    partials = stateful_task_batches(
+        embeddings, _PartialTopK,
+        dict(q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", batch_size=4096,
     )
     # global merge: k × n_blocks rows per query — small; finish on driver
     df = partials.to_pandas()
@@ -229,6 +237,44 @@ def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
     return centroids
 
 
+class _ProbeTopK:
+    """Task stage (cached per worker): IVF probe — assign each vector to its
+    nearest centroid, keep only vectors in a probed list, local top-k per
+    query. ``state_ref`` bundles (centroids, unit queries, probe lists)."""
+
+    def __init__(self, state_ref, k: int, id_col: str, vec_col: str):
+        self._c, self._q, self._probes = ray.get(state_ref)
+        self._wanted = np.unique(self._probes.reshape(-1))
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = _chunk1(batch[self.id_col]).to_numpy()
+        mat = _unit(_to_matrix(batch[self.vec_col]))
+        assign = np.argmax(mat @ self._c.T, axis=1)
+        keep = np.isin(assign, self._wanted)
+        ids, mat, assign = ids[keep], mat[keep], assign[keep]
+        rows = {"query_id": [], "vec_id": [], "score": []}
+        if len(ids):
+            sims = self._q @ mat.T
+            for qi in range(len(self._q)):
+                in_probe = np.isin(assign, self._probes[qi])
+                if not in_probe.any():
+                    continue
+                cand = np.where(in_probe)[0]
+                kk = min(self.k, len(cand))
+                sel = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+                rows["query_id"].extend([qi] * kk)
+                rows["vec_id"].extend(ids[sel].tolist())
+                rows["score"].extend(sims[qi, sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "vec_id": pa.array(rows["vec_id"]),
+                "score": pa.array(rows["score"], type=pa.float64()),
+            }
+        )
+
+
 def knn_ivf(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
@@ -271,46 +317,12 @@ def knn_ivf(
     )
     q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe_lists = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :nprobe]
-    wanted = set(probe_lists.reshape(-1).tolist())
-    c_ref = ray.put(centroids)
-    q_ref = ray.put(q_unit)
-    probes_ref = ray.put(probe_lists)
+    state_ref = ray.put((centroids, q_unit, probe_lists))
 
-    class ProbeTopK:
-        def __init__(self):
-            self._c = ray.get(c_ref)
-            self._q = ray.get(q_ref)
-            self._probes = ray.get(probes_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = _chunk1(batch[id_col]).to_numpy()
-            mat = _unit(_to_matrix(batch[vec_col]))
-            assign = np.argmax(mat @ self._c.T, axis=1)
-            keep = np.isin(assign, list(wanted))
-            ids, mat, assign = ids[keep], mat[keep], assign[keep]
-            rows = {"query_id": [], "vec_id": [], "score": []}
-            if len(ids):
-                sims = self._q @ mat.T
-                for qi in range(len(self._q)):
-                    in_probe = np.isin(assign, self._probes[qi])
-                    if not in_probe.any():
-                        continue
-                    cand = np.where(in_probe)[0]
-                    kk = min(k, len(cand))
-                    sel = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
-                    rows["query_id"].extend([qi] * kk)
-                    rows["vec_id"].extend(ids[sel].tolist())
-                    rows["score"].extend(sims[qi, sel].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                    "vec_id": pa.array(rows["vec_id"]),
-                    "score": pa.array(rows["score"], type=pa.float64()),
-                }
-            )
-
-    partials = embeddings.map_batches(
-        ProbeTopK, batch_format="pyarrow", batch_size=4096, concurrency=pool_concurrency()
+    partials = stateful_task_batches(
+        embeddings, _ProbeTopK,
+        dict(state_ref=state_ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", batch_size=4096,
     )
     df = partials.to_pandas()
     df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
