@@ -747,6 +747,19 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Span-level exact-substring dedup (Lee-et-al semantics at fixed k):
+    maximal word spans covered by 4-word windows occurring >= 2x corpus-wide."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        dedup.duplicate_spans(docs, k=4),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("start_word", pa.int64()),
+             ("end_word", pa.int64()), ("n_windows", pa.int64())]
+        ),
+    )
+
+
 def q_cosine_pairs(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return _table(
@@ -2258,6 +2271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_filtered": q_knn_filtered,
         "ngram_jaccard": q_ngram_jaccard,
+        "duplicate_spans": q_duplicate_spans,
         "cosine_pairs": q_cosine_pairs,
         "neighborhood": q_neighborhood,
         "two_hop_neighborhood": q_two_hop_neighborhood,
@@ -2685,6 +2699,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
+        """,
+        "duplicate_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+              SELECT doc_id, i AS pos, array_to_string(ws[i : i + 3], ' ') AS gram
+              FROM w, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE len(ws) >= 4
+            ), dupg AS (
+              SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+            ), sel AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos)
+                              OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                          THEN 0 ELSE 1 END AS brk
+              FROM sel
+            ), grp AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS g
+              FROM isl
+            )
+            SELECT doc_id, MIN(pos) AS start_word, MAX(pos) + 3 AS end_word,
+                   COUNT(*) AS n_windows
+            FROM grp GROUP BY doc_id, g
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_ngram_pairs_cte().strip()},

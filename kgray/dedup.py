@@ -765,6 +765,90 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# exact duplicated-substring spans (suffix-array semantics at fixed k)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    docs: ray.data.Dataset,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Span-level exact-substring dedup: for every document, the maximal
+    word-index spans covered by ``k``-word windows that occur at least twice
+    in the corpus (within- or cross-document) — the fixed-granularity form
+    of suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): any duplicated substring of
+    >= 2k-1 words is guaranteed to surface as a merged span, shorter ones
+    down to k words surface when window-aligned.
+
+    Returns (doc_id, start_word, end_word, n_windows) with 1-based inclusive
+    word indexes; documents shorter than ``k`` words emit nothing.
+
+    Plan (two keyed shuffles, both over bounded rows):
+    1. one pass emits every window as (doc, pos, 64-bit rolling hash) — the
+       window stream is word-count sized, like the n-gram stream;
+    2. gram-keyed bucket pass keeps windows whose hash occurs >= 2 times
+       (vectorized ``transform('size')`` per bucket — a gram lives in
+       exactly one bucket, so the per-bucket count IS the corpus count);
+    3. doc-keyed bucket pass merges surviving window positions into maximal
+       spans (vectorized islands: break where the gap exceeds ``k``).
+    Hash-for-string equivalence is the same 2^-64-collision tradeoff the
+    n-gram Jaccard join documents.
+    """
+    from .relational import hash_bucketed_groupby
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        word_h, lengths = _word_hashes(_chunked(batch[text_col]))
+        # windows only for rows with >= k words (no short-row folding here:
+        # substring dedup has nothing to say about docs shorter than k)
+        n_wins = np.maximum(lengths - k + 1, 0)
+        grams, n_grams = _gram_hashes(word_h, lengths, k)
+        # _gram_hashes folds short rows into one gram; mask those rows out
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64), n_grams)
+        starts = np.concatenate([[0], np.cumsum(n_grams)[:-1]])
+        pos = np.arange(len(grams), dtype=np.int64) - starts[rows] + 1
+        keep = n_wins[rows] > 0
+        ids = _chunked(batch[id_col]).take(pa.array(rows[keep]))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "pos": pa.array(pos[keep], type=pa.int64()),
+                "gram": pa.array(grams[keep].view(np.int64), type=pa.int64()),
+            }
+        )
+
+    windows = docs.map_batches(to_windows, batch_format="pyarrow")
+
+    def keep_duplicated(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("gram", sort=False)["pos"].transform("size")
+        return df.loc[sizes >= 2, ["doc_id", "pos"]]
+
+    dup_wins = hash_bucketed_groupby(windows, ["gram"], keep_duplicated,
+                                     num_buckets=num_buckets)
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        brk = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            same = doc[1:] == doc[:-1]
+            brk[1:] = (~same | (pos[1:] - pos[:-1] > k)).astype(np.int64)
+        df = df.assign(_g=np.cumsum(brk))
+        out = df.groupby(["doc_id", "_g"], sort=False, as_index=False).agg(
+            start_word=("pos", "min"), end_word=("pos", "max"),
+            n_windows=("pos", "size"),
+        )
+        out["end_word"] = out["end_word"] + (k - 1)
+        return out[["doc_id", "start_word", "end_word", "n_windows"]]
+
+    return hash_bucketed_groupby(dup_wins, ["doc_id"], merge_spans,
+                                 num_buckets=min(num_buckets, 16))
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (BANDED random-hyperplane LSH + exact verify)
 # ---------------------------------------------------------------------------
 

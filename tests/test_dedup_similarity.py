@@ -334,3 +334,30 @@ def test_label_centroids_exact_sums(ray_session):
         sub = out[out["label"] == lab].sort_values("pos")
         assert (sub["sum_q"].to_numpy() == sel.sum(axis=0)).all()
         assert (sub["n"].to_numpy() == len(sel)).all()
+
+
+def test_duplicate_spans_planted(ray_session):
+    """Cross-doc shared phrase, within-doc repetition, sub-k doc."""
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog tonight"},
+        {"doc_id": 2, "text": "prefix words here the quick brown fox jumps over something else"},
+        {"doc_id": 3, "text": "completely unrelated content with zero common windows anywhere"},
+        {"doc_id": 4, "text": "short doc"},
+        {"doc_id": 5, "text": "rep rep rep rep rep rep rep rep"},
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    got = sorted(
+        (r["doc_id"], r["start_word"], r["end_word"], r["n_windows"])
+        for r in dedup.duplicate_spans(ds, k=4).take_all()
+    )
+    # docs 1/2 share the 6-word phrase -> 3 windows each, merged into one
+    # span per doc; doc 5's 8x repetition self-duplicates every window
+    assert got == [(1, 1, 6, 3), (2, 4, 9, 3), (5, 1, 8, 5)]
+
+
+def test_duplicate_spans_empty_and_clean(ray_session):
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "all words perfectly unique here"}],
+        override_num_blocks=1,
+    )
+    assert dedup.duplicate_spans(ds, k=4).take_all() == []
