@@ -1226,6 +1226,19 @@ def q_train_val_split(sf_dir: str):
     return _table(out)
 
 
+def q_leakfree_split(sf_dir: str):
+    """Near-dup-aware split: split key = dedup cluster id (ngram pairs at
+    0.5), so near-duplicates never straddle train/val/test."""
+    from kgray import sampling
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2, max_df=_NGRAM_MAX_DF)
+    out = sampling.cluster_coherent_split(
+        docs, pairs, val_permille=100, test_permille=50
+    )
+    return _table(out)
+
+
 def q_event_pairs(sf_dir: str):
     """Same-user event pairs within +-1 hour — the interval-join operator
     (bucketized range join; each qualifying pair matched exactly once)."""
@@ -2291,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "tfidf_keywords": q_tfidf_keywords,
         "train_val_split": q_train_val_split,
+        "leakfree_split": q_leakfree_split,
         "windowed_distinct_users": q_windowed_distinct_users,
         "event_pairs": q_event_pairs,
         "pii_scrub": q_pii_scrub,
@@ -2834,6 +2848,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test'
                         ELSE 'train' END AS split
             FROM documents
+        """,
+        "leakfree_split": f"""
+            WITH RECURSIVE {_ngram_pairs_cte().strip()},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM ndpairs
+              UNION SELECT doc_b, doc_a FROM ndpairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (
+              SELECT a AS doc_id, LEAST(a, MIN(b)) AS cid FROM reach GROUP BY a
+            ),
+            lab AS (
+              SELECT d.doc_id,
+                     COALESCE(c.cid, d.doc_id) AS cluster_id,
+                     CAST(d.doc_id = COALESCE(c.cid, d.doc_id) AS BIGINT)
+                       AS is_canonical
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+            )
+            SELECT doc_id, cluster_id, is_canonical,
+                   CASE WHEN (cluster_id * 2654435761) % 4294967296 % 1000 < 100
+                        THEN 'val'
+                        WHEN (cluster_id * 2654435761) % 4294967296 % 1000 < 150
+                        THEN 'test'
+                        ELSE 'train' END AS split
+            FROM lab
         """,
         "pii_scrub": _pii_scrub_sql(),
         "chunk_docs": """

@@ -152,3 +152,30 @@ def hash_split(
         return t.append_column(split_col, pa.array(out.tolist(), type=pa.string()))
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def cluster_coherent_split(
+    docs,
+    pairs,
+    id_col: str = "doc_id",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    val_permille: int = 100,
+    test_permille: int = 0,
+):
+    """Near-dup-aware train/val/test split: the split key is the dedup
+    CLUSTER id, not the document id, so two near-duplicate documents can
+    never straddle a split boundary (the classic eval-leak a plain
+    ``hash_split`` on doc ids cannot prevent — reference anchor: the node
+    PK/duplicate-name discipline of `docs/cypher-cmds-1.txt:81` lifted to
+    corpus hygiene).
+
+    ``pairs`` is any near-dup pair stream (minhash / simhash / n-gram /
+    embedding); documents in no pair are their own singleton cluster.
+    Returns (doc_id, cluster_id, is_canonical, split) — downstream keeps
+    e.g. only ``is_canonical`` rows of 'train'.
+    """
+    from .graphalgo import dedup_clusters
+
+    clusters = dedup_clusters(docs, pairs, id_col=id_col, col_a=col_a, col_b=col_b)
+    return hash_split(clusters, "cluster_id", val_permille, test_permille)

@@ -83,3 +83,45 @@ def test_hash_split_rejects_bad_budget(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1]}))
     with pytest.raises(ValueError):
         hash_split(ds, "doc_id", val_permille=900, test_permille=200)
+
+
+def test_cluster_coherent_split_no_near_dup_leak(ray_session):
+    """Two near-identical docs whose DOC-ID buckets land in different
+    splits must still share one split (the cluster id is the key)."""
+    import ray.data as rd
+
+    from kgray.sampling import KNUTH, MOD32, cluster_coherent_split
+
+    def bucket(i):
+        return (i * KNUTH) % MOD32 % 1000
+
+    # find a ('val', 'train') id pair under the 100/50 permille budget
+    val_id = next(i for i in range(1, 500) if bucket(i) < 100)
+    train_id = next(i for i in range(1, 500) if bucket(i) >= 150)
+    dup = "the exact same sentence repeated for the near dup pair"
+    rows = [
+        {"doc_id": val_id, "text": dup},
+        {"doc_id": train_id, "text": dup + " tail"},
+        {"doc_id": 400, "text": "completely different singleton content here"},
+    ]
+    docs = rd.from_items(rows, override_num_blocks=2)
+    from kgray import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2)
+    out = {r["doc_id"]: r for r in cluster_coherent_split(
+        docs, pairs, val_permille=100, test_permille=50
+    ).take_all()}
+
+    a, b = out[val_id], out[train_id]
+    assert a["cluster_id"] == b["cluster_id"] == min(val_id, train_id)
+    assert a["split"] == b["split"]  # no straddle, by construction
+    # plain doc-id split WOULD have separated them
+    from kgray.sampling import hash_split
+
+    plain = {r["doc_id"]: r["split"] for r in hash_split(
+        docs.select_columns(["doc_id"]), "doc_id",
+        val_permille=100, test_permille=50,
+    ).take_all()}
+    assert plain[val_id] != plain[train_id]
+    # survivor flag: exactly one canonical per cluster
+    assert a["is_canonical"] + b["is_canonical"] == 1
