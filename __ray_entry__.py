@@ -760,6 +760,21 @@ def q_duplicate_spans(sf_dir: str):
     )
 
 
+def q_span_cleaned_docs(sf_dir: str):
+    """detect -> excise: corpus with every duplicated span (k=4 windows,
+    >= 2 occurrences anywhere) removed from every document — the aggressive
+    both-copies policy; keep-one filters the span set first."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    spans = dedup.duplicate_spans(docs, k=4)
+    return _table(
+        dedup.excise_spans(docs, spans),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("clean_text", pa.string()),
+             ("n_removed_words", pa.int64())]
+        ),
+    )
+
+
 def q_cosine_pairs(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return _table(
@@ -2285,6 +2300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": q_knn_filtered,
         "ngram_jaccard": q_ngram_jaccard,
         "duplicate_spans": q_duplicate_spans,
+        "span_cleaned_docs": q_span_cleaned_docs,
         "cosine_pairs": q_cosine_pairs,
         "neighborhood": q_neighborhood,
         "two_hop_neighborhood": q_two_hop_neighborhood,
@@ -2358,6 +2374,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # shared CTE chain: verified ngram-Jaccard near-dup pairs (mirrors
 # dedup.ngram_jaccard_pairs with the same max_df stop-gram cut)
+def _dup_spans_cte() -> str:
+    """Shared CTE chain: k=4 duplicated-window detection -> gaps-and-islands
+    merge -> spans(doc_id, start_word, end_word, n_windows). Mirrors
+    kgray/dedup.py::duplicate_spans exactly (1-based inclusive word spans)."""
+    return """
+            w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+              SELECT doc_id, i AS pos, array_to_string(ws[i : i + 3], ' ') AS gram
+              FROM w, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE len(ws) >= 4
+            ), dupg AS (
+              SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+            ), sel AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos)
+                              OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                          THEN 0 ELSE 1 END AS brk
+              FROM sel
+            ), grp AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS g
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, MIN(pos) AS start_word, MAX(pos) + 3 AS end_word,
+                     COUNT(*) AS n_windows
+              FROM grp GROUP BY doc_id, g
+            )
+    """
+
+
 def _ngram_pairs_cte() -> str:
     return f"""
     w AS (
@@ -2714,32 +2764,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
         """,
-        "duplicate_spans": """
-            WITH w AS (
-              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-            ), grams AS (
-              SELECT doc_id, i AS pos, array_to_string(ws[i : i + 3], ' ') AS gram
-              FROM w, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
-              WHERE len(ws) >= 4
-            ), dupg AS (
-              SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
-            ), sel AS (
-              SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)
-            ), isl AS (
-              SELECT doc_id, pos,
-                     CASE WHEN pos - lag(pos)
-                              OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-                          THEN 0 ELSE 1 END AS brk
-              FROM sel
-            ), grp AS (
-              SELECT doc_id, pos,
-                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS UNBOUNDED PRECEDING) AS g
-              FROM isl
+        "duplicate_spans": f"""
+            WITH {_dup_spans_cte().strip()}
+            SELECT doc_id, start_word, end_word, n_windows FROM spans
+        """,
+        "span_cleaned_docs": f"""
+            WITH {_dup_spans_cte().strip()},
+            cut AS (
+              SELECT doc_id, UNNEST(generate_series(start_word, end_word)) AS pos
+              FROM spans
+            ), cutd AS (
+              SELECT doc_id, LIST(pos) AS cuts, COUNT(*) AS n_cut
+              FROM cut GROUP BY doc_id
             )
-            SELECT doc_id, MIN(pos) AS start_word, MAX(pos) + 3 AS end_word,
-                   COUNT(*) AS n_windows
-            FROM grp GROUP BY doc_id, g
+            SELECT w.doc_id,
+                   -- array_to_string([]) is NULL in DuckDB; fully-excised
+                   -- docs must come back as '' to match the Ray side
+                   COALESCE(array_to_string(
+                     list_transform(
+                       list_filter(generate_series(1, len(ws)),
+                                   i -> c.cuts IS NULL
+                                        OR NOT list_contains(c.cuts, i)),
+                       i -> ws[i]),
+                     ' '), '') AS clean_text,
+                   COALESCE(c.n_cut, 0) AS n_removed_words
+            FROM w LEFT JOIN cutd c USING (doc_id)
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_ngram_pairs_cte().strip()},

@@ -848,6 +848,86 @@ def duplicate_spans(
                                  num_buckets=min(num_buckets, 16))
 
 
+def excise_spans(
+    docs: ray.data.Dataset,
+    spans: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Rebuild each document's text with the given word spans removed —
+    the apply step after ``duplicate_spans`` (policy stays with the caller:
+    pass every span for aggressive both-copies removal, or pre-filter the
+    span set — e.g. by ``dedup_clusters`` canonicity — for keep-one
+    semantics a la Lee et al.).
+
+    One doc-keyed exchange co-locates texts with their spans (docs and
+    spans ride the same bucketed shuffle as a tagged union — no join
+    operator spin-up); the per-doc excision is a numpy mask over the word
+    positions, and only span-bearing docs enter the rebuild loop. Returns
+    (doc_id, clean_text, n_removed_words) for EVERY input document.
+    """
+    from .relational import hash_bucketed_groupby
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                # null text -> "" so the doc/span discriminator (text
+                # null-ness) never misroutes a document row
+                "text": pc.fill_null(_chunked(t[text_col]), ""),
+                "start_word": pa.nulls(t.num_rows, pa.int64()),
+                "end_word": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "start_word": pc.cast(_chunked(t["start_word"]), pa.int64()),
+                "end_word": pc.cast(_chunked(t["end_word"]), pa.int64()),
+            }
+        )
+
+    union = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        spans.map_batches(tag_spans, batch_format="pyarrow")
+    )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["text"].notna()
+        d = df[is_doc]
+        s = df[~is_doc]
+        by_doc: dict = {}
+        for did, st, en in zip(
+            s["doc_id"].to_numpy(), s["start_word"].to_numpy(), s["end_word"].to_numpy()
+        ):
+            by_doc.setdefault(did, []).append((int(st), int(en)))
+        out_text, out_removed = [], []
+        for did, text in zip(d["doc_id"].to_numpy(), d["text"].to_numpy()):
+            cuts = by_doc.get(did)
+            if not cuts:
+                out_text.append(text)
+                out_removed.append(0)
+                continue
+            words = text.split()
+            keep = np.ones(len(words), dtype=bool)
+            for st, en in cuts:  # 1-based inclusive
+                keep[st - 1 : en] = False
+            out_text.append(" ".join(np.array(words, dtype=object)[keep]))
+            out_removed.append(int((~keep).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(),
+                "clean_text": out_text,
+                "n_removed_words": np.asarray(out_removed, dtype=np.int64),
+            }
+        )
+
+    return hash_bucketed_groupby(union, ["doc_id"], rebuild, num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (BANDED random-hyperplane LSH + exact verify)
 # ---------------------------------------------------------------------------

@@ -355,6 +355,29 @@ def test_duplicate_spans_planted(ray_session):
     assert got == [(1, 1, 6, 3), (2, 4, 9, 3), (5, 1, 8, 5)]
 
 
+def test_excise_spans_planted(ray_session):
+    """detect -> excise round trip: spans removed, clean docs untouched,
+    fully-duplicated doc collapses to ''."""
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog tonight"},
+        {"doc_id": 2, "text": "prefix words here the quick brown fox jumps over something else"},
+        {"doc_id": 3, "text": "completely unrelated content with zero common windows anywhere"},
+        {"doc_id": 4, "text": "short doc"},
+        {"doc_id": 5, "text": "rep rep rep rep rep rep rep rep"},
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    spans = dedup.duplicate_spans(ds, k=4)
+    out = {r["doc_id"]: r for r in dedup.excise_spans(ds, spans).take_all()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["clean_text"] == "the lazy dog tonight"
+    assert out[1]["n_removed_words"] == 6
+    assert out[2]["clean_text"] == "prefix words here something else"
+    assert out[2]["n_removed_words"] == 6
+    assert out[3]["clean_text"] == rows[2]["text"]
+    assert out[4]["n_removed_words"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_removed_words"] == 8
+
+
 def test_duplicate_spans_empty_and_clean(ray_session):
     ds = ray.data.from_items(
         [{"doc_id": 1, "text": "all words perfectly unique here"}],
