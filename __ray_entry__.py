@@ -1739,6 +1739,13 @@ def q_embedding_norms(sf_dir: str):
     return _table(similarity.embedding_norms(emb))
 
 
+def q_embedding_covariance(sf_dir: str):
+    """PCA/whitening prep: exact int64 Gram + per-dim sums + count for the
+    upper triangle of the embedding covariance (quantized to ppm first)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return _table(similarity.embedding_covariance(emb))
+
+
 def q_funnel_counts(sf_dir: str):
     """Signup→purchase conversion funnel: per-user first-touch minima
     (conditional-null columns + one grouped min), then partial counts —
@@ -2343,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "rolling_value_sums": q_rolling_value_sums,
         "embedding_norms": q_embedding_norms,
+        "embedding_covariance": q_embedding_covariance,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3350,6 +3358,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SQRT(CAST(SUM(q * q) AS DOUBLE))) AS BIGINT)
                    AS norm_fp
             FROM u GROUP BY 1
+        """,
+        "embedding_covariance": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            )
+            SELECT a.pos AS i, b.pos AS j,
+                   CAST(SUM(a.q * b.q) AS BIGINT) AS sum_xy,
+                   CAST(SUM(a.q) AS BIGINT) AS sum_xi,
+                   CAST(SUM(b.q) AS BIGINT) AS sum_xj,
+                   COUNT(*) AS n
+            FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+            GROUP BY 1, 2
         """,
         "funnel_counts": """
             WITH e AS (

@@ -377,6 +377,55 @@ def label_centroids(
     )
 
 
+def embedding_covariance(
+    embeddings: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Upper-triangle Gram/covariance accumulators for PCA / whitening prep
+    — EXACT int64 fixed point, the d x d statistics a curation pass needs
+    before decorrelating or reducing an embedding column.
+
+    Each batch reduces to d*(d+1)/2 rows (i, j, sum_xy, sum_xi, sum_xj, n)
+    via one int64 ``q.T @ q`` — the exchange moves O(d^2) rows per block
+    regardless of row count, and integer partials are order-free, so the
+    result is bit-stable at any parallelism. The consumer forms
+    cov_ij = (sum_xy - sum_xi*sum_xj/n) / n (and the eigen step) on the
+    driver: d x d is tiny at any corpus size. Components are quantized to
+    ``round(scale * x)`` int64 first (same trick as ``label_centroids``);
+    with ppm quantization the global sum stays inside int64 up to ~5M rows
+    per the docline bound — pass a smaller ``scale`` beyond that.
+    """
+    from .relational import grouped_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        q = np.round(mat * scale).astype(np.int64)
+        d = q.shape[1]
+        gram = q.T @ q
+        sums = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64) + 1),
+                "j": pa.array(ju.astype(np.int64) + 1),
+                "sum_xy": pa.array(gram[iu, ju]),
+                "sum_xi": pa.array(sums[iu]),
+                "sum_xj": pa.array(sums[ju]),
+                "n": pa.array(np.full(len(iu), t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    parts = embeddings.select_columns([vec_col]).map_batches(
+        part, batch_format="pyarrow"
+    )
+    return grouped_agg(
+        parts,
+        keys=["i", "j"],
+        sums={"sum_xy": "sum_xy", "sum_xi": "sum_xi", "sum_xj": "sum_xj", "n": "n"},
+    )
+
+
 def embedding_norms(
     embeddings: ray.data.Dataset,
     id_col: str = "vec_id",

@@ -336,6 +336,29 @@ def test_label_centroids_exact_sums(ray_session):
         assert (sub["n"].to_numpy() == len(sel)).all()
 
 
+def test_embedding_covariance_exact(ray_session):
+    """Hand-computed 2-dim Gram/sum/count accumulators, exact in int64."""
+    from kgray.similarity import embedding_covariance
+
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 2.0]},
+        {"vec_id": 2, "embedding": [3.0, -1.0]},
+        {"vec_id": 3, "embedding": [0.5, 0.25]},
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    out = {
+        (r["i"], r["j"]): r for r in embedding_covariance(ds).take_all()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 2)}
+    assert out[(1, 1)]["sum_xy"] == 10_250_000_000_000
+    assert out[(1, 2)]["sum_xy"] == -875_000_000_000
+    assert out[(2, 2)]["sum_xy"] == 5_062_500_000_000
+    for r in out.values():
+        assert r["n"] == 3
+        assert r["sum_xi"] == (4_500_000 if r["i"] == 1 else 1_250_000)
+        assert r["sum_xj"] == (4_500_000 if r["j"] == 1 else 1_250_000)
+
+
 def test_duplicate_spans_planted(ray_session):
     """Cross-doc shared phrase, within-doc repetition, sub-k doc."""
     rows = [
