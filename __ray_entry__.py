@@ -1746,6 +1746,13 @@ def q_embedding_covariance(sf_dir: str):
     return _table(similarity.embedding_covariance(emb))
 
 
+def q_jl_projection(sf_dir: str):
+    """Dim reduction before ANN/clustering: sparse JL projection 64 -> 16,
+    exact int64 (hash-seeded {-1,0,+1} matrix, identical in the oracle)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _table(similarity.random_project(emb, out_dim=16))
+
+
 def q_funnel_counts(sf_dir: str):
     """Signup→purchase conversion funnel: per-user first-touch minima
     (conditional-null columns + one grouped min), then partial counts —
@@ -2351,6 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value_sums": q_rolling_value_sums,
         "embedding_norms": q_embedding_norms,
         "embedding_covariance": q_embedding_covariance,
+        "jl_projection": q_jl_projection,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3373,6 +3381,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(b.q) AS BIGINT) AS sum_xj,
                    COUNT(*) AS n
             FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+            GROUP BY 1, 2
+        """,
+        "jl_projection": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            ), r AS (
+              SELECT pos, CAST(k AS BIGINT) AS k,
+                     (((pos - 1) * 16 + (k - 1)) * 2654435761)
+                       % 4294967296 % 3 - 1 AS rv
+              FROM (SELECT DISTINCT pos FROM u),
+                   UNNEST(generate_series(1, 16)) t(k)
+            )
+            SELECT u.vec_id, r.k, CAST(SUM(u.q * r.rv) AS BIGINT) AS comp
+            FROM u JOIN r USING (pos)
             GROUP BY 1, 2
         """,
         "funnel_counts": """

@@ -426,6 +426,57 @@ def embedding_covariance(
     )
 
 
+_JL_KNUTH = 2654435761  # Knuth multiplicative hash constant (public domain)
+
+
+def _jl_matrix(d: int, out_dim: int) -> np.ndarray:
+    """Deterministic sparse JL matrix in {-1, 0, +1}: entry (pos, k) is
+    ``((pos*out_dim + k) * KNUTH mod 2^32) mod 3 - 1`` — pure integer hash,
+    reproducible bit-for-bit in SQL, no RNG state to ship."""
+    key = (
+        np.arange(d, dtype=np.int64)[:, None] * out_dim
+        + np.arange(out_dim, dtype=np.int64)[None, :]
+    )
+    return (key * _JL_KNUTH) % (1 << 32) % 3 - 1
+
+
+def random_project(
+    embeddings: ray.data.Dataset,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Sparse random projection (Achlioptas/JL) of the embedding column to
+    ``out_dim`` components — the dimensionality cut a pipeline takes before
+    ANN indexing or clustering at scale. Exact int64 fixed point: inputs
+    quantize to ppm, the projection matrix is {-1,0,+1} from a
+    deterministic integer hash (no RNG), so both arms agree bit-for-bit;
+    the consumer applies the sqrt(3/out_dim) JL scaling when it needs real
+    units. Embarrassingly parallel: one int64 matmul per batch, no shuffle.
+    Emits (id, k, comp) rows, k 1-based.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        q = np.round(mat * scale).astype(np.int64)
+        comp = q @ _jl_matrix(q.shape[1], out_dim)
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dim)),
+                "k": pa.array(
+                    np.tile(np.arange(1, out_dim + 1, dtype=np.int64), len(ids))
+                ),
+                "comp": pa.array(comp.reshape(-1)),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        part, batch_format="pyarrow"
+    )
+
+
 def embedding_norms(
     embeddings: ray.data.Dataset,
     id_col: str = "vec_id",

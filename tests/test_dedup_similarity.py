@@ -359,6 +359,19 @@ def test_embedding_covariance_exact(ray_session):
         assert r["sum_xj"] == (4_500_000 if r["j"] == 1 else 1_250_000)
 
 
+def test_random_project_exact(ray_session):
+    """d=2, out_dim=2: the hash-seeded JL matrix is [[-1,0],[0,1]], so a
+    vector projects to (-q1, q2) exactly."""
+    from kgray.similarity import _jl_matrix, random_project
+
+    assert _jl_matrix(2, 2).tolist() == [[-1, 0], [0, 1]]
+    ds = ray.data.from_items(
+        [{"vec_id": 7, "embedding": [1.0, 2.0]}], override_num_blocks=1
+    )
+    out = {(r["vec_id"], r["k"]): r["comp"] for r in random_project(ds, out_dim=2).take_all()}
+    assert out == {(7, 1): -1_000_000, (7, 2): 2_000_000}
+
+
 def test_duplicate_spans_planted(ray_session):
     """Cross-doc shared phrase, within-doc repetition, sub-k doc."""
     rows = [
