@@ -1753,6 +1753,13 @@ def q_jl_projection(sf_dir: str):
     return _table(similarity.random_project(emb, out_dim=16))
 
 
+def q_doc_rarity(sf_dir: str):
+    """Model-free quality signal: per-doc integer-idf rarity sums (one
+    term-keyed shuffle computes df AND the per-doc partials in one pass)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(textops.doc_rarity(docs))
+
+
 def q_funnel_counts(sf_dir: str):
     """Signup→purchase conversion funnel: per-user first-touch minima
     (conditional-null columns + one grouped min), then partial counts —
@@ -2359,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": q_embedding_norms,
         "embedding_covariance": q_embedding_covariance,
         "jl_projection": q_jl_projection,
+        "doc_rarity": q_doc_rarity,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3400,6 +3408,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.vec_id, r.k, CAST(SUM(u.q * r.rv) AS BIGINT) AS comp
             FROM u JOIN r USING (pos)
             GROUP BY 1, 2
+        """,
+        "doc_rarity": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, term FROM tk WHERE term IS NOT NULL AND term <> ''
+            ), dfs AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+            ), nd AS (
+              SELECT COUNT(*) AS n FROM documents
+            ), agg AS (
+              SELECT t.doc_id, COUNT(*) AS n_tokens,
+                     CAST(SUM((nd.n * 1000000) // d.df) AS BIGINT) AS rarity_sum
+              FROM tok t JOIN dfs d USING (term), nd
+              GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, rarity_sum,
+                   rarity_sum // n_tokens AS rarity_avg
+            FROM agg
         """,
         "funnel_counts": """
             WITH e AS (

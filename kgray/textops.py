@@ -471,6 +471,75 @@ def chunk_text_batch(
     return pa.concat_tables(out)
 
 
+def doc_rarity(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_scale: int = 1_000_000,
+    num_buckets: int = 32,
+):
+    """Per-document rarity score — the model-free "informativeness" signal
+    a quality filter uses where no LM is available: each token contributes
+    ``(n_docs * score_scale) // df(term)`` (an integer idf), summed over
+    ALL token occurrences, plus the floor mean per token. Pure int64
+    arithmetic end to end, so both arms agree bit-for-bit (``ln()`` idf
+    would rank identically but round differently across engines).
+
+    One term-keyed bucketed shuffle does everything term-side: within a
+    bucket every (doc, term, tf) row for a term is present, so df is the
+    per-term row count and the per-doc partials (token count, rarity sum)
+    fall out of the same pass — no separate vocabulary join or broadcast.
+    A doc-keyed ``grouped_agg`` then merges partials across term buckets.
+    Docs with zero tokens produce no row (a curation pass drops them
+    anyway). With ppm scaling the sum stays inside int64 while
+    n_docs * doc_len < ~9e12 — pass a smaller ``score_scale`` beyond that.
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg, hash_bucketed_groupby
+
+    n_docs = ds.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        return (
+            ex.groupby([id_col, "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        dfc = df.groupby("term")["tf"].transform("size").to_numpy(np.int64)
+        tf = df["tf"].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_tokens": tf,
+                "rarity_sum": tf * ((n_docs * score_scale) // dfc),
+            }
+        )
+        return part.groupby(id_col, as_index=False)[["n_tokens", "rarity_sum"]].sum()
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pandas"
+    )
+    partials = hash_bucketed_groupby(tf, ["term"], per_term, num_buckets)
+    agg = grouped_agg(
+        partials,
+        keys=[id_col],
+        sums={"n_tokens": "n_tokens", "rarity_sum": "rarity_sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rarity_avg",
+            pc.divide(t["rarity_sum"], t["n_tokens"]),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def tfidf_top_terms(
     ds,
     text_col: str = "text",

@@ -125,3 +125,21 @@ def test_cluster_coherent_split_no_near_dup_leak(ray_session):
     assert plain[val_id] != plain[train_id]
     # survivor flag: exactly one canonical per cluster
     assert a["is_canonical"] + b["is_canonical"] == 1
+
+
+def test_doc_rarity_exact(ray_session):
+    """Hand-computed integer-idf rarity: df(a)=2, df(b)=1, df(c)=2 over
+    3 docs -> idf ppm 1.5M / 3M / 1.5M."""
+    import ray.data as rd
+
+    from kgray.textops import doc_rarity
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a b a", "a c", "c c c"]})
+    ).repartition(2)
+    out = {r["doc_id"]: r for r in doc_rarity(ds).take_all()}
+    assert out[1]["n_tokens"] == 3 and out[1]["rarity_sum"] == 6_000_000
+    assert out[1]["rarity_avg"] == 2_000_000
+    assert out[2]["n_tokens"] == 2 and out[2]["rarity_sum"] == 3_000_000
+    assert out[3]["n_tokens"] == 3 and out[3]["rarity_sum"] == 4_500_000
+    assert out[3]["rarity_avg"] == 1_500_000
