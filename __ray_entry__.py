@@ -1142,6 +1142,19 @@ def q_bfs_distances(sf_dir: str):
     )
 
 
+def q_graph_components(sf_dir: str):
+    """Weakly-connected components over the canonical KG edge stream —
+    size-routed (driver union-find under a pair budget, distributed
+    min-label propagation above); component id = min member node id."""
+    comp = graphalgo.connected_components(
+        _canonical_int_edges(sf_dir), col_a="src", col_b="dst"
+    )
+    tbl = _table(
+        comp, schema=pa.schema([("id", pa.int64()), ("component_id", pa.int64())])
+    )
+    return tbl.rename_columns(["node_id", "component_id"])
+
+
 def q_node_degrees(sf_dir: str):
     out = graphalgo.node_degrees(_canonical_int_edges(sf_dir))
     return _table(
@@ -2332,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q_bpe_token_counts,
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
+        "graph_components": q_graph_components,
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
         "triangle_count": q_triangle_count,
@@ -2834,6 +2848,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "pagerank": _pagerank_sql(iters=5),
+        "graph_components": f"""{_SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)},
+            {_SQL_LINKED.strip()},
+            e AS (SELECT (s - s % 2) AS src, (o - o % 2) AS dst FROM linked),
+            -- NOTE: inside WITH RECURSIVE DuckDB gives every UNION-bodied
+            -- CTE recursive-union semantics (no dedup of the two arms), so
+            -- sym/nodes dedup explicitly via DISTINCT over UNION ALL
+            sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                UNION ALL SELECT dst, src FROM e WHERE src <> dst
+              )
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (
+              SELECT a AS node_id, LEAST(a, MIN(b)) AS component_id
+              FROM reach GROUP BY a
+            ),
+            nodes AS (
+              SELECT DISTINCT node_id FROM (
+                SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e
+              )
+            )
+            SELECT n.node_id,
+                   COALESCE(c.component_id, n.node_id) AS component_id
+            FROM nodes n LEFT JOIN comp c USING (node_id)
+        """,
         "hash_sample": """
             SELECT o_orderkey, o_custkey,
                    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c

@@ -91,7 +91,8 @@ def run_bench() -> dict:
             "tfidf_keywords", "tool_transitions", "repetition_filter",
             "quantile_sketch", "event_mode_value", "mention_lift",
             "kmeans_clusters", "shipping_priority", "cohort_retention",
-            "rolling_value_sums",
+            "rolling_value_sums", "duplicate_spans", "span_cleaned_docs",
+            "embedding_covariance", "jl_projection", "doc_rarity",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
