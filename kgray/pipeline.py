@@ -486,3 +486,96 @@ def update_graph(
         "new_edges": n_fresh, "duplicate_edges_skipped": n_cand - n_fresh,
         "new_nodes": n_new_nodes, "metrics": m.to_dict(),
     }
+
+
+def compact_graph(
+    out_dir: str,
+    target_rows_per_file: int = 1_000_000,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction for a graph output that has absorbed
+    incremental deltas (every ``update_graph`` APPEND adds files): rewrite
+    each hive partition dir holding more parquet files than its row count
+    needs into ``ceil(rows / target_rows_per_file)`` files.
+
+    The unit of work, failure and restart is ONE partition dir — exactly
+    the resumability grain of the write manifests — so a crashed
+    compaction never poisons the table:
+
+    1. stage:  rewrite the partition into ``<part>/.compact_tmp/`` and
+       fsync a ``_COMMIT`` marker holding the staged file list;
+    2. commit: unlink the old files, move staged files in, drop the tmp.
+
+    Recovery on re-run: tmp without ``_COMMIT`` -> discard tmp and redo
+    (old files still complete); tmp with ``_COMMIT`` -> finish the commit
+    (old files may be partially gone; the staged set is the truth).
+    Readers (pyarrow / Ray ``read_parquet``) ignore dot-directories, so a
+    concurrent read during staging still sees exactly the old content.
+
+    Mirrors the maintenance half of the reference's per-partition import
+    loop (P4, `Kuzu/kuzu_build_graph_csv.py` per-bin files): the reference
+    re-emits whole bins; here only over-fragmented partitions rewrite.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    def _partition_dirs(root: str):
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+            if any(f.endswith(".parquet") for f in filenames):
+                yield dirpath
+
+    def _commit(part: str, tmp: str) -> int:
+        with open(os.path.join(tmp, "_COMMIT")) as f:
+            staged = json.load(f)["files"]
+        for old in _glob.glob(os.path.join(part, "*.parquet")):
+            os.unlink(old)
+        for name in staged:
+            os.replace(os.path.join(tmp, name), os.path.join(part, name))
+        _shutil.rmtree(tmp)
+        return len(staged)
+
+    report = {"partitions_compacted": 0, "files_before": 0, "files_after": 0,
+              "partitions_skipped": 0, "rows": 0}
+    for root in (os.path.join(out_dir, "nodes"), os.path.join(out_dir, "edges")):
+        if not os.path.isdir(root):
+            continue
+        for part in _partition_dirs(root):
+            tmp = os.path.join(part, ".compact_tmp")
+            if os.path.isdir(tmp):
+                if os.path.exists(os.path.join(tmp, "_COMMIT")):
+                    n_after = _commit(part, tmp)  # finish interrupted commit
+                    report["partitions_compacted"] += 1
+                    report["files_after"] += n_after
+                    continue
+                _shutil.rmtree(tmp)  # staged-only crash: old files are whole
+            files = sorted(_glob.glob(os.path.join(part, "*.parquet")))
+            # partitioning=None: the hive key lives in the DIR NAME; letting
+            # the reader infer it would bake a physical column into the
+            # rewritten files and fork the schema against the old ones
+            ds = (
+                ray.data.read_parquet(files, partitioning=None) if files else None
+            )
+            n_rows = ds.count() if ds is not None else 0
+            want = max(1, -(-n_rows // target_rows_per_file))
+            if len(files) < min_files or want >= len(files):
+                report["partitions_skipped"] += 1
+                continue
+            ds.repartition(want).write_parquet(tmp)
+            staged = sorted(os.path.basename(p)
+                            for p in _glob.glob(os.path.join(tmp, "*.parquet")))
+            with open(os.path.join(tmp, "_COMMIT"), "w") as f:
+                json.dump({"files": staged, "rows": n_rows}, f)
+            report["partitions_compacted"] += 1
+            report["files_before"] += len(files)
+            report["files_after"] += _commit(part, tmp)
+            report["rows"] += n_rows
+
+    lineage_path = os.path.join(out_dir, "lineage.json")
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            doc = json.load(f)
+        doc.setdefault("compactions", []).append(report)
+        with open(lineage_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+    return report

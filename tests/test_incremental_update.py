@@ -61,3 +61,58 @@ def test_update_graph_matches_oneshot(ray_session, tmp_path):
     assert snapshot_diff(full_dir, inc_dir) == {
         "added_edges": 0, "removed_edges": 0,
     }
+
+
+def test_compact_graph_preserves_content(ray_session, tmp_path):
+    """base + delta leaves multi-file partitions; compaction folds each to
+    one file without changing a row, is idempotent, and finishes an
+    interrupted commit from the _COMMIT marker."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from kgray.pipeline import compact_graph
+
+    out = str(tmp_path / "g")
+    KGPipeline(out_dir=out).run(_split(transcripts_dataset(SF), keep_even=True),
+                                fingerprint="base")
+    update_graph(out, _split(transcripts_dataset(SF), keep_even=False))
+
+    edges_before = _edge_uids(f"{out}/edges")
+    nodes_before = _node_ids(f"{out}/nodes")
+    n_files_before = len(glob.glob(f"{out}/*/**/*.parquet", recursive=True))
+
+    rep = compact_graph(out, target_rows_per_file=1 << 20)
+    assert rep["partitions_compacted"] > 0
+    assert rep["files_after"] < rep["files_before"]
+    assert _edge_uids(f"{out}/edges") == edges_before
+    assert _node_ids(f"{out}/nodes") == nodes_before
+    n_files_after = len(glob.glob(f"{out}/*/**/*.parquet", recursive=True))
+    assert n_files_after < n_files_before
+
+    # idempotent: nothing left to compact
+    rep2 = compact_graph(out, target_rows_per_file=1 << 20)
+    assert rep2["partitions_compacted"] == 0
+
+    # lineage carries the record
+    doc = json.load(open(f"{out}/lineage.json"))
+    assert len(doc["compactions"]) == 2
+
+    # crash recovery: stage a fake interrupted commit (tmp with _COMMIT and
+    # the staged file moved out of the partition) and verify it completes
+    part = os.path.dirname(
+        glob.glob(f"{out}/edges/**/*.parquet", recursive=True)[0]
+    )
+    tmp = os.path.join(part, ".compact_tmp")
+    os.makedirs(tmp)
+    staged = sorted(os.listdir(part))
+    staged = [f for f in staged if f.endswith(".parquet")]
+    for f in staged:
+        shutil.copy(os.path.join(part, f), os.path.join(tmp, f))
+    with open(os.path.join(tmp, "_COMMIT"), "w") as fh:
+        json.dump({"files": staged, "rows": -1}, fh)
+    rep3 = compact_graph(out, target_rows_per_file=1 << 20)
+    assert rep3["partitions_compacted"] >= 1
+    assert not os.path.isdir(tmp)
+    assert _edge_uids(f"{out}/edges") == edges_before
