@@ -1773,6 +1773,34 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Shuffle-free probabilistic semi-join: lineitem filtered by a
+    128-KiB broadcast Bloom bitmap of the urgent-order keys (negatives
+    exact, false positives at the rate n_bits sets; the oracle replicates
+    the hash functions bit-for-bit, so the check is exact)."""
+    from kgray import sketch
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    urgent = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(_chunk(t["o_orderpriority"]), "1-URGENT")
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    probe = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    out = sketch.bloom_semi_join(
+        probe, urgent, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+    return _table(
+        out,
+        schema=pa.schema([("l_orderkey", pa.int64()), ("l_linenumber", pa.int64())]),
+    )
+
+
 def q_funnel_counts(sf_dir: str):
     """Signup→purchase conversion funnel: per-user first-touch minima
     (conditional-null columns + one grouped min), then partial counts —
@@ -2381,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "jl_projection": q_jl_projection,
         "doc_rarity": q_doc_rarity,
+        "bloom_semi_join": q_bloom_semi_join,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3472,6 +3501,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "bloom_semi_join": """
+            WITH muls AS (
+              SELECT * FROM (VALUES (1, 2654435761), (2, 2246822519),
+                                    (3, 3266489917)) m(i, a)
+            ), bits AS (
+              SELECT DISTINCT
+                     (CAST(o_orderkey % 4294967296 AS HUGEINT) * a)
+                       % 4294967296 % 1048576 AS pos
+              FROM orders, muls WHERE o_orderpriority = '1-URGENT'
+            ), ppos AS (
+              SELECT l_orderkey, i,
+                     (CAST(l_orderkey % 4294967296 AS HUGEINT) * a)
+                       % 4294967296 % 1048576 AS pos
+              FROM (SELECT DISTINCT l_orderkey FROM lineitem), muls
+            ), pass AS (
+              SELECT p.l_orderkey
+              FROM ppos p JOIN bits b USING (pos)
+              GROUP BY 1 HAVING COUNT(DISTINCT p.i) = 3
+            )
+            SELECT l.l_orderkey, l.l_linenumber
+            FROM lineitem l JOIN pass USING (l_orderkey)
         """,
         "funnel_counts": """
             WITH e AS (

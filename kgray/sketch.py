@@ -179,3 +179,81 @@ def histogram_quantiles(
         return pd.DataFrame(cols).reset_index()
 
     return hash_bucketed_groupby(counts, [group_col], finish, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (broadcast a fixed-size bitmap instead of
+# shuffling the fact table)
+# ---------------------------------------------------------------------------
+
+# public multiplicative-hash constants (Knuth 1998; xxhash primes)
+_BLOOM_MULTS = (2654435761, 2246822519, 3266489917)
+_MOD32 = 1 << 32
+
+
+def _bloom_positions(keys: np.ndarray, n_bits: int) -> np.ndarray:
+    """(len(keys), k) bit positions — h_i(x) = ((x mod 2^32) * A_i mod 2^32)
+    mod n_bits, exact in uint64 (operands < 2^32 so the product never
+    wraps) and reproducible verbatim in integer SQL."""
+    y = (keys.astype(np.int64) % _MOD32).astype(np.uint64)
+    return np.stack(
+        [(y * np.uint64(a)) % np.uint64(_MOD32) % np.uint64(n_bits)
+         for a in _BLOOM_MULTS],
+        axis=1,
+    )
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    key_col: str,
+    n_bits: int = 1 << 20,
+) -> np.ndarray:
+    """Fold the build side into ONE n_bits-wide bitmap (numpy uint64
+    words). Each block reduces to a fixed-size partial bitmap on its
+    worker; the driver ORs one bitmap per block — constant memory at any
+    build cardinality (2^20 bits = 128 KiB). Size ``n_bits`` ~ 10x the
+    expected distinct keys for a sub-percent false-positive rate."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        words = np.zeros(n_bits // 64, dtype=np.uint64)
+        pos = _bloom_positions(keys, n_bits).reshape(-1)
+        np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % np.uint64(64)))
+        return pa.table({"words": [words.tobytes()]})
+
+    bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+    for b in ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=64):
+        for buf in b["words"].to_pylist():
+            bitmap |= np.frombuffer(buf, dtype=np.uint64)
+    return bitmap
+
+
+def bloom_semi_join(
+    probe: ray.data.Dataset,
+    build: ray.data.Dataset,
+    probe_key: str,
+    build_key: str,
+    n_bits: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Probabilistic semi-join: keep probe rows whose key tests positive in
+    a Bloom filter of the build keys. No shuffle touches the probe table —
+    the bitmap ships once via the object store and every probe block tests
+    locally; false positives pass (rate set by ``n_bits``), negatives are
+    exact (never drops a true match). The 100-TB pattern: a 10^11-row fact
+    stream filters against a 10^7-key dim set through a 128-KiB broadcast
+    instead of an all-to-all exchange; chase with an exact join on the
+    survivors when exactness matters."""
+    import ray as _ray
+
+    bitmap_ref = _ray.put(bloom_build(build, build_key, n_bits))
+
+    def test(t: pa.Table) -> pa.Table:
+        bm = _ray.get(bitmap_ref)
+        keys = t[probe_key].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(keys, n_bits)
+        hit = (bm[pos // 64] >> (pos % np.uint64(64))) & np.uint64(1)
+        return t.filter(pa.array(hit.all(axis=1)))
+
+    return probe.map_batches(test, batch_format="pyarrow")

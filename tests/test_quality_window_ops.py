@@ -99,3 +99,30 @@ def test_histogram_quantiles_matches_scalar_cdf(ray_session):
             # smallest bin whose cumulative count reaches ceil(q% * n)
             k = -(-q * n // 100)  # ceil
             assert out.loc[g, f"p{q}_c"] == bins[k - 1]
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    """Every true match passes (bloom negatives are exact); with a roomy
+    bitmap the tiny key set passes exactly, and the pass set is always a
+    superset of the true semi-join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.sketch import bloom_build, bloom_semi_join, _bloom_positions
+
+    build = rd.from_arrow(pa.table({"k": [10, 20, 30]})).repartition(2)
+    probe = rd.from_arrow(
+        pa.table({"k": list(range(100)), "v": list(range(100))})
+    ).repartition(3)
+    got = {r["k"] for r in bloom_semi_join(probe, build, "k", "k").take_all()}
+    assert {10, 20, 30} <= got
+    # exact-membership check against the bitmap the engine built
+    bm = bloom_build(build, "k", n_bits=1 << 20)
+    pos = _bloom_positions(np.arange(100), 1 << 20)
+    expect = {
+        int(k)
+        for k, row in zip(np.arange(100), pos)
+        if all((int(bm[int(p) // 64]) >> (int(p) % 64)) & 1 for p in row)
+    }
+    assert got == expect
