@@ -1773,6 +1773,28 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Probability-proportional-to-price order sample (hash-threshold
+    Bernoulli, weight capped at $500k in cents) — deterministic, no RNG."""
+    from kgray import sampling
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(_chunk(t["o_totalprice"]), 100.0)), pa.int64()
+        )
+        return pa.table({"o_orderkey": t["o_orderkey"], "price_c": price_c})
+
+    ds = orders.map_batches(prep, batch_format="pyarrow")
+    return _table(
+        sampling.weighted_sample(ds, "o_orderkey", "price_c", weight_cap=50_000_000),
+        schema=pa.schema([("o_orderkey", pa.int64()), ("price_c", pa.int64())]),
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Shuffle-free probabilistic semi-join: lineitem filtered by a
     128-KiB broadcast Bloom bitmap of the urgent-order keys (negatives
@@ -2410,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection": q_jl_projection,
         "doc_rarity": q_doc_rarity,
         "bloom_semi_join": q_bloom_semi_join,
+        "weighted_sample": q_weighted_sample,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3501,6 +3524,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "weighted_sample": """
+            WITH w AS (
+              SELECT o_orderkey,
+                     CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
+              FROM orders
+            )
+            SELECT o_orderkey, price_c FROM w
+            WHERE (o_orderkey * 2654435761) % 4294967296
+                  < (4294967296 * LEAST(price_c, 50000000)) // 50000000
         """,
         "bloom_semi_join": """
             WITH muls AS (

@@ -66,6 +66,31 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    weight_cap: int,
+) -> ray.data.Dataset:
+    """Probability-proportional-to-weight Bernoulli sample: keep a row iff
+    ``h(key) < 2^32 * min(weight, cap) / cap`` — rows at or above
+    ``weight_cap`` always survive, lighter rows survive with probability
+    weight/cap. Deterministic (same hash-threshold trick as
+    ``hash_sample``: no RNG state, key-coherent, restart-stable) and
+    embarrassingly parallel — no global weight pass; the caller picks the
+    cap, which is what makes the operator one streaming filter instead of
+    a max-reduce plus a second pass. The curation use: sample documents
+    proportional to quality/length without materializing scores."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = pc.cast(_chunked(t[key_col]), pa.int64()).to_numpy(zero_copy_only=False)
+        w = pc.cast(_chunked(t[weight_col]), pa.int64()).to_numpy(zero_copy_only=False)
+        thr = (MOD32 * np.minimum(w, weight_cap)) // weight_cap
+        return t.filter(pa.array(knuth_hash32(k) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds: ray.data.Dataset,
     strata_cols: list[str],

@@ -88,3 +88,32 @@ class TestTermStats:
         out = textops.term_df(rd.from_arrow(t).repartition(3), top_n=5)
         assert out["term"].to_pylist() == ["common", "t0", "t1", "t10", "t11"]
         assert out["df"].to_pylist() == [30, 1, 1, 1, 1]
+
+
+def test_weighted_sample_threshold_semantics(ray_session):
+    """weight >= cap always survives, zero weight never, half-cap keeps
+    exactly the keys whose 32-bit hash lands under 2^31."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.sampling import weighted_sample
+
+    keys = list(range(1, 201))
+    cap = 1000
+    tbl = pa.table(
+        {
+            "k": keys * 3,
+            "w": [cap] * 200 + [0] * 200 + [cap // 2] * 200,
+            "tag": ["full"] * 200 + ["zero"] * 200 + ["half"] * 200,
+        }
+    )
+    out = weighted_sample(
+        rd.from_arrow(tbl).repartition(3), "k", "w", weight_cap=cap
+    ).take_all()
+    by_tag = {}
+    for r in out:
+        by_tag.setdefault(r["tag"], set()).add(r["k"])
+    assert by_tag["full"] == set(keys)
+    assert "zero" not in by_tag
+    expect_half = {k for k in keys if (k * 2654435761) % 2**32 < 2**31}
+    assert by_tag["half"] == expect_half
