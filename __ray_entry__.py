@@ -2290,6 +2290,41 @@ def q_fuzzy_name_pairs(sf_dir: str):
     return _table(dedup.fuzzy_name_pairs(parts, col="p_name"))
 
 
+def q_name_merge_map(sf_dir: str):
+    """Entity resolution over part names: distance-1 fuzzy pairs ->
+    transitive merge components -> every distinct name mapped to its
+    canonical (lexicographic-min) spelling; singletons map to themselves.
+    The component map covers only names that matched something, so the
+    broadcast stays duplicate-subset-sized at any corpus size."""
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    pairs = dedup.fuzzy_name_pairs(parts, col="p_name")
+    comp = graphalgo.connected_components(pairs, col_a="name_a", col_b="name_b")
+    cmap = {r["id"]: r["component_id"] for r in comp.to_pylist()} if isinstance(
+        comp, pa.Table
+    ) else {r["id"]: r["component_id"] for r in comp.take_all()}
+    import ray as _ray
+
+    cmap_ref = _ray.put(cmap)
+    names = dedup.exact_dedup(parts, ["p_name"], ["p_name"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = _ray.get(cmap_ref)
+        vals = t["p_name"].combine_chunks().to_pylist()
+        return pa.table(
+            {
+                "p_name": t["p_name"],
+                "canonical_name": pa.array(
+                    [m.get(v, v) for v in vals], type=pa.string()
+                ),
+            }
+        )
+
+    return _table(
+        names.map_batches(attach, batch_format="pyarrow"),
+        schema=pa.schema([("p_name", pa.string()), ("canonical_name", pa.string())]),
+    )
+
+
 def q_ohlc_hourly(sf_dir: str):
     """Hourly OHLC (open/high/low/close/count) of event value per type —
     the ordered FIRST/LAST_VALUE aggregate with mergeable order-key
@@ -2446,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "ohlc_hourly": q_ohlc_hourly,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "name_merge_map": q_name_merge_map,
         "value_quartiles": q_value_quartiles,
         "dq_profile": q_dq_profile,
         "dense_windows": q_dense_windows,
@@ -3751,6 +3787,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.p_name AS name_a, b.p_name AS name_b
             FROM n a JOIN n b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        "name_merge_map": """
+            WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+            pairs AS (
+              SELECT a.p_name AS na, b.p_name AS nb
+              FROM n a JOIN n b ON a.p_name < b.p_name
+              WHERE levenshtein(a.p_name, b.p_name) <= 1
+            ),
+            sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT na AS a, nb AS b FROM pairs
+                UNION ALL SELECT nb, na FROM pairs
+              )
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (
+              SELECT a AS p_name, LEAST(a, MIN(b)) AS canonical
+              FROM reach GROUP BY a
+            )
+            SELECT n.p_name,
+                   COALESCE(c.canonical, n.p_name) AS canonical_name
+            FROM n LEFT JOIN comp c USING (p_name)
         """,
         "value_quartiles": """
             SELECT event_id, event_type,

@@ -107,10 +107,17 @@ def connected_components_local(
                     ra, rb = rb, ra
                 parent[rb] = ra
     ids = sorted(members)
+    # int64 for int keys (back-compat, incl. the empty case); inferred
+    # type otherwise so string-keyed entity merges work unchanged
+    typ = (
+        pa.int64()
+        if not ids or isinstance(ids[0], (int, np.integer))
+        else None
+    )
     return pa.table(
         {
-            "id": pa.array(ids, type=pa.int64()),
-            "component_id": pa.array([find(i) for i in ids], type=pa.int64()),
+            "id": pa.array(ids, type=typ),
+            "component_id": pa.array([find(i) for i in ids], type=typ),
         }
     )
 
