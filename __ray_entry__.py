@@ -1773,6 +1773,23 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_cms_user_counts(sf_dir: str):
+    """Count-min sketch event counts per user: fixed 3 x 2^16 counter
+    matrix folded from per-block bincount partials (1.5 MiB at any stream
+    length), then every distinct user probed against the broadcast sketch.
+    est >= true count by construction; the oracle replicates the hashes,
+    so even the overcounts check exactly."""
+    from kgray import sketch
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cms = sketch.cms_build(events, "user_id")
+    users = dedup.exact_dedup(events, ["user_id"], ["user_id"])
+    return _table(
+        sketch.cms_estimate(users, cms, "user_id"),
+        schema=pa.schema([("user_id", pa.int64()), ("est", pa.int64())]),
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Probability-proportional-to-price order sample (hash-threshold
     Bernoulli, weight capped at $500k in cents) — deterministic, no RNG."""
@@ -2468,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": q_doc_rarity,
         "bloom_semi_join": q_bloom_semi_join,
         "weighted_sample": q_weighted_sample,
+        "cms_user_counts": q_cms_user_counts,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3560,6 +3578,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "cms_user_counts": """
+            WITH muls AS (
+              SELECT * FROM (VALUES (1, 2654435761), (2, 2246822519),
+                                    (3, 3266489917)) m(i, a)
+            ), pos AS (
+              SELECT user_id, i,
+                     (CAST(user_id % 4294967296 AS HUGEINT) * a)
+                       % 4294967296 % 65536 AS p
+              FROM events, muls
+            ), counters AS (
+              SELECT i, p, COUNT(*) AS c FROM pos GROUP BY 1, 2
+            ), kp AS (
+              SELECT user_id, i,
+                     (CAST(user_id % 4294967296 AS HUGEINT) * a)
+                       % 4294967296 % 65536 AS p
+              FROM (SELECT DISTINCT user_id FROM events), muls
+            )
+            SELECT kp.user_id, CAST(MIN(c.c) AS BIGINT) AS est
+            FROM kp JOIN counters c USING (i, p)
+            GROUP BY 1
         """,
         "weighted_sample": """
             WITH w AS (

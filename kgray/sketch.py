@@ -257,3 +257,81 @@ def bloom_semi_join(
         return t.filter(pa.array(hit.all(axis=1)))
 
     return probe.map_batches(test, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable approximate frequencies)
+# ---------------------------------------------------------------------------
+
+def cms_build(
+    ds: ray.data.Dataset,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1 << 16,
+) -> np.ndarray:
+    """Fold the stream into one (depth x width) count-min matrix. Each
+    block reduces to sparse (row, pos, count) partials via one bincount
+    per hash row; the driver folds one fixed-size partial per block —
+    constant memory at any stream length (3 x 2^16 x 8 B = 1.5 MiB).
+    Hash row i uses the same multiplicative family as the Bloom filter,
+    so the SQL mirror is exact."""
+
+    assert depth <= len(_BLOOM_MULTS), "one multiplicative hash per row"
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(keys, width)  # (n, depth<=3) positions
+        rows, ps, cs = [], [], []
+        for i in range(depth):
+            counts = np.bincount(pos[:, i].astype(np.int64), minlength=0)
+            nz = np.nonzero(counts)[0]
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            ps.append(nz.astype(np.int64))
+            cs.append(counts[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "pos": pa.array(np.concatenate(ps)),
+                "c": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        np.add.at(
+            cms,
+            (
+                b["row"].to_numpy(zero_copy_only=False),
+                b["pos"].to_numpy(zero_copy_only=False),
+            ),
+            b["c"].to_numpy(zero_copy_only=False),
+        )
+    return cms
+
+
+def cms_estimate(
+    keys: ray.data.Dataset,
+    cms: np.ndarray,
+    key_col: str,
+    out_col: str = "est",
+) -> ray.data.Dataset:
+    """Point-estimate every key against a built sketch: est = min over
+    hash rows of the addressed counter (never an undercount). The sketch
+    ships once via the object store; probing is one gather per row."""
+    import ray as _ray
+
+    depth, width = cms.shape
+    cms_ref = _ray.put(cms)
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = _ray.get(cms_ref)
+        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(k, width).astype(np.int64)
+        est = np.min(
+            np.stack([m[i, pos[:, i]] for i in range(depth)], axis=1), axis=1
+        )
+        return t.append_column(out_col, pa.array(est.astype(np.int64)))
+
+    return keys.map_batches(probe, batch_format="pyarrow")

@@ -126,3 +126,22 @@ def test_bloom_semi_join_no_false_negatives(ray_session):
         if all((int(bm[int(p) // 64]) >> (int(p) % 64)) & 1 for p in row)
     }
     assert got == expect
+
+
+def test_cms_never_undercounts(ray_session):
+    """est >= exact always; with few keys vs width the estimates are exact."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.sketch import cms_build, cms_estimate
+
+    keys = [1] * 50 + [2] * 7 + [3] * 1 + [99] * 20
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(3)
+    cms = cms_build(ds, "k", width=1 << 16)
+    uniq = rd.from_arrow(pa.table({"k": sorted(set(keys))}))
+    got = {r["k"]: r["est"] for r in cms_estimate(uniq, cms, "k").take_all()}
+    exact = collections.Counter(keys)
+    assert all(got[k] >= exact[k] for k in exact)
+    assert got == dict(exact)  # roomy width: no collisions among 4 keys
