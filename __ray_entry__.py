@@ -1773,6 +1773,24 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_mixture_sample(sf_dir: str):
+    """Data mixing: per source, keep docs in deterministic hash order
+    until 10k chars — a distributed prefix-sum cutoff (range-partial sums
+    -> driver offsets -> one bucketed cut), identical to the SQL window
+    SUM at any parallelism."""
+    from kgray import sampling
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return _table(
+        sampling.mixture_sample(docs, "source", "n_chars", budget=10_000),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()), ("n_chars", pa.int64())]
+        ),
+    )
+
+
 def q_cms_user_counts(sf_dir: str):
     """Count-min sketch event counts per user: fixed 3 x 2^16 counter
     matrix folded from per-block bincount partials (1.5 MiB at any stream
@@ -2486,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "weighted_sample": q_weighted_sample,
         "cms_user_counts": q_cms_user_counts,
+        "mixture_sample": q_mixture_sample,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3578,6 +3597,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "mixture_sample": """
+            WITH d AS (
+              SELECT doc_id, source, n_chars,
+                     (doc_id * 2654435761) % 4294967296 AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_chars,
+                     SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d
+            )
+            SELECT doc_id, source, n_chars FROM c WHERE cum <= 10000
         """,
         "cms_user_counts": """
             WITH muls AS (

@@ -204,3 +204,92 @@ def cluster_coherent_split(
 
     clusters = dedup_clusters(docs, pairs, id_col=id_col, col_a=col_a, col_b=col_b)
     return hash_split(clusters, "cluster_id", val_permille, test_permille)
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    source_col: str,
+    size_col: str,
+    budget: int,
+    key_col: str = "doc_id",
+    prefix_bits: int = 6,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Budget-capped corpus mixing: per source, keep documents in
+    deterministic hash order until the cumulative ``size_col`` reaches
+    ``budget`` (the straddling doc is dropped) — the data-mixing step that
+    turns per-source quotas into an actual training corpus.
+
+    A running prefix sum is inherently sequential, so it distributes in
+    two bounded exchanges instead of one global sort:
+
+    1. range-partition each source by the top ``prefix_bits`` of the key
+       hash and reduce per (source, range) size sums — a fixed
+       ``n_sources x 2^prefix_bits`` table lands on the driver, which
+       turns it into exclusive range offsets;
+    2. one bucketed shuffle co-locates each (source, range) group; the
+       group sorts locally by (hash, key), adds its offset to the local
+       cumsum, and keeps rows while offset + cumsum <= budget.
+
+    Ranges strictly order the hash space (equal hashes share a range), so
+    the result is identical to the single-threaded cumsum — and to the
+    SQL window-SUM mirror — at any parallelism.
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg, hash_bucketed_groupby
+
+    shift = 32 - prefix_bits
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(_chunked(t[key_col]), pa.int64()).to_numpy(zero_copy_only=False)
+        h = knuth_hash32(k)
+        return pa.table(
+            {
+                key_col: _chunked(t[key_col]),
+                source_col: _chunked(t[source_col]),
+                size_col: pc.cast(_chunked(t[size_col]), pa.int64()),
+                "_h": pa.array(h),
+                "_range": pa.array(h >> shift),
+            }
+        )
+
+    tagged = ds.select_columns([key_col, source_col, size_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+    range_sums = grouped_agg(
+        tagged, keys=[source_col, "_range"], sums={"s": size_col}
+    ).take_all()
+    rows = sorted(range_sums, key=lambda r: (r[source_col], r["_range"]))
+    per_source: dict = {}
+    offs = []
+    for r in rows:
+        base = per_source.get(r[source_col], 0)
+        offs.append(base)
+        per_source[r[source_col]] = base + r["s"]
+    off_df = pd.DataFrame(
+        {
+            source_col: [r[source_col] for r in rows],
+            "_range": [r["_range"] for r in rows],
+            "_off": np.asarray(offs, dtype=np.int64),
+        }
+    )
+    off_ref = ray.put(off_df)
+
+    # a coarse bucket holds SEVERAL (source, range) groups — cut each with
+    # one vectorized grouped cumsum, not a per-group loop
+    def cut(df: pd.DataFrame, _ref=off_ref) -> pd.DataFrame:
+        df = df.merge(ray.get(_ref), on=[source_col, "_range"], how="left")
+        df = df.sort_values(
+            [source_col, "_range", "_h", key_col], kind="mergesort"
+        )
+        cum = (
+            df.groupby([source_col, "_range"], sort=False)[size_col]
+            .cumsum()
+            .to_numpy(np.int64)
+            + df["_off"].fillna(0).to_numpy(np.int64)
+        )
+        return df.loc[cum <= budget, [key_col, source_col, size_col]]
+
+    return hash_bucketed_groupby(tagged, [source_col, "_range"], cut, num_buckets)

@@ -117,3 +117,39 @@ def test_weighted_sample_threshold_semantics(ray_session):
     assert "zero" not in by_tag
     expect_half = {k for k in keys if (k * 2654435761) % 2**32 < 2**31}
     assert by_tag["half"] == expect_half
+
+
+def test_mixture_sample_matches_sequential_cumsum(ray_session):
+    """Distributed prefix-sum cutoff == single-threaded cumsum in hash
+    order, with a budget that genuinely bisects every source."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.sampling import KNUTH, MOD32, mixture_sample
+
+    n = 400
+    ids = np.arange(n)
+    src = np.array([f"s{i % 3}" for i in ids])
+    size = (ids % 37 + 5).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": ids, "source": src, "n_chars": size})
+    ).repartition(5)
+    budget = 600
+    got = {
+        r["doc_id"]
+        for r in mixture_sample(ds, "source", "n_chars", budget=budget).take_all()
+    }
+    # independent reference
+    expect = set()
+    h = (ids * KNUTH) % MOD32
+    for s in np.unique(src):
+        sel = np.where(src == s)[0]
+        order = sel[np.lexsort((ids[sel], h[sel]))]
+        cum = 0
+        for i in order:
+            cum += int(size[i])
+            if cum <= budget:
+                expect.add(int(ids[i]))
+    assert got == expect
+    assert 0 < len(got) < n  # the budget actually bisected
