@@ -1759,6 +1759,15 @@ def q_embedding_covariance(sf_dir: str):
     return _table(similarity.embedding_covariance(emb))
 
 
+def q_pca_projection(sf_dir: str):
+    """Top-8 principal components per embedding — exact int64 covariance
+    pass, driver d x d eigh, broadcast centered projection (rows-only:
+    eigenvectors are not SQL-expressible; determinism tested in
+    tests/test_dedup_similarity.py)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _table(similarity.pca_project(emb, out_dim=8))
+
+
 def q_jl_projection(sf_dir: str):
     """Dim reduction before ANN/clustering: sparse JL projection 64 -> 16,
     exact int64 (hash-seeded {-1,0,+1} matrix, identical in the oracle)."""
@@ -2532,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
         "knn_ivf": q_knn_ivf,
+        "pca_projection": q_pca_projection,
     }
 
 

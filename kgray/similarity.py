@@ -477,6 +477,67 @@ def random_project(
     )
 
 
+def pca_project(
+    embeddings: ray.data.Dataset,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """PCA projection of the embedding column to its top ``out_dim``
+    principal components — the exact-variance counterpart of
+    ``random_project``. Stats come from ``embedding_covariance`` (one
+    O(d^2)-per-block pass), the d x d eigendecomposition runs on the
+    driver (trivial at any corpus size — d is the embedding width), and
+    the centered projection matrix broadcasts once; projecting is one
+    float matmul per batch, shuffle-free.
+
+    Float output (eigenvectors are irrational), deterministic for a fixed
+    input: the integer covariance is bit-stable at any parallelism and
+    eigh is deterministic on it. Sign convention: each component's
+    largest-|coefficient| entry is made positive.
+    Emits (id, k, comp) rows, k 1-based by descending eigenvalue.
+    """
+    import ray as _ray
+
+    stats = {
+        (r["i"], r["j"]): r
+        for r in embedding_covariance(embeddings, vec_col, scale).take_all()
+    }
+    d = max(i for i, _ in stats)
+    n = next(iter(stats.values()))["n"]
+    cov = np.zeros((d, d), dtype=np.float64)
+    mean = np.zeros(d, dtype=np.float64)
+    for (i, j), r in stats.items():
+        c = (r["sum_xy"] - r["sum_xi"] * r["sum_xj"] / n) / n
+        cov[i - 1, j - 1] = cov[j - 1, i - 1] = c
+        if i == j:
+            mean[i - 1] = r["sum_xi"] / n
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:out_dim]
+    w = vecs[:, order]
+    w *= np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    w_ref = _ray.put((mean / scale, w))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, wm = _ray.get(w_ref)
+        mat = _to_matrix(t[vec_col])
+        comp = (np.round(mat * scale) / scale - mu) @ wm
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = wm.shape[1]
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, k)),
+                "k": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids))),
+                "comp": pa.array(np.round(comp.reshape(-1), 6)),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
 def embedding_norms(
     embeddings: ray.data.Dataset,
     id_col: str = "vec_id",

@@ -420,3 +420,25 @@ def test_duplicate_spans_empty_and_clean(ray_session):
         override_num_blocks=1,
     )
     assert dedup.duplicate_spans(ds, k=4).take_all() == []
+
+
+def test_pca_project_known_line(ray_session):
+    """Rank-1 data on the line y=2x: first component is (1,2)/sqrt(5)
+    (sign: largest coefficient positive), second carries zero variance;
+    output is identical at different parallelisms."""
+    from kgray.similarity import pca_project
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 2.0]},
+        {"vec_id": 1, "embedding": [2.0, 4.0]},
+        {"vec_id": 2, "embedding": [-1.0, -2.0]},
+        {"vec_id": 3, "embedding": [0.0, 0.0]},
+    ]
+    expect1 = {0: 1.118034, 1: 3.354102, 2: -3.354102, 3: -1.118034}
+    for nblocks in (1, 3):
+        ds = ray.data.from_items(rows, override_num_blocks=nblocks)
+        out = {(r["vec_id"], r["k"]): r["comp"]
+               for r in pca_project(ds, out_dim=2).take_all()}
+        for vid, want in expect1.items():
+            assert abs(out[(vid, 1)] - want) < 1e-5
+            assert abs(out[(vid, 2)]) < 1e-5
