@@ -93,6 +93,9 @@ def run_bench() -> dict:
             "kmeans_clusters", "shipping_priority", "cohort_retention",
             "rolling_value_sums", "duplicate_spans", "span_cleaned_docs",
             "embedding_covariance", "jl_projection", "doc_rarity",
+            "graph_components", "bloom_semi_join", "weighted_sample",
+            "cms_user_counts", "mixture_sample", "name_merge_map",
+            "pca_projection",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -11,6 +11,7 @@ Stage map (reference -> kgray):
   bin          BIN+IMPORT  edges/nodes build + partitioned Parquet write
                            (the terminal sink IS the partitioned table set)
   tables       CREATE_TABLES  _schema.json + Kuzu DDL + Cypher cast map
+  compact      (maintenance) fold delta-appended small files per partition
   all          the full checkpointed pipeline (resumable; default)
 
 Every stage is resumable: rerunning skips work whose manifest fingerprint
@@ -39,13 +40,17 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kgray", description=__doc__)
     p.add_argument(
         "--type", default="all",
-        choices=["all", "convert", "create_lus", "bin", "tables"],
+        choices=["all", "convert", "create_lus", "bin", "tables", "compact"],
         help="pipeline stage to run (reference --type selector)",
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", default="/tmp/kgray_out")
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--target-rows-per-file", type=int, default=1_000_000,
+        help="compact: rewrite partitions to ceil(rows/target) files",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -115,6 +120,11 @@ def main(argv=None) -> int:
                 os.path.join(ck, "node_class_lookup.parquet"),
             )
         print(json.dumps({"checkpoints": ck}))
+
+    if args.type == "compact":
+        from .pipeline import compact_graph
+
+        print(json.dumps(compact_graph(args.out, args.target_rows_per_file)))
 
     if args.type in ("all", "tables"):
         from .graph_io import write_schema_manifest

@@ -51,6 +51,20 @@ def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
     imp = open(os.path.join(out, "import.cypher")).read()
     assert imp.count("COPY ") == len(ddl["kuzu_copy_nodes"]) + len(ddl["kuzu_copy_edges"])
 
+    # stage 5: compact -> maintenance pass folds the multi-file partitions
+    # the parallel write produced; a second pass finds nothing left to do
+    n_edges = pq.ParquetDataset(os.path.join(out, "edges")).read().num_rows
+    assert main(["--type=compact", f"--out={out}"]) == 0
+    assert main(["--type=compact", f"--out={out}"]) == 0
+    reports = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{") and "partitions_compacted" in line
+    ]
+    assert reports[0]["partitions_compacted"] > 0
+    assert reports[1]["partitions_compacted"] == 0
+    assert pq.ParquetDataset(os.path.join(out, "edges")).read().num_rows == n_edges
+
 
 def test_ddl_codegen_type_table():
     import pyarrow as pa
