@@ -1782,6 +1782,49 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier audit per event type: histogram-exact p25/p75
+    (one (group,bin,count) exchange), fences checked in pure integers
+    (2*v > 5*p75 - 3*p25 <=> v > p75 + 1.5*IQR) — the clipping pass a
+    curation pipeline runs before normalizing a numeric feature."""
+    from kgray import sketch
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    qt = sketch.histogram_quantiles(ev, "event_type", "value", qs=(25, 75))
+    lims = {r["event_type"]: (r["p25_c"], r["p75_c"]) for r in qt.take_all()}
+    import ray as _ray
+
+    ref = _ray.put(lims)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        value_c = pc.cast(
+            pc.floor(pc.multiply(_chunk(t["value"]), 100.0)), pa.int64()
+        )
+        ets = t["event_type"].combine_chunks().to_pylist()
+        p25 = np.array([m[e][0] for e in ets], dtype=np.int64)
+        p75 = np.array([m[e][1] for e in ets], dtype=np.int64)
+        v = value_c.to_numpy(zero_copy_only=False)
+        keep = 2 * v > 5 * p75 - 3 * p25
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_c": value_c,
+            }
+        ).filter(pa.array(keep))
+
+    return _table(
+        ev.map_batches(flag, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("event_id", pa.int64()), ("event_type", pa.string()),
+             ("value_c", pa.int64())]
+        ),
+    )
+
+
 def q_mixture_sample(sf_dir: str):
     """Data mixing: per source, keep docs in deterministic hash order
     until 10k chars — a distributed prefix-sum cutoff (range-partial sums
@@ -2514,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "cms_user_counts": q_cms_user_counts,
         "mixture_sample": q_mixture_sample,
+        "iqr_outliers": q_iqr_outliers,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3607,6 +3651,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "iqr_outliers": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS value_c
+              FROM events
+            ), g AS (
+              SELECT event_type, value_c AS bin, COUNT(*) AS n
+              FROM b GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, bin,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM g
+            ), q AS (
+              SELECT event_type,
+                     MIN(bin) FILTER (WHERE cum * 100 >= 25 * tot) AS p25,
+                     MIN(bin) FILTER (WHERE cum * 100 >= 75 * tot) AS p75
+              FROM w GROUP BY 1
+            )
+            SELECT b.event_id, b.event_type, b.value_c
+            FROM b JOIN q USING (event_type)
+            WHERE 2 * b.value_c > 5 * q.p75 - 3 * q.p25
         """,
         "mixture_sample": """
             WITH d AS (
