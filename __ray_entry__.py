@@ -2576,10 +2576,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_profile": q_dq_profile,
         "dense_windows": q_dense_windows,
         "context_pairs": q_context_pairs,
-        # rows-only (non-SQL-expressible: content hashing / LSH recall /
-        # stubbed media decode / stateful packing scan)
-        "pack_sequences": q_pack_sequences,
+        # oracle-checked since session 7: the corpus is ASCII, so the
+        # byte-polynomial hash mirrors in HUGEINT SQL
         "fingerprints": q_fingerprints,
+        # rows-only (non-SQL-expressible: LSH recall / stubbed media
+        # decode / stateful packing scan / eigendecomposition)
+        "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3544,6 +3546,34 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_above
             FROM s JOIN ev ON s.event_type = ev.event_type
             GROUP BY 1, 2
+        """,
+        "fingerprints": """
+            WITH RECURSIVE mx AS (
+              SELECT MAX(length(text)) AS m FROM documents
+            ), pw(k, v) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+              FROM pw, mx WHERE k < mx.m - 1
+            ), ch AS (
+              -- ASCII corpus: codepoint == UTF-8 byte, so unicode() is
+              -- the byte the engine's rolling hash consumes
+              SELECT doc_id, length(text) AS L, i,
+                     CAST(unicode(text[i]) AS HUGEINT) AS code
+              FROM documents, UNNEST(generate_series(1, length(text))) t(i)
+              WHERE text IS NOT NULL AND length(text) > 0
+            ), s AS (
+              SELECT c.doc_id,
+                     SUM(c.code * p.v) % 18446744073709551616 AS fp
+              FROM ch c JOIN pw p ON p.k = c.L - c.i
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   format('{:08x}{:08x}',
+                          CAST(COALESCE(s.fp, 0) // 4294967296 AS BIGINT),
+                          CAST(COALESCE(s.fp, 0) % 4294967296 AS BIGINT))
+                     AS fingerprint
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "postings": """
             WITH w AS (
