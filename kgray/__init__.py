@@ -33,7 +33,12 @@ __version__ = "0.1.0"
 #   kgray.dedup         exact / MinHash-LSH / SimHash / Jaccard / embedding
 #   kgray.similarity    knn (exact + IVF), cosine pair joins
 #   kgray.streaming     tumbling/hopping windows, sessionization
-#   kgray.textops       token counts, quality, lang-ID, fingerprints
+#   kgray.textops       token counts, quality, lang-ID, fingerprints,
+#                       tf-idf/BM25, doc rarity, chunking, PII scrub
+#   kgray.sampling      hash/stratified/weighted samples, splits, mixing
+#   kgray.sketch        HLL, histogram quantiles, Bloom semi-join, CMS
+#   kgray.graphalgo     components, PageRank, degrees, triangles, BFS
+#   kgray.packing       sequence packing (next-fit token budgeting)
 #   kgray.multimodal    binary-payload decode/feature actor plumbing
 #   kgray.validate      strict/lenient table validation + drop accounting
 #   kgray.lookups       broadcast helpers + class lookups
