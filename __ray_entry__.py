@@ -1782,6 +1782,55 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_mad_per_type(sf_dir: str):
+    """Robust scale per event type: median and median-absolute-deviation
+    via TWO histogram passes (p50 of the value bins, then p50 of
+    |bin - median|) — all integer bins, both exchanges (group,bin,count)-
+    sized regardless of row count."""
+    from kgray import sketch
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    med = {
+        r["event_type"]: r["p50_c"]
+        for r in sketch.histogram_quantiles(ev, "event_type", "value", qs=(50,)).take_all()
+    }
+    import ray as _ray
+
+    med_ref = _ray.put(med)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        bins = pc.cast(pc.floor(pc.multiply(_chunk(t["value"]), 100.0)), pa.int64())
+        ets = t["event_type"].combine_chunks().to_pylist()
+        p50 = np.array([m[e] for e in ets], dtype=np.int64)
+        d = np.abs(bins.to_numpy(zero_copy_only=False) - p50)
+        return pa.table({"event_type": t["event_type"], "dev": pa.array(d)})
+
+    mads = sketch.histogram_quantiles(
+        ev.map_batches(dev, batch_format="pyarrow"), "event_type", "dev",
+        qs=(50,), unit=1.0,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ets = t["event_type"].combine_chunks().to_pylist()
+        m = _ray.get(med_ref)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "median_c": pa.array([m[e] for e in ets], type=pa.int64()),
+                "mad_c": t["p50_c"],
+            }
+        )
+
+    return _table(
+        mads.map_batches(finish, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("event_type", pa.string()), ("median_c", pa.int64()),
+             ("mad_c", pa.int64())]
+        ),
+    )
+
+
 def q_iqr_outliers(sf_dir: str):
     """Tukey-fence outlier audit per event type: histogram-exact p25/p75
     (one (group,bin,count) exchange), fences checked in pure integers
@@ -2558,6 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": q_cms_user_counts,
         "mixture_sample": q_mixture_sample,
         "iqr_outliers": q_iqr_outliers,
+        "mad_per_type": q_mad_per_type,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -3681,6 +3731,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "mad_per_type": """
+            WITH b AS (
+              SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS bin
+              FROM events
+            ), g AS (
+              SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, bin,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM g
+            ), med AS (
+              SELECT event_type,
+                     MIN(bin) FILTER (WHERE cum * 100 >= 50 * tot) AS m
+              FROM w GROUP BY 1
+            ), d AS (
+              SELECT b.event_type, ABS(b.bin - med.m) AS bin
+              FROM b JOIN med USING (event_type)
+            ), g2 AS (
+              SELECT event_type, bin, COUNT(*) AS n FROM d GROUP BY 1, 2
+            ), w2 AS (
+              SELECT event_type, bin,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM g2
+            ), mad AS (
+              SELECT event_type,
+                     MIN(bin) FILTER (WHERE cum * 100 >= 50 * tot) AS m
+              FROM w2 GROUP BY 1
+            )
+            SELECT med.event_type, med.m AS median_c, mad.m AS mad_c
+            FROM med JOIN mad USING (event_type)
         """,
         "iqr_outliers": """
             WITH b AS (
