@@ -904,24 +904,32 @@ def excise_spans(
             s["doc_id"].to_numpy(), s["start_word"].to_numpy(), s["end_word"].to_numpy()
         ):
             by_doc.setdefault(did, []).append((int(st), int(en)))
+        # clean docs (the vast majority at scale) pass through untouched —
+        # only the span-bearing subset pays the per-doc rebuild
+        hit = d["doc_id"].isin(by_doc).to_numpy()
+        clean = d[~hit]
+        cut = d[hit]
         out_text, out_removed = [], []
-        for did, text in zip(d["doc_id"].to_numpy(), d["text"].to_numpy()):
-            cuts = by_doc.get(did)
-            if not cuts:
-                out_text.append(text)
-                out_removed.append(0)
-                continue
+        for did, text in zip(cut["doc_id"].to_numpy(), cut["text"].to_numpy()):
             words = text.split()
             keep = np.ones(len(words), dtype=bool)
-            for st, en in cuts:  # 1-based inclusive
+            for st, en in by_doc[did]:  # 1-based inclusive
                 keep[st - 1 : en] = False
             out_text.append(" ".join(np.array(words, dtype=object)[keep]))
             out_removed.append(int((~keep).sum()))
         return pd.DataFrame(
             {
-                "doc_id": d["doc_id"].to_numpy(),
-                "clean_text": out_text,
-                "n_removed_words": np.asarray(out_removed, dtype=np.int64),
+                "doc_id": np.concatenate(
+                    [clean["doc_id"].to_numpy(), cut["doc_id"].to_numpy()]
+                ),
+                "clean_text": np.concatenate(
+                    [clean["text"].to_numpy(dtype=object),
+                     np.asarray(out_text, dtype=object)]
+                ),
+                "n_removed_words": np.concatenate(
+                    [np.zeros(len(clean), dtype=np.int64),
+                     np.asarray(out_removed, dtype=np.int64)]
+                ),
             }
         )
 
