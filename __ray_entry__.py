@@ -1801,8 +1801,9 @@ def q_mad_per_type(sf_dir: str):
     def dev(t: pa.Table) -> pa.Table:
         m = _ray.get(med_ref)
         bins = pc.cast(pc.floor(pc.multiply(_chunk(t["value"]), 100.0)), pa.int64())
-        ets = t["event_type"].combine_chunks().to_pylist()
-        p50 = np.array([m[e] for e in ets], dtype=np.int64)
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        meds = np.array([m[e] for e in enc.dictionary.to_pylist()], dtype=np.int64)
+        p50 = meds[enc.indices.to_numpy(zero_copy_only=False)]
         d = np.abs(bins.to_numpy(zero_copy_only=False) - p50)
         return pa.table({"event_type": t["event_type"], "dev": pa.array(d)})
 
@@ -1852,9 +1853,14 @@ def q_iqr_outliers(sf_dir: str):
         value_c = pc.cast(
             pc.floor(pc.multiply(_chunk(t["value"]), 100.0)), pa.int64()
         )
-        ets = t["event_type"].combine_chunks().to_pylist()
-        p25 = np.array([m[e][0] for e in ets], dtype=np.int64)
-        p75 = np.array([m[e][1] for e in ets], dtype=np.int64)
+        # dict-encode the group column: the Python lookup runs once per
+        # DISTINCT type, not once per row
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        lims = np.array(
+            [m[e] for e in enc.dictionary.to_pylist()], dtype=np.int64
+        ).reshape(-1, 2)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        p25, p75 = lims[idx, 0], lims[idx, 1]
         v = value_c.to_numpy(zero_copy_only=False)
         keep = 2 * v > 5 * p75 - 3 * p25
         return pa.table(
