@@ -500,19 +500,38 @@ def pca_project(
     """
     import ray as _ray
 
-    stats = {
-        (r["i"], r["j"]): r
-        for r in embedding_covariance(embeddings, vec_col, scale).take_all()
-    }
-    d = max(i for i, _ in stats)
-    n = next(iter(stats.values()))["n"]
-    cov = np.zeros((d, d), dtype=np.float64)
-    mean = np.zeros(d, dtype=np.float64)
-    for (i, j), r in stats.items():
-        c = (r["sum_xy"] - r["sum_xi"] * r["sum_xj"] / n) / n
-        cov[i - 1, j - 1] = cov[j - 1, i - 1] = c
-        if i == j:
-            mean[i - 1] = r["sum_xi"] / n
+    # fold the O(d^2) per-block covariance partials on the driver — the
+    # fold input is d*(d+1)/2 rows per block at ANY corpus size, so this
+    # skips embedding_covariance's bucketed reduce (one Ray stage fewer)
+    def cpart(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        q = np.round(mat * scale).astype(np.int64)
+        return pa.table(
+            {
+                "gram": [np.ascontiguousarray(q.T @ q).tobytes()],
+                "sums": [q.sum(axis=0).tobytes()],
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "d": pa.array([q.shape[1]], type=pa.int64()),
+            }
+        )
+
+    gram = sums = None
+    n = 0
+    for b in embeddings.select_columns([vec_col]).map_batches(
+        cpart, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=64):
+        for g, s, bn, d_ in zip(
+            b["gram"].to_pylist(), b["sums"].to_pylist(),
+            b["n"].to_pylist(), b["d"].to_pylist(),
+        ):
+            gm = np.frombuffer(g, dtype=np.int64).reshape(d_, d_)
+            sm = np.frombuffer(s, dtype=np.int64)
+            gram = gm.copy() if gram is None else gram + gm
+            sums = sm.copy() if sums is None else sums + sm
+            n += bn
+    d = gram.shape[0]
+    cov = (gram - np.outer(sums, sums) / n) / n
+    mean = sums / n
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:out_dim]
     w = vecs[:, order]
