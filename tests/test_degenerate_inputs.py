@@ -94,3 +94,50 @@ def test_empty_session6_late_ops(ray_session):
 
     tr = _empty({"conv_id": str, "turn_idx": "int64", "role": str, "text": str})
     assert context_pairs(tr).count() == 0
+
+
+def test_empty_session7_ops(ray_session):
+    """Session-7 operators on zero-row inputs: empty results, no raise."""
+    from kgray.dedup import duplicate_spans, excise_spans
+    from kgray.sampling import mixture_sample, weighted_sample
+    from kgray.sketch import bloom_semi_join, cms_build, cms_estimate
+    from kgray.textops import doc_rarity
+
+    docs = _empty({"doc_id": "int64", "text": str})
+    assert doc_rarity(docs).count() == 0
+    assert excise_spans(
+        docs, _empty({"doc_id": "int64", "start_word": "int64", "end_word": "int64"})
+    ).count() == 0
+
+    keyed = _empty({"k": "int64", "w": "int64"})
+    assert weighted_sample(keyed, "k", "w", weight_cap=10).count() == 0
+    mix = _empty({"doc_id": "int64", "source": str, "n_chars": "int64"})
+    assert mixture_sample(mix, "source", "n_chars", budget=100).count() == 0
+
+    # bloom: empty build side -> nothing passes; empty probe -> empty out
+    probe = rd.from_arrow(pa.table({"k": pa.array([1, 2], type=pa.int64())}))
+    empty_k = _empty({"k": "int64"})
+    assert bloom_semi_join(probe, empty_k, "k", "k").count() == 0
+    assert bloom_semi_join(empty_k, probe, "k", "k").count() == 0
+
+    cms = cms_build(empty_k, "k")
+    assert cms.sum() == 0
+    assert cms_estimate(empty_k, cms, "k").count() == 0
+
+
+def test_excise_spans_null_text(ray_session):
+    """A null-text doc comes back as '' with zero removals, never crashes
+    the doc/span discriminator."""
+    from kgray.dedup import duplicate_spans, excise_spans
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["a b c d a b c d", None], type=pa.string()),
+            }
+        )
+    )
+    spans = duplicate_spans(docs, k=4)
+    out = {r["doc_id"]: r for r in excise_spans(docs, spans).take_all()}
+    assert out[2]["clean_text"] == "" and out[2]["n_removed_words"] == 0
