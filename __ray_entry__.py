@@ -1759,6 +1759,15 @@ def q_embedding_covariance(sf_dir: str):
     return _table(similarity.embedding_covariance(emb))
 
 
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer training: the first 8 BPE merges learned from the corpus
+    (rows-only: iterative argmax isn't SQL-expressible; the merge order is
+    deterministic — ties break lexicographically — and pinned by a classic
+    worked example in tests)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return textops.train_bpe(docs, n_merges=8)
+
+
 def q_pca_projection(sf_dir: str):
     """Top-8 principal components per embedding — exact int64 covariance
     pass, driver d x d eigh, broadcast centered projection (rows-only:
@@ -2644,6 +2653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "knn_ivf": q_knn_ivf,
         "pca_projection": q_pca_projection,
+        "bpe_merges": q_bpe_merges,
     }
 
 

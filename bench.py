@@ -95,7 +95,7 @@ def run_bench() -> dict:
             "embedding_covariance", "jl_projection", "doc_rarity",
             "graph_components", "bloom_semi_join", "weighted_sample",
             "cms_user_counts", "mixture_sample", "name_merge_map",
-            "pca_projection",
+            "pca_projection", "iqr_outliers", "mad_per_type", "fingerprints",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

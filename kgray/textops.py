@@ -851,3 +851,107 @@ def heavy_hitters(
             "n": pa.array(out["n"].astype("int64")),
         }
     )
+
+
+def train_bpe(
+    ds,
+    text_col: str = "text",
+    n_merges: int = 10,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Learn ``n_merges`` byte-pair-encoding merges from the corpus — the
+    tokenizer-training step of an LLM data pipeline. Classic word-level
+    BPE (Sennrich et al. 2016): words split to characters, then the most
+    frequent adjacent symbol pair merges, n_merges times; ties break on
+    the lexicographically smallest pair, so the merge table is
+    deterministic at any parallelism.
+
+    Scale split: the CORPUS-scale pass is one vectorized token-count
+    shuffle producing the (word, freq) vocabulary Dataset; every
+    iteration after that is VOCABULARY-bounded — a per-word symbol scan
+    (plain Python over each batch's words, standard for symbolic BPE),
+    one grouped pair-count reduce, a driver argmax over distinct pairs,
+    and a broadcast merge apply. The vocab Dataset is re-materialized per
+    iteration so upstream never re-executes.
+
+    Returns pa.Table(rank, left, right, n) — the ordered merge table.
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(w=df[text_col].str.split(" ")).explode("w")[["w"]]
+        ex = ex[ex["w"].notna() & (ex["w"] != "")]
+        return ex.groupby("w", as_index=False).size().rename(columns={"size": "freq"})
+
+    vocab = grouped_agg(
+        ds.map_batches(word_counts, batch_format="pandas"),
+        keys=["w"],
+        sums={"freq": "freq"},
+    )
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "freq": df["freq"].to_numpy(np.int64),
+                "syms": [list(w) for w in df["w"]],
+            }
+        )
+
+    state = vocab.map_batches(to_syms, batch_format="pandas").materialize()
+    merges = []
+    for rank in range(1, n_merges + 1):
+
+        def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+            acc: dict = {}
+            for syms, f in zip(df["syms"], df["freq"]):
+                for a, b in zip(syms, syms[1:]):
+                    k = (a, b)
+                    acc[k] = acc.get(k, 0) + int(f)
+            if not acc:
+                return pd.DataFrame({"a": [], "b": [], "n": []})
+            ks = list(acc)
+            return pd.DataFrame(
+                {
+                    "a": [k[0] for k in ks],
+                    "b": [k[1] for k in ks],
+                    "n": np.fromiter(acc.values(), dtype=np.int64),
+                }
+            )
+
+        counts = grouped_agg(
+            state.map_batches(pair_counts, batch_format="pandas"),
+            keys=["a", "b"],
+            sums={"n": "n"},
+        ).take_all()
+        if not counts:
+            break
+        best = min(counts, key=lambda r: (-r["n"], r["a"], r["b"]))
+        merges.append((rank, best["a"], best["b"], best["n"]))
+        a, b, ab = best["a"], best["b"], best["a"] + best["b"]
+
+        def apply_merge(df: pd.DataFrame, _a=a, _b=b, _ab=ab) -> pd.DataFrame:
+            out = []
+            for syms in df["syms"]:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == _a and syms[i + 1] == _b:
+                        res.append(_ab)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.DataFrame({"freq": df["freq"].to_numpy(np.int64), "syms": out})
+
+        state = state.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "n": pa.array([m[3] for m in merges], type=pa.int64()),
+        }
+    )

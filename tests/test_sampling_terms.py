@@ -153,3 +153,25 @@ def test_mixture_sample_matches_sequential_cumsum(ray_session):
                 expect.add(int(ids[i]))
     assert got == expect
     assert 0 < len(got) < n  # the budget actually bisected
+
+
+def test_train_bpe_classic_example(ray_session):
+    """Sennrich-style worked example: corpus low x3, lower x2, newest x4,
+    widest x1 -> merges (w,e) n=6, then the 5-count tie (l,o) before (s,t)
+    by the lexicographic tiebreak."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.textops import train_bpe
+
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"] * 4 + ["widest"])
+    ds = rd.from_arrow(pa.table({"text": [text]})).repartition(1)
+    out = train_bpe(ds, n_merges=3).to_pylist()
+    assert [(r["left"], r["right"], r["n"]) for r in out] == [
+        ("w", "e", 6), ("l", "o", 5), ("s", "t", 5),
+    ]
+    # parallelism invariance: words split across blocks, same merge table
+    words = (["low"] * 3 + ["lower"] * 2 + ["newest"] * 4 + ["widest"])
+    ds2 = rd.from_arrow(pa.table({"text": words})).repartition(4)
+    out2 = train_bpe(ds2, n_merges=3).to_pylist()
+    assert out2 == out
