@@ -1784,6 +1784,20 @@ def q_jl_projection(sf_dir: str):
     return _table(similarity.random_project(emb, out_dim=16))
 
 
+_TAG_PHRASES = ["hash scan", "merge", "spark", "window window", "slow fast"]
+
+
+def q_phrase_tags(sf_dir: str):
+    """Keyword/taxonomy tagging: (doc_id, phrase) for each catalog phrase
+    contained in the document — one Arrow match_substring C pass per
+    catalog entry, corpus never scanned in Python, shuffle-free."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        textops.phrase_tag(docs, _TAG_PHRASES),
+        schema=pa.schema([("doc_id", pa.int64()), ("phrase", pa.string())]),
+    )
+
+
 def q_doc_rarity(sf_dir: str):
     """Model-free quality signal: per-doc integer-idf rarity sums (one
     term-keyed shuffle computes df AND the per-doc partials in one pass)."""
@@ -2617,6 +2631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "jl_projection": q_jl_projection,
         "doc_rarity": q_doc_rarity,
+        "phrase_tags": q_phrase_tags,
         "bloom_semi_join": q_bloom_semi_join,
         "weighted_sample": q_weighted_sample,
         "cms_user_counts": q_cms_user_counts,
@@ -3727,6 +3742,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.vec_id, r.k, CAST(SUM(u.q * r.rv) AS BIGINT) AS comp
             FROM u JOIN r USING (pos)
             GROUP BY 1, 2
+        """,
+        "phrase_tags": """
+            SELECT d.doc_id, p.phrase
+            FROM documents d
+            JOIN (VALUES ('hash scan'), ('merge'), ('spark'),
+                         ('window window'), ('slow fast')) p(phrase)
+              ON contains(d.text, p.phrase)
         """,
         "doc_rarity": """
             WITH tk AS (

@@ -955,3 +955,43 @@ def train_bpe(
             "n": pa.array([m[3] for m in merges], type=pa.int64()),
         }
     )
+
+
+def phrase_tag(
+    ds,
+    phrases: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Multi-phrase containment tagging: emit (id, phrase) for every
+    catalog phrase contained in a document — the keyword/taxonomy tagging
+    pass of a curation pipeline. The catalog is dimension-sized, so the
+    loop runs over PHRASES while each pass is one zero-copy Arrow
+    ``match_substring`` C kernel over the whole column; the corpus is
+    never scanned in Python. (A catalog too large to loop would compile
+    into one alternation regex inside an actor pool — the MentionDetector
+    pattern in kgray/extract.py.) Shuffle-free."""
+    phrases = sorted(phrases)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = _chunked(t[id_col])
+        id_parts, ph_parts = [], []
+        for ph in phrases:
+            m = pc.match_substring(_chunked(t[text_col]), ph)
+            sel = ids.filter(m)
+            if len(sel):
+                id_parts.append(sel)
+                ph_parts.append(pa.array([ph] * len(sel), type=pa.string()))
+        if not id_parts:
+            return pa.table(
+                {id_col: pa.array([], type=ids.type),
+                 "phrase": pa.array([], type=pa.string())}
+            )
+        return pa.table(
+            {id_col: pa.concat_arrays(id_parts),
+             "phrase": pa.concat_arrays(ph_parts)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
