@@ -1142,6 +1142,28 @@ def q_bfs_distances(sf_dir: str):
     )
 
 
+def q_degree_histogram(sf_dir: str):
+    """Graph-health audit: how many nodes have each total degree —
+    node_degrees (per-block degree partials, one keyed reduce) followed by
+    a tiny second aggregation over the node-sized result."""
+    from kgray.relational import grouped_agg
+
+    deg = graphalgo.node_degrees(_canonical_int_edges(sf_dir))
+
+    def total(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"degree": pc.add(_chunk(t["out_deg"]), _chunk(t["in_deg"]))}
+        )
+
+    return _table(
+        grouped_agg(
+            deg.map_batches(total, batch_format="pyarrow"),
+            keys=["degree"], count_alias="n_nodes",
+        ),
+        schema=pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())]),
+    )
+
+
 def q_graph_components(sf_dir: str):
     """Weakly-connected components over the canonical KG edge stream —
     size-routed (driver union-find under a pair budget, distributed
@@ -2596,6 +2618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
         "graph_components": q_graph_components,
+        "degree_histogram": q_degree_histogram,
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
         "triangle_count": q_triangle_count,
@@ -3482,6 +3505,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_) AS BIGINT) AS out_deg,
                    CAST(SUM(i_) AS BIGINT) AS in_deg
             FROM degrows GROUP BY 1
+        """,
+        "degree_histogram": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            degrows AS (
+              SELECT (s - s % 2) AS v FROM linked
+              UNION ALL
+              SELECT (o - o % 2) FROM linked
+            ),
+            deg AS (SELECT v, COUNT(*) AS degree FROM degrows GROUP BY 1)
+            SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
         """,
         "triangle_count": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},
