@@ -1391,6 +1391,40 @@ def q_kg_flagship(sf_dir: str):
     return _table(edges.map_batches(fin, batch_format="pyarrow"))
 
 
+def q_trending_terms(sf_dir: str):
+    """Windowed text analytics: top-3 terms per hour over the transcript
+    stream — per-batch (window, term) count partials, one keyed reduce,
+    then top_k_per_group's bounded combiner (≤ k rows per (window, block)
+    ever move in the final exchange). Ties break on term ascending."""
+    import pandas as pd
+
+    from kgray.relational import grouped_agg, top_k_per_group
+
+    tr = transcripts_dataset(sf_dir).select_columns(["text", "ts"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        ts_epoch = df["ts"].astype("int64").to_numpy() // 1_000_000
+        df = df.assign(_win=(ts_epoch // 3600) * 3600)
+        ex = df.assign(term=df["text"].str.split(" ")).explode("term")
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        ex = ex.rename(columns={"_win": "win"})
+        return ex.groupby(["win", "term"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = grouped_agg(
+        tr.map_batches(tok, batch_format="pandas"),
+        keys=["win", "term"], sums={"n": "n"},
+    )
+    top = top_k_per_group(counts, ["win"], "n", k=3, tiebreak_cols=["term"])
+    return _table(
+        top,
+        schema=pa.schema(
+            [("win", pa.int64()), ("term", pa.string()), ("n", pa.int64())]
+        ),
+    )
+
+
 def q_tool_transitions(sf_dir: str):
     """Transcript step-transition matrix: which (role[:tool]) step follows
     which across each conversation's ordered turns — per-conv ordered scan
@@ -2619,6 +2653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "graph_components": q_graph_components,
         "degree_histogram": q_degree_histogram,
+        "trending_terms": q_trending_terms,
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
         "triangle_count": q_triangle_count,
@@ -2880,6 +2915,28 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "kg_transcripts": kg_transcripts,
+        "trending_terms": f"""{_SQL_PREFIX},
+            tt AS (
+              SELECT {text_expr} AS text,
+                     CAST(epoch(TIMESTAMP '2025-01-01') AS BIGINT)
+                       + 3600*c + 60*t AS ts_epoch
+              FROM calc, consts
+            ), tok AS (
+              SELECT (ts_epoch // 3600) * 3600 AS win,
+                     unnest(string_split(text, ' ')) AS term
+              FROM tt
+            ), tk AS (
+              SELECT win, term FROM tok WHERE term IS NOT NULL AND term <> ''
+            ), cnt AS (
+              SELECT win, term, COUNT(*) AS n FROM tk GROUP BY 1, 2
+            ), rk AS (
+              SELECT win, term, n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY win ORDER BY n DESC, term) AS r
+              FROM cnt
+            )
+            SELECT win, term, n FROM rk WHERE r <= 3
+        """,
         "kg_mentions": kg_mentions,
         "kg_extract": kg_extract,
         "kg_linked": kg_linked,
