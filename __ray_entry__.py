@@ -775,6 +775,38 @@ def q_span_cleaned_docs(sf_dir: str):
     )
 
 
+def q_contrastive_triplets(sf_dir: str):
+    """Self-supervised pair mining: (anchor, positive) from the verified
+    near-dup pairs, negative drawn deterministically by key hash (mod the
+    dense doc-id space, shifted off {anchor, positive} — no RNG state, so
+    the triplet set is reproducible at any parallelism and in SQL)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = docs.count()
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=2, max_df=_NGRAM_MAX_DF)
+
+    def mine(t: pa.Table) -> pa.Table:
+        a = _chunk(t["doc_a"]).to_numpy(zero_copy_only=False)
+        b = _chunk(t["doc_b"]).to_numpy(zero_copy_only=False)
+        neg = (a * 2654435761) % (1 << 32) % n
+        for _ in range(2):  # shift off the pair itself (dense id space)
+            hit = (neg == a) | (neg == b)
+            neg = np.where(hit, (neg + 1) % n, neg)
+        return pa.table(
+            {
+                "anchor": pa.array(a), "positive": pa.array(b),
+                "negative": pa.array(neg.astype(np.int64)),
+            }
+        )
+
+    return _table(
+        pairs.map_batches(mine, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("anchor", pa.int64()), ("positive", pa.int64()),
+             ("negative", pa.int64())]
+        ),
+    )
+
+
 def q_cosine_pairs(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return _table(
@@ -2654,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "degree_histogram": q_degree_histogram,
         "trending_terms": q_trending_terms,
+        "contrastive_triplets": q_contrastive_triplets,
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
         "triangle_count": q_triangle_count,
@@ -3111,6 +3144,26 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
             FROM events
+        """,
+        "contrastive_triplets": f"""
+            WITH {_ngram_pairs_cte().strip()},
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            t1 AS (
+              SELECT doc_a, doc_b,
+                     ((doc_a * 2654435761) % 4294967296) % nn.n AS neg0
+              FROM ndpairs, nn
+            ), t2 AS (
+              SELECT doc_a, doc_b,
+                     CASE WHEN neg0 = doc_a OR neg0 = doc_b
+                          THEN (neg0 + 1) % nn.n ELSE neg0 END AS neg1
+              FROM t1, nn
+            ), t3 AS (
+              SELECT doc_a, doc_b,
+                     CASE WHEN neg1 = doc_a OR neg1 = doc_b
+                          THEN (neg1 + 1) % nn.n ELSE neg1 END AS negative
+              FROM t2, nn
+            )
+            SELECT doc_a AS anchor, doc_b AS positive, negative FROM t3
         """,
         "ngram_jaccard": f"""
             WITH w AS (
