@@ -926,6 +926,22 @@ def q_graph_counts(sf_dir: str):
 # rows-only queries (no SQL-expressible oracle; driver records row counts)
 
 
+def q_raw_media_features(sf_dir: str):
+    """REAL media decode: the engine's own KGRW raw-RGB format parsed,
+    nearest-neighbor-resized and channel-summed with actual pixel kernels
+    (no external codec needed); rows-only because binary decode has no SQL
+    form — the integer channel sums are parallelism-invariant ground truth
+    and pinned by unit tests."""
+    ds = rd.from_arrow(multimodal.synthetic_raw_media_table(64))
+    out = multimodal.raw_image_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "width", "height", "resized_w", "resized_h",
+             "r_sum", "g_sum", "b_sum"]
+        )
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> fake-decode actor pool
     -> feature extraction; deterministic synthetic media corpus."""
@@ -2754,6 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decode / stateful packing scan / eigendecomposition)
         "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
+        "raw_media_features": q_raw_media_features,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,

@@ -161,3 +161,111 @@ def synthetic_media_table(n: int = 32) -> pa.Table:
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path for the engine's own raw-RGB format ("KGRW"): a 4-byte
+# magic + uint16 width + uint16 height header, then w*h*3 raw RGB bytes.
+# No external codec needed, so decode / resize / features below are real
+# pixel kernels — the NotImplementedError stub remains only where a true
+# JPEG/PNG/ffmpeg codec would plug in (DecodeStub above).
+# ---------------------------------------------------------------------------
+
+_RAW_MAGIC = b"KGRW"
+
+
+def encode_raw_image(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> KGRW bytes (magic, w:uint16le, h:uint16le, RGB)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return (
+        _RAW_MAGIC
+        + int(w).to_bytes(2, "little")
+        + int(h).to_bytes(2, "little")
+        + arr.tobytes()
+    )
+
+
+def decode_raw_image(payload: bytes) -> np.ndarray:
+    """KGRW bytes -> (h, w, 3) uint8 view (zero-copy over the payload)."""
+    if payload[:4] != _RAW_MAGIC:
+        raise ValueError("not a KGRW payload")
+    w = int.from_bytes(payload[4:6], "little")
+    h = int.from_bytes(payload[6:8], "little")
+    body = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=8)
+    return body.reshape(h, w, 3)
+
+
+class RawImagePipeline:
+    """Actor stage: decode KGRW payloads, nearest-neighbor resize to fit a
+    target box, and extract exact integer channel statistics — all real
+    pixel work (numpy gathers and sums), one actor init for the whole
+    chain. Emits (width, height, resized_w, resized_h, r_sum, g_sum,
+    b_sum) per image; sums are over the ORIGINAL pixels, so they are
+    parallelism- and resize-invariant ground truth for the row."""
+
+    def __init__(self, target: int = 64):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dims, rdims, sums = [], [], []
+        for p in batch["payload"].to_pylist():
+            img = decode_raw_image(p)
+            h, w, _ = img.shape
+            scale = self.target / max(w, h)
+            tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+            yi = (np.arange(th) * h) // th
+            xi = (np.arange(tw) * w) // tw
+            _resized = img[yi][:, xi]  # real nearest-neighbor resample
+            dims.append((w, h))
+            rdims.append((tw, th))
+            sums.append(img.reshape(-1, 3).sum(axis=0, dtype=np.int64))
+        sums = np.array(sums, dtype=np.int64).reshape(-1, 3)
+        return (
+            batch.append_column("width", pa.array([d[0] for d in dims], pa.int64()))
+            .append_column("height", pa.array([d[1] for d in dims], pa.int64()))
+            .append_column("resized_w", pa.array([d[0] for d in rdims], pa.int64()))
+            .append_column("resized_h", pa.array([d[1] for d in rdims], pa.int64()))
+            .append_column("r_sum", pa.array(sums[:, 0]))
+            .append_column("g_sum", pa.array(sums[:, 1]))
+            .append_column("b_sum", pa.array(sums[:, 2]))
+        )
+
+
+def synthetic_raw_media_table(n: int = 32) -> pa.Table:
+    """Deterministic KGRW image corpus: seeded gradient images of varying
+    sizes (8..71 px per side)."""
+    payloads = []
+    for i in range(n):
+        w, h = 8 + (i * 7) % 64, 8 + (i * 13) % 64
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (x * 255 // max(w - 1, 1)).astype(np.uint8),
+                (y * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), i % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        payloads.append(encode_raw_image(img))
+    return pa.table(
+        {
+            "media_id": pa.array([f"r{i:04d}" for i in range(n)]),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/x-kgrw"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+def raw_image_features(ds, target: int = 64, batch_size: int = 64, concurrency=(1, 4)):
+    """Wire the real-decode actor pool (same heap-bounding discipline as
+    ``decode_media``: payload bytes x batch x concurrency per worker)."""
+    return ds.map_batches(
+        RawImagePipeline,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -442,3 +442,36 @@ def test_pca_project_known_line(ray_session):
         for vid, want in expect1.items():
             assert abs(out[(vid, 1)] - want) < 1e-5
             assert abs(out[(vid, 2)]) < 1e-5
+
+
+def test_raw_image_codec_roundtrip_and_kernels(ray_session):
+    """KGRW encode/decode round-trips pixels exactly; resize and channel
+    sums are real pixel math (pinned on a hand-built 2x4 image)."""
+    from kgray.multimodal import (
+        RawImagePipeline, decode_raw_image, encode_raw_image,
+        raw_image_features, synthetic_raw_media_table,
+    )
+
+    img = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    assert (decode_raw_image(encode_raw_image(img)) == img).all()
+
+    tbl = pa.table(
+        {
+            "media_id": ["x"],
+            "payload": pa.array([encode_raw_image(img)], type=pa.binary()),
+        }
+    )
+    out = RawImagePipeline(target=2)(tbl).to_pylist()[0]
+    assert (out["width"], out["height"]) == (4, 2)
+    assert (out["resized_w"], out["resized_h"]) == (2, 1)
+    flat = img.reshape(-1, 3).sum(axis=0)
+    assert (out["r_sum"], out["g_sum"], out["b_sum"]) == tuple(int(v) for v in flat)
+
+    # actor-pool pipeline over the synthetic corpus, parallelism-invariant
+    ds = ray.data.from_arrow(synthetic_raw_media_table(16)).repartition(4)
+    rows = sorted(raw_image_features(ds).take_all(), key=lambda r: r["media_id"])
+    assert len(rows) == 16
+    ds1 = ray.data.from_arrow(synthetic_raw_media_table(16))
+    rows1 = sorted(raw_image_features(ds1).take_all(), key=lambda r: r["media_id"])
+    keys = ["width", "height", "resized_w", "resized_h", "r_sum", "g_sum", "b_sum"]
+    assert [[r[k] for k in keys] for r in rows] == [[r[k] for k in keys] for r in rows1]
