@@ -1902,6 +1902,19 @@ def q_phrase_tags(sf_dir: str):
     )
 
 
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick vectorizer: sparse signed 64-dim integer doc vectors,
+    no vocabulary built or shipped; term hash = the byte-polynomial
+    rolling hash, so the oracle reproduces every component exactly."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        textops.feature_hashing(docs, k=64),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("idx", pa.int64()), ("val", pa.int64())]
+        ),
+    )
+
+
 def q_doc_rarity(sf_dir: str):
     """Model-free quality signal: per-doc integer-idf rarity sums (one
     term-keyed shuffle computes df AND the per-doc partials in one pass)."""
@@ -2739,6 +2752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection": q_jl_projection,
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
+        "feature_hashing": q_feature_hashing,
         "bloom_semi_join": q_bloom_semi_join,
         "weighted_sample": q_weighted_sample,
         "cms_user_counts": q_cms_user_counts,
@@ -3902,6 +3916,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.vec_id, r.k, CAST(SUM(u.q * r.rv) AS BIGINT) AS comp
             FROM u JOIN r USING (pos)
             GROUP BY 1, 2
+        """,
+        "feature_hashing": """
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, term FROM tok
+              WHERE term IS NOT NULL AND term <> ''
+            ), terms AS (
+              SELECT DISTINCT term FROM tk
+            ), mx AS (
+              SELECT MAX(length(term)) AS m FROM terms
+            ), pw(kk, v) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT kk + 1, (v * 1099511628211) % 18446744073709551616
+              FROM pw, mx WHERE kk < mx.m - 1
+            ), ch AS (
+              SELECT term, length(term) AS L, i,
+                     CAST(unicode(term[i]) AS HUGEINT) AS code
+              FROM terms, UNNEST(generate_series(1, length(term))) t(i)
+            ), fps AS (
+              SELECT c.term,
+                     SUM(c.code * p.v) % 18446744073709551616 AS fp
+              FROM ch c JOIN pw p ON p.kk = c.L - c.i GROUP BY 1
+            ), sgn AS (
+              SELECT term, CAST(fp % 64 AS BIGINT) AS idx,
+                     CASE WHEN (fp // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+              FROM fps
+            )
+            SELECT t.doc_id, s.idx, CAST(SUM(s.sign) AS BIGINT) AS val
+            FROM tk t JOIN sgn s USING (term)
+            GROUP BY 1, 2
+            HAVING SUM(s.sign) != 0
         """,
         "phrase_tags": """
             SELECT d.doc_id, p.phrase

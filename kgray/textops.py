@@ -995,3 +995,48 @@ def phrase_tag(
     return ds.select_columns([id_col, text_col]).map_batches(
         tag, batch_format="pyarrow"
     )
+
+
+def feature_hashing(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    num_buckets: int = 32,
+):
+    """Hashing-trick vectorizer (Weinberger et al. 2009): every token
+    occurrence adds sign(h) to component h(term) mod k, giving each doc a
+    k-dim integer vector with no vocabulary to build, ship or look up —
+    the classic fixed-memory featurizer for corpus-scale linear models.
+
+    The term hash is the engine's byte-polynomial ``rolling_hash64`` (one
+    vectorized pass over the token column's UTF-8 buffer), so the exact
+    vector mirrors in HUGEINT SQL; sign comes from the next hash bit
+    above the index. Emits sparse (id, idx, val) rows with val != 0;
+    per-batch partials reduce through one doc-keyed grouped sum.
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, text_col]).to_pandas()
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        fp = rolling_hash64(pa.array(ex["term"].tolist(), type=pa.string()))
+        idx = (fp % np.uint64(k)).astype(np.int64)
+        sign = np.where((fp // np.uint64(k)) % np.uint64(2) == 0, 1, -1).astype(np.int64)
+        part = pd.DataFrame(
+            {id_col: ex[id_col].to_numpy(), "idx": idx, "val": sign}
+        ).groupby([id_col, "idx"], as_index=False)["val"].sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    summed = grouped_agg(
+        ds.map_batches(part, batch_format="pyarrow"),
+        keys=[id_col, "idx"],
+        sums={"val": "val"},
+    )
+    return summed.map_batches(
+        lambda t: t.filter(pc.not_equal(_chunked(t["val"]), 0)),
+        batch_format="pyarrow",
+    )
