@@ -1915,6 +1915,17 @@ def q_feature_hashing(sf_dir: str):
     )
 
 
+def q_normal_equations(sf_dir: str):
+    """Distributed linear-probe training stats: exact int64 X^T X / X^T y
+    over hashed features + bias (y = token count) — map once, reduce
+    O(k^2) sufficient statistics per block, fit on the driver."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        textops.hashed_normal_equations(docs, k=64),
+        schema=pa.schema([("i", pa.int64()), ("j", pa.int64()), ("s", pa.int64())]),
+    )
+
+
 def q_doc_rarity(sf_dir: str):
     """Model-free quality signal: per-doc integer-idf rarity sums (one
     term-keyed shuffle computes df AND the per-doc partials in one pass)."""
@@ -2753,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
+        "normal_equations": q_normal_equations,
         "bloom_semi_join": q_bloom_semi_join,
         "weighted_sample": q_weighted_sample,
         "cms_user_counts": q_cms_user_counts,
@@ -3950,6 +3962,61 @@ def oracle_sql() -> dict[str, str]:
             FROM tk t JOIN sgn s USING (term)
             GROUP BY 1, 2
             HAVING SUM(s.sign) != 0
+        """,
+        "normal_equations": """
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, term FROM tok
+              WHERE term IS NOT NULL AND term <> ''
+            ), terms AS (
+              SELECT DISTINCT term FROM tk
+            ), mx AS (
+              SELECT MAX(length(term)) AS m FROM terms
+            ), pw(kk, v) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT kk + 1, (v * 1099511628211) % 18446744073709551616
+              FROM pw, mx WHERE kk < mx.m - 1
+            ), ch AS (
+              SELECT term, length(term) AS L, i,
+                     CAST(unicode(term[i]) AS HUGEINT) AS code
+              FROM terms, UNNEST(generate_series(1, length(term))) t(i)
+            ), fps AS (
+              SELECT c.term,
+                     SUM(c.code * p.v) % 18446744073709551616 AS fp
+              FROM ch c JOIN pw p ON p.kk = c.L - c.i GROUP BY 1
+            ), sgn AS (
+              SELECT term, CAST(fp % 64 AS BIGINT) + 1 AS idx,
+                     CASE WHEN (fp // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+              FROM fps
+            ), fh AS (
+              SELECT t.doc_id, s.idx, CAST(SUM(s.sign) AS BIGINT) AS val
+              FROM tk t JOIN sgn s USING (term)
+              GROUP BY 1, 2 HAVING SUM(s.sign) != 0
+            ), fb AS (
+              SELECT doc_id, idx, val FROM fh
+              UNION ALL SELECT doc_id, 0, 1 FROM documents
+            ), yv AS (
+              SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS y
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1
+              ) c USING (doc_id)
+            ), xtx AS (
+              SELECT a.idx AS i, b.idx AS j,
+                     CAST(SUM(a.val * b.val) AS BIGINT) AS s
+              FROM fb a JOIN fb b
+                ON a.doc_id = b.doc_id AND b.idx >= a.idx
+              GROUP BY 1, 2
+            ), xty AS (
+              SELECT f.idx AS i, -1 AS j,
+                     CAST(SUM(f.val * yv.y) AS BIGINT) AS s
+              FROM fb f JOIN yv USING (doc_id)
+              GROUP BY 1
+            )
+            SELECT i, j, s FROM xtx
+            UNION ALL SELECT i, j, s FROM xty
         """,
         "phrase_tags": """
             SELECT d.doc_id, p.phrase

@@ -1040,3 +1040,72 @@ def feature_hashing(
         lambda t: t.filter(pc.not_equal(_chunked(t["val"]), 0)),
         batch_format="pyarrow",
     )
+
+
+def hashed_normal_equations(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+):
+    """Exact training statistics for a linear probe over hashed features:
+    the normal-equation sums X^T X (upper triangle, bias = component 0,
+    hashed features at 1..k) and X^T y (emitted as j = -1 rows), with
+    y = the document's token count. All int64 — every entry mirrors in
+    SQL — and every partial is mergeable, so the exchange is one
+    (i, j)-keyed grouped sum of O(k^2) rows per block regardless of
+    corpus size; the k+1 x k+1 solve itself is a driver no-op.
+    The distributed-training shape: map once over the corpus, reduce
+    fixed-size sufficient statistics, fit centrally.
+    """
+    import pandas as pd
+
+    from .relational import grouped_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, text_col]).to_pandas()
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        fp = rolling_hash64(pa.array(ex["term"].tolist(), type=pa.string()))
+        feats = pd.DataFrame(
+            {
+                id_col: ex[id_col].to_numpy(),
+                "idx": (fp % np.uint64(k)).astype(np.int64) + 1,
+                "val": np.where(
+                    (fp // np.uint64(k)) % np.uint64(2) == 0, 1, -1
+                ).astype(np.int64),
+            }
+        ).groupby([id_col, "idx"], as_index=False)["val"].sum()
+        feats = feats[feats["val"] != 0]
+        bias = pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "idx": 0, "val": 1}
+        )
+        fb = pd.concat([feats, bias], ignore_index=True)
+        y = (
+            ex.groupby(id_col, as_index=False).size().rename(columns={"size": "y"})
+        )
+        y = pd.DataFrame({id_col: df[id_col].to_numpy()}).merge(
+            y, on=id_col, how="left"
+        ).fillna({"y": 0})
+        # X^T X upper triangle via a per-doc self-merge (docs are complete
+        # within a batch, so no doc-keyed shuffle is ever needed)
+        m = fb.merge(fb, on=id_col, suffixes=("_a", "_b"))
+        m = m[m["idx_b"] >= m["idx_a"]]
+        xtx = (
+            m.assign(s=m["val_a"].to_numpy(np.int64) * m["val_b"].to_numpy(np.int64))
+            .groupby(["idx_a", "idx_b"], as_index=False)["s"].sum()
+            .rename(columns={"idx_a": "i", "idx_b": "j"})
+        )
+        my = fb.merge(y, on=id_col)
+        xty = (
+            my.assign(s=my["val"].to_numpy(np.int64) * my["y"].to_numpy(np.int64))
+            .groupby("idx", as_index=False)["s"].sum()
+            .rename(columns={"idx": "i"})
+        )
+        xty["j"] = -1
+        out = pd.concat([xtx, xty[["i", "j", "s"]]], ignore_index=True)
+        return pa.Table.from_pandas(out[["i", "j", "s"]], preserve_index=False)
+
+    return grouped_agg(
+        ds.map_batches(part, batch_format="pyarrow"), keys=["i", "j"], sums={"s": "s"}
+    )

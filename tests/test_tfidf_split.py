@@ -143,3 +143,48 @@ def test_doc_rarity_exact(ray_session):
     assert out[2]["n_tokens"] == 2 and out[2]["rarity_sum"] == 3_000_000
     assert out[3]["n_tokens"] == 3 and out[3]["rarity_sum"] == 4_500_000
     assert out[3]["rarity_avg"] == 1_500_000
+
+
+def test_hashed_normal_equations_match_dense_reference(ray_session):
+    """X^T X / X^T y sums equal the dense numpy computation on the same
+    hashed design matrix, and the driver-side solve reconstructs y for a
+    solvable toy system."""
+    import ray.data as rd
+
+    from kgray.textops import hashed_normal_equations, rolling_hash64
+
+    texts = ["alpha beta", "alpha alpha gamma", "beta", "delta epsilon zeta"]
+    k = 8
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts})).repartition(2)
+    got = {(r["i"], r["j"]): r["s"]
+           for r in hashed_normal_equations(ds, k=k).take_all()}
+
+    # dense reference
+    X = np.zeros((4, k + 1), dtype=np.int64)
+    X[:, 0] = 1
+    y = np.zeros(4, dtype=np.int64)
+    for d, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        y[d] = len(toks)
+        fp = rolling_hash64(pa.array(toks))
+        for f in fp:
+            idx = int(f % np.uint64(k)) + 1
+            sign = 1 if int((f // np.uint64(k)) % np.uint64(2)) == 0 else -1
+            X[d, idx] += sign
+    xtx = X.T @ X
+    xty = X.T @ y
+    for (i, j), s in got.items():
+        if j == -1:
+            assert s == xty[i]
+        else:
+            assert s == xtx[i, j]
+    # completeness: every nonzero reference entry is present
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            if xtx[i, j] != 0:
+                assert got[(i, j)] == xtx[i, j]
+
+    # the solve (driver no-op) reproduces y on this full-rank toy system
+    A = xtx.astype(np.float64)
+    w = np.linalg.lstsq(A, xty.astype(np.float64), rcond=None)[0]
+    assert np.allclose(X @ w, y, atol=1e-6)
