@@ -284,3 +284,45 @@ def _memgraph_records(batch: pa.Table) -> list[str]:
         rec["properties"] = json.loads(cols["properties"][i] or "{}")
         out.append(json.dumps(rec, ensure_ascii=True, sort_keys=True))
     return out
+
+
+def read_orc(paths, columns: "list[str] | None" = None):
+    """ORC source — Ray Data ships no ORC reader, so compose one: each
+    file arrives as one ``read_binary_files`` row (the file is the block
+    unit) and decodes in a task via the pyarrow ORC reader, which prunes
+    ``columns`` at the stripe level. batch_size=1 bounds per-task heap to
+    one file's decoded size; scale by splitting the INPUT into more files,
+    exactly like the reference's sharded-CSV discipline."""
+    import pyarrow.orc as pa_orc
+
+    import ray.data
+
+    raw = ray.data.read_binary_files(paths)
+
+    def decode(t: pa.Table) -> pa.Table:
+        tables = [
+            pa_orc.ORCFile(pa.BufferReader(b)).read(columns=columns)
+            for b in t["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_orc(ds, out_dir: str):
+    """ORC sink: one file per input block, written inside the task (the
+    driver never sees data), returning a manifest Dataset of
+    (path, rows) — consume it to both drive execution and audit the
+    write. Partition the input upstream for the multi-file layout."""
+    import uuid
+
+    import pyarrow.orc as pa_orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
+        pa_orc.write_table(t, path)
+        return pa.table({"path": [path], "rows": [t.num_rows]})
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)

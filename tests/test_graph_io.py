@@ -128,3 +128,32 @@ def test_read_kgx_csv_delete_cols(ray_session, tmp_path):
     rows = sorted(ds.take_all(), key=lambda r: r["id"])
     assert [set(r) for r in rows] == [{"id", "name"}] * 2
     assert rows[0] == {"id": "A:1", "name": "alpha"}
+
+
+def test_orc_source_sink_roundtrip(ray_session, tmp_path):
+    """Ray has no ORC reader; the composed source/sink round-trips exactly
+    and the reader prunes columns at the stripe level."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from kgray.graph_io import read_orc, write_orc
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(100), type=pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(100)]),
+            "score": pa.array([i * 0.5 for i in range(100)]),
+        }
+    )
+    out = str(tmp_path / "orc")
+    manifest = write_orc(rd.from_arrow(tbl).repartition(3), out).take_all()
+    assert sum(m["rows"] for m in manifest) == 100
+    assert len(manifest) == 3  # one file per block
+
+    back = read_orc([m["path"] for m in manifest]).take_all()
+    assert sorted(r["id"] for r in back) == list(range(100))
+    assert {r["id"]: r["name"] for r in back}[7] == "n7"
+
+    pruned = read_orc([m["path"] for m in manifest], columns=["id"]).take_all()
+    assert set(pruned[0].keys()) == {"id"}
