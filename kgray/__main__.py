@@ -12,6 +12,7 @@ Stage map (reference -> kgray):
                            (the terminal sink IS the partitioned table set)
   tables       CREATE_TABLES  _schema.json + Kuzu DDL + Cypher cast map
   compact      (maintenance) fold delta-appended small files per partition
+  release      training-corpus release: clean -> leak-free split -> hive
   all          the full checkpointed pipeline (resumable; default)
 
 Every stage is resumable: rerunning skips work whose manifest fingerprint
@@ -40,7 +41,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kgray", description=__doc__)
     p.add_argument(
         "--type", default="all",
-        choices=["all", "convert", "create_lus", "bin", "tables", "compact"],
+        choices=["all", "convert", "create_lus", "bin", "tables", "compact",
+                 "release"],
         help="pipeline stage to run (reference --type selector)",
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -125,6 +127,11 @@ def main(argv=None) -> int:
         from .pipeline import compact_graph
 
         print(json.dumps(compact_graph(args.out, args.target_rows_per_file)))
+
+    if args.type == "release":
+        from .release import release_corpus
+
+        print(json.dumps(release_corpus(args.sf_dir, args.out), sort_keys=True))
 
     if args.type in ("all", "tables"):
         from .graph_io import write_schema_manifest

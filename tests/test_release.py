@@ -31,3 +31,16 @@ def test_release_corpus_end_to_end(ray_session, tmp_path):
     doc = json.load(open(f"{out}/_release.json"))
     assert doc["splits"] == m["splits"]
     assert doc["recipe"]["split_key"].startswith("ngram-0.5")
+
+
+def test_release_cli(ray_session, tmp_path, capsys):
+    import json
+
+    from kgray.__main__ import main
+
+    out = str(tmp_path / "cli_rel")
+    assert main(["--type=release", "--sf-dir=/root/testdata/sf0.001",
+                 f"--out={out}"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["splits"]) <= {"train", "val", "test"}
+    assert os.path.isdir(f"{out}/docs/split=train")
