@@ -85,3 +85,55 @@ def drop_count(
     # Dataset.sum returns None (not a dict) when the input produces no blocks
     sums = ds.map_batches(count, batch_format="pyarrow").sum(["n", "n_bad"]) or {}
     return {"rows": sums.get("sum(n)", 0) or 0, "dropped": sums.get("sum(n_bad)", 0) or 0}
+
+
+def quarantine(
+    ds: ray.data.Dataset,
+    non_null_cols: list[str],
+    out_dir: str,
+) -> tuple[ray.data.Dataset, dict]:
+    """Poison-pill handling: split the stream into good rows (returned,
+    still lazy) and bad rows (null in any ``non_null_cols``) written to a
+    Parquet side table WITH a per-row ``reason`` column — the triage
+    artifact an operator replays after fixing the producer, instead of the
+    lenient path's count-only drop. One pass materializes the verdict per
+    row; the good stream re-filters lazily (cheap vectorized null checks),
+    so nothing corpus-sized is ever collected.
+
+    Returns (good_ds, report) with report = {rows, quarantined, path}.
+    """
+    import os
+
+    def split_bad(t: pa.Table) -> pa.Table:
+        ok = None
+        reasons = None
+        for c in non_null_cols:
+            v = pc.is_valid(_chunked(t[c]))
+            ok = v if ok is None else pc.and_(ok, v)
+            r = pc.if_else(v, pa.scalar(None, pa.string()),
+                           pa.scalar(f"null:{c}", pa.string()))
+            reasons = r if reasons is None else pc.binary_join_element_wise(
+                pc.fill_null(reasons, ""), pc.fill_null(r, ""), ","
+            )
+        bad = t.filter(pc.invert(ok))
+        why = pc.replace_substring_regex(
+            reasons.filter(pc.invert(ok)) if len(bad) else pa.array([], pa.string()),
+            "^,+|,+$", "",
+        )
+        return bad.append_column("reason", why)
+
+    def keep_good(t: pa.Table) -> pa.Table:
+        ok = None
+        for c in non_null_cols:
+            v = pc.is_valid(_chunked(t[c]))
+            ok = v if ok is None else pc.and_(ok, v)
+        return t.filter(ok)
+
+    os.makedirs(out_dir, exist_ok=True)
+    bad_ds = ds.map_batches(split_bad, batch_format="pyarrow")
+    n_bad = bad_ds.count()
+    if n_bad:
+        bad_ds.write_parquet(out_dir)
+    n_total = ds.count()
+    report = {"rows": n_total, "quarantined": n_bad, "path": out_dir}
+    return ds.map_batches(keep_good, batch_format="pyarrow"), report

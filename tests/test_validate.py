@@ -61,3 +61,29 @@ def test_semi_anti_join(ray_session):
     anti = anti_join(left, right, on="k", right_on="rk", num_partitions=2).take_all()
     assert sorted(r["k"] for r in anti) == [0, 2, 5]
     assert all(set(r) == {"k", "v"} for r in semi + anti)
+
+
+def test_quarantine_splits_and_writes_reasons(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from kgray.validate import quarantine
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, None, 3, None], type=pa.int64()),
+            "key": pa.array(["a", "b", None, None], type=pa.string()),
+            "v": pa.array([10, 20, 30, 40], type=pa.int64()),
+        }
+    )
+    out = str(tmp_path / "quar")
+    good, rep = quarantine(rd.from_arrow(tbl).repartition(2), ["id", "key"], out)
+    assert rep == {"rows": 4, "quarantined": 3, "path": out}
+    assert sorted(r["v"] for r in good.take_all()) == [10]
+    bad = pq.ParquetDataset(out).read().to_pylist()
+    why = {r["v"]: r["reason"] for r in bad}
+    assert why[20] == "null:id"
+    assert why[30] == "null:key"
+    assert why[40] == "null:id,null:key"
