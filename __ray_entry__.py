@@ -1933,6 +1933,33 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_percentile_ranks(sf_dir: str):
+    """Exact percentile-rank normalization of event values (cents): one
+    value-cardinality-bounded grouped count -> broadcast prefix table ->
+    vectorized searchsorted per row; no global sort."""
+    from kgray.relational import percentile_rank
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(_chunk(t["value"]), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return _table(
+        percentile_rank(ev.map_batches(cents, batch_format="pyarrow"), "value_c"),
+        schema=pa.schema(
+            [("event_id", pa.int64()), ("value_c", pa.int64()),
+             ("pct_ppm", pa.int64())]
+        ),
+    )
+
+
 def q_mad_per_type(sf_dir: str):
     """Robust scale per event type: median and median-absolute-deviation
     via TWO histogram passes (p50 of the value bins, then p50 of
@@ -2771,6 +2798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "iqr_outliers": q_iqr_outliers,
         "mad_per_type": q_mad_per_type,
+        "percentile_ranks": q_percentile_ranks,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -4044,6 +4072,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "percentile_ranks": """
+            WITH b AS (
+              SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS value_c
+              FROM events
+            ), c AS (
+              SELECT value_c, COUNT(*) AS n FROM b GROUP BY 1
+            ), p AS (
+              SELECT value_c,
+                     SUM(n) OVER (ORDER BY value_c
+                                  ROWS UNBOUNDED PRECEDING) - n AS below
+              FROM c
+            ), t AS (SELECT COUNT(*) AS tot FROM b)
+            SELECT b.event_id, b.value_c,
+                   CAST((1000000 * p.below) // t.tot AS BIGINT) AS pct_ppm
+            FROM b JOIN p USING (value_c), t
         """,
         "mad_per_type": """
             WITH b AS (

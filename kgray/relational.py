@@ -12,6 +12,7 @@ Patterns:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1021,3 +1022,39 @@ def asof_join(
         return pa.table(cols)
 
     return joined.map_batches(restore, batch_format="pandas")
+
+
+def percentile_rank(
+    ds: ray.data.Dataset,
+    value_col: str,
+    out_col: str = "pct_ppm",
+) -> ray.data.Dataset:
+    """Exact percentile-rank normalization of an integer column:
+    rank_ppm = floor(1e6 * (#rows strictly below) / n) per row — the
+    feature transform that replaces a value with its corpus position,
+    WITHOUT a global sort. One grouped count over the distinct values
+    (bounded by value cardinality, not row count) folds to a prefix-sum
+    table on the driver; the per-row pass is a vectorized searchsorted
+    against the broadcast table. Ties share a rank, exactly as the SQL
+    window mirror defines it.
+    """
+    import ray as _ray
+
+    counts = grouped_agg(
+        ds.select_columns([value_col]), keys=[value_col], count_alias="n"
+    ).take_all()
+    counts.sort(key=lambda r: r[value_col])
+    vals = np.array([r[value_col] for r in counts], dtype=np.int64)
+    ns = np.array([r["n"] for r in counts], dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    total = int(ns.sum()) or 1
+    ref = _ray.put((vals, below))
+
+    def rank(t: pa.Table) -> pa.Table:
+        v, b = _ray.get(ref)
+        x = _chunked(t[value_col]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(v, x)
+        ppm = (1_000_000 * b[idx]) // total
+        return t.append_column(out_col, pa.array(ppm.astype(np.int64)))
+
+    return ds.map_batches(rank, batch_format="pyarrow")
