@@ -1933,6 +1933,36 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_zorder_keys(sf_dir: str):
+    """Storage-layout op: Morton keys interleaving (custkey, price-bucket)
+    so one sort clusters BOTH dimensions for range pruning — the key
+    computation is shuffle-free; the clustering sort is the consumer's
+    one-time write-side cost."""
+    from kgray.materialize import zorder_key
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def z(t: pa.Table) -> pa.Table:
+        cust = _chunk(t["o_custkey"]).to_numpy(zero_copy_only=False)
+        price_b = (
+            pc.cast(pc.round(pc.multiply(_chunk(t["o_totalprice"]), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False) >> 16
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "z": pa.array(zorder_key(cust, price_b)),
+            }
+        )
+
+    return _table(
+        orders.map_batches(z, batch_format="pyarrow"),
+        schema=pa.schema([("o_orderkey", pa.int64()), ("z", pa.int64())]),
+    )
+
+
 def q_percentile_ranks(sf_dir: str):
     """Exact percentile-rank normalization of event values (cents): one
     value-cardinality-bounded grouped count -> broadcast prefix table ->
@@ -2799,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outliers": q_iqr_outliers,
         "mad_per_type": q_mad_per_type,
         "percentile_ranks": q_percentile_ranks,
+        "zorder_keys": q_zorder_keys,
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
@@ -4072,6 +4103,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "zorder_keys": """
+            WITH b AS (
+              SELECT o_orderkey,
+                     o_custkey % 65536 AS x,
+                     (CAST(ROUND(o_totalprice * 100.0) AS BIGINT) // 65536)
+                       % 65536 AS y
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   CAST(SUM(
+                     ((x // CAST(POWER(2, i) AS BIGINT)) % 2)
+                       * CAST(POWER(4, i) AS BIGINT)
+                     + ((y // CAST(POWER(2, i) AS BIGINT)) % 2)
+                       * 2 * CAST(POWER(4, i) AS BIGINT)
+                   ) AS BIGINT) AS z
+            FROM b, UNNEST(generate_series(0, 15)) s(i)
+            GROUP BY 1
         """,
         "percentile_ranks": """
             WITH b AS (
