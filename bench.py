@@ -96,6 +96,10 @@ def run_bench() -> dict:
             "graph_components", "bloom_semi_join", "weighted_sample",
             "cms_user_counts", "mixture_sample", "name_merge_map",
             "pca_projection", "iqr_outliers", "mad_per_type", "fingerprints",
+            "phrase_tags", "degree_histogram", "trending_terms",
+            "contrastive_triplets", "feature_hashing", "normal_equations",
+            "percentile_ranks", "zorder_keys", "raw_media_features",
+            "bpe_merges",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
