@@ -1881,6 +1881,20 @@ def q_pca_projection(sf_dir: str):
     return _table(similarity.pca_project(emb, out_dim=8))
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact MIPS kNN graph: every vector's top-3 neighbors by int64
+    quantized dot product (ties -> smaller id) — one broadcast matmul +
+    composite-key argpartition per batch, bit-identical in SQL."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _table(
+        similarity.knn_graph(emb, k=3),
+        schema=pa.schema(
+            [("src", pa.int64()), ("rank", pa.int64()),
+             ("dst", pa.int64()), ("dot", pa.int64())]
+        ),
+    )
+
+
 def q_jl_projection(sf_dir: str):
     """Dim reduction before ANN/clustering: sparse JL projection 64 -> 16,
     exact int64 (hash-seeded {-1,0,+1} matrix, identical in the oracle)."""
@@ -2818,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": q_embedding_norms,
         "embedding_covariance": q_embedding_covariance,
         "jl_projection": q_jl_projection,
+        "knn_graph": q_knn_graph,
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
@@ -3969,6 +3984,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
             GROUP BY 1, 2
+        """,
+        "knn_graph": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            ), dots AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+              FROM u a JOIN u b
+                ON a.pos = b.pos AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2
+            ), rk AS (
+              SELECT src, dst, dot,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY dot DESC, dst) AS rank
+              FROM dots
+            )
+            SELECT src, CAST(rank AS BIGINT) AS rank, dst, dot
+            FROM rk WHERE rank <= 3
         """,
         "jl_projection": """
             WITH u AS (

@@ -557,6 +557,81 @@ def pca_project(
     )
 
 
+def knn_graph(
+    embeddings: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    broadcast_limit: int = 65_536,
+) -> ray.data.Dataset:
+    """Exact k-nearest-neighbor GRAPH by maximum inner product: for every
+    vector, its top-``k`` neighbors ranked by the EXACT int64 dot of
+    ppm-quantized vectors (ties -> smaller neighbor id) — the kNN-graph
+    construction step ahead of graph-based clustering/dedup, in the MIPS
+    retrieval mode. Integer ranking keys make the edge set bit-identical
+    across parallelism and in SQL (float cosines would reorder ties).
+
+    Corpus <= ``broadcast_limit``: the quantized matrix ships once via the
+    object store and every batch does one (batch x corpus) int64 matmul +
+    a composite-key argpartition (dot * 2n - neighbor_index encodes the
+    tiebreak, so the per-row top-k is one vectorized partition, no Python
+    loop). Beyond the limit the same per-row top-k is mergeable across
+    column tiles — the ``_cosine_pairs_tiled`` block grid with a per-row
+    k-merge — wired when a corpus that size shows up; the broadcast route
+    raises past the limit rather than silently degrading.
+    """
+    import ray as _ray
+
+    prep = embeddings.select_columns([id_col, vec_col]).materialize()
+    n = prep.count()
+    if n > broadcast_limit:
+        raise NotImplementedError(
+            "knn_graph tiled path not wired; raise broadcast_limit or tile"
+        )
+    ids_l, mats = [], []
+    for b in prep.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        ids_l.append(_chunk1(b[id_col]).to_numpy(zero_copy_only=False))
+        mats.append(np.round(_to_matrix(b[vec_col]) * scale).astype(np.int64))
+    order = np.argsort(np.concatenate(ids_l), kind="stable")
+    all_ids = np.concatenate(ids_l)[order]
+    Q = np.concatenate(mats)[order]
+    ref = _ray.put((all_ids, Q))
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids_c, Qc = _ray.get(ref)
+        qi = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64)
+        src = _chunk1(t[id_col]).to_numpy(zero_copy_only=False)
+        D = qi @ Qc.T  # exact int64 (batch x corpus)
+        # composite key: dot ranks first, smaller neighbor INDEX (== id,
+        # ids are sorted) breaks ties; self excluded via -inf key
+        idx = np.arange(len(ids_c), dtype=np.int64)
+        # negate BEFORE planting the self sentinel: -int64.min wraps back
+        # to int64.min and would rank self first
+        M = -(D * np.int64(2 * len(ids_c)) - idx[None, :])
+        self_pos = np.searchsorted(ids_c, src)
+        M[np.arange(len(src)), self_pos] = np.iinfo(np.int64).max
+        kk = min(k, len(ids_c) - 1)
+        part = np.argpartition(M, kk - 1, axis=1)[:, :kk]
+        ordr = np.take_along_axis(M, part, axis=1).argsort(axis=1, kind="stable")
+        nbr = np.take_along_axis(part, ordr, axis=1)
+        rows = np.repeat(src, kk)
+        return pa.table(
+            {
+                "src": pa.array(rows),
+                "rank": pa.array(
+                    np.tile(np.arange(1, kk + 1, dtype=np.int64), len(src))
+                ),
+                "dst": pa.array(ids_c[nbr].reshape(-1)),
+                "dot": pa.array(
+                    np.take_along_axis(D, nbr, axis=1).reshape(-1)
+                ),
+            }
+        )
+
+    return prep.map_batches(topk, batch_format="pyarrow")
+
+
 def embedding_norms(
     embeddings: ray.data.Dataset,
     id_col: str = "vec_id",

@@ -475,3 +475,28 @@ def test_raw_image_codec_roundtrip_and_kernels(ray_session):
     rows1 = sorted(raw_image_features(ds1).take_all(), key=lambda r: r["media_id"])
     keys = ["width", "height", "resized_w", "resized_h", "r_sum", "g_sum", "b_sum"]
     assert [[r[k] for k in keys] for r in rows] == [[r[k] for k in keys] for r in rows1]
+
+
+def test_knn_graph_exact_mips(ray_session):
+    """Self never appears as a neighbor (the int64 sentinel negation bug),
+    ranking follows exact integer dots, and ties break on smaller id."""
+    from kgray.similarity import knn_graph
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "embedding": [2.0, 0.0]},   # strongest for 0
+        {"vec_id": 2, "embedding": [1.0, 0.0]},   # ties vec 0's view of 3
+        {"vec_id": 3, "embedding": [1.0, 0.0]},   # same dot as 2 -> id tiebreak
+        {"vec_id": 4, "embedding": [0.0, 1.0]},   # orthogonal
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    out = {}
+    for r in knn_graph(ds, k=3).take_all():
+        out.setdefault(r["src"], []).append((r["rank"], r["dst"], r["dot"]))
+        assert r["dst"] != r["src"]
+    got0 = sorted(out[0])
+    # dots vs 0: id1=2e12, id2=1e12, id3=1e12, id4=0 -> top3 = 1, then 2
+    # before 3 by the id tiebreak
+    assert [d for _, d, _ in got0] == [1, 2, 3]
+    assert got0[0][2] == 2_000_000_000_000
+    assert got0[1][2] == got0[2][2] == 1_000_000_000_000
