@@ -1895,6 +1895,59 @@ def q_knn_graph(sf_dir: str):
     )
 
 
+def q_label_spread(sf_dir: str):
+    """Weak supervision: each vector takes the majority label of its top-3
+    exact-MIPS neighbors (ties -> most-frequent then smallest label) — one
+    neighbor join against the broadcast label map, then a keyed top-1."""
+    from kgray.relational import top_k_per_group
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    edges = similarity.knn_graph(
+        emb.select_columns(["vec_id", "embedding"]), k=3
+    )
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select_columns(["vec_id", "label"]).take_all()
+    }
+    import ray as _ray
+
+    lref = _ray.put(labels)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = _ray.get(lref)
+        dst = _chunk(t["dst"]).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(pa.array(dst))
+        lab = np.array([m[d] for d in enc.dictionary.to_pylist()], dtype=np.int64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "nbr_label": pa.array(
+                    lab[enc.indices.to_numpy(zero_copy_only=False)]
+                ),
+            }
+        )
+
+    votes = relational.grouped_agg(
+        edges.map_batches(attach, batch_format="pyarrow"),
+        keys=["src", "nbr_label"], count_alias="n",
+    )
+    top = top_k_per_group(
+        votes, ["src"], "n", k=1, tiebreak_cols=["nbr_label"]
+    )
+    return _table(
+        top.map_batches(
+            lambda t: t.rename_columns(["src", "spread_label", "n_votes"]),
+            batch_format="pyarrow",
+        ),
+        schema=pa.schema(
+            [("src", pa.int64()), ("spread_label", pa.int64()),
+             ("n_votes", pa.int64())]
+        ),
+    )
+
+
 def q_jl_projection(sf_dir: str):
     """Dim reduction before ANN/clustering: sparse JL projection 64 -> 16,
     exact int64 (hash-seeded {-1,0,+1} matrix, identical in the oracle)."""
@@ -2833,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "jl_projection": q_jl_projection,
         "knn_graph": q_knn_graph,
+        "label_spread": q_label_spread,
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
@@ -3984,6 +4038,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
             GROUP BY 1, 2
+        """,
+        "label_spread": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            ), dots AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+              FROM u a JOIN u b
+                ON a.pos = b.pos AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2
+            ), rk AS (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY dot DESC, dst) AS rank
+              FROM dots
+            ), votes AS (
+              SELECT r.src, CAST(e.label AS BIGINT) AS nbr_label,
+                     COUNT(*) AS n
+              FROM rk r JOIN embeddings e ON e.vec_id = r.dst
+              WHERE r.rank <= 3
+              GROUP BY 1, 2
+            ), best AS (
+              SELECT src, nbr_label, n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY n DESC, nbr_label) AS rn
+              FROM votes
+            )
+            SELECT src, nbr_label AS spread_label, n AS n_votes
+            FROM best WHERE rn = 1
         """,
         "knn_graph": """
             WITH u AS (
