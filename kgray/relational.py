@@ -1040,13 +1040,28 @@ def percentile_rank(
     """
     import ray as _ray
 
-    counts = grouped_agg(
-        ds.select_columns([value_col]), keys=[value_col], count_alias="n"
-    ).take_all()
-    counts.sort(key=lambda r: r[value_col])
-    vals = np.array([r[value_col] for r in counts], dtype=np.int64)
-    ns = np.array([r["n"] for r in counts], dtype=np.int64)
-    below = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    # per-block bincount partials folded on the DRIVER — the partial is
+    # bounded by the block's distinct-value count and the fold by total
+    # value cardinality, so no shuffle is needed for the count table
+    # (the bloom/CMS fold pattern; the bucketed groupby's fixed shuffle
+    # cost dwarfed this tiny aggregation)
+    def vpart(t: pa.Table) -> pa.Table:
+        vc = _chunked(t[value_col]).value_counts()
+        return pa.table(
+            {"v": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    acc: dict = {}
+    for b in ds.select_columns([value_col]).map_batches(
+        vpart, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        for v, n in zip(
+            b["v"].to_numpy(zero_copy_only=False), b["n"].to_numpy(zero_copy_only=False)
+        ):
+            acc[int(v)] = acc.get(int(v), 0) + int(n)
+    vals = np.array(sorted(acc), dtype=np.int64)
+    ns = np.array([acc[int(v)] for v in vals], dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(ns)[:-1]]) if len(ns) else np.array([], dtype=np.int64)
     total = int(ns.sum()) or 1
     ref = _ray.put((vals, below))
 
