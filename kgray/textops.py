@@ -920,16 +920,21 @@ def train_bpe(
                 }
             )
 
-        counts = grouped_agg(
-            state.map_batches(pair_counts, batch_format="pandas"),
-            keys=["a", "b"],
-            sums={"n": "n"},
-        ).take_all()
-        if not counts:
+        # per-batch pair partials fold on the DRIVER — distinct adjacent
+        # pairs are vocabulary-bounded, and the bucketed groupby's fixed
+        # shuffle cost per iteration dwarfed this tiny aggregation
+        acc: dict = {}
+        for bt in state.map_batches(
+            pair_counts, batch_format="pandas"
+        ).iter_batches(batch_format="pandas", batch_size=1 << 18):
+            for a_, b_, n_ in zip(bt["a"], bt["b"], bt["n"]):
+                key = (a_, b_)
+                acc[key] = acc.get(key, 0) + int(n_)
+        if not acc:
             break
-        best = min(counts, key=lambda r: (-r["n"], r["a"], r["b"]))
-        merges.append((rank, best["a"], best["b"], best["n"]))
-        a, b, ab = best["a"], best["b"], best["a"] + best["b"]
+        (a, b), n_best = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n_best))
+        ab = a + b
 
         def apply_merge(df: pd.DataFrame, _a=a, _b=b, _ab=ab) -> pd.DataFrame:
             out = []
