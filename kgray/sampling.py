@@ -237,7 +237,7 @@ def mixture_sample(
     """
     import pandas as pd
 
-    from .relational import grouped_agg, hash_bucketed_groupby
+    from .relational import hash_bucketed_groupby
 
     shift = 32 - prefix_bits
 
@@ -258,9 +258,37 @@ def mixture_sample(
         tag, batch_format="pyarrow"
     )
 
-    range_sums = grouped_agg(
-        tagged, keys=[source_col, "_range"], sums={"s": size_col}
-    ).take_all()
+    # per-batch (source, range) size partials fold on the DRIVER — the
+    # table is n_sources x 2^prefix_bits at any corpus size, so the
+    # bucketed groupby's fixed shuffle cost would dwarf it
+    def spart(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                source_col: _chunked(t[source_col]).to_pylist(),
+                "_range": _chunked(t["_range"]).to_numpy(zero_copy_only=False),
+                "s": _chunked(t[size_col]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([source_col, "_range"], as_index=False)["s"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    acc: dict = {}
+    for b in tagged.map_batches(spart, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1 << 18
+    ):
+        for src_, rng_, s_ in zip(
+            b[source_col].to_pylist(),
+            b["_range"].to_numpy(zero_copy_only=False),
+            b["s"].to_numpy(zero_copy_only=False),
+        ):
+            k2 = (src_, int(rng_))
+            acc[k2] = acc.get(k2, 0) + int(s_)
+    range_sums = [
+        {source_col: src_, "_range": rng_, "s": s_}
+        for (src_, rng_), s_ in acc.items()
+    ]
     rows = sorted(range_sums, key=lambda r: (r[source_col], r["_range"]))
     per_source: dict = {}
     offs = []
