@@ -564,6 +564,7 @@ def knn_graph(
     vec_col: str = "embedding",
     scale: int = 1_000_000,
     broadcast_limit: int = 65_536,
+    tile_rows: int = 8_192,
 ) -> ray.data.Dataset:
     """Exact k-nearest-neighbor GRAPH by maximum inner product: for every
     vector, its top-``k`` neighbors ranked by the EXACT int64 dot of
@@ -586,9 +587,7 @@ def knn_graph(
     prep = embeddings.select_columns([id_col, vec_col]).materialize()
     n = prep.count()
     if n > broadcast_limit:
-        raise NotImplementedError(
-            "knn_graph tiled path not wired; raise broadcast_limit or tile"
-        )
+        return _knn_graph_tiled(prep, k, id_col, vec_col, scale, tile_rows)
     ids_l, mats = [], []
     for b in prep.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
         ids_l.append(_chunk1(b[id_col]).to_numpy(zero_copy_only=False))
@@ -630,6 +629,89 @@ def knn_graph(
         )
 
     return prep.map_batches(topk, batch_format="pyarrow")
+
+
+def _knn_graph_tiled(prep, k, id_col, vec_col, scale, tile_rows: int = 8_192):
+    """Beyond-broadcast kNN graph: the corpus is id-SORTED and re-blocked
+    into ~``tile_rows`` tiles that live in the object store; every row
+    batch walks the column tiles in id order keeping a running per-row
+    top-k (candidates concatenate globally id-ascending, so a STABLE
+    re-sort on dot alone reproduces the broadcast path's dot-desc /
+    id-asc order exactly). Peak task memory: one tile + the (rows x 2k)
+    merge state; no whole-corpus object anywhere."""
+    import ray as _ray
+
+    SMALL = np.iinfo(np.int64).min // 2  # self-edge dot sentinel
+
+    def quantize(t: pa.Table) -> pa.Table:
+        q = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64)
+        packed = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(q).reshape(-1)), q.shape[1]
+        )
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids, "__q": packed})
+
+    n = prep.count()
+    n_blocks = max(1, -(-n // tile_rows))
+    mat = (
+        prep.sort(id_col)  # globally id-ascending tiles
+        .repartition(n_blocks)
+        .map_batches(quantize, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    refs = [
+        ref for bundle in mat.iter_internal_ref_bundles() for ref in bundle.block_refs
+    ]
+
+    def sweep(t: pa.Table, _refs=refs) -> pa.Table:
+        qi = _to_matrix(t["__q"]).astype(np.int64)
+        src = _chunk1(t[id_col]).to_numpy(zero_copy_only=False)
+        rows = len(src)
+        run_dot = np.empty((rows, 0), dtype=np.int64)
+        run_id = np.empty((rows, 0), dtype=np.int64)
+        for ref in _refs:
+            tb = _ray.get(ref)
+            ids_b = _chunk1(tb[id_col]).to_numpy(zero_copy_only=False)
+            Qb = _to_matrix(tb["__q"]).astype(np.int64)
+            D = qi @ Qb.T
+            L = len(ids_b)
+            pos = np.arange(L, dtype=np.int64)
+            # tile-local composite (dot ranks first, smaller id wins ties);
+            # negate BEFORE planting the self sentinel (int64.min wraps)
+            M = -(D * np.int64(2 * L) - pos[None, :])
+            eq = src[:, None] == ids_b[None, :]
+            M[eq] = np.iinfo(np.int64).max
+            kk = min(k, L)
+            part = np.argpartition(M, kk - 1, axis=1)[:, :kk]
+            ordr = np.take_along_axis(M, part, axis=1).argsort(
+                axis=1, kind="stable"
+            )
+            nbr = np.take_along_axis(part, ordr, axis=1)
+            t_dot = np.take_along_axis(D, nbr, axis=1)
+            t_dot[np.take_along_axis(eq, nbr, axis=1)] = SMALL  # self never wins
+            cand_dot = np.concatenate([run_dot, t_dot], axis=1)
+            cand_id = np.concatenate([run_id, ids_b[nbr]], axis=1)
+            # stable sort on dot alone: earlier (smaller-id) candidates win
+            # ties because tiles arrive in global id order
+            sel = np.argsort(-cand_dot, axis=1, kind="stable")[:, :k]
+            run_dot = np.take_along_axis(cand_dot, sel, axis=1)
+            run_id = np.take_along_axis(cand_id, sel, axis=1)
+        kk = run_id.shape[1]
+        keep = (run_dot.reshape(-1) > SMALL)
+        return pa.table(
+            {
+                "src": pa.array(np.repeat(src, kk)[keep]),
+                "rank": pa.array(
+                    np.tile(np.arange(1, kk + 1, dtype=np.int64), rows)[keep]
+                ),
+                "dst": pa.array(run_id.reshape(-1)[keep]),
+                "dot": pa.array(run_dot.reshape(-1)[keep]),
+            }
+        )
+
+    return mat.map_batches(sweep, batch_format="pyarrow")
 
 
 def embedding_norms(

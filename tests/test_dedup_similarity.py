@@ -500,3 +500,27 @@ def test_knn_graph_exact_mips(ray_session):
     assert [d for _, d, _ in got0] == [1, 2, 3]
     assert got0[0][2] == 2_000_000_000_000
     assert got0[1][2] == got0[2][2] == 1_000_000_000_000
+
+
+def test_knn_graph_tiled_matches_broadcast(ray_session):
+    """The beyond-broadcast tiled sweep produces the identical edge set
+    (dots, ranks, tiebreaks) as the broadcast path."""
+    from kgray.similarity import knn_graph
+
+    rng = np.random.RandomState(9)
+    mat = rng.standard_normal((300, 8))
+    mat[120] = mat[7]  # planted exact tie in every third vector's view
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    key = lambda r: (r["src"], r["rank"])
+    base = sorted(knn_graph(ds, k=4).take_all(), key=key)
+    tiled = sorted(
+        knn_graph(ds, k=4, broadcast_limit=0, tile_rows=64).take_all(), key=key
+    )
+    assert base == tiled
+    assert len(base) == 300 * 4
