@@ -1190,6 +1190,18 @@ def q_bfs_distances(sf_dir: str):
     )
 
 
+def q_random_walks(sf_dir: str):
+    """DeepWalk corpus over the canonical KG: 3-step deterministic walks
+    (hash-chosen neighbors, no RNG) from every node with out-edges —
+    broadcast CSR adjacency, zero shuffles per step."""
+    return _table(
+        graphalgo.random_walks(_canonical_int_edges(sf_dir), walk_len=3),
+        schema=pa.schema(
+            [("walk_id", pa.int64()), ("step", pa.int64()), ("node", pa.int64())]
+        ),
+    )
+
+
 def q_degree_histogram(sf_dir: str):
     """Graph-health audit: how many nodes have each total degree —
     node_degrees (per-block degree partials, one keyed reduce) followed by
@@ -2849,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "graph_components": q_graph_components,
         "degree_histogram": q_degree_histogram,
+        "random_walks": q_random_walks,
         "trending_terms": q_trending_terms,
         "contrastive_triplets": q_contrastive_triplets,
         "node_degrees": q_node_degrees,
@@ -3786,6 +3799,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_) AS BIGINT) AS out_deg,
                    CAST(SUM(i_) AS BIGINT) AS in_deg
             FROM degrows GROUP BY 1
+        """,
+        "random_walks": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            e AS (
+              SELECT DISTINCT (s - s % 2) AS src, (o - o % 2) AS dst
+              FROM linked
+            ),
+            adj AS (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY src) AS deg
+              FROM e
+            ),
+            w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e),
+            w1 AS (
+              SELECT w.walk_id, a.dst AS node
+              FROM w0 w JOIN adj a ON a.src = w.node
+               AND a.rn = ((w.node * 2654435761 + 1 * 2654435769)
+                           % 4294967296) % a.deg
+            ),
+            w2 AS (
+              SELECT w.walk_id, a.dst AS node
+              FROM w1 w JOIN adj a ON a.src = w.node
+               AND a.rn = ((w.node * 2654435761 + 2 * 2654435769)
+                           % 4294967296) % a.deg
+            ),
+            w3 AS (
+              SELECT w.walk_id, a.dst AS node
+              FROM w2 w JOIN adj a ON a.src = w.node
+               AND a.rn = ((w.node * 2654435761 + 3 * 2654435769)
+                           % 4294967296) % a.deg
+            )
+            SELECT walk_id, 0 AS step, node FROM w0
+            UNION ALL SELECT walk_id, 1, node FROM w1
+            UNION ALL SELECT walk_id, 2, node FROM w2
+            UNION ALL SELECT walk_id, 3, node FROM w3
         """,
         "degree_histogram": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

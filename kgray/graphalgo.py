@@ -849,3 +849,94 @@ def bfs_distances(
             "dist": pa.array([dist[v] for v in nodes], type=pa.int64()),
         }
     )
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    walk_len: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    adjacency_broadcast_limit: int = 50_000_000,
+) -> ray.data.Dataset:
+    """DeepWalk-style walk corpus, DETERMINISTIC: from every node with
+    out-edges, a ``walk_len``-step walk whose step t moves to neighbor
+    number ``h(v, t) mod outdeg(v)`` in the dst-sorted adjacency — a hash
+    replaces the RNG (the sampling-for-embeddings analog of
+    ``hash_sample``), so the corpus is reproducible at any parallelism
+    and in SQL. Dead ends stop a walk early.
+
+    The dst-sorted DISTINCT adjacency broadcasts as CSR arrays under
+    ``adjacency_broadcast_limit`` edges; every walk then runs vectorized
+    with zero shuffles — step t is one searchsorted + gather. Beyond the
+    limit the same recurrence runs as ``walk_len`` current-node-keyed
+    hash joins (the standard distributed walk plan); the broadcast path
+    raises past the limit rather than degrade silently.
+
+    Emits (walk_id = start node, step 0..walk_len, node).
+    """
+    import ray as _ray
+
+    from .relational import hash_bucketed_groupby
+    from .sampling import KNUTH, MOD32
+
+    _STEP_MIX = 2654435769  # second odd Weyl constant for the step mix
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        df = t.select([src_col, dst_col]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = hash_bucketed_groupby(
+        edges.map_batches(dedup_batch, batch_format="pyarrow"),
+        [src_col, dst_col],
+        lambda df: df.drop_duplicates(),
+        num_buckets=32,
+    ).materialize()
+    if distinct.count() > adjacency_broadcast_limit:
+        raise NotImplementedError(
+            "distributed walk joins not wired; raise adjacency_broadcast_limit"
+        )
+    rows = distinct.take_all()
+    srcs = np.array([r[src_col] for r in rows], dtype=np.int64)
+    dsts = np.array([r[dst_col] for r in rows], dtype=np.int64)
+    order = np.lexsort((dsts, srcs))
+    srcs, dsts = srcs[order], dsts[order]
+    uniq, first = np.unique(srcs, return_index=True)
+    counts = np.diff(np.append(first, len(srcs)))
+    ref = _ray.put(
+        (uniq, first.astype(np.int64), counts.astype(np.int64), dsts)
+    )
+
+    def walk(df) -> pa.Table:
+        u, st, cn, ds_ = _ray.get(ref)
+        start = np.unique(df[src_col].to_numpy(np.int64))
+        parts = [(start, np.zeros(len(start), dtype=np.int64), start)]
+        cur, wid = start, start
+        for step in range(1, walk_len + 1):
+            pos = np.searchsorted(u, cur)
+            posc = np.clip(pos, 0, max(len(u) - 1, 0))
+            has = (pos < len(u)) & (u[posc] == cur)
+            if not has.any():
+                break
+            h = (cur * np.int64(KNUTH) + np.int64(step) * np.int64(_STEP_MIX)) % np.int64(MOD32)
+            idx = st[posc] + (h % np.maximum(cn[posc], 1))
+            nxt = ds_[np.clip(idx, 0, len(ds_) - 1)]
+            cur, wid = nxt[has], wid[has]
+            parts.append((wid, np.full(len(wid), step, dtype=np.int64), cur))
+        return pa.table(
+            {
+                "walk_id": pa.array(np.concatenate([p[0] for p in parts])),
+                "step": pa.array(np.concatenate([p[1] for p in parts])),
+                "node": pa.array(np.concatenate([p[2] for p in parts])),
+            }
+        )
+
+    starts_ds = hash_bucketed_groupby(
+        edges.map_batches(
+            lambda t: pa.table({src_col: _chunked(t[src_col])}),
+            batch_format="pyarrow",
+        ),
+        [src_col],
+        lambda df: df.drop_duplicates(),
+        num_buckets=16,
+    )
+    return starts_ds.map_batches(walk, batch_format="pandas")
