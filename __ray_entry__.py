@@ -1202,6 +1202,38 @@ def q_random_walks(sf_dir: str):
     )
 
 
+def q_skipgram_pairs(sf_dir: str):
+    """(center, context) training pairs within a forward window of 2 over
+    the deterministic walk corpus — the skip-gram extraction step of
+    graph-embedding training. One walk-keyed bucketed self-merge; walks
+    are 4 rows, so each bucket's join is tiny and vectorized."""
+    import pandas as pd
+
+    from kgray.relational import hash_bucketed_groupby
+
+    walks = graphalgo.random_walks(_canonical_int_edges(sf_dir), walk_len=3)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="walk_id", suffixes=("_a", "_b"))
+        m = m[(m["step_b"] - m["step_a"]).between(1, 2)]
+        return pd.DataFrame(
+            {
+                "walk_id": m["walk_id"].to_numpy(np.int64),
+                "center": m["node_a"].to_numpy(np.int64),
+                "context": m["node_b"].to_numpy(np.int64),
+                "offset": (m["step_b"] - m["step_a"]).to_numpy(np.int64),
+            }
+        )
+
+    return _table(
+        hash_bucketed_groupby(walks, ["walk_id"], pairs, num_buckets=16),
+        schema=pa.schema(
+            [("walk_id", pa.int64()), ("center", pa.int64()),
+             ("context", pa.int64()), ("offset", pa.int64())]
+        ),
+    )
+
+
 def q_degree_histogram(sf_dir: str):
     """Graph-health audit: how many nodes have each total degree —
     node_degrees (per-block degree partials, one keyed reduce) followed by
@@ -2862,6 +2894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "degree_histogram": q_degree_histogram,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "trending_terms": q_trending_terms,
         "contrastive_triplets": q_contrastive_triplets,
         "node_degrees": q_node_degrees,
@@ -3013,6 +3046,50 @@ def _ngram_pairs_cte() -> str:
       JOIN counts cb ON cb.doc_id = doc_b
       WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
     )"""
+
+
+def _walks_cte() -> str:
+    """Shared CTE chain (after _SQL_PREFIX + _SQL_LINKED): deterministic
+    3-step hash walks -> walks(walk_id, step, node). Mirrors
+    kgray/graphalgo.py::random_walks exactly."""
+    return """
+            e AS (
+              SELECT DISTINCT (s - s % 2) AS src, (o - o % 2) AS dst
+              FROM linked
+            ),
+            adj AS (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY src) AS deg
+              FROM e
+            ),
+            w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e),
+            w1 AS (
+              SELECT w.walk_id, a.dst AS node
+              FROM w0 w JOIN adj a ON a.src = w.node
+               AND a.rn = ((w.node * 2654435761 + 1 * 2654435769)
+                           % 4294967296) % a.deg
+            ),
+            w2 AS (
+              SELECT w.walk_id, a.dst AS node
+              FROM w1 w JOIN adj a ON a.src = w.node
+               AND a.rn = ((w.node * 2654435761 + 2 * 2654435769)
+                           % 4294967296) % a.deg
+            ),
+            w3 AS (
+              SELECT w.walk_id, a.dst AS node
+              FROM w2 w JOIN adj a ON a.src = w.node
+               AND a.rn = ((w.node * 2654435761 + 3 * 2654435769)
+                           % 4294967296) % a.deg
+            ),
+            walks AS (
+              SELECT walk_id, 0 AS step, node FROM w0
+              UNION ALL SELECT walk_id, 1, node FROM w1
+              UNION ALL SELECT walk_id, 2, node FROM w2
+              UNION ALL SELECT walk_id, 3, node FROM w3
+            )
+    """
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
@@ -3802,40 +3879,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},
-            e AS (
-              SELECT DISTINCT (s - s % 2) AS src, (o - o % 2) AS dst
-              FROM linked
-            ),
-            adj AS (
-              SELECT src, dst,
-                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
-                       AS rn,
-                     COUNT(*) OVER (PARTITION BY src) AS deg
-              FROM e
-            ),
-            w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e),
-            w1 AS (
-              SELECT w.walk_id, a.dst AS node
-              FROM w0 w JOIN adj a ON a.src = w.node
-               AND a.rn = ((w.node * 2654435761 + 1 * 2654435769)
-                           % 4294967296) % a.deg
-            ),
-            w2 AS (
-              SELECT w.walk_id, a.dst AS node
-              FROM w1 w JOIN adj a ON a.src = w.node
-               AND a.rn = ((w.node * 2654435761 + 2 * 2654435769)
-                           % 4294967296) % a.deg
-            ),
-            w3 AS (
-              SELECT w.walk_id, a.dst AS node
-              FROM w2 w JOIN adj a ON a.src = w.node
-               AND a.rn = ((w.node * 2654435761 + 3 * 2654435769)
-                           % 4294967296) % a.deg
-            )
-            SELECT walk_id, 0 AS step, node FROM w0
-            UNION ALL SELECT walk_id, 1, node FROM w1
-            UNION ALL SELECT walk_id, 2, node FROM w2
-            UNION ALL SELECT walk_id, 3, node FROM w3
+            {_walks_cte().strip()}
+            SELECT walk_id, step, node FROM walks
+        """,
+        "skipgram_pairs": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            {_walks_cte().strip()}
+            SELECT a.walk_id, a.node AS center, b.node AS context,
+                   b.step - a.step AS offset
+            FROM walks a JOIN walks b
+              ON a.walk_id = b.walk_id
+             AND b.step - a.step BETWEEN 1 AND 2
         """,
         "degree_histogram": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},
