@@ -99,7 +99,8 @@ def run_bench() -> dict:
             "phrase_tags", "degree_histogram", "trending_terms",
             "contrastive_triplets", "feature_hashing", "normal_equations",
             "percentile_ranks", "zorder_keys", "raw_media_features",
-            "bpe_merges", "knn_graph", "label_spread",
+            "bpe_merges", "knn_graph", "label_spread", "random_walks",
+            "skipgram_pairs",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
