@@ -165,3 +165,68 @@ def test_mode_decomposition_property():
         pd.testing.assert_frame_equal(got, direct)
 
     check()
+
+
+# --- session-7 pure-kernel properties (no Ray session needed) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=50),
+)
+@settings(max_examples=50, deadline=None)
+def test_zorder_key_deinterleaves(xs, ys):
+    """z decodes back to (x, y) exactly — the interleave is a bijection."""
+    import numpy as np
+
+    from kgray.materialize import zorder_key
+
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n], dtype=np.int64)
+    y = np.array(ys[:n], dtype=np.int64)
+    z = zorder_key(x, y)
+    xb = np.zeros(n, dtype=np.int64)
+    yb = np.zeros(n, dtype=np.int64)
+    for i in range(16):
+        xb |= ((z >> (2 * i)) & 1) << i
+        yb |= ((z >> (2 * i + 1)) & 1) << i
+    assert (xb == x).all() and (yb == y).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**34), min_size=1, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_bloom_positions_stable_and_in_range(keys):
+    """Positions are deterministic, in range, and identical to the scalar
+    HUGEINT formula the SQL oracle uses."""
+    import numpy as np
+
+    from kgray.sketch import _BLOOM_MULTS, _bloom_positions
+
+    k = np.array(keys, dtype=np.int64)
+    pos = _bloom_positions(k, 1 << 20)
+    assert pos.shape == (len(keys), 3)
+    assert (pos < (1 << 20)).all()
+    for row, key in zip(pos, keys):
+        for j, a in enumerate(_BLOOM_MULTS):
+            assert int(row[j]) == ((key % 2**32) * a) % 2**32 % (1 << 20)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_rolling_hash_matches_scalar_polynomial(text):
+    """The vectorized UTF-8-buffer hash equals the per-byte scalar
+    polynomial (the definition the HUGEINT SQL mirror unrolls)."""
+    import pyarrow as pa
+
+    from kgray.textops import rolling_hash64
+
+    got = int(rolling_hash64(pa.array([text]))[0])
+    P = 1099511628211
+    want = 0
+    bs = text.encode()
+    for i, byte in enumerate(bs):
+        want = (want + byte * pow(P, len(bs) - 1 - i, 2**64)) % 2**64
+    assert got == want
