@@ -1235,3 +1235,59 @@ def fuzzy_name_pairs(
         return df[pd.Series(keep, index=df.index)]
 
     return hash_bucketed_groupby(cand, [out_a, out_b], verify, num_buckets)
+
+
+def incremental_dedup_store(
+    new_docs: ray.data.Dataset,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Production CDC-for-dedup: deduplicate a NEW document shard against
+    a persisted fingerprint store without ever re-reading the historical
+    corpus — the store holds one 64-bit content fingerprint per document
+    ever accepted, and each delta (1) fingerprints its texts, (2) dedups
+    within itself (lowest id wins), (3) anti-joins the store's key-only
+    fingerprint column (size-routed broadcast vs shuffle, like
+    ``update_graph``), and (4) APPENDS the survivors' fingerprints. At
+    100 TB the store is ~8 bytes/doc of keys — the only state the
+    historical corpus leaves behind. Idempotent: re-applying a delta
+    accepts zero documents.
+
+    Returns {"accepted": Dataset, "n_in", "n_new", "n_dup"} — consume
+    ``accepted`` (also still carrying the fingerprint column) to drive
+    the write.
+    """
+    import glob as _glob
+    import os
+
+    from . import textops
+    from .relational import anti_join
+
+    fp = new_docs.map_batches(
+        lambda t: textops.fingerprint_batch(t, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    fp = exact_dedup(fp, ["fingerprint"], [id_col])
+    n_in = new_docs.count()
+
+    os.makedirs(store_dir, exist_ok=True)
+    have_store = bool(_glob.glob(os.path.join(store_dir, "*.parquet")))
+    if have_store:
+        seen = ray.data.read_parquet(store_dir, columns=["fingerprint"])
+        fresh = fp.materialize()
+        fresh = anti_join(fresh, seen, "fingerprint", "fingerprint")
+    else:
+        fresh = fp
+    fresh = fresh.materialize()
+    n_new = fresh.count()
+    if n_new:
+        fresh.map_batches(
+            lambda t: t.select(["fingerprint"]), batch_format="pyarrow"
+        ).write_parquet(store_dir)
+    return {
+        "accepted": fresh,
+        "n_in": n_in,
+        "n_new": n_new,
+        "n_dup": n_in - n_new,
+    }

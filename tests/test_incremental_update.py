@@ -116,3 +116,39 @@ def test_compact_graph_preserves_content(ray_session, tmp_path):
     assert rep3["partitions_compacted"] >= 1
     assert not os.path.isdir(tmp)
     assert _edge_uids(f"{out}/edges") == edges_before
+
+
+def test_incremental_dedup_store_matches_oneshot(ray_session, tmp_path):
+    """Two deltas through the store == one-shot exact dedup of the union;
+    replaying a delta accepts nothing."""
+    import ray.data as rd
+
+    from kgray.dedup import exact_dedup, incremental_dedup_store
+    from kgray.textops import fingerprint_batch
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    even = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    odd = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+
+    store = str(tmp_path / "fp_store")
+    r1 = incremental_dedup_store(even, store)
+    assert r1["n_new"] > 0 and r1["n_dup"] == r1["n_in"] - r1["n_new"]
+    r2 = incremental_dedup_store(odd, store)
+
+    got = {x["doc_id"] for x in r1["accepted"].take_all()} | {
+        x["doc_id"] for x in r2["accepted"].take_all()
+    }
+    # one-shot reference: first-by-fingerprint, but ordered even-then-odd
+    # like the deltas (within a delta the lowest doc_id wins)
+    fp = docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    ref_rows = fp.select_columns(["doc_id", "fingerprint"]).take_all()
+    seen, want = set(), set()
+    for r in sorted(ref_rows, key=lambda r: (r["doc_id"] % 2, r["doc_id"])):
+        if r["fingerprint"] not in seen:
+            seen.add(r["fingerprint"])
+            want.add(r["doc_id"])
+    assert got == want
+
+    # idempotence: replaying delta 2 accepts zero docs
+    r3 = incremental_dedup_store(odd, store)
+    assert r3["n_new"] == 0 and r3["n_dup"] == r3["n_in"]
