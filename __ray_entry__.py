@@ -1992,6 +1992,19 @@ def q_label_spread(sf_dir: str):
     )
 
 
+def q_int8_quantization(sf_dir: str):
+    """Serving-prep compression: symmetric per-dim int8 quantization in
+    pure integer arithmetic (per-dim max from one d-bounded driver fold;
+    truncation matches SQL's // exactly)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _table(
+        similarity.quantize_int8(emb),
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("pos", pa.int64()), ("q8", pa.int64())]
+        ),
+    )
+
+
 def q_jl_projection(sf_dir: str):
     """Dim reduction before ANN/clustering: sparse JL projection 64 -> 16,
     exact int64 (hash-seeded {-1,0,+1} matrix, identical in the oracle)."""
@@ -2933,6 +2946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection": q_jl_projection,
         "knn_graph": q_knn_graph,
         "label_spread": q_label_spread,
+        "int8_quantization": q_int8_quantization,
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
@@ -4142,6 +4156,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
             GROUP BY 1, 2
+        """,
+        "int8_quantization": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings
+            ), mx AS (
+              SELECT pos, GREATEST(MAX(q), -MIN(q), 1) AS m FROM u GROUP BY 1
+            )
+            SELECT u.vec_id, u.pos, (u.q * 127) // mx.m AS q8
+            FROM u JOIN mx USING (pos)
         """,
         "label_spread": """
             WITH u AS (

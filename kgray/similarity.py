@@ -714,6 +714,58 @@ def _knn_graph_tiled(prep, k, id_col, vec_col, scale, tile_rows: int = 8_192):
     return mat.map_batches(sweep, batch_format="pyarrow")
 
 
+def quantize_int8(
+    embeddings: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Symmetric per-dimension int8 quantization — the serving/ANN-index
+    compression step. Each component maps to trunc(q * 127 / max|q|_dim)
+    in pure integer arithmetic (q = ppm-quantized input, per-dim max from
+    one d-bounded driver fold), so the quantized table is bit-identical
+    across parallelism and in SQL (DuckDB's ``//`` truncates; the numpy
+    arm truncates via abs-floor-sign). Emits (id, pos, q8) rows."""
+    import ray as _ray
+
+    def mpart(t: pa.Table) -> pa.Table:
+        q = np.abs(np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64))
+        return pa.table(
+            {
+                "pos": pa.array(np.arange(1, q.shape[1] + 1, dtype=np.int64)),
+                "m": pa.array(q.max(axis=0) if len(q) else np.zeros(0, np.int64)),
+            }
+        )
+
+    mx: dict = {}
+    for b in embeddings.select_columns([vec_col]).map_batches(
+        mpart, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for p, m in zip(b["pos"].to_pylist(), b["m"].to_pylist()):
+            mx[p] = max(mx.get(p, 1), int(m), 1)
+    d = max(mx) if mx else 0
+    scales = np.array([mx.get(p, 1) for p in range(1, d + 1)], dtype=np.int64)
+    ref = _ray.put(scales)
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        q = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64)
+        q8 = (np.abs(q) * 127 // m[None, :]) * np.sign(q)  # truncation
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        dd = q.shape[1]
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, dd)),
+                "pos": pa.array(np.tile(np.arange(1, dd + 1, dtype=np.int64), len(ids))),
+                "q8": pa.array(q8.reshape(-1)),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        quant, batch_format="pyarrow"
+    )
+
+
 def embedding_norms(
     embeddings: ray.data.Dataset,
     id_col: str = "vec_id",
