@@ -2087,6 +2087,43 @@ def q_zorder_keys(sf_dir: str):
     )
 
 
+def q_recency_scores(sf_dir: str):
+    """Time-decayed engagement per user: each event contributes its cents
+    value halved per day of age (an exact integer bit shift — no float
+    decay), so the score is bit-stable and SQL-mirrorable. Two passes:
+    one tiny max-ts reduce, then per-batch partials into a user-keyed sum."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    max_ts = ev.map_batches(
+        lambda t: pa.table(
+            {"m": [pc.max(t["ts"].cast(pa.int64())).as_py() or 0]}
+        ),
+        batch_format="pyarrow",
+    ).max("m")
+
+    def score(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = np.minimum((max_ts - ts) // (86_400 * 1_000_000), 62).astype(np.int64)
+        v = pc.cast(
+            pc.floor(pc.multiply(_chunk(t["value"]), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "decayed": pa.array(v >> age),
+            }
+        )
+
+    return _table(
+        relational.grouped_agg(
+            ev.map_batches(score, batch_format="pyarrow"),
+            keys=["user_id"], sums={"score_c": "decayed"},
+        ),
+        schema=pa.schema([("user_id", pa.int64()), ("score_c", pa.int64())]),
+    )
+
+
 def q_percentile_ranks(sf_dir: str):
     """Exact percentile-rank normalization of event values (cents): one
     value-cardinality-bounded grouped count -> broadcast prefix table ->
@@ -2947,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "label_spread": q_label_spread,
         "int8_quantization": q_int8_quantization,
+        "recency_scores": q_recency_scores,
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
@@ -4156,6 +4194,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.pos >= a.pos
             GROUP BY 1, 2
+        """,
+        "recency_scores": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     CAST(floor(value * 100) AS BIGINT) AS value_c
+              FROM events
+            ), mx AS (SELECT MAX(ts_us) AS m FROM e)
+            SELECT user_id,
+                   CAST(SUM(value_c // CAST(POWER(2,
+                     LEAST((mx.m - ts_us) // 86400000000, 62)) AS BIGINT))
+                     AS BIGINT) AS score_c
+            FROM e, mx GROUP BY 1
         """,
         "int8_quantization": """
             WITH u AS (
