@@ -2694,6 +2694,49 @@ def q_context_pairs(sf_dir: str):
     return _table(context_pairs(transcripts_dataset(sf_dir), k=2))
 
 
+def q_sft_rendered(sf_dir: str):
+    """Chat-template rendering with loss-mask spans: each (context,
+    target) pair becomes the '<|user|>...<|assistant|>...' training
+    string plus 1-based [loss_start, loss_end] character bounds over the
+    target — the mask a trainer applies so loss covers only the
+    assistant span. Pure Arrow concat/length kernels, shuffle-free after
+    context_pairs' one conv-keyed exchange."""
+    from kgray.transcripts import context_pairs
+
+    cp = context_pairs(transcripts_dataset(sf_dir), k=2)
+
+    def render(t: pa.Table) -> pa.Table:
+        ctx = _chunk(t["context"])
+        tgt = _chunk(t["target"])
+        nl = pa.scalar("\n", pa.string())
+        text = pc.binary_join_element_wise(
+            pa.scalar("<|user|>", pa.string()), ctx,
+            pa.scalar("<|assistant|>", pa.string()), tgt, nl,
+        )
+        loss_start = pc.add(pc.cast(pc.utf8_length(ctx), pa.int64()), 25)
+        loss_end = pc.add(
+            loss_start, pc.subtract(pc.cast(pc.utf8_length(tgt), pa.int64()), 1)
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "text": text,
+                "loss_start": loss_start,
+                "loss_end": loss_end,
+            }
+        )
+
+    return _table(
+        cp.map_batches(render, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int64()),
+             ("text", pa.string()), ("loss_start", pa.int64()),
+             ("loss_end", pa.int64())]
+        ),
+    )
+
+
 def q_dense_windows(sf_dir: str):
     """Time-spine densification: hourly event counts per type INCLUDING
     empty hours as explicit zero rows (sparse aggregate → dense series).
@@ -2985,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_spread": q_label_spread,
         "int8_quantization": q_int8_quantization,
         "recency_scores": q_recency_scores,
+        "sft_rendered": q_sft_rendered,
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
@@ -4821,6 +4865,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value_c), MAX(value_c) FROM e
         """,
         "context_pairs": context_pairs_sql,
+        "sft_rendered": f"""
+            WITH base AS ({context_pairs_sql})
+            SELECT conv_id, turn_idx,
+                   '<|user|>' || chr(10) || context || chr(10)
+                     || '<|assistant|>' || chr(10) || target AS text,
+                   CAST(length(context) + 25 AS BIGINT) AS loss_start,
+                   CAST(length(context) + 24 + length(target) AS BIGINT)
+                     AS loss_end
+            FROM base
+        """,
         "dense_windows": """
             WITH e AS (
               SELECT event_type,
