@@ -2782,6 +2782,34 @@ def q_dense_windows(sf_dir: str):
     )
 
 
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit across the star schema: count of rows
+    whose foreign key has no parent — each check is one key-only
+    size-routed anti-join (the snapshot_diff machinery), so the audit
+    moves key columns, never row payloads."""
+    from kgray.relational import anti_join
+
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    names, counts = [], []
+    for name, child, ck, parent, pk in checks:
+        c = rd.read_parquet(f"{sf_dir}/{child}.parquet", columns=[ck])
+        p = rd.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
+        names.append(name)
+        counts.append(anti_join(c, p, ck, pk).count())
+    return pa.table(
+        {
+            "relationship": pa.array(names, type=pa.string()),
+            "n_violations": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
 def q_dq_profile(sf_dir: str):
     """One-pass data-quality profile of the event stream (n / nulls /
     lexicographic min-max per column, string-compared in both arms)."""
@@ -3029,6 +3057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "int8_quantization": q_int8_quantization,
         "recency_scores": q_recency_scores,
         "sft_rendered": q_sft_rendered,
+        "fk_violations": q_fk_violations,
         "doc_rarity": q_doc_rarity,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
@@ -4865,6 +4894,33 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value_c), MAX(value_c) FROM e
         """,
         "context_pairs": context_pairs_sql,
+        "fk_violations": """
+            SELECT 'orders.o_custkey->customer' AS relationship,
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+                     AS n_violations
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders',
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   (SELECT COUNT(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   (SELECT COUNT(*) FROM supplier s
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = s.s_nationkey))
+            UNION ALL
+            SELECT 'nation.n_regionkey->region',
+                   (SELECT COUNT(*) FROM nation n
+                    WHERE NOT EXISTS (SELECT 1 FROM region r
+                                      WHERE r.r_regionkey = n.n_regionkey))
+        """,
         "sft_rendered": f"""
             WITH base AS ({context_pairs_sql})
             SELECT conv_id, turn_idx,
