@@ -1242,6 +1242,7 @@ def incremental_dedup_store(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_commit: bool = False,
 ) -> dict:
     """Production CDC-for-dedup: deduplicate a NEW document shard against
     a persisted fingerprint store without ever re-reading the historical
@@ -1249,17 +1250,31 @@ def incremental_dedup_store(
     ever accepted, and each delta (1) fingerprints its texts, (2) dedups
     within itself (lowest id wins), (3) anti-joins the store's key-only
     fingerprint column (size-routed broadcast vs shuffle, like
-    ``update_graph``), and (4) APPENDS the survivors' fingerprints. At
+    ``update_graph``), and (4) STAGES the survivors' fingerprints. At
     100 TB the store is ~8 bytes/doc of keys — the only state the
-    historical corpus leaves behind. Idempotent: re-applying a delta
-    accepts zero documents.
+    historical corpus leaves behind.
 
-    Returns {"accepted": Dataset, "n_in", "n_new", "n_dup"} — consume
-    ``accepted`` (also still carrying the fingerprint column) to drive
-    the write.
+    **Ordering requirement**: the store append is a second phase. The
+    survivors' fingerprints are written to a staging dir inside the
+    store, and only ``result["commit"]()`` promotes them. Call it AFTER
+    the downstream corpus write of ``accepted`` has durably succeeded —
+    committing first means a crash before that write makes the
+    re-applied delta anti-join those docs away (silently dropped), which
+    is exactly the failure idempotent replay must protect against. A
+    crash before commit leaves an orphan staging dir that the next run
+    sweeps (single-writer store assumed). ``auto_commit=True`` restores
+    the old commit-immediately behavior for callers whose consumption of
+    ``accepted`` IS the materialize (tests, pure counting).
+
+    Returns {"accepted": Dataset, "n_in", "n_new", "n_dup", "commit"} —
+    consume ``accepted`` (still carrying the fingerprint column) to
+    drive the write, then call ``commit()`` (idempotent, returns the
+    number of fingerprint files promoted).
     """
     import glob as _glob
     import os
+    import shutil as _shutil
+    import uuid as _uuid
 
     from . import textops
     from .relational import anti_join
@@ -1272,6 +1287,10 @@ def incremental_dedup_store(
     n_in = new_docs.count()
 
     os.makedirs(store_dir, exist_ok=True)
+    # sweep staging dirs orphaned by a pre-commit crash: never committed,
+    # so their fingerprints were never observable by an anti-join
+    for stale in _glob.glob(os.path.join(store_dir, ".staging_*")):
+        _shutil.rmtree(stale, ignore_errors=True)
     have_store = bool(_glob.glob(os.path.join(store_dir, "*.parquet")))
     if have_store:
         seen = ray.data.read_parquet(store_dir, columns=["fingerprint"])
@@ -1281,13 +1300,29 @@ def incremental_dedup_store(
         fresh = fp
     fresh = fresh.materialize()
     n_new = fresh.count()
+
+    staging = os.path.join(store_dir, f".staging_{_uuid.uuid4().hex}")
     if n_new:
         fresh.map_batches(
             lambda t: t.select(["fingerprint"]), batch_format="pyarrow"
-        ).write_parquet(store_dir)
+        ).write_parquet(staging)
+
+    def commit() -> int:
+        if not os.path.isdir(staging):  # nothing staged / already promoted
+            return 0
+        moved = 0
+        for p in sorted(_glob.glob(os.path.join(staging, "*.parquet"))):
+            os.replace(p, os.path.join(store_dir, os.path.basename(p)))
+            moved += 1
+        _shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
+    if auto_commit:
+        commit()
     return {
         "accepted": fresh,
         "n_in": n_in,
         "n_new": n_new,
         "n_dup": n_in - n_new,
+        "commit": commit,
     }

@@ -526,14 +526,43 @@ def compact_graph(
                 yield dirpath
 
     def _commit(part: str, tmp: str) -> int:
+        # Re-entrant: a crash can land between any two steps below and a
+        # re-run must converge.  Two rules make that safe: (1) never unlink
+        # a file whose basename is in the staged set — after a partial
+        # commit those very files sit in ``part`` and ARE the data; (2) a
+        # staged file missing from tmp was already moved, so require it to
+        # exist at the destination instead of replacing.
         with open(os.path.join(tmp, "_COMMIT")) as f:
-            staged = json.load(f)["files"]
+            staged = set(json.load(f)["files"])
         for old in _glob.glob(os.path.join(part, "*.parquet")):
-            os.unlink(old)
+            if os.path.basename(old) not in staged:
+                os.unlink(old)
         for name in staged:
-            os.replace(os.path.join(tmp, name), os.path.join(part, name))
+            src, dst = os.path.join(tmp, name), os.path.join(part, name)
+            if os.path.exists(src):
+                os.replace(src, dst)
+            elif not os.path.exists(dst):
+                raise RuntimeError(
+                    f"compact commit lost staged file {name!r} in {part}: "
+                    "missing from both tmp and partition"
+                )
         _shutil.rmtree(tmp)
         return len(staged)
+
+    def _write_marker(tmp: str, staged: list, n_rows: int) -> None:
+        # fsync marker + its dir so recovery can trust: readable marker ->
+        # staging finished before any unlink; torn/absent marker -> the
+        # commit phase provably never started and tmp is discardable.
+        path = os.path.join(tmp, "_COMMIT")
+        with open(path, "w") as f:
+            json.dump({"files": staged, "rows": n_rows}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        dfd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     report = {"partitions_compacted": 0, "files_before": 0, "files_after": 0,
               "partitions_skipped": 0, "rows": 0}
@@ -543,7 +572,17 @@ def compact_graph(
         for part in _partition_dirs(root):
             tmp = os.path.join(part, ".compact_tmp")
             if os.path.isdir(tmp):
-                if os.path.exists(os.path.join(tmp, "_COMMIT")):
+                marker = os.path.join(tmp, "_COMMIT")
+                staged_meta = None
+                if os.path.exists(marker):
+                    try:
+                        with open(marker) as f:
+                            staged_meta = json.load(f)
+                    except (json.JSONDecodeError, ValueError):
+                        # torn marker: it is fsynced before any unlink, so
+                        # an unreadable one proves the commit never started
+                        staged_meta = None
+                if staged_meta is not None:
                     n_after = _commit(part, tmp)  # finish interrupted commit
                     report["partitions_compacted"] += 1
                     report["files_after"] += n_after
@@ -564,8 +603,7 @@ def compact_graph(
             ds.repartition(want).write_parquet(tmp)
             staged = sorted(os.path.basename(p)
                             for p in _glob.glob(os.path.join(tmp, "*.parquet")))
-            with open(os.path.join(tmp, "_COMMIT"), "w") as f:
-                json.dump({"files": staged, "rows": n_rows}, f)
+            _write_marker(tmp, staged, n_rows)
             report["partitions_compacted"] += 1
             report["files_before"] += len(files)
             report["files_after"] += _commit(part, tmp)

@@ -39,6 +39,55 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _check_dot_bound(a: np.ndarray, b: np.ndarray) -> int:
+    """Guard the exact int64 matmul ``a @ b.T``: the worst-case |dot| is
+    dim * max|a| * max|b| (quantized entries). Returns the bound; raises
+    when it exceeds int64, where the matmul would wrap silently."""
+    if a.size == 0 or b.size == 0:
+        return 0
+    bound = int(np.abs(a).max()) * int(np.abs(b).max()) * a.shape[1]
+    if bound > _I64_MAX:
+        raise ValueError(
+            "quantized dot product can overflow int64 "
+            f"(bound {bound:.3e}); lower `scale` or pre-normalize the "
+            "embedding column"
+        )
+    return bound
+
+
+def _topk_dot_id(D: np.ndarray, kk: int, exclude=None) -> np.ndarray:
+    """Per-row top-``kk`` column indices of the exact int64 dot matrix
+    ``D``, ranked dot-DESC with smaller column index (== smaller id when
+    columns are id-sorted) breaking ties; ``exclude`` cells never win.
+
+    Fast path packs both keys into one int64 (``D*2L - idx``) for an
+    O(L) argpartition — but that product can overflow near large L/|D|
+    (advice r2), so it only runs when ``max|D| * 2L + L`` provably fits;
+    otherwise a stable full argsort on the (safe) negated dots gives the
+    identical order: stability preserves the ascending column index
+    among equal dots."""
+    L = D.shape[1]
+    m = int(np.abs(D).max()) if D.size else 0
+    if m <= (_I64_MAX - L) // max(1, 2 * L):
+        idx = np.arange(L, dtype=np.int64)
+        M = -(D * np.int64(2 * L) - idx[None, :])
+        if exclude is not None:
+            M[exclude] = _I64_MAX
+        part = np.argpartition(M, kk - 1, axis=1)[:, :kk]
+        ordr = np.take_along_axis(M, part, axis=1).argsort(
+            axis=1, kind="stable"
+        )
+        return np.take_along_axis(part, ordr, axis=1)
+    # |D| <= int64 max is guaranteed by _check_dot_bound, so -D is safe
+    neg = -D  # fresh array; mutating it below never touches D
+    if exclude is not None:
+        neg[exclude] = _I64_MAX
+    return np.argsort(neg, axis=1, kind="stable")[:, :kk]
+
+
 class _PartialTopK:
     """Task stage (cached per worker): local cosine top-k of each batch
     against the broadcast query matrix (``q_ref`` = ``ray.put`` ref; a local
@@ -575,12 +624,12 @@ def knn_graph(
 
     Corpus <= ``broadcast_limit``: the quantized matrix ships once via the
     object store and every batch does one (batch x corpus) int64 matmul +
-    a composite-key argpartition (dot * 2n - neighbor_index encodes the
-    tiebreak, so the per-row top-k is one vectorized partition, no Python
-    loop). Beyond the limit the same per-row top-k is mergeable across
-    column tiles — the ``_cosine_pairs_tiled`` block grid with a per-row
-    k-merge — wired when a corpus that size shows up; the broadcast route
-    raises past the limit rather than silently degrading.
+    a guarded top-k (packed composite-key argpartition when it provably
+    fits int64, stable argsort fallback otherwise — see ``_topk_dot_id``).
+    Beyond the limit, ``_knn_graph_tiled`` runs the same per-row top-k as
+    a mergeable column-tile sweep (the ``_cosine_pairs_tiled`` block grid
+    with a per-row k-merge), bit-identical to the broadcast path
+    (parity-tested in tests/test_dedup_similarity.py).
     """
     import ray as _ray
 
@@ -601,19 +650,14 @@ def knn_graph(
         ids_c, Qc = _ray.get(ref)
         qi = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64)
         src = _chunk1(t[id_col]).to_numpy(zero_copy_only=False)
+        _check_dot_bound(qi, Qc)
         D = qi @ Qc.T  # exact int64 (batch x corpus)
-        # composite key: dot ranks first, smaller neighbor INDEX (== id,
-        # ids are sorted) breaks ties; self excluded via -inf key
-        idx = np.arange(len(ids_c), dtype=np.int64)
-        # negate BEFORE planting the self sentinel: -int64.min wraps back
-        # to int64.min and would rank self first
-        M = -(D * np.int64(2 * len(ids_c)) - idx[None, :])
-        self_pos = np.searchsorted(ids_c, src)
-        M[np.arange(len(src)), self_pos] = np.iinfo(np.int64).max
+        # self excluded via the exclude mask; ids are sorted so column
+        # index order == id order for the tiebreak
+        excl = np.zeros_like(D, dtype=bool)
+        excl[np.arange(len(src)), np.searchsorted(ids_c, src)] = True
         kk = min(k, len(ids_c) - 1)
-        part = np.argpartition(M, kk - 1, axis=1)[:, :kk]
-        ordr = np.take_along_axis(M, part, axis=1).argsort(axis=1, kind="stable")
-        nbr = np.take_along_axis(part, ordr, axis=1)
+        nbr = _topk_dot_id(D, kk, exclude=excl)
         rows = np.repeat(src, kk)
         return pa.table(
             {
@@ -675,20 +719,14 @@ def _knn_graph_tiled(prep, k, id_col, vec_col, scale, tile_rows: int = 8_192):
             tb = _ray.get(ref)
             ids_b = _chunk1(tb[id_col]).to_numpy(zero_copy_only=False)
             Qb = _to_matrix(tb["__q"]).astype(np.int64)
+            _check_dot_bound(qi, Qb)
             D = qi @ Qb.T
             L = len(ids_b)
-            pos = np.arange(L, dtype=np.int64)
-            # tile-local composite (dot ranks first, smaller id wins ties);
-            # negate BEFORE planting the self sentinel (int64.min wraps)
-            M = -(D * np.int64(2 * L) - pos[None, :])
             eq = src[:, None] == ids_b[None, :]
-            M[eq] = np.iinfo(np.int64).max
             kk = min(k, L)
-            part = np.argpartition(M, kk - 1, axis=1)[:, :kk]
-            ordr = np.take_along_axis(M, part, axis=1).argsort(
-                axis=1, kind="stable"
-            )
-            nbr = np.take_along_axis(part, ordr, axis=1)
+            # tile-local top-k: dot ranks first, smaller id wins ties
+            # (columns are id-sorted); self excluded via the mask
+            nbr = _topk_dot_id(D, kk, exclude=eq)
             t_dot = np.take_along_axis(D, nbr, axis=1)
             t_dot[np.take_along_axis(eq, nbr, axis=1)] = SMALL  # self never wins
             cand_dot = np.concatenate([run_dot, t_dot], axis=1)

@@ -116,8 +116,14 @@ def quarantine(
                 pc.fill_null(reasons, ""), pc.fill_null(r, ""), ","
             )
         bad = t.filter(pc.invert(ok))
+        # collapse interior runs too: a valid middle column leaves an empty
+        # segment ("null:c1,,null:c3"), not just leading/trailing commas
         why = pc.replace_substring_regex(
-            reasons.filter(pc.invert(ok)) if len(bad) else pa.array([], pa.string()),
+            pc.replace_substring_regex(
+                reasons.filter(pc.invert(ok))
+                if len(bad) else pa.array([], pa.string()),
+                ",{2,}", ",",
+            ),
             "^,+|,+$", "",
         )
         return bad.append_column("reason", why)

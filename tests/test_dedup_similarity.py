@@ -524,3 +524,64 @@ def test_knn_graph_tiled_matches_broadcast(ray_session):
     )
     assert base == tiled
     assert len(base) == 300 * 4
+
+
+def test_topk_dot_id_overflow_fallback():
+    """The packed composite key D*2L-idx overflows int64 when
+    max|D| * 2L exceeds int64 range (advice r2); _topk_dot_id must route
+    such matrices through the stable-argsort fallback and keep the exact
+    dot-desc / smaller-index-tie order of the packed path."""
+    from kgray.similarity import _I64_MAX, _topk_dot_id
+
+    rng = np.random.RandomState(3)
+    # small-dot matrix: both branches valid -> force fallback by scaling
+    D_small = rng.randint(-(10**6), 10**6, size=(17, 41)).astype(np.int64)
+    want = _topk_dot_id(D_small, 5)
+    # scale so max|D|*2L no longer fits int64 but |D| itself still does
+    L = D_small.shape[1]
+    f = _I64_MAX // (int(np.abs(D_small).max()) * L)  # > threshold factor
+    D_big = D_small * np.int64(f)
+    assert int(np.abs(D_big).max()) > (_I64_MAX - L) // (2 * L)
+    got = _topk_dot_id(D_big, 5)
+    # scaling by a positive constant preserves order except where ties are
+    # CREATED by rounding — f is exact here (int multiply), so no new ties
+    assert np.array_equal(want, got)
+
+    # exclude mask respected on both branches
+    excl = np.zeros_like(D_small, dtype=bool)
+    excl[:, 0] = True
+    for D in (D_small, D_big):
+        nbr = _topk_dot_id(D, 5, exclude=excl)
+        assert not (nbr == 0).any()
+
+
+def test_knn_graph_large_dot_magnitude(ray_session):
+    """End-to-end knn_graph on vectors whose quantized dots are near the
+    packed-key overflow regime: results must match a numpy brute-force
+    reference instead of silently wrapping."""
+    from kgray.similarity import knn_graph
+
+    rng = np.random.RandomState(11)
+    # components ~2.0 at dim 64: |dot| up to ~2.6e14; with n=40 the packed
+    # key fits, so ALSO force the tiled path at a tile size where it fits —
+    # the guard itself is exercised by the unit test above; here we pin
+    # correctness of the guarded code path end-to-end
+    mat = rng.uniform(-2.0, 2.0, size=(40, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    q = np.round(mat * 1_000_000).astype(np.int64)
+    D = q @ q.T
+    neg = -D
+    np.fill_diagonal(neg, np.iinfo(np.int64).max)  # self ranks last
+    got = {}
+    for r in knn_graph(ds, k=3).take_all():
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"], r["dot"]))
+    for src in range(40):
+        order = np.lexsort((np.arange(40), neg[src]))[:3]
+        want = [(i + 1, int(j), int(D[src, j])) for i, j in enumerate(order)]
+        assert sorted(got[src]) == want

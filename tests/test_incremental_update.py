@@ -117,6 +117,53 @@ def test_compact_graph_preserves_content(ray_session, tmp_path):
     assert not os.path.isdir(tmp)
     assert _edge_uids(f"{out}/edges") == edges_before
 
+    # crash recovery, mid-commit: the process died AFTER unlinking the old
+    # files and moving part of the staged set in (part holds staged file A,
+    # tmp still holds staged file B + _COMMIT).  Recovery must NOT treat A
+    # as an old file to unlink — that is the data-loss path — and must move
+    # B in to finish.
+    part_files = sorted(
+        f for f in os.listdir(part) if f.endswith(".parquet")
+    )
+    assert part_files, "partition should hold parquet after compaction"
+    whole = pq.ParquetDataset(
+        [os.path.join(part, f) for f in part_files]
+    ).read()
+    os.makedirs(tmp)
+    # rename every current file to a staged name; move the first "staged"
+    # file into part (simulating a completed replace), keep the rest in tmp
+    staged2 = []
+    for i, f in enumerate(part_files):
+        name = f"staged_{i}.parquet"
+        staged2.append(name)
+        src = os.path.join(part, f)
+        if i == 0:
+            os.replace(src, os.path.join(part, name))  # already moved in
+        else:
+            os.replace(src, os.path.join(tmp, name))  # still staged
+    with open(os.path.join(tmp, "_COMMIT"), "w") as fh:
+        json.dump({"files": staged2, "rows": -1}, fh)
+    compact_graph(out, target_rows_per_file=1 << 20)
+    assert not os.path.isdir(tmp)
+    after = pq.ParquetDataset(
+        [os.path.join(part, f) for f in sorted(os.listdir(part))
+         if f.endswith(".parquet")]
+    ).read()
+    assert after.num_rows == whole.num_rows
+    assert _edge_uids(f"{out}/edges") == edges_before
+
+    # torn marker: an unreadable _COMMIT proves the commit never started
+    # (the marker is fsynced before any unlink), so tmp is discarded and
+    # the old files are the truth.
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    with open(os.path.join(tmp, "_COMMIT"), "w") as fh:
+        fh.write('{"files": ["junk.parq')  # truncated mid-write
+    compact_graph(out, target_rows_per_file=1 << 20)
+    assert not os.path.isdir(tmp)
+    assert _edge_uids(f"{out}/edges") == edges_before
+
 
 def test_incremental_dedup_store_matches_oneshot(ray_session, tmp_path):
     """Two deltas through the store == one-shot exact dedup of the union;
@@ -133,9 +180,18 @@ def test_incremental_dedup_store_matches_oneshot(ray_session, tmp_path):
     store = str(tmp_path / "fp_store")
     r1 = incremental_dedup_store(even, store)
     assert r1["n_new"] > 0 and r1["n_dup"] == r1["n_in"] - r1["n_new"]
+    # two-phase: fingerprints are staged until the caller commits — the
+    # accepted docs must NOT be anti-joined away before commit
+    r1_replay = incremental_dedup_store(even, store)
+    assert r1_replay["n_new"] == r1["n_new"], (
+        "pre-commit crash replay must re-accept the delta, not drop it"
+    )
+    assert r1_replay["commit"]() > 0
+    assert r1_replay["commit"]() == 0  # commit is idempotent
     r2 = incremental_dedup_store(odd, store)
+    r2["commit"]()
 
-    got = {x["doc_id"] for x in r1["accepted"].take_all()} | {
+    got = {x["doc_id"] for x in r1_replay["accepted"].take_all()} | {
         x["doc_id"] for x in r2["accepted"].take_all()
     }
     # one-shot reference: first-by-fingerprint, but ordered even-then-odd

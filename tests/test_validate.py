@@ -87,3 +87,30 @@ def test_quarantine_splits_and_writes_reasons(ray_session, tmp_path):
     assert why[20] == "null:id"
     assert why[30] == "null:key"
     assert why[40] == "null:id,null:key"
+
+
+def test_quarantine_reason_interior_gap(ray_session, tmp_path):
+    """A valid MIDDLE column must not leave an empty reason segment:
+    null c1, valid c2, null c3 -> 'null:c1,null:c3' (advice r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from kgray.validate import quarantine
+
+    tbl = pa.table(
+        {
+            "c1": pa.array([None, 1], type=pa.int64()),
+            "c2": pa.array(["ok", "ok"], type=pa.string()),
+            "c3": pa.array([None, 3.0], type=pa.float64()),
+            "v": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    out = str(tmp_path / "quar")
+    good, rep = quarantine(
+        rd.from_arrow(tbl), ["c1", "c2", "c3"], out
+    )
+    assert rep["quarantined"] == 1
+    bad = pq.ParquetDataset(out).read().to_pylist()
+    assert bad[0]["reason"] == "null:c1,null:c3"
