@@ -851,6 +851,20 @@ def bfs_distances(
     )
 
 
+_STEP_MIX = 2654435769  # second odd Weyl constant for the walk-step mix
+
+
+def _walk_step_hash(node: np.ndarray, step: int) -> np.ndarray:
+    """The walk recurrence's per-(node, step) hash — shared by the
+    broadcast-CSR and distributed-join paths so they are bit-identical."""
+    from .sampling import KNUTH, MOD32
+
+    return (
+        node.astype(np.int64) * np.int64(KNUTH)
+        + np.int64(step) * np.int64(_STEP_MIX)
+    ) % np.int64(MOD32)
+
+
 def random_walks(
     edges: ray.data.Dataset,
     walk_len: int = 3,
@@ -868,22 +882,26 @@ def random_walks(
     The dst-sorted DISTINCT adjacency broadcasts as CSR arrays under
     ``adjacency_broadcast_limit`` edges; every walk then runs vectorized
     with zero shuffles — step t is one searchsorted + gather. Beyond the
-    limit the same recurrence runs as ``walk_len`` current-node-keyed
-    hash joins (the standard distributed walk plan); the broadcast path
-    raises past the limit rather than degrade silently.
+    limit ``_random_walks_joined`` runs the identical recurrence as
+    ``walk_len`` current-node-keyed hash joins against per-step
+    transition tables (the standard distributed walk plan) — the chosen
+    neighbor depends only on (node, step), so each step's transition is
+    a per-ROW filter of the ranked adjacency, and the only per-step
+    shuffle is one node-sized hash join. Parity-tested against the
+    broadcast path (tests/test_graphalgo.py).
 
     Emits (walk_id = start node, step 0..walk_len, node).
     """
     import ray as _ray
 
     from .relational import hash_bucketed_groupby
-    from .sampling import KNUTH, MOD32
-
-    _STEP_MIX = 2654435769  # second odd Weyl constant for the step mix
 
     def dedup_batch(t: pa.Table) -> pa.Table:
-        df = t.select([src_col, dst_col]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # arrow-native per-batch distinct (a group_by over the two key
+        # columns with no aggregates) — no pandas round-trip
+        return t.select([src_col, dst_col]).group_by(
+            [src_col, dst_col]
+        ).aggregate([])
 
     distinct = hash_bucketed_groupby(
         edges.map_batches(dedup_batch, batch_format="pyarrow"),
@@ -892,12 +910,13 @@ def random_walks(
         num_buckets=32,
     ).materialize()
     if distinct.count() > adjacency_broadcast_limit:
-        raise NotImplementedError(
-            "distributed walk joins not wired; raise adjacency_broadcast_limit"
-        )
-    rows = distinct.take_all()
-    srcs = np.array([r[src_col] for r in rows], dtype=np.int64)
-    dsts = np.array([r[dst_col] for r in rows], dtype=np.int64)
+        return _random_walks_joined(distinct, walk_len, src_col, dst_col)
+    srcs_l, dsts_l = [], []
+    for b in distinct.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        srcs_l.append(_chunked(b[src_col]).to_numpy(zero_copy_only=False))
+        dsts_l.append(_chunked(b[dst_col]).to_numpy(zero_copy_only=False))
+    srcs = np.concatenate(srcs_l).astype(np.int64, copy=False)
+    dsts = np.concatenate(dsts_l).astype(np.int64, copy=False)
     order = np.lexsort((dsts, srcs))
     srcs, dsts = srcs[order], dsts[order]
     uniq, first = np.unique(srcs, return_index=True)
@@ -917,7 +936,7 @@ def random_walks(
             has = (pos < len(u)) & (u[posc] == cur)
             if not has.any():
                 break
-            h = (cur * np.int64(KNUTH) + np.int64(step) * np.int64(_STEP_MIX)) % np.int64(MOD32)
+            h = _walk_step_hash(cur, step)
             idx = st[posc] + (h % np.maximum(cn[posc], 1))
             nxt = ds_[np.clip(idx, 0, len(ds_) - 1)]
             cur, wid = nxt[has], wid[has]
@@ -940,3 +959,105 @@ def random_walks(
         num_buckets=16,
     )
     return starts_ds.map_batches(walk, batch_format="pandas")
+
+
+def _random_walks_joined(
+    distinct: ray.data.Dataset,
+    walk_len: int,
+    src_col: str,
+    dst_col: str,
+) -> ray.data.Dataset:
+    """Beyond-broadcast walk plan over a DISTINCT (src, dst) edge stream.
+
+    Key fact: the deterministic recurrence picks neighbor
+    ``h(node, step) mod outdeg(node)`` — the transition depends only on
+    (node, step), never on the walk. So each step t has a TRANSITION
+    TABLE: exactly one (src -> dst) row per src, selected from the
+    dst-ranked adjacency by a per-row predicate
+    ``rank == h(src, t) mod outdeg`` (no grouping at apply time). The
+    distributed plan is then:
+
+    1. ONE bucketed shuffle ranks the adjacency per src (rank, outdeg);
+    2. per step: a zero-shuffle vectorized filter derives the transition
+       table, and one node-sized hash join advances the walk frontier
+       (dead ends — srcs absent from the adjacency — drop out of the
+       inner join, ending those walks exactly like the CSR path).
+
+    Peak state is one (walk_id, node) row per live walk; nothing
+    corpus-sized ever lands on the driver.
+    """
+    from .relational import hash_bucketed_groupby, shuffle_join
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([src_col, dst_col], kind="mergesort")
+        grp = df.groupby(src_col, sort=False)
+        out = pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(np.int64),
+                "dst": df[dst_col].to_numpy(np.int64),
+                "rank": grp.cumcount().to_numpy(np.int64),
+                "outdeg": grp[dst_col].transform("size").to_numpy(np.int64),
+            }
+        )
+        return out
+
+    adj = hash_bucketed_groupby(
+        distinct, [src_col], rank_group, num_buckets=64
+    ).materialize()
+
+    def transition(step: int):
+        def pick(t: pa.Table) -> pa.Table:
+            s = _chunked(t["src"]).to_numpy(zero_copy_only=False)
+            r = _chunked(t["rank"]).to_numpy(zero_copy_only=False)
+            d = _chunked(t["outdeg"]).to_numpy(zero_copy_only=False)
+            keep = (_walk_step_hash(s, step) % d) == r
+            return pa.table(
+                {
+                    "src": pa.array(s[keep]),
+                    "__next": _chunked(t["dst"]).filter(pa.array(keep)),
+                }
+            )
+
+        return adj.map_batches(pick, batch_format="pyarrow")
+
+    def starts_batch(t: pa.Table) -> pa.Table:
+        s = _chunked(t["src"])
+        return pa.table(
+            {"walk_id": s,
+             "step": pa.array(np.zeros(len(s), dtype=np.int64)),
+             "node": s}
+        )
+
+    # step 0: every node with out-edges starts a walk at itself
+    state = adj.map_batches(
+        lambda t: t.filter(pc.equal(_chunked(t["rank"]), 0)).select(["src"]),
+        batch_format="pyarrow",
+    ).map_batches(starts_batch, batch_format="pyarrow").materialize()
+    emitted = [state]
+
+    for step in range(1, walk_len + 1):
+        cur = state.map_batches(
+            lambda t: pa.table(
+                {"walk_id": _chunked(t["walk_id"]), "cur": _chunked(t["node"])}
+            ),
+            batch_format="pyarrow",
+        )
+        nxt = shuffle_join(cur, transition(step), on=("cur",), right_on=("src",))
+        state = nxt.map_batches(
+            lambda t, _s=step: pa.table(
+                {
+                    "walk_id": _chunked(t["walk_id"]),
+                    "step": pa.array(np.full(len(t), _s, dtype=np.int64)),
+                    "node": _chunked(t["__next"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if state.count() == 0:
+            break
+        emitted.append(state)
+
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.union(e)
+    return out

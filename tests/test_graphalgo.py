@@ -213,3 +213,38 @@ def test_bfs_distances_hand_checked(ray_session):
     out1 = graphalgo.bfs_distances(rd.from_arrow(t), source=0, max_hops=1)
     got1 = dict(zip(out1["node_id"].to_pylist(), out1["dist"].to_pylist()))
     assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_random_walks_joined_matches_broadcast(ray_session):
+    """The beyond-broadcast walk plan (per-step transition-table filter +
+    node-keyed hash join, forced via adjacency_broadcast_limit=0) must
+    reproduce the broadcast-CSR walk corpus bit-for-bit — including dead
+    ends (walks that stop early), duplicate input edges (de-duplicated
+    before ranking), and skewed out-degrees."""
+    rng = np.random.RandomState(17)
+    n_edges = 600
+    src = rng.randint(0, 50, n_edges)
+    dst = rng.randint(0, 80, n_edges)  # ids 50..79 are dead ends
+    # plant duplicates: repeat a third of the edges verbatim
+    src = np.concatenate([src, src[:200]])
+    dst = np.concatenate([dst, dst[:200]])
+    t = pa.table(
+        {"src": pa.array(src, type=pa.int64()),
+         "dst": pa.array(dst, type=pa.int64())}
+    )
+    ds = rd.from_arrow(t).repartition(6)
+
+    key = lambda r: (r["walk_id"], r["step"])
+    base = sorted(graphalgo.random_walks(ds, walk_len=4).take_all(), key=key)
+    joined = sorted(
+        graphalgo.random_walks(
+            ds, walk_len=4, adjacency_broadcast_limit=0
+        ).take_all(),
+        key=key,
+    )
+    assert base == joined
+    assert len(base) > 50  # non-trivial corpus
+    # every start node (distinct src) opens a step-0 row
+    assert {r["walk_id"] for r in base if r["step"] == 0} == set(
+        np.unique(src).tolist()
+    )
