@@ -289,7 +289,12 @@ def q_dup_name_audit(sf_dir: str):
 
 
 def q_point_lookup(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    # predicate pushed into the scan: row groups whose c_custkey stats
+    # exclude 42 never leave storage (the oracle is SELECT *, so all
+    # columns stay; the residual filter keeps exactness within a group)
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", filter=(pc.field("c_custkey") == 42)
+    )
     return _table(relational.point_lookup(ds, "c_custkey", 42))
 
 
@@ -1963,8 +1968,11 @@ def q_knn_graph(sf_dir: str):
 
 def q_label_spread(sf_dir: str):
     """Weak supervision: each vector takes the majority label of its top-3
-    exact-MIPS neighbors (ties -> most-frequent then smallest label) — one
-    neighbor join against the broadcast label map, then a keyed top-1."""
+    exact-MIPS neighbors (ties -> most-frequent then smallest label) — the
+    neighbor labels attach via the SIZE-ROUTED broadcast_lookup_join
+    (broadcast under the limit, hash-shuffle join beyond — the label map
+    scales with the corpus and must never be an unbounded driver object),
+    then a keyed top-1."""
     from kgray.relational import top_k_per_group
 
     emb = rd.read_parquet(
@@ -1973,30 +1981,19 @@ def q_label_spread(sf_dir: str):
     edges = similarity.knn_graph(
         emb.select_columns(["vec_id", "embedding"]), k=3
     )
-    labels = {
-        r["vec_id"]: r["label"]
-        for r in emb.select_columns(["vec_id", "label"]).take_all()
-    }
-    import ray as _ray
-
-    lref = _ray.put(labels)
-
-    def attach(t: pa.Table) -> pa.Table:
-        m = _ray.get(lref)
-        dst = _chunk(t["dst"]).to_numpy(zero_copy_only=False)
-        enc = pc.dictionary_encode(pa.array(dst))
-        lab = np.array([m[d] for d in enc.dictionary.to_pylist()], dtype=np.int64)
-        return pa.table(
-            {
-                "src": t["src"],
-                "nbr_label": pa.array(
-                    lab[enc.indices.to_numpy(zero_copy_only=False)]
-                ),
-            }
-        )
-
+    attached = relational.broadcast_lookup_join(
+        edges.select_columns(["src", "dst"]),
+        emb.select_columns(["vec_id", "label"]),
+        fact_key="dst", dim_key="vec_id", take_cols=["label"], how="inner",
+    )
     votes = relational.grouped_agg(
-        edges.map_batches(attach, batch_format="pyarrow"),
+        attached.map_batches(
+            lambda t: pa.table(
+                {"src": _chunk(t["src"]),
+                 "nbr_label": pc.cast(_chunk(t["label"]), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
         keys=["src", "nbr_label"], count_alias="n",
     )
     top = top_k_per_group(

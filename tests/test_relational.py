@@ -271,3 +271,39 @@ def test_bloom_prefilter_sound_and_selective(ray_session):
     for b in dist.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
         kept_dist.update(b["k"].to_pylist())
     assert kept_dist == kept
+
+
+def test_percentile_rank_joined_matches_broadcast(ray_session):
+    """The beyond-cap distributed percentile path (value-range prefix sum
+    + hash join, forced via cardinality_cap=0) must be bit-identical to
+    the driver-fold broadcast path on a skewed multiset — and must keep
+    every other column intact."""
+    import numpy as np
+
+    import ray.data as rd
+
+    rng = np.random.RandomState(41)
+    vals = np.concatenate(
+        [
+            rng.randint(-500, 4000, 5000),     # dense ties
+            rng.randint(10**9, 10**9 + 10**6, 3000),  # far sparse band
+            np.full(200, 7),                   # hot value
+        ]
+    ).astype(np.int64)
+    ids = np.arange(len(vals), dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "x": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(7)
+
+    base = {
+        r["id"]: r["pct_ppm"]
+        for r in relational.percentile_rank(ds, "x").take_all()
+    }
+    joined = relational.percentile_rank(ds, "x", cardinality_cap=0).take_all()
+    assert {r["id"]: r["pct_ppm"] for r in joined} == base
+    assert set(joined[0].keys()) == {"id", "x", "pct_ppm"}
+
+    # spot-check the definition on the hot value: floor(1e6 * below / n)
+    below = int((vals < 7).sum())
+    want = 1_000_000 * below // len(vals)
+    hot_ids = set(ids[vals == 7].tolist())
+    assert all(base[i] == want for i in hot_ids)
