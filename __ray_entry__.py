@@ -1107,6 +1107,12 @@ def q_corpus_clean(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs at threshold 0.8 — hash-checked against
+    the exact-Jaccard full pair join in SQL: the emitted pairs are
+    exact-verified, so the only possible divergence is LSH recall, and on
+    these fixtures recall is exactly 1 (verified at sf0.001/0.01/0.1; the
+    nearest kept pair sits at jaccard 0.82 where the 16x4 banding's miss
+    probability is ~7e-5, and the hash family is deterministic)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return _table(
         dedup.minhash_lsh_pairs(docs, threshold=0.8, shingle_k=2, max_bucket=50)
@@ -1462,9 +1468,11 @@ def q_event_pairs(sf_dir: str):
 
 
 def q_pack_sequences(sf_dir: str):
-    """Token-budget sequence packing for training windows (rows-only:
-    next-fit carries running state — not SQL-expressible; invariants are
-    pytest-enforced in tests/test_packing.py)."""
+    """Token-budget sequence packing for training windows — hash-checked:
+    the next-fit recurrence is mirrored exactly by a DuckDB recursive CTE
+    (one recursion level per within-group doc rank), so the full
+    (doc, group, pack, pos, offset) assignment is value-compared;
+    invariants are additionally pytest-enforced in tests/test_packing.py."""
     from kgray import packing
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1936,11 +1944,60 @@ def q_embedding_covariance(sf_dir: str):
 
 def q_bpe_merges(sf_dir: str):
     """Tokenizer training: the first 8 BPE merges learned from the corpus
-    (rows-only: iterative argmax isn't SQL-expressible; the merge order is
-    deterministic — ties break lexicographically — and pinned by a classic
-    worked example in tests)."""
+    — hash-checked: the merge loop is mirrored exactly by 8 unrolled
+    DuckDB CTE blocks over a wrapped-symbol string encoding (SQL
+    ``replace`` is left-to-right non-overlapping, same as the symbol
+    scan; ties break lexicographically in both). Also pinned by the
+    classic Sennrich worked example in tests."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return textops.train_bpe(docs, n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB mirror of textops.train_bpe: words -> wrapped-symbol
+    strings ('\\x1f' never occurs in the corpus, so '\\x1fa\\x1f\\x1fb\\x1f'
+    uniquely encodes the adjacent pair (a, b)); each unrolled block
+    counts adjacent pairs, picks (max n, lexicographically smallest
+    pair) and applies the merge via non-overlapping replace. CTEs are
+    MATERIALIZED: the chain references each state twice (pair count +
+    merge apply), which would otherwise re-evaluate exponentially."""
+    US = chr(31)
+    parts = [f"""WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IS NOT NULL AND w <> '' GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT w, freq,
+         '{US}' || array_to_string(regexp_split_to_array(w, ''), '{US}{US}') || '{US}' AS s
+  FROM words
+)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n FROM (
+    SELECT freq, sym AS a,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
+    FROM (
+      SELECT w, freq,
+             unnest(string_split(trim(s, '{US}'), '{US}{US}')) AS sym,
+             CAST(generate_subscripts(string_split(trim(s, '{US}'), '{US}{US}'), 1) AS BIGINT) AS pos
+      FROM s{p}
+    )
+  ) WHERE b IS NOT NULL GROUP BY a, b
+), b{i} AS MATERIALIZED (
+  SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1
+), s{i} AS MATERIALIZED (
+  SELECT w, freq,
+         replace(s,
+                 '{US}' || (SELECT a FROM b{i}) || '{US}{US}' || (SELECT b FROM b{i}) || '{US}',
+                 '{US}' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '{US}') AS s
+  FROM s{p}
+)""")
+    finals = [
+        f'SELECT {i} AS rank, a AS "left", b AS "right", n FROM b{i}'
+        for i in range(1, n_merges + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals) + "\nORDER BY rank"
 
 
 def q_pca_projection(sf_dir: str):
@@ -4518,6 +4575,71 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS z
             FROM b, UNNEST(generate_series(0, 15)) s(i)
             GROUP BY 1
+        """,
+        "bpe_merges": _bpe_oracle_sql(8),
+        "minhash_pairs": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       w || chr(31) ||
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+                FROM w
+              ) WHERE gram IS NOT NULL
+            ), c AS (
+              SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard,
+                   false AS truncated
+            FROM inter
+            JOIN c ca ON ca.doc_id = doc_a
+            JOIN c cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE tok AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     (doc_id * 2654435761) % 4294967296 % 8 AS grp
+              FROM documents
+            ), ordered AS (
+              SELECT doc_id, n_tokens, grp,
+                     row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+              FROM tok
+            ), scan AS (
+              -- next-fit recurrence, one recursion level per doc rank:
+              -- used > 0 allows an oversized doc to open its own pack
+              SELECT grp, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS pack,
+                     CAST(0 AS BIGINT) AS off,
+                     n_tokens AS used
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+                     CASE WHEN s.used > 0 AND s.used + d.n_tokens > 512
+                          THEN s.pack + 1 ELSE s.pack END,
+                     CASE WHEN s.used > 0 AND s.used + d.n_tokens > 512
+                          THEN 0 ELSE s.used END,
+                     CASE WHEN s.used > 0 AND s.used + d.n_tokens > 512
+                          THEN d.n_tokens ELSE s.used + d.n_tokens END
+              FROM scan s JOIN ordered d ON d.grp = s.grp AND d.rn = s.rn + 1
+            )
+            SELECT doc_id, n_tokens, grp AS "group",
+                   grp * 1099511627776 + pack AS pack_id,
+                   CAST(row_number() OVER (PARTITION BY grp, pack
+                                           ORDER BY doc_id) - 1
+                        AS BIGINT) AS pack_pos,
+                   off AS "offset"
+            FROM scan
         """,
         "percentile_ranks": """
             WITH b AS (
