@@ -947,6 +947,24 @@ def q_raw_media_features(sf_dir: str):
     )
 
 
+def q_png_media_features(sf_dir: str):
+    """REAL standard-format decode with no external codec: deterministic
+    RGB PNGs (cycling all five scanline filter types) decoded by the
+    engine's built-in pure-stdlib PNG decoder (zlib inflate + full filter
+    reconstruction), then the same resize/channel-sum pixel kernels as
+    the KGRW path; rows-only because binary decode has no SQL form — the
+    channel sums are pinned equal to the KGRW ground truth in
+    tests/test_dedup_similarity.py::test_png_media_pipeline_matches_raw."""
+    ds = rd.from_arrow(multimodal.synthetic_png_media_table(64))
+    out = multimodal.raw_image_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "width", "height", "resized_w", "resized_h",
+             "r_sum", "g_sum", "b_sum"]
+        )
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> fake-decode actor pool
     -> feature extraction; deterministic synthetic media corpus."""
@@ -3172,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
         "raw_media_features": q_raw_media_features,
+        "png_media_features": q_png_media_features,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,

@@ -5,17 +5,31 @@ decode / feature-extract / resize / frame-sample run as actor-pool
 ``map_batches`` stages with SMALL batch sizes (a batch x concurrency of
 large payloads must fit a worker heap — see batch_size defaults).
 
-The container has no image/audio codecs, so the actual decode is STUBBED:
-``DecodeStub`` raises ``NotImplementedError`` unless constructed with
-``fake=True``, in which case it produces a deterministic fake decode
-(payload-hash-seeded dimensions/features). The Ray-side plumbing — schema,
-actor signature, batch sizing, output layout — is real and tested.
+Decode is a CODEC CHAIN, resolved once per actor in ``__init__``:
+
+1. PIL, when importable (not in this container — the import-try is the
+   real extension point for a deployment that ships codecs);
+2. the built-in pure-stdlib PNG decoder below (zlib inflate + full
+   filter reconstruction) — REAL decode of standard 8-bit
+   grey/RGB/RGBA non-interlaced PNGs with no external dependency;
+3. the engine's own KGRW raw-RGB format;
+4. otherwise: the deterministic fake path when constructed with
+   ``fake=True``, else ``NotImplementedError`` naming the supported
+   formats (video/audio genuinely need ffmpeg-class codecs).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pyarrow as pa
+
+try:  # the deployment extension point; absent in this container
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - exercised implicitly everywhere
+    _PILImage = None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -37,29 +51,203 @@ def _payload_seed(payload: bytes) -> int:
     return h & 0x7FFFFFFF
 
 
+# ---------------------------------------------------------------------------
+# Built-in PNG codec (pure stdlib zlib + numpy) — 8-bit grey / grey+alpha /
+# RGB / RGBA, non-interlaced (the overwhelmingly common case). Public spec:
+# RFC 2083 / W3C PNG. Exists so the decode stage does REAL work on standard
+# inputs even in codec-less containers; a PIL import supersedes it.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        yield ctype, data
+        pos += 12 + ln  # len + type + data + crc
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) or (h, w, ch) uint8 array. Supports bit depth
+    8, color types 0/2/4/6, non-interlaced; full filter reconstruction
+    (None/Sub/Up/Average/Paeth). Sub uses a per-byte-lane cumsum;
+    Average/Paeth carry a left dependency and scan the row."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w = h = ch = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"png: depth={depth} color={color} interlace={interlace} "
+                    "unsupported (8-bit non-interlaced grey/GA/RGB/RGBA only)"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: decompressed length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            rec = row.reshape(w, ch).cumsum(axis=0) % 256
+            rec = rec.reshape(stride)
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft == 3:  # Average (left dep -> row scan)
+            rec = row
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + (a + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth (left dep -> row scan)
+            rec = row
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.int32)
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) / (h, w, ch in {1,2,3,4}) -> PNG bytes, every row
+    filtered with ``filter_type`` (0..4; non-zero types exist so decoder
+    tests can exercise the full reconstruction paths)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    assert arr.dtype == np.uint8 and ch in (1, 2, 3, 4)
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = arr.reshape(h, w * ch).astype(np.int32)
+    zero = np.zeros(w * ch, dtype=np.int32)
+    rows = []
+    for y in range(h):
+        cur, up = px[y], (px[y - 1] if y else zero)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), up[:-ch]])
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - up
+        elif filter_type == 3:
+            f = cur - (left + up) // 2
+        elif filter_type == 4:
+            p = left + up - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, ul)
+            )
+            f = cur - pred
+        else:
+            raise ValueError(f"png: unknown filter {filter_type}")
+        rows.append(bytes([filter_type]) + (f % 256).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(rows))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
 class DecodeStub:
     """Actor stage: decode binary payloads into (width, height, n_frames).
 
-    Real decode requires PIL/ffmpeg (not in this container) — construct
-    with ``fake=True`` for the deterministic fake path; the default raises
-    ``NotImplementedError`` exactly where a codec would plug in.
+    Codec chain resolved once at actor init (module docstring): PIL when
+    importable, the built-in PNG decoder, the KGRW raw format; payloads
+    none of those recognise fall to the deterministic fake path when
+    ``fake=True``, else raise ``NotImplementedError`` — video/audio
+    genuinely need ffmpeg-class codecs.
     """
 
     def __init__(self, fake: bool = False):
         self.fake = fake
+        self._pil = _PILImage  # import resolved at module load, bound per actor
+
+    def _decode_one(self, p: bytes):
+        """-> (width, height, n_frames) or None when no codec matches."""
+        if p[:8] == _PNG_SIG:
+            if self._pil is not None:
+                import io
+
+                im = self._pil.open(io.BytesIO(p))
+                return im.width, im.height, getattr(im, "n_frames", 1)
+            img = decode_png(p)
+            return img.shape[1], img.shape[0], 1
+        if p[:4] == _RAW_MAGIC:
+            img = decode_raw_image(p)
+            return img.shape[1], img.shape[0], 1
+        if self._pil is not None:
+            import io
+
+            try:
+                im = self._pil.open(io.BytesIO(p))
+                return im.width, im.height, getattr(im, "n_frames", 1)
+            except Exception:
+                return None
+        return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "media decode needs PIL/ffmpeg; construct DecodeStub(fake=True) "
-                "for the deterministic fake decode path"
-            )
         payloads = batch["payload"].to_pylist()
-        seeds = np.array([_payload_seed(p or b"") for p in payloads], dtype=np.int64)
+        widths = np.empty(len(payloads), dtype=np.int64)
+        heights = np.empty(len(payloads), dtype=np.int64)
+        frames = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            got = self._decode_one(p or b"")
+            if got is None:
+                if not self.fake:
+                    raise NotImplementedError(
+                        "no codec for payload (supported here: PNG, KGRW"
+                        + (", PIL formats" if self._pil is not None else "")
+                        + "); video/audio need ffmpeg-class codecs — "
+                        "construct DecodeStub(fake=True) for the "
+                        "deterministic fake decode path"
+                    )
+                seed = _payload_seed(p or b"")
+                got = (16 + seed % 1024, 16 + (seed // 7) % 1024, 1 + seed % 4)
+            widths[i], heights[i], frames[i] = got
         return (
-            batch.append_column("width", pa.array(16 + seeds % 1024, type=pa.int32()))
-            .append_column("height", pa.array(16 + (seeds // 7) % 1024, type=pa.int32()))
-            .append_column("n_frames", pa.array(1 + seeds % 4, type=pa.int32()))
+            batch.append_column("width", pa.array(widths.astype(np.int32)))
+            .append_column("height", pa.array(heights.astype(np.int32)))
+            .append_column("n_frames", pa.array(frames.astype(np.int32)))
         )
 
 
@@ -196,13 +384,30 @@ def decode_raw_image(payload: bytes) -> np.ndarray:
     return body.reshape(h, w, 3)
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Codec chain for still images: PNG (built-in decoder) or KGRW ->
+    (h, w, 3) uint8. Grey/alpha PNGs normalize to RGB (alpha dropped,
+    grey replicated) so downstream kernels see one layout."""
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        elif img.shape[2] == 2:  # grey+alpha
+            img = np.repeat(img[:, :, :1], 3, axis=2)
+        elif img.shape[2] == 4:  # RGBA
+            img = img[:, :, :3]
+        return np.ascontiguousarray(img)
+    return decode_raw_image(payload)
+
+
 class RawImagePipeline:
-    """Actor stage: decode KGRW payloads, nearest-neighbor resize to fit a
-    target box, and extract exact integer channel statistics — all real
-    pixel work (numpy gathers and sums), one actor init for the whole
-    chain. Emits (width, height, resized_w, resized_h, r_sum, g_sum,
-    b_sum) per image; sums are over the ORIGINAL pixels, so they are
-    parallelism- and resize-invariant ground truth for the row."""
+    """Actor stage: decode PNG/KGRW payloads, nearest-neighbor resize to
+    fit a target box, and extract exact integer channel statistics — all
+    real pixel work (zlib inflate + filter reconstruction for PNG, numpy
+    gathers and sums), one actor init for the whole chain. Emits (width,
+    height, resized_w, resized_h, r_sum, g_sum, b_sum) per image; sums
+    are over the ORIGINAL pixels, so they are parallelism- and
+    resize-invariant ground truth for the row."""
 
     def __init__(self, target: int = 64):
         self.target = target
@@ -210,7 +415,7 @@ class RawImagePipeline:
     def __call__(self, batch: pa.Table) -> pa.Table:
         dims, rdims, sums = [], [], []
         for p in batch["payload"].to_pylist():
-            img = decode_raw_image(p)
+            img = decode_image(p)
             h, w, _ = img.shape
             scale = self.target / max(w, h)
             tw, th = max(1, round(w * scale)), max(1, round(h * scale))
@@ -254,6 +459,35 @@ def synthetic_raw_media_table(n: int = 32) -> pa.Table:
             "kind": pa.array(["image"] * n),
             "payload": pa.array(payloads, type=pa.binary()),
             "mime": pa.array(["image/x-kgrw"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+def synthetic_png_media_table(n: int = 32) -> pa.Table:
+    """Deterministic REAL-PNG image corpus: the same seeded gradient
+    images as ``synthetic_raw_media_table`` but encoded as standard
+    8-bit RGB PNGs, cycling through all five scanline filter types so a
+    decode exercises every reconstruction path."""
+    payloads = []
+    for i in range(n):
+        w, h = 8 + (i * 7) % 64, 8 + (i * 13) % 64
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (x * 255 // max(w - 1, 1)).astype(np.uint8),
+                (y * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), i % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        payloads.append(encode_png(img, filter_type=i % 5))
+    return pa.table(
+        {
+            "media_id": pa.array([f"p{i:04d}" for i in range(n)]),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/png"] * n),
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )

@@ -585,3 +585,64 @@ def test_knn_graph_large_dot_magnitude(ray_session):
         order = np.lexsort((np.arange(40), neg[src]))[:3]
         want = [(i + 1, int(j), int(D[src, j])) for i, j in enumerate(order)]
         assert sorted(got[src]) == want
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png/decode_png roundtrip bit-exactly for every scanline
+    filter type and every channel layout (grey/GA/RGB/RGBA)."""
+    rng = np.random.RandomState(77)
+    shapes = [(9, 13), (9, 13, 2), (9, 13, 3), (9, 13, 4)]
+    for shape in shapes:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for ft in range(5):
+            payload = multimodal.encode_png(img, filter_type=ft)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            back = multimodal.decode_png(payload)
+            assert back.shape == img.shape and back.dtype == np.uint8
+            assert np.array_equal(back, img), (shape, ft)
+
+
+def test_png_decoder_rejects_unsupported():
+    img16 = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = multimodal.encode_png(img16)
+    # corrupt the IHDR bit depth to 16 -> NotImplementedError, not garbage
+    import struct, zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    bad = good[:8] + chunk + good[8 + 12 + 13:]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(bad)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"nonsense")
+
+
+def test_png_media_pipeline_matches_raw(ray_session):
+    """The REAL PNG decode path: identical gradient images encoded as
+    PNG (cycling all filter types) and as KGRW must produce identical
+    channel sums and dimensions through the same actor pipeline — and
+    DecodeStub must report real dimensions for PNG without fake mode."""
+    png = multimodal.synthetic_png_media_table(15)
+    raw = multimodal.synthetic_raw_media_table(15)
+    key = lambda r: r["media_id"][1:]  # strip the p/r prefix
+    a = sorted(
+        multimodal.raw_image_features(ray.data.from_arrow(png)).take_all(), key=key
+    )
+    b = sorted(
+        multimodal.raw_image_features(ray.data.from_arrow(raw)).take_all(), key=key
+    )
+    for ra, rb in zip(a, b):
+        for c in ("width", "height", "resized_w", "resized_h",
+                  "r_sum", "g_sum", "b_sum"):
+            assert ra[c] == rb[c], c
+
+    decoded = multimodal.decode_media(
+        ray.data.from_arrow(png), fake=False
+    ).take_all()
+    want = {f"p{i:04d}": (8 + (i * 7) % 64, 8 + (i * 13) % 64) for i in range(15)}
+    for r in decoded:
+        assert (r["width"], r["height"]) == want[r["media_id"]]
+        assert r["n_frames"] == 1
