@@ -1227,7 +1227,9 @@ def _walk_corpus(sf_dir: str):
     (sf_dir, Ray session) and shared by random_walks / skipgram_pairs —
     the adjacency-distinct shuffle + CSR build is the expensive half of
     both queries and is identical between them (judge r2 item 1)."""
-    sess = ray.get_runtime_context().gcs_address if ray.is_initialized() else None
+    import ray as _ray
+
+    sess = _ray.get_runtime_context().gcs_address if _ray.is_initialized() else None
     key = (sf_dir, sess)
     ds = _WALK_CORPUS_CACHE.get(key)
     if ds is None:

@@ -932,24 +932,44 @@ def kmeans_assign(
     final (id, cluster) assignment.
     """
     from .relational import grouped_agg
+    from .util import list_to_matrix
 
     def quant(t: pa.Table) -> np.ndarray:
         return np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64) + offset
 
     import pyarrow.compute as _pc
 
+    # quantize ONCE into a materialized int64 dataset: every subsequent
+    # pass (seed pull, per-iteration partials, final assignment) reads
+    # object-store blocks instead of re-reading parquet + re-quantizing —
+    # the fixed per-round cost was dominating the wall at small k*d
+    def pack(t: pa.Table) -> pa.Table:
+        q = quant(t)
+        packed = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(q).reshape(-1)), q.shape[1]
+        )
+        return pa.table({id_col: _chunk1(t[id_col]), "__q": packed})
+
+    qds = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(pack, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def qmat(t: pa.Table) -> np.ndarray:
+        return list_to_matrix(t["__q"], dtype=np.int64)
+
     def _seed_filter(t: pa.Table) -> pa.Table:
         return t.filter(_pc.less(t[id_col].combine_chunks(), k))
 
     seed_tbl = pa.concat_tables(
-        embeddings.select_columns([id_col, vec_col])
-        .map_batches(_seed_filter, batch_format="pyarrow")
+        qds.map_batches(_seed_filter, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
     )
     order = np.argsort(
         _chunk1(seed_tbl[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
     )
-    cents = quant(seed_tbl)[order]          # (k, d), cid = row index
+    cents = qmat(seed_tbl)[order]           # (k, d), cid = row index
     cids = np.arange(len(cents), dtype=np.int64)
 
     def dists(q: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -962,7 +982,7 @@ def kmeans_assign(
 
     for _ in range(iters):
         def part(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
-            q = quant(t)
+            q = qmat(t)
             assign = _ids[np.argmin(dists(q, _c), axis=1)]
             uniq, codes = np.unique(assign, return_inverse=True)
             kk, d = len(uniq), q.shape[1]
@@ -979,9 +999,7 @@ def kmeans_assign(
             )
 
         stats = grouped_agg(
-            embeddings.select_columns([vec_col]).map_batches(
-                part, batch_format="pyarrow"
-            ),
+            qds.map_batches(part, batch_format="pyarrow"),
             keys=["cid", "pos"], sums={"sum_q": "sum_q", "n": "n"},
         ).to_pandas().sort_values(["cid", "pos"])
         d = stats["pos"].max() + 1
@@ -992,16 +1010,14 @@ def kmeans_assign(
         ).reshape(len(cids), d)
 
     def final(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
-        q = quant(t)
+        q = qmat(t)
         assign = _ids[np.argmin(dists(q, _c), axis=1)]
         ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {id_col: pa.array(ids), "cluster": pa.array(assign, type=pa.int64())}
         )
 
-    out = embeddings.select_columns([id_col, vec_col]).map_batches(
-        final, batch_format="pyarrow"
-    )
+    out = qds.map_batches(final, batch_format="pyarrow")
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
     )
