@@ -803,15 +803,18 @@ def bfs_distances(
     set is broadcast (``ray.put``) and every batch emits the unique
     successors of frontier rows (``pc.is_in`` + filter + unique) — no
     shuffle at any hop. The visited map lives on the driver and is
-    node-VOCABULARY sized; ``frontier_limit`` guards the assumption (past
-    it, a semi-join frontier would be the scale path — not needed while
-    canonical entity vocabularies are dimension-sized, which the linker
-    guarantees by construction).
+    node-VOCABULARY sized; past ``frontier_limit`` the SAME expansion
+    re-runs as ``_bfs_distances_joined`` — a per-hop semi-join frontier
+    with a distributed visited set (parity-tested bit-for-bit) — so a
+    graph whose reachable set outgrows the driver degrades to the scale
+    path instead of failing.
 
     The source row is always emitted with dist 0, reachable or not (the
     SQL mirror seeds its recursion the same way).
     """
     edges = edges_ds.select_columns([src, dst]).materialize()
+    if frontier_limit <= 1:  # forced scale path (tests / tiny budgets)
+        return _bfs_distances_joined(edges, source, max_hops, src, dst)
     dist: dict[int, int] = {int(source): 0}
     frontier = [int(source)]
 
@@ -835,10 +838,13 @@ def bfs_distances(
         if not frontier:
             break
         if len(dist) + len(frontier) > frontier_limit:
-            raise ValueError(
-                f"bfs_distances visited set would exceed frontier_limit="
-                f"{frontier_limit}; use a join-based frontier for this graph"
+            # restart distributed rather than die: one wasted prefix, but
+            # the violation is discovered at most once per graph
+            logger.warning(
+                "bfs visited set passed frontier_limit=%d at hop %d; "
+                "restarting with the join-based frontier", frontier_limit, d,
             )
+            return _bfs_distances_joined(edges, source, max_hops, src, dst)
         for v in frontier:
             dist[v] = d
 
@@ -849,6 +855,62 @@ def bfs_distances(
             "dist": pa.array([dist[v] for v in nodes], type=pa.int64()),
         }
     )
+
+
+def _bfs_distances_joined(
+    edges: ray.data.Dataset,
+    source: int,
+    max_hops: int,
+    src: str,
+    dst: str,
+) -> pa.Table:
+    """Beyond-broadcast BFS: frontier and visited set are DATASETS.
+    Per hop: semi-join the edge stream on the frontier (bloom-prefiltered
+    marker join — the edge stream is never collected), bucketed-distinct
+    the successors, anti-join against the visited set, tag with the hop
+    distance and union into it. Bit-identical to the broadcast path
+    (tests/test_graphalgo.py)."""
+    from .relational import anti_join, hash_bucketed_groupby, semi_join
+
+    seed = pa.table(
+        {
+            "node_id": pa.array([int(source)], type=pa.int64()),
+            "dist": pa.array([0], type=pa.int64()),
+        }
+    )
+    visited = ray.data.from_arrow(seed).materialize()
+    frontier = ray.data.from_arrow(seed.select(["node_id"])).materialize()
+
+    for d in range(1, max_hops + 1):
+        succ = semi_join(edges, frontier, on=src, right_on="node_id")
+        succ = succ.map_batches(
+            lambda t: pa.table(
+                {"node_id": pc.cast(_chunked(t[dst]), pa.int64()).unique()}
+            ),
+            batch_format="pyarrow",
+        )
+        succ = hash_bucketed_groupby(
+            succ, ["node_id"], lambda df: df.drop_duplicates(), num_buckets=16
+        )
+        fresh = anti_join(succ, visited, "node_id", "node_id").materialize()
+        if fresh.count() == 0:
+            break
+        tagged = fresh.map_batches(
+            lambda t, _d=d: pa.table(
+                {
+                    "node_id": _chunked(t["node_id"]),
+                    "dist": pa.array(np.full(len(t), _d, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        visited = visited.union(tagged).materialize()
+        frontier = fresh
+
+    tbl = pa.concat_tables(
+        visited.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    )
+    return tbl.sort_by([("node_id", "ascending")])
 
 
 _STEP_MIX = 2654435769  # second odd Weyl constant for the walk-step mix

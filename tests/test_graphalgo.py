@@ -248,3 +248,42 @@ def test_random_walks_joined_matches_broadcast(ray_session):
     assert {r["walk_id"] for r in base if r["step"] == 0} == set(
         np.unique(src).tolist()
     )
+
+
+def test_bfs_joined_matches_broadcast(ray_session):
+    """The join-based BFS frontier (forced via frontier_limit=0) must
+    reproduce the broadcast path bit-for-bit: same hand-checked chain,
+    and identical tables on a random multigraph at several max_hops."""
+    t = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 3, 0, 9], type=pa.int64()),
+            "dst": pa.array([1, 2, 3, 4, 3, 9], type=pa.int64()),
+        }
+    )
+    out = graphalgo.bfs_distances(
+        rd.from_arrow(t), source=0, max_hops=3, frontier_limit=0
+    )
+    got = dict(zip(out["node_id"].to_pylist(), out["dist"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    rng = np.random.RandomState(31)
+    big = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 70, 500), type=pa.int64()),
+            "dst": pa.array(rng.randint(0, 90, 500), type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(big).repartition(5)
+    for hops in (1, 2, 4):
+        base = graphalgo.bfs_distances(ds, source=3, max_hops=hops)
+        joined = graphalgo.bfs_distances(
+            ds, source=3, max_hops=hops, frontier_limit=0
+        )
+        assert base.equals(joined), hops
+
+    # unreachable source still emits its dist-0 row on the joined path
+    lonely = graphalgo.bfs_distances(
+        rd.from_arrow(t), source=77, max_hops=2, frontier_limit=0
+    )
+    assert lonely["node_id"].to_pylist() == [77]
+    assert lonely["dist"].to_pylist() == [0]
