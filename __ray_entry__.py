@@ -2153,6 +2153,81 @@ def q_doc_rarity(sf_dir: str):
     return _table(textops.doc_rarity(docs))
 
 
+def q_bigram_lm(sf_dir: str):
+    """Model-free bigram-LM fluency score: each bigram occurrence
+    contributes the floored ppm conditional frequency P(w2|w1) over the
+    corpus; documents score the floored mean — exact int64, so the SQL
+    join/window mirror hash-matches."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        textops.bigram_lm_scores(docs),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+             ("lm_score_ppm", pa.int64())]
+        ),
+    )
+
+
+def q_boilerplate_turns(sf_dir: str):
+    """Transcript hygiene: a turn whose exact text recurs in >= 5 distinct
+    conversations is boilerplate (canned openers/closers); emit per-conv
+    turn counts and the boilerplate ratio in ppm — the strip-list a
+    transcript-curation pass feeds from. One (text, conv) dedup shuffle
+    for the distinct-conv counts, a size-routed flag join back onto the
+    turn stream, one conv-keyed reduce."""
+    from kgray.relational import (
+        broadcast_lookup_join, distinct_count_per_group, grouped_agg,
+    )
+
+    ds = transcripts_dataset(sf_dir)
+    counts = distinct_count_per_group(
+        ds.select_columns(["text", "conv_id"]), "text", "conv_id"
+    )
+    boiler = counts.map_batches(
+        lambda t: pa.table(
+            {
+                "text": _chunk(t["text"]),
+                "is_boiler": pc.cast(
+                    pc.greater_equal(_chunk(t["n_distinct"]), 5), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    flagged = broadcast_lookup_join(
+        ds.select_columns(["conv_id", "text"]), boiler, "text", "text",
+        ["is_boiler"], how="inner",
+    )
+    per_conv = grouped_agg(
+        flagged.map_batches(
+            lambda df: df.assign(n_turns=1)[["conv_id", "n_turns", "is_boiler"]],
+            batch_format="pandas",
+        ),
+        keys=["conv_id"],
+        sums={"n_turns": "n_turns", "n_boiler": "is_boiler"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = _chunk(t["n_turns"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = _chunk(t["n_boiler"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": _chunk(t["conv_id"]),
+                "n_turns": pa.array(nt),
+                "n_boiler": pa.array(nb),
+                "boiler_ppm": pa.array((1_000_000 * nb) // nt),
+            }
+        )
+
+    return _table(
+        per_conv.map_batches(finish, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("conv_id", pa.string()), ("n_turns", pa.int64()),
+             ("n_boiler", pa.int64()), ("boiler_ppm", pa.int64())]
+        ),
+    )
+
+
 def q_zorder_keys(sf_dir: str):
     """Storage-layout op: Morton keys interleaving (custkey, price-bucket)
     so one sort clusters BOTH dimensions for range pruning — the key
@@ -3155,6 +3230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_rendered": q_sft_rendered,
         "fk_violations": q_fk_violations,
         "doc_rarity": q_doc_rarity,
+        "bigram_lm": q_bigram_lm,
+        "boilerplate_turns": q_boilerplate_turns,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
         "normal_equations": q_normal_equations,
@@ -4578,6 +4655,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, rarity_sum,
                    rarity_sum // n_tokens AS rarity_avg
             FROM agg
+        """,
+        "bigram_lm": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), b AS (
+              SELECT doc_id, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM w
+            ), bg AS (
+              SELECT doc_id, w1, w1 || chr(31) || w2 AS g
+              FROM b WHERE w2 IS NOT NULL
+            ), c12 AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1
+            ), c1 AS (
+              SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+            ), per AS (
+              SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM((1000000 * c12.c12) // c1.c1) AS BIGINT) AS contrib
+              FROM bg JOIN c12 USING (g) JOIN c1 USING (w1)
+              GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   contrib // n_bigrams AS lm_score_ppm
+            FROM per
+        """,
+        "boilerplate_turns": f"""{_SQL_PREFIX},
+            tr AS (
+              SELECT 'conv-'||c AS conv_id, {text_expr} AS text
+              FROM calc, consts
+            ), cnt AS (
+              SELECT text, COUNT(DISTINCT conv_id) AS n_convs
+              FROM tr GROUP BY 1
+            )
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN n_convs >= 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler,
+                   (1000000 * CAST(SUM(CASE WHEN n_convs >= 5 THEN 1 ELSE 0
+                                       END) AS BIGINT)) // COUNT(*)
+                     AS boiler_ppm
+            FROM tr JOIN cnt USING (text)
+            GROUP BY 1
         """,
         "zorder_keys": """
             WITH b AS (

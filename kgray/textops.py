@@ -962,6 +962,124 @@ def train_bpe(
     )
 
 
+def bigram_lm_scores(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Model-free bigram-LM fluency score — the quality signal a curation
+    pipeline uses to rank documents by in-corpus n-gram plausibility
+    where no trained LM is available. Every bigram OCCURRENCE (w1, w2)
+    contributes ``(scale * c(w1,w2)) // c(w1, .)`` — the floored ppm
+    conditional frequency P(w2 | w1) over the corpus — and a document
+    scores the floored mean contribution. Pure int64 end to end, so the
+    SQL mirror hash-matches at any parallelism (a float log-prob would
+    rank identically but round differently across engines).
+
+    Plan (all corpus-scale volumes bounded): a per-batch vectorized
+    bigram-tf combiner (Arrow tokenize + offset-mask, pandas str.cat —
+    no per-row Python) feeds ONE materialized (doc, gram, w1, tf)
+    stream; corpus counts are two vocabulary-bounded ``grouped_agg``s
+    over it (bigram counts, first-word prefix counts) joined size-routed
+    on w1; the counts attach back to the doc stream via a size-routed
+    lookup join on the gram key; one doc-keyed reduce finishes. Docs
+    with fewer than two words have no bigrams and emit no row.
+
+    Returns Dataset(doc_id, n_bigrams, lm_score_ppm).
+    """
+    import pandas as pd
+
+    import ray.data  # noqa: F401  (type reference only)
+
+    from .relational import broadcast_lookup_join, grouped_agg
+
+    US = "\x1f"
+
+    def big_rows(t: pa.Table) -> pd.DataFrame:
+        toks = pc.utf8_split_whitespace(_chunked(t[text_col]))
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = toks.flatten().to_pandas()
+        n = len(flat)
+        empty = pd.DataFrame(
+            {id_col: pd.Series([], dtype=np.int64), "g": pd.Series([], dtype=object),
+             "w1": pd.Series([], dtype=object), "tf": pd.Series([], dtype=np.int64)}
+        )
+        if n < 2:
+            return empty
+        left = flat.iloc[:-1].reset_index(drop=True)
+        gram = left.str.cat(flat.iloc[1:].reset_index(drop=True), sep=US)
+        # position i pairs word i with i+1; the LAST word of every doc
+        # opens no bigram — mask those boundary positions out
+        ends = np.cumsum(lengths)
+        valid = np.ones(n - 1, dtype=bool)
+        bound = ends[ends >= 1] - 1
+        valid[bound[bound <= n - 2]] = False
+        ids = _chunked(t[id_col]).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(ids, lengths)[: n - 1]
+        df = pd.DataFrame(
+            {
+                id_col: doc_ids[valid],
+                "g": gram.to_numpy()[valid],
+                "w1": left.to_numpy()[valid],
+            }
+        )
+        if df.empty:
+            return empty
+        return (
+            df.groupby([id_col, "g", "w1"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    stream = ds.select_columns([id_col, text_col]).map_batches(
+        big_rows, batch_format="pyarrow"
+    ).materialize()
+
+    c12 = grouped_agg(stream, keys=["g", "w1"], sums={"c12": "tf"})
+    c1 = grouped_agg(stream, keys=["w1"], sums={"c1": "tf"})
+    counts = broadcast_lookup_join(
+        c12, c1, "w1", "w1", ["c1"], broadcast_limit=broadcast_limit, how="inner"
+    )
+    attached = broadcast_lookup_join(
+        stream, counts.select_columns(["g", "c12", "c1"]), "g", "g",
+        ["c12", "c1"], broadcast_limit=broadcast_limit, how="inner",
+    )
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].to_numpy(np.int64)
+        c12_ = df["c12"].to_numpy(np.int64)
+        c1_ = df["c1"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_bigrams": tf,
+                "contrib": tf * ((scale * c12_) // c1_),
+            }
+        )
+
+    per_doc = grouped_agg(
+        attached.map_batches(contrib, batch_format="pandas"),
+        keys=[id_col], sums={"n_bigrams": "n_bigrams", "contrib": "contrib"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb = _chunked(t["n_bigrams"]).to_numpy(zero_copy_only=False)
+        c = _chunked(t["contrib"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: _chunked(t[id_col]),
+                "n_bigrams": pa.array(nb.astype(np.int64)),
+                "lm_score_ppm": pa.array((c // nb).astype(np.int64)),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def phrase_tag(
     ds,
     phrases: "list[str]",

@@ -230,3 +230,58 @@ def test_rolling_hash_matches_scalar_polynomial(text):
     for i, byte in enumerate(bs):
         want = (want + byte * pow(P, len(bs) - 1 - i, 2**64)) % 2**64
     assert got == want
+
+
+def test_bigram_lm_scores_hand_checked(ray_session):
+    """Tiny corpus with known bigram counts: 'a b' appears twice, 'a c'
+    once -> P(b|a)=2/3, P(c|a)=1/3 in ppm floors; docs with <2 words
+    emit no row."""
+    import ray.data as rd
+
+    from kgray.textops import bigram_lm_scores
+
+    rows = [
+        {"doc_id": 0, "text": "a b"},          # one bigram: (a,b)
+        {"doc_id": 1, "text": "a b"},          # same
+        {"doc_id": 2, "text": "a c"},          # (a,c)
+        {"doc_id": 3, "text": "solo"},         # no bigrams -> no row
+    ]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    out = {r["doc_id"]: r for r in bigram_lm_scores(ds).take_all()}
+    assert set(out) == {0, 1, 2}
+    # c(a,b)=2, c(a,.)=3 -> contrib floor(1e6*2/3)=666666
+    assert out[0]["lm_score_ppm"] == 666_666 and out[0]["n_bigrams"] == 1
+    assert out[1]["lm_score_ppm"] == 666_666
+    # c(a,c)=1 -> floor(1e6/3)=333333
+    assert out[2]["lm_score_ppm"] == 333_333
+
+    # mean across a doc's bigrams floors AFTER summing contributions
+    rows2 = rows[:3] + [{"doc_id": 9, "text": "a b a c"}]
+    # doc 9 bigrams: (a,b) (b,a) (a,c); corpus: c(a,b)=3, c(b,a)=1, c(a,c)=2,
+    # c(a,.)=5, c(b,.)=1
+    out2 = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(
+            rd.from_items(rows2, override_num_blocks=2)
+        ).take_all()
+    }
+    want = ((1_000_000 * 3) // 5 + (1_000_000 * 1) // 1 + (1_000_000 * 2) // 5) // 3
+    assert out2[9]["n_bigrams"] == 3
+    assert out2[9]["lm_score_ppm"] == want
+
+
+def test_boilerplate_turns_hand_checked(ray_session):
+    """The canned text recurring in >= 5 convs flags as boilerplate; the
+    per-conv ratio floors in ppm."""
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+
+    # build a fake transcripts_dataset via monkey-free direct call: use the
+    # real query at sf0.001 and check invariants instead of hand counts
+    res = entry.queries()["boilerplate_turns"]("/root/testdata/sf0.001")
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert (df["n_boiler"] <= df["n_turns"]).all()
+    assert ((df["boiler_ppm"] >= 0) & (df["boiler_ppm"] <= 1_000_000)).all()
+    assert (df["boiler_ppm"] == (1_000_000 * df["n_boiler"]) // df["n_turns"]).all()
+    assert df["n_boiler"].sum() > 0  # the filler templates do recur
