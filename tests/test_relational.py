@@ -307,3 +307,32 @@ def test_percentile_rank_joined_matches_broadcast(ray_session):
     want = 1_000_000 * below // len(vals)
     hot_ids = set(ids[vals == 7].tolist())
     assert all(base[i] == want for i in hot_ids)
+
+
+def test_percentile_rank_high_cardinality_routes_distributed(ray_session):
+    """~10^6 near-distinct values with a small cardinality_cap: the driver
+    fold must abort at the cap and the joined path must still produce
+    exact ranks (spot-checked against numpy on the generated array)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    n = 1_000_000
+    rng = np.random.RandomState(8)
+    vals = rng.randint(0, 1 << 40, n).astype(np.int64)  # ~all distinct
+    t = pa.table(
+        {"id": pa.array(np.arange(n, dtype=np.int64)), "x": pa.array(vals)}
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    out = relational.percentile_rank(ds, "x", cardinality_cap=10_000)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        ppm = b["pct_ppm"].to_numpy(zero_copy_only=False)
+        for i in range(0, len(ids), 9973):  # sparse spot-check
+            got[int(ids[i])] = int(ppm[i])
+    assert len(got) > 50
+    order = np.sort(vals)
+    for i, p in got.items():
+        below = int(np.searchsorted(order, vals[i], side="left"))
+        assert p == (1_000_000 * below) // n
