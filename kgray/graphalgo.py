@@ -729,9 +729,7 @@ def undirected_distinct_edges(
         keep = pc.not_equal(a, b)
         tbl = pa.table({"a": a, "b": b}).filter(keep)
         # per-batch distinct combiner before the keyed shuffle
-        return pa.Table.from_pandas(
-            tbl.to_pandas().drop_duplicates(), preserve_index=False
-        )
+        return tbl.group_by(["a", "b"]).aggregate([])
 
     normed = edges_ds.select_columns([src, dst]).map_batches(
         norm, batch_format="pyarrow"
