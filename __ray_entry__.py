@@ -2029,6 +2029,17 @@ def q_pca_projection(sf_dir: str):
     return _table(similarity.pca_project(emb, out_dim=8))
 
 
+def q_pca_invariants(sf_dir: str):
+    """PCA correctness certificate, hash-checked: the exact HUGEINT
+    covariance trace plus four ppb deviation gauges (eigenvalue sum vs
+    trace, eigenvector orthogonality, unit norms, projected variance vs
+    eigenvalue) that a correct full-rank eigh drives to 0 — the SQL
+    mirror computes the trace exactly and pins the gauges at their
+    mathematically required value."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return similarity.pca_invariants(emb)
+
+
 def q_knn_graph(sf_dir: str):
     """Exact MIPS kNN graph: every vector's top-3 neighbors by int64
     quantized dot product (ties -> smaller id) — one broadcast matmul +
@@ -3275,6 +3286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "knn_ivf": q_knn_ivf,
         "pca_projection": q_pca_projection,
+        "pca_invariants": q_pca_invariants,
         "bpe_merges": q_bpe_merges,
     }
 
@@ -4425,6 +4437,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SQRT(CAST(SUM(q * q) AS DOUBLE))) AS BIGINT)
                    AS norm_fp
             FROM u GROUP BY 1
+        """,
+        "pca_invariants": """
+            WITH u AS (
+              SELECT vec_id,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS HUGEINT) AS q,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+              FROM embeddings
+            ), per_dim AS (
+              SELECT pos,
+                     (COUNT(*) * SUM(q * q) - SUM(q) * SUM(q))
+                       // (COUNT(*) * COUNT(*)) AS v
+              FROM u GROUP BY 1
+            )
+            SELECT (SELECT COUNT(*) FROM embeddings) AS n_rows,
+                   COUNT(*) AS d,
+                   CAST(SUM(v) AS BIGINT) AS trace_q2,
+                   CAST(0 AS BIGINT) AS eigsum_gap_ppb,
+                   CAST(0 AS BIGINT) AS max_ortho_ppb,
+                   CAST(0 AS BIGINT) AS max_norm_gap_ppb,
+                   CAST(0 AS BIGINT) AS proj_var_gap_ppb
+            FROM per_dim
         """,
         "embedding_covariance": """
             WITH u AS (

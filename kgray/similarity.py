@@ -526,32 +526,17 @@ def random_project(
     )
 
 
-def pca_project(
-    embeddings: ray.data.Dataset,
-    out_dim: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 1_000_000,
-) -> ray.data.Dataset:
-    """PCA projection of the embedding column to its top ``out_dim``
-    principal components — the exact-variance counterpart of
-    ``random_project``. Stats come from ``embedding_covariance`` (one
-    O(d^2)-per-block pass), the d x d eigendecomposition runs on the
-    driver (trivial at any corpus size — d is the embedding width), and
-    the centered projection matrix broadcasts once; projecting is one
-    float matmul per batch, shuffle-free.
-
-    Float output (eigenvectors are irrational), deterministic for a fixed
-    input: the integer covariance is bit-stable at any parallelism and
-    eigh is deterministic on it. Sign convention: each component's
-    largest-|coefficient| entry is made positive.
-    Emits (id, k, comp) rows, k 1-based by descending eigenvalue.
+def _fold_covariance(
+    embeddings: ray.data.Dataset, vec_col: str, scale: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Exact int64 (gram, column sums, n) for the ppm-quantized embedding
+    column, folded on the driver. Each block reduces to ONE row carrying a
+    d x d int64 gram plus a d-vector of sums as fixed-size binary, so the
+    fold input is O(d^2) per block at ANY corpus size — this skips
+    ``embedding_covariance``'s bucketed reduce (one Ray stage fewer) while
+    staying bit-stable at any parallelism (integer partials are order-free).
     """
-    import ray as _ray
 
-    # fold the O(d^2) per-block covariance partials on the driver — the
-    # fold input is d*(d+1)/2 rows per block at ANY corpus size, so this
-    # skips embedding_covariance's bucketed reduce (one Ray stage fewer)
     def cpart(t: pa.Table) -> pa.Table:
         mat = _to_matrix(t[vec_col])
         q = np.round(mat * scale).astype(np.int64)
@@ -578,6 +563,33 @@ def pca_project(
             gram = gm.copy() if gram is None else gram + gm
             sums = sm.copy() if sums is None else sums + sm
             n += bn
+    return gram, sums, n
+
+
+def pca_project(
+    embeddings: ray.data.Dataset,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """PCA projection of the embedding column to its top ``out_dim``
+    principal components — the exact-variance counterpart of
+    ``random_project``. Stats come from ``embedding_covariance`` (one
+    O(d^2)-per-block pass), the d x d eigendecomposition runs on the
+    driver (trivial at any corpus size — d is the embedding width), and
+    the centered projection matrix broadcasts once; projecting is one
+    float matmul per batch, shuffle-free.
+
+    Float output (eigenvectors are irrational), deterministic for a fixed
+    input: the integer covariance is bit-stable at any parallelism and
+    eigh is deterministic on it. Sign convention: each component's
+    largest-|coefficient| entry is made positive.
+    Emits (id, k, comp) rows, k 1-based by descending eigenvalue.
+    """
+    import ray as _ray
+
+    gram, sums, n = _fold_covariance(embeddings, vec_col, scale)
     d = gram.shape[0]
     cov = (gram - np.outer(sums, sums) / n) / n
     mean = sums / n
@@ -603,6 +615,103 @@ def pca_project(
 
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow"
+    )
+
+
+def pca_invariants(
+    embeddings: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """Hash-checkable PCA correctness certificate — the invariants a full-
+    rank eigendecomposition of the embedding covariance MUST satisfy,
+    reduced to one row of exact integers so a SQL oracle can verify the
+    eigen step without being able to express it.
+
+    The exact part (``trace_q2``) is the covariance trace in quantized^2
+    units, Σ_i floor((n·Σx_i² − (Σx_i)²) / n²), computed from the same
+    int64 gram/sums fold as ``pca_project`` with arbitrary-precision
+    Python ints (n·Σx² overflows int64 at corpus scale) — SQL mirrors it
+    with HUGEINT arithmetic. The eigen part is four parts-per-billion
+    deviation gauges that are 0 for a correct decomposition and stay 0
+    under float64 noise (eigh errors are ~1e-15·d, six orders below ppb):
+
+    - ``eigsum_gap_ppb``: |Σλ − trace| / trace — eigenvalue completeness;
+    - ``max_ortho_ppb``: max_{i≠j} |w_i·w_j| — eigenvector orthogonality;
+    - ``max_norm_gap_ppb``: max_k |‖w_k‖² − 1| — unit norms;
+    - ``proj_var_gap_ppb``: max_k |scale²·var(comp_k) − λ_k| / λ_max —
+      the PROJECTED data's per-component variance equals its eigenvalue
+      (this one re-projects the corpus, so it exercises the broadcast +
+      per-batch matmul path end to end, with float sum/sumsq partials
+      folded on the driver: k floats per block).
+
+    Returns a one-row pa.Table (n_rows, d, trace_q2, eigsum_gap_ppb,
+    max_ortho_ppb, max_norm_gap_ppb, proj_var_gap_ppb).
+    """
+    import ray as _ray
+
+    gram, sums, n = _fold_covariance(embeddings, vec_col, scale)
+    d = gram.shape[0]
+    trace_q2 = sum(
+        (int(n) * int(gram[i, i]) - int(sums[i]) ** 2) // (int(n) * int(n))
+        for i in range(d)
+    )
+
+    cov = (gram - np.outer(sums, sums) / n) / n
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals, w = vals[order], vecs[:, order]
+
+    trace_f = float(np.trace(cov))
+    eigsum_gap = abs(float(vals.sum()) - trace_f) / max(trace_f, 1e-30)
+    wtw = w.T @ w
+    max_ortho = float(np.abs(wtw - np.diag(np.diag(wtw))).max()) if d > 1 else 0.0
+    max_norm_gap = float(np.abs(np.diag(wtw) - 1.0).max())
+
+    mean = sums / n
+    w_ref = _ray.put((mean / scale, w))
+
+    def vpart(t: pa.Table) -> pa.Table:
+        mu, wm = _ray.get(w_ref)
+        mat = _to_matrix(t[vec_col])
+        comp = (np.round(mat * scale) / scale - mu) @ wm
+        return pa.table(
+            {
+                "s1": [comp.sum(axis=0).tobytes()],
+                "s2": [(comp * comp).sum(axis=0).tobytes()],
+                "n": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    s1 = np.zeros(d)
+    s2 = np.zeros(d)
+    nv = 0
+    for b in embeddings.select_columns([vec_col]).map_batches(
+        vpart, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=64):
+        for a1, a2, bn in zip(
+            b["s1"].to_pylist(), b["s2"].to_pylist(), b["n"].to_pylist()
+        ):
+            s1 += np.frombuffer(a1, dtype=np.float64)
+            s2 += np.frombuffer(a2, dtype=np.float64)
+            nv += bn
+    proj_var = s2 / nv - (s1 / nv) ** 2
+    lam_max = max(float(vals.max()), 1e-30)
+    proj_gap = float(np.abs(proj_var * scale * scale - vals).max()) / lam_max
+
+    def ppb(x: float) -> int:
+        return int(round(1e9 * x))
+
+    return pa.table(
+        {
+            "n_rows": pa.array([n], type=pa.int64()),
+            "d": pa.array([d], type=pa.int64()),
+            "trace_q2": pa.array([trace_q2], type=pa.int64()),
+            "eigsum_gap_ppb": pa.array([ppb(eigsum_gap)], type=pa.int64()),
+            "max_ortho_ppb": pa.array([ppb(max_ortho)], type=pa.int64()),
+            "max_norm_gap_ppb": pa.array([ppb(max_norm_gap)], type=pa.int64()),
+            "proj_var_gap_ppb": pa.array([ppb(proj_gap)], type=pa.int64()),
+        }
     )
 
 

@@ -444,6 +444,32 @@ def test_pca_project_known_line(ray_session):
             assert abs(out[(vid, 2)]) < 1e-5
 
 
+def test_pca_invariants_certificate(ray_session):
+    """The certificate row: trace_q2 equals the hand-computed exact
+    integer trace of the quantized covariance, every ppb gauge is 0,
+    and the row is identical at different parallelisms."""
+    from kgray.similarity import pca_invariants
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 5)) * np.array([3.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(40)]
+
+    q = np.round(mat * 1_000_000)
+    n = q.shape[0]
+    want_trace = sum(
+        (n * int((q[:, i] ** 2).sum()) - int(q[:, i].sum()) ** 2) // (n * n)
+        for i in range(q.shape[1])
+    )
+    for nblocks in (1, 4):
+        ds = ray.data.from_items(rows, override_num_blocks=nblocks)
+        row = pca_invariants(ds).to_pylist()[0]
+        assert row["n_rows"] == 40 and row["d"] == 5
+        assert row["trace_q2"] == want_trace
+        for g in ("eigsum_gap_ppb", "max_ortho_ppb",
+                  "max_norm_gap_ppb", "proj_var_gap_ppb"):
+            assert row[g] == 0, g
+
+
 def test_raw_image_codec_roundtrip_and_kernels(ray_session):
     """KGRW encode/decode round-trips pixels exactly; resize and channel
     sums are real pixel math (pinned on a hand-built 2x4 image)."""
