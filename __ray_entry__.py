@@ -2179,6 +2179,84 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_speaker_token_share(sf_dir: str):
+    """SFT balance gate input: per-conversation role token budgets (one
+    Arrow tokenize + masked int partials per batch, one conv-keyed
+    reduce) and the assistant token share in ppm."""
+    from kgray.transcripts import speaker_token_share
+
+    return _table(speaker_token_share(transcripts_dataset(sf_dir)))
+
+
+def q_mention_density(sf_dir: str):
+    """KG-signal gate input: per-conversation entity-mention counts via
+    RE2 kernels over the real turn text (total + planted-unlinkable) and
+    mentions-per-turn density in ppm."""
+    from kgray.transcripts import mention_density
+
+    return _table(mention_density(transcripts_dataset(sf_dir)))
+
+
+def q_sft_gate(sf_dir: str):
+    """The curation verdict an SFT-prep pipeline renders per conversation,
+    composing three independent corpus passes: length (>= 3 turns),
+    KG signal (>= 1 linked triple via the REAL extract -> alias-dict link
+    path), and role balance (assistant token share in [0.2, 0.45]).
+    The per-conv aggregates join size-routed on conv_id; keep = AND of
+    the three gates. Everything integer, so the SQL mirror hash-matches."""
+    from kgray.transcripts import speaker_token_share
+
+    ds = transcripts_dataset(sf_dir)
+    share = speaker_token_share(ds)
+
+    triples = extract.extract_triples(ds)
+    ref = lookups.broadcast(build_alias_index(entity_catalog()))
+    linked = link.link_entities(triples, ref)
+    ln = relational.grouped_agg(
+        linked.map_batches(
+            lambda t: pa.table(
+                {
+                    "conv_id": _chunk(t["conv_id"]),
+                    "n_linked": pc.cast(_chunk(t["linked"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["conv_id"],
+        sums={"n_linked": "n_linked"},
+    )
+    joined = relational.broadcast_lookup_join(
+        share.select_columns(["conv_id", "n_turns", "assistant_share_ppm"]),
+        ln, "conv_id", "conv_id", ["n_linked"], how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = _chunk(t["n_turns"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = _chunk(t["n_linked"]).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sh = _chunk(t["assistant_share_ppm"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g_len = (nt >= 3).astype(np.int64)
+        g_linked = (nl >= 1).astype(np.int64)
+        g_bal = ((sh >= 200_000) & (sh <= 450_000)).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": _chunk(t["conv_id"]),
+                "n_turns": pa.array(nt),
+                "n_linked": pa.array(nl),
+                "assistant_share_ppm": pa.array(sh),
+                "g_len": pa.array(g_len),
+                "g_linked": pa.array(g_linked),
+                "g_balance": pa.array(g_bal),
+                "keep": pa.array(g_len * g_linked * g_bal),
+            }
+        )
+
+    return _table(joined.map_batches(finish, batch_format="pyarrow"))
+
+
 def q_boilerplate_turns(sf_dir: str):
     """Transcript hygiene: a turn whose exact text recurs in >= 5 distinct
     conversations is boilerplate (canned openers/closers); emit per-conv
@@ -3243,6 +3321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": q_doc_rarity,
         "bigram_lm": q_bigram_lm,
         "boilerplate_turns": q_boilerplate_turns,
+        "speaker_token_share": q_speaker_token_share,
+        "mention_density": q_mention_density,
+        "sft_gate": q_sft_gate,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
         "normal_equations": q_normal_equations,
@@ -4733,6 +4814,69 @@ def oracle_sql() -> dict[str, str]:
                      AS boiler_ppm
             FROM tr JOIN cnt USING (text)
             GROUP BY 1
+        """,
+        "speaker_token_share": f"""{_SQL_PREFIX},
+            tr AS (
+              SELECT 'conv-'||c AS conv_id,
+                     CAST(t % 3 AS INT) AS r3,
+                     CAST(len(string_split({text_expr}, ' ')) AS BIGINT) AS tok
+              FROM calc, consts
+            )
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN r3 = 0 THEN tok ELSE 0 END) AS BIGINT)
+                     AS tok_user,
+                   CAST(SUM(CASE WHEN r3 = 1 THEN tok ELSE 0 END) AS BIGINT)
+                     AS tok_assistant,
+                   CAST(SUM(CASE WHEN r3 = 2 THEN tok ELSE 0 END) AS BIGINT)
+                     AS tok_tool,
+                   (1000000 * CAST(SUM(CASE WHEN r3 = 1 THEN tok ELSE 0 END)
+                      AS BIGINT)) // GREATEST(SUM(tok), 1)
+                     AS assistant_share_ppm
+            FROM tr GROUP BY 1
+        """,
+        "sft_gate": f"""{_SQL_PREFIX},
+            tr AS (
+              SELECT 'conv-'||c AS conv_id,
+                     CAST(t % 3 AS INT) AS r3,
+                     CAST(len(string_split({text_expr}, ' ')) AS BIGINT) AS tok,
+                     CAST(has1 AND NOT unlink1 AS BIGINT)
+                       + CAST(has2 AS BIGINT) AS nl
+              FROM calc, consts
+            ), agg AS (
+              SELECT conv_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_turns,
+                     CAST(SUM(nl) AS BIGINT) AS n_linked,
+                     (1000000 * CAST(SUM(CASE WHEN r3 = 1 THEN tok ELSE 0 END)
+                        AS BIGINT)) // GREATEST(SUM(tok), 1)
+                       AS assistant_share_ppm
+              FROM tr GROUP BY 1
+            )
+            SELECT conv_id, n_turns, n_linked, assistant_share_ppm,
+                   CAST(n_turns >= 3 AS BIGINT) AS g_len,
+                   CAST(n_linked >= 1 AS BIGINT) AS g_linked,
+                   CAST(assistant_share_ppm BETWEEN 200000 AND 450000
+                        AS BIGINT) AS g_balance,
+                   CAST(n_turns >= 3 AND n_linked >= 1
+                        AND assistant_share_ppm BETWEEN 200000 AND 450000
+                        AS BIGINT) AS keep
+            FROM agg
+        """,
+        "mention_density": f"""{_SQL_PREFIX},
+            tr AS (
+              SELECT 'conv-'||c AS conv_id,
+                     2 * (CAST(has1 AS BIGINT) + CAST(has2 AS BIGINT))
+                       AS n_mentions,
+                     CAST(has1 AND unlink1 AS BIGINT) AS n_unlinkable
+              FROM calc
+            )
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(n_mentions) AS BIGINT) AS n_mentions,
+                   CAST(SUM(n_unlinkable) AS BIGINT) AS n_unlinkable,
+                   (1000000 * CAST(SUM(n_mentions) AS BIGINT)) // COUNT(*)
+                     AS mention_density_ppm
+            FROM tr GROUP BY 1
         """,
         "zorder_keys": """
             WITH b AS (

@@ -271,3 +271,110 @@ def context_pairs(ds, k: int = 2):
 
     cols = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
     return hash_bucketed_groupby(cols, ["conv_id"], fn)
+
+
+def _chunk(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def speaker_token_share(ds, scale: int = 1_000_000):
+    """Per-conversation role token budget — the balance gate an SFT
+    curation pass applies (a conversation that is nearly all user text,
+    or nearly all assistant text, trains poorly). Per batch ONE Arrow
+    whitespace tokenize + list-length gives per-turn token counts; the
+    role splits them into masked per-role partials (int multiply, no
+    branching), so the conv-keyed reduce moves four int64 columns per
+    turn and nothing else. Exact integers end to end.
+
+    Returns Dataset(conv_id, n_turns, tok_user, tok_assistant, tok_tool,
+    assistant_share_ppm) with share = floor(scale * tok_assistant /
+    total_tokens).
+    """
+    from .relational import grouped_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        tok = pc.list_value_length(
+            pc.utf8_split_whitespace(_chunk(t["text"]))
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        role = _chunk(t["role"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": _chunk(t["conv_id"]),
+                "n_turns": pa.array(np.ones(len(tok), dtype=np.int64)),
+                "tok_user": pa.array(tok * (role == "user")),
+                "tok_assistant": pa.array(tok * (role == "assistant")),
+                "tok_tool": pa.array(tok * (role == "tool")),
+            }
+        )
+
+    per = grouped_agg(
+        ds.select_columns(["conv_id", "role", "text"]).map_batches(
+            part, batch_format="pyarrow"
+        ),
+        keys=["conv_id"],
+        sums={
+            "n_turns": "n_turns", "tok_user": "tok_user",
+            "tok_assistant": "tok_assistant", "tok_tool": "tok_tool",
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        u = _chunk(t["tok_user"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        a = _chunk(t["tok_assistant"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = _chunk(t["tok_tool"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        total = np.maximum(u + a + o, 1)
+        return t.append_column(
+            "assistant_share_ppm", pa.array((scale * a) // total)
+        )
+
+    return per.map_batches(finish, batch_format="pyarrow")
+
+
+def mention_density(ds, scale: int = 1_000_000):
+    """Per-conversation entity-mention density — the KG-signal gate a
+    transcript-curation pass uses to rank conversations by how much
+    linkable structure they carry. Mentions are counted with RE2 kernels
+    over the REAL text (``Ent[0-9]+``; the unlinkable planted ids
+    1000-1999 match ``Ent1[0-9]{3}``), so the Ray side exercises the
+    extraction surface while the SQL mirror re-derives the same counts
+    from the corpus arithmetic. Embarrassingly parallel per batch, one
+    conv-keyed int reduce.
+
+    Returns Dataset(conv_id, n_turns, n_mentions, n_unlinkable,
+    mention_density_ppm) with density = floor(scale * n_mentions /
+    n_turns).
+    """
+    from .relational import grouped_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        text = _chunk(t["text"])
+        total = pc.count_substring_regex(text, "Ent[0-9]+").cast(pa.int64())
+        unlink = pc.count_substring_regex(text, "Ent1[0-9]{3}").cast(pa.int64())
+        return pa.table(
+            {
+                "conv_id": _chunk(t["conv_id"]),
+                "n_turns": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_mentions": total,
+                "n_unlinkable": unlink,
+            }
+        )
+
+    per = grouped_agg(
+        ds.select_columns(["conv_id", "text"]).map_batches(
+            part, batch_format="pyarrow"
+        ),
+        keys=["conv_id"],
+        sums={
+            "n_turns": "n_turns", "n_mentions": "n_mentions",
+            "n_unlinkable": "n_unlinkable",
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = _chunk(t["n_mentions"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = _chunk(t["n_turns"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "mention_density_ppm", pa.array((scale * m) // nt)
+        )
+
+    return per.map_batches(finish, batch_format="pyarrow")
