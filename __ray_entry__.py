@@ -947,6 +947,24 @@ def q_raw_media_features(sf_dir: str):
     )
 
 
+def q_wav_audio_features(sf_dir: str):
+    """REAL audio decode with no external codec: deterministic PCM16 WAV
+    tones decoded by the engine's minimal RIFF/WAVE codec, then real
+    numpy DSP per clip (RMS energy, zero crossings, dominant rFFT bin);
+    rows-only because binary decode has no SQL form — the dominant bin
+    is pinned equal to the generating frequency in
+    tests/test_dedup_similarity.py::test_wav_audio_features_real_dsp."""
+    ds = rd.from_arrow(multimodal.synthetic_wav_media_table(64))
+    out = multimodal.audio_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "sample_rate", "n_samples", "n_channels",
+             "duration_ms", "rms_milli", "zero_crossings", "peak",
+             "dom_bin", "dom_freq_mhz"]
+        )
+    )
+
+
 def q_png_media_features(sf_dir: str):
     """REAL standard-format decode with no external codec: deterministic
     RGB PNGs (cycling all five scanline filter types) decoded by the
@@ -3362,6 +3380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "raw_media_features": q_raw_media_features,
         "png_media_features": q_png_media_features,
+        "wav_audio_features": q_wav_audio_features,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,

@@ -15,7 +15,12 @@ Decode is a CODEC CHAIN, resolved once per actor in ``__init__``:
 3. the engine's own KGRW raw-RGB format;
 4. otherwise: the deterministic fake path when constructed with
    ``fake=True``, else ``NotImplementedError`` naming the supported
-   formats (video/audio genuinely need ffmpeg-class codecs).
+   formats.
+
+Audio: PCM16 RIFF/WAVE decodes for REAL via the minimal codec below
+(``decode_wav`` / ``AudioFeaturePipeline`` — struct chunk walk + numpy
+DSP). Video and compressed audio (mp3/aac/opus) genuinely need
+ffmpeg-class codecs and stay stubbed.
 """
 
 from __future__ import annotations
@@ -237,7 +242,8 @@ class DecodeStub:
                     raise NotImplementedError(
                         "no codec for payload (supported here: PNG, KGRW"
                         + (", PIL formats" if self._pil is not None else "")
-                        + "); video/audio need ffmpeg-class codecs — "
+                        + "); PCM WAV decodes via audio_features, video "
+                        "and compressed audio need ffmpeg-class codecs — "
                         "construct DecodeStub(fake=True) for the "
                         "deterministic fake decode path"
                     )
@@ -502,4 +508,140 @@ def raw_image_features(ds, target: int = 64, batch_size: int = 64, concurrency=(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio path: a minimal RIFF/WAVE PCM16 codec (pure stdlib struct +
+# numpy — the WAV container is simple enough that no external library is
+# needed), plus a DSP feature stage whose outputs are real signal math
+# (RMS energy, zero crossings, dominant rFFT bin). Compressed audio
+# (mp3/aac/opus) still needs ffmpeg-class codecs and stays stubbed.
+# ---------------------------------------------------------------------------
+
+_WAV_RIFF = b"RIFF"
+_WAV_WAVE = b"WAVE"
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples, shape (n,) mono or (n, channels) -> PCM16 WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    assert samples.dtype == np.int16
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples).tobytes()  # interleaved LE PCM16
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        _WAV_WAVE
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes -> ((n, channels) int16 array, sample_rate).
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST/fact);
+    raises ValueError on non-RIFF input or non-PCM16 encodings.
+    """
+    if payload[:4] != _WAV_RIFF or payload[8:12] != _WAV_WAVE:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    rate = ch = bits = None
+    data = None
+    while pos + 8 <= end:
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            codec, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if codec != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (codec={codec}, bits={bits}); "
+                    "only PCM16 decodes here"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, ch).astype(np.int16), int(rate)
+
+
+class AudioFeaturePipeline:
+    """Actor stage: decode PCM16 WAV payloads and extract real DSP
+    features — duration, integer RMS energy, zero-crossing count of the
+    channel-mean mix, peak amplitude, and the dominant rFFT bin (DC
+    excluded) with its millihertz frequency. All signal math is numpy;
+    integer outputs keep the row deterministic across platforms."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            "sample_rate": [], "n_samples": [], "n_channels": [],
+            "duration_ms": [], "rms_milli": [], "zero_crossings": [],
+            "peak": [], "dom_bin": [], "dom_freq_mhz": [],
+        }
+        for p in batch["payload"].to_pylist():
+            arr, rate = decode_wav(p)
+            n, ch = arr.shape
+            mix = arr.astype(np.float64).mean(axis=1)
+            rms = float(np.sqrt(np.mean(mix * mix))) if n else 0.0
+            sign = np.sign(mix)
+            nz = sign != 0
+            zc = int(np.count_nonzero(np.diff(sign[nz]) != 0))
+            spec = np.abs(np.fft.rfft(mix))
+            dom = int(spec[1:].argmax()) + 1 if len(spec) > 1 else 0
+            cols["sample_rate"].append(rate)
+            cols["n_samples"].append(n)
+            cols["n_channels"].append(ch)
+            cols["duration_ms"].append((1000 * n) // rate)
+            cols["rms_milli"].append(int(round(1000 * rms)))
+            cols["zero_crossings"].append(zc)
+            cols["peak"].append(int(np.abs(arr).max()) if n else 0)
+            cols["dom_bin"].append(dom)
+            cols["dom_freq_mhz"].append((dom * rate * 1000) // n if n else 0)
+        for name, vals in cols.items():
+            batch = batch.append_column(name, pa.array(vals, type=pa.int64()))
+        return batch
+
+
+def audio_features(ds, batch_size: int = 64, concurrency=(1, 4)):
+    """Wire the real WAV decode + DSP actor pool (heap bound: payload
+    bytes x batch x concurrency per worker, same as the image stages)."""
+    return ds.map_batches(
+        AudioFeaturePipeline,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synthetic_wav_media_table(n: int = 32) -> pa.Table:
+    """Deterministic REAL-WAV audio corpus: pure sine tones placed exactly
+    on rFFT bin ``20 + 3i`` (so the dominant-bin feature recovers the
+    generating frequency exactly), amplitude ``8000 + 100i``, 2048 samples
+    at 8 kHz; every third clip is stereo with a half-amplitude right
+    channel."""
+    payloads = []
+    rate, ns = 8000, 2048
+    t = np.arange(ns)
+    for i in range(n):
+        bin_i = 20 + 3 * i
+        amp = 8000 + 100 * i
+        tone = np.round(
+            amp * np.sin(2 * np.pi * bin_i * t / ns)
+        ).astype(np.int16)
+        if i % 3 == 0:
+            tone = np.stack([tone, (tone // 2).astype(np.int16)], axis=1)
+        payloads.append(encode_wav(tone, rate))
+    return pa.table(
+        {
+            "media_id": pa.array([f"a{i:04d}" for i in range(n)]),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/wav"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
     )

@@ -470,6 +470,65 @@ def test_pca_invariants_certificate(ray_session):
             assert row[g] == 0, g
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """encode/decode round-trips PCM16 exactly (mono and stereo), the
+    chunk walker tolerates an extra LIST chunk before data, and non-WAV /
+    non-PCM16 payloads raise."""
+    import struct
+
+    from kgray import multimodal
+
+    mono = (np.arange(-500, 500, 7)).astype(np.int16)
+    out, rate = multimodal.decode_wav(multimodal.encode_wav(mono, 16000))
+    assert rate == 16000 and out.shape == (len(mono), 1)
+    assert (out[:, 0] == mono).all()
+
+    stereo = np.stack([mono, (mono // 3).astype(np.int16)], axis=1)
+    out2, _ = multimodal.decode_wav(multimodal.encode_wav(stereo, 8000))
+    assert (out2 == stereo).all()
+
+    # splice a LIST chunk between fmt and data — still decodes
+    p = multimodal.encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = p[:fmt_end] + extra + p[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out3, _ = multimodal.decode_wav(spliced)
+    assert (out3[:, 0] == mono).all()
+
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"not audio at all")
+    bad = bytearray(p)
+    bad[20] = 3  # fmt codec tag -> IEEE float
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(bytes(bad))
+
+
+def test_wav_audio_features_real_dsp(ray_session):
+    """The DSP features recover the generating signal: dominant rFFT bin
+    equals the synthetic tone's bin exactly, RMS is amp/sqrt(2) within
+    rounding, zero crossings are 2 per cycle, stereo clips report 2
+    channels."""
+    from kgray import multimodal
+
+    ds = ray.data.from_arrow(multimodal.synthetic_wav_media_table(12))
+    rows = {r["media_id"]: r for r in multimodal.audio_features(ds).take_all()}
+    for i in range(12):
+        r = rows[f"a{i:04d}"]
+        bin_i, amp = 20 + 3 * i, 8000 + 100 * i
+        assert r["dom_bin"] == bin_i
+        assert r["dom_freq_mhz"] == (bin_i * 8000 * 1000) // 2048
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 2048
+        assert r["duration_ms"] == 256
+        assert r["n_channels"] == (2 if i % 3 == 0 else 1)
+        # stereo mix = 0.75 * tone; mono mix = tone
+        mix_amp = amp * (0.75 if i % 3 == 0 else 1.0)
+        want_rms = 1000 * mix_amp / np.sqrt(2)
+        assert abs(r["rms_milli"] - want_rms) < 0.01 * want_rms
+        assert abs(r["zero_crossings"] - 2 * bin_i) <= 1
+        assert abs(r["peak"] - amp) <= 1
+
+
 def test_raw_image_codec_roundtrip_and_kernels(ray_session):
     """KGRW encode/decode round-trips pixels exactly; resize and channel
     sums are real pixel math (pinned on a hand-built 2x4 image)."""
