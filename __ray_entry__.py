@@ -2215,6 +2215,28 @@ def q_mention_density(sf_dir: str):
     return _table(mention_density(transcripts_dataset(sf_dir)))
 
 
+def q_preference_pairs(sf_dir: str):
+    """DPO prep: each assistant turn paired with the same-position
+    response from the next conversation in its hash bucket (wrapping) —
+    deterministic in-batch negative mining. Shuffle key is (turn_idx,
+    Knuth-bucket of the conv key), NOT bare turn_idx, so partition
+    cardinality scales with the bucket count rather than the max turn
+    count."""
+    from kgray.transcripts import preference_pairs
+
+    ds = transcripts_dataset(sf_dir)
+
+    def with_key(t: pa.Table) -> pa.Table:
+        key = pc.cast(
+            pc.utf8_slice_codeunits(_chunk(t["conv_id"]), 5, 32), pa.int64()
+        )
+        return t.append_column("conv_key", key)
+
+    return _table(
+        preference_pairs(ds.map_batches(with_key, batch_format="pyarrow"))
+    )
+
+
 def q_sft_gate(sf_dir: str):
     """The curation verdict an SFT-prep pipeline renders per conversation,
     composing three independent corpus passes: length (>= 3 turns),
@@ -3342,6 +3364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "speaker_token_share": q_speaker_token_share,
         "mention_density": q_mention_density,
         "sft_gate": q_sft_gate,
+        "preference_pairs": q_preference_pairs,
         "phrase_tags": q_phrase_tags,
         "feature_hashing": q_feature_hashing,
         "normal_equations": q_normal_equations,
@@ -4850,9 +4873,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN r3 = 2 THEN tok ELSE 0 END) AS BIGINT)
                      AS tok_tool,
                    (1000000 * CAST(SUM(CASE WHEN r3 = 1 THEN tok ELSE 0 END)
-                      AS BIGINT)) // GREATEST(SUM(tok), 1)
+                      AS BIGINT)) // GREATEST(CAST(SUM(tok) AS BIGINT), 1)
                      AS assistant_share_ppm
             FROM tr GROUP BY 1
+        """,
+        "preference_pairs": f"""{_SQL_PREFIX},
+            tr AS (
+              SELECT 'conv-'||c AS conv_id, t AS turn_idx,
+                     {text_expr} AS text,
+                     ((c * 2654435761) % 4294967296) % 8 AS bucket
+              FROM calc, consts
+              WHERE t % 3 = 1
+            ), p AS (
+              SELECT conv_id, turn_idx, text AS chosen,
+                     COALESCE(LEAD(text) OVER w,
+                              FIRST_VALUE(text) OVER w) AS rejected,
+                     COALESCE(LEAD(conv_id) OVER w,
+                              FIRST_VALUE(conv_id) OVER w) AS neg_conv_id
+              FROM tr
+              WINDOW w AS (PARTITION BY turn_idx, bucket ORDER BY conv_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+            )
+            SELECT conv_id, turn_idx, chosen, rejected, neg_conv_id
+            FROM p WHERE neg_conv_id <> conv_id
         """,
         "sft_gate": f"""{_SQL_PREFIX},
             tr AS (
@@ -4867,7 +4911,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(COUNT(*) AS BIGINT) AS n_turns,
                      CAST(SUM(nl) AS BIGINT) AS n_linked,
                      (1000000 * CAST(SUM(CASE WHEN r3 = 1 THEN tok ELSE 0 END)
-                        AS BIGINT)) // GREATEST(SUM(tok), 1)
+                        AS BIGINT)) // GREATEST(CAST(SUM(tok) AS BIGINT), 1)
                        AS assistant_share_ppm
               FROM tr GROUP BY 1
             )

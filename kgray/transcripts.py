@@ -277,6 +277,71 @@ def _chunk(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+_KNUTH = 2654435761  # Knuth multiplicative hash (public domain)
+
+
+def preference_pairs(
+    ds,
+    key_col: str = "conv_key",
+    num_buckets: int = 8,
+):
+    """DPO/RLHF preference-pair construction by deterministic in-bucket
+    negative mining: each assistant turn's (context-free) chosen response
+    is paired with the SAME-position response from the next conversation
+    in its hash bucket (wrapping), a plausible-but-wrong negative — the
+    standard in-batch-negative trick, made reproducible.
+
+    Partitioning: turn_idx alone has tiny cardinality (<= max turns), so
+    a (turn_idx)-keyed shuffle would funnel the corpus into a handful of
+    tasks. Instead the shuffle key is (turn_idx, bucket) where bucket =
+    Knuth-hash(conv key) % num_buckets — cardinality scales with
+    ``num_buckets`` (raise it with the cluster), negatives stay valid
+    (any other conversation's same-position response), and the SQL
+    mirror reproduces the exact pairing. Single-row sub-buckets would
+    self-pair and are dropped.
+
+    ``ds`` needs (conv_id, turn_idx, role, text, ``key_col``) where
+    ``key_col`` is an int64 conversation key. Emits (conv_id, turn_idx,
+    chosen, rejected, neg_conv_id).
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = _chunk(t[key_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (key * _KNUTH) % (1 << 32) % num_buckets
+        keep = pc.equal(_chunk(t["role"]), "assistant")
+        return (
+            t.select(["conv_id", "turn_idx", "text"])
+            .append_column("bucket", pa.array(b, type=pa.int64()))
+            .filter(keep)
+        )
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["turn_idx", "bucket", "conv_id"], kind="mergesort")
+        g = df.groupby(["turn_idx", "bucket"], sort=False)
+        nxt_text = g["text"].shift(-1)
+        nxt_conv = g["conv_id"].shift(-1)
+        first_text = g["text"].transform("first")
+        first_conv = g["conv_id"].transform("first")
+        rejected = nxt_text.fillna(first_text)
+        neg_conv = nxt_conv.fillna(first_conv)
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "chosen": df["text"],
+                "rejected": rejected,
+                "neg_conv_id": neg_conv,
+            }
+        )
+        return out[(neg_conv != df["conv_id"]).to_numpy()]
+
+    staged = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return hash_bucketed_groupby(staged, ["turn_idx", "bucket"], pair)
+
+
 def speaker_token_share(ds, scale: int = 1_000_000):
     """Per-conversation role token budget — the balance gate an SFT
     curation pass applies (a conversation that is nearly all user text,

@@ -45,6 +45,39 @@ def test_mention_density_counts_and_unlinkables(ray_session):
     assert (b["n_mentions"], b["n_unlinkable"]) == (2, 1)
 
 
+def test_preference_pairs_wrap_and_singleton_drop(ray_session):
+    """In-bucket negative mining: within a (turn_idx, bucket) group the
+    rejected response is the NEXT conversation's same-position text in
+    conv_id order, the last wraps to the first, and single-row groups
+    (which would self-pair) are dropped."""
+    from kgray.transcripts import preference_pairs
+
+    # one bucket (num_buckets=1): conv keys irrelevant to grouping
+    rows = [
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "r1", "conv_key": 1},
+        {"conv_id": "c2", "turn_idx": 1, "role": "assistant",
+         "text": "r2", "conv_key": 2},
+        {"conv_id": "c3", "turn_idx": 1, "role": "assistant",
+         "text": "r3", "conv_key": 3},
+        # a user turn is ignored
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "q", "conv_key": 1},
+        # singleton at turn_idx 4 -> dropped
+        {"conv_id": "c9", "turn_idx": 4, "role": "assistant",
+         "text": "solo", "conv_key": 9},
+    ]
+    for nblocks in (1, 3):
+        ds = _ds(rows, nblocks)
+        got = sorted(
+            preference_pairs(ds, num_buckets=1).take_all(),
+            key=lambda r: r["conv_id"],
+        )
+        assert [(r["conv_id"], r["rejected"], r["neg_conv_id"]) for r in got] == [
+            ("c1", "r2", "c2"), ("c2", "r3", "c3"), ("c3", "r1", "c1"),
+        ]
+
+
 def test_parallelism_invariance(ray_session):
     """Both reducers are integer partial sums — identical at any block
     count."""
