@@ -2549,6 +2549,17 @@ def q_iqr_outliers(sf_dir: str):
     )
 
 
+def q_epoch_order(sf_dir: str):
+    """Reproducible 2-epoch global training order: ROW_NUMBER over a
+    deterministic per-epoch hash, computed as a distributed prefix sum
+    over hash ranges (mixture_sample's pattern) — no global sort, bit-
+    identical to the SQL window mirror at any parallelism."""
+    from kgray.sampling import epoch_shuffle_order
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return _table(epoch_shuffle_order(docs, key_col="doc_id", epochs=2))
+
+
 def q_mixture_sample(sf_dir: str):
     """Data mixing: per source, keep docs in deterministic hash order
     until 10k chars — a distributed prefix-sum cutoff (range-partial sums
@@ -3372,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "cms_user_counts": q_cms_user_counts,
         "mixture_sample": q_mixture_sample,
+        "epoch_order": q_epoch_order,
         "iqr_outliers": q_iqr_outliers,
         "mad_per_type": q_mad_per_type,
         "percentile_ranks": q_percentile_ranks,
@@ -4876,6 +4888,18 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT)) // GREATEST(CAST(SUM(tok) AS BIGINT), 1)
                      AS assistant_share_ppm
             FROM tr GROUP BY 1
+        """,
+        "epoch_order": """
+            WITH e AS (
+              SELECT doc_id, CAST(r.range AS BIGINT) AS epoch,
+                     ((doc_id * 2 + r.range) * 2654435761) % 4294967296 AS h
+              FROM documents, range(0, 2) r
+            )
+            SELECT doc_id, epoch,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                           ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS ord
+            FROM e
         """,
         "preference_pairs": f"""{_SQL_PREFIX},
             tr AS (

@@ -321,3 +321,108 @@ def mixture_sample(
         return df.loc[cum <= budget, [key_col, source_col, size_col]]
 
     return hash_bucketed_groupby(tagged, [source_col, "_range"], cut, num_buckets)
+
+
+def epoch_shuffle_order(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    epochs: int = 2,
+    prefix_bits: int = 6,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Reproducible per-epoch global training order WITHOUT a global sort
+    — the epoch-shuffle a training pipeline needs to replay a run exactly
+    (same data order on any cluster, resumable mid-epoch at a known
+    position).
+
+    Each (row, epoch) gets the deterministic key
+    ``h = knuth32(key * epochs + epoch)``; the epoch's order is ROW_NUMBER
+    over (h, key). A global ROW_NUMBER is inherently sequential, so it
+    distributes the same way ``mixture_sample``'s prefix sum does:
+
+    1. range-partition each epoch by the top ``prefix_bits`` of h and
+       reduce per (epoch, range) ROW COUNTS — a fixed
+       ``epochs x 2^prefix_bits`` table folds on the driver into
+       exclusive offsets;
+    2. one bucketed shuffle co-locates each (epoch, range) group, which
+       sorts locally by (h, key) and emits offset + local position.
+
+    Ranges strictly order the hash space, so the result is bit-identical
+    to the sequential ROW_NUMBER — and to the SQL window mirror — at any
+    parallelism. ``key * epochs`` must stay under 2^35 (the knuth_hash32
+    domain bound); re-scale the key upstream for larger id spaces.
+
+    Returns Dataset(key_col, epoch, ord) with ord in [0, n) per epoch.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucketed_groupby
+
+    shift = 32 - prefix_bits
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(_chunked(t[key_col]), pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(k)
+        kk = np.repeat(k, epochs)
+        ee = np.tile(np.arange(epochs, dtype=np.int64), n)
+        h = knuth_hash32(kk * epochs + ee)
+        return pa.table(
+            {
+                key_col: pa.array(kk),
+                "epoch": pa.array(ee),
+                "_h": pa.array(h),
+                "_range": pa.array(h >> shift),
+            }
+        )
+
+    tagged = ds.select_columns([key_col]).map_batches(tag, batch_format="pyarrow")
+
+    # (epoch, range) row counts fold on the driver — epochs x 2^prefix_bits
+    # ints at any corpus size
+    def cpart(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "epoch": _chunked(t["epoch"]).to_numpy(zero_copy_only=False),
+                "_range": _chunked(t["_range"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["epoch", "_range"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    acc: dict = {}
+    for b in tagged.map_batches(cpart, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1 << 18
+    ):
+        for e_, r_, n_ in zip(
+            b["epoch"].to_numpy(zero_copy_only=False),
+            b["_range"].to_numpy(zero_copy_only=False),
+            b["n"].to_numpy(zero_copy_only=False),
+        ):
+            k2 = (int(e_), int(r_))
+            acc[k2] = acc.get(k2, 0) + int(n_)
+    rows = sorted(acc.items())
+    per_epoch: dict = {}
+    off_rows = []
+    for (e_, r_), n_ in rows:
+        base = per_epoch.get(e_, 0)
+        off_rows.append((e_, r_, base))
+        per_epoch[e_] = base + n_
+    off_df = pd.DataFrame(
+        off_rows, columns=["epoch", "_range", "_off"]
+    ).astype(np.int64)
+    off_ref = ray.put(off_df)
+
+    def rank(df: pd.DataFrame, _ref=off_ref) -> pd.DataFrame:
+        df = df.merge(ray.get(_ref), on=["epoch", "_range"], how="left")
+        df = df.sort_values(["epoch", "_range", "_h", key_col], kind="mergesort")
+        pos = df.groupby(["epoch", "_range"], sort=False).cumcount().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                "epoch": df["epoch"].to_numpy(np.int64),
+                "ord": df["_off"].fillna(0).to_numpy(np.int64) + pos,
+            }
+        )
+        return out
+
+    return hash_bucketed_groupby(tagged, ["epoch", "_range"], rank, num_buckets)

@@ -155,6 +155,36 @@ def test_mixture_sample_matches_sequential_cumsum(ray_session):
     assert 0 < len(got) < n  # the budget actually bisected
 
 
+def test_epoch_shuffle_order_matches_sequential(ray_session):
+    """Distributed ROW_NUMBER == sequential lexsort rank per epoch, at
+    two parallelisms; each epoch is a permutation of [0, n) and the two
+    epochs order the corpus differently."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.sampling import KNUTH, MOD32, epoch_shuffle_order
+
+    n, E = 300, 2
+    ids = np.arange(n, dtype=np.int64)
+    expect = {}
+    for e in range(E):
+        h = ((ids * E + e) * KNUTH) % MOD32
+        order = ids[np.lexsort((ids, h))]
+        for pos, i in enumerate(order):
+            expect[(int(i), e)] = pos
+
+    for nblocks in (1, 5):
+        ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(nblocks)
+        rows = epoch_shuffle_order(ds, epochs=E).take_all()
+        assert len(rows) == n * E
+        got = {(r["doc_id"], r["epoch"]): r["ord"] for r in rows}
+        assert got == expect
+    perm0 = [expect[(i, 0)] for i in range(n)]
+    perm1 = [expect[(i, 1)] for i in range(n)]
+    assert sorted(perm0) == list(range(n)) and perm0 != perm1
+
+
 def test_train_bpe_classic_example(ray_session):
     """Sennrich-style worked example: corpus low x3, lower x2, newest x4,
     widest x1 -> merges (w,e) n=6, then the 5-count tie (l,o) before (s,t)
