@@ -100,7 +100,10 @@ def run_bench() -> dict:
             "contrastive_triplets", "feature_hashing", "normal_equations",
             "percentile_ranks", "zorder_keys", "raw_media_features",
             "bpe_merges", "knn_graph", "label_spread", "random_walks",
-            "skipgram_pairs",
+            "skipgram_pairs", "bigram_lm", "boilerplate_turns",
+            "speaker_token_share", "mention_density", "sft_gate",
+            "preference_pairs", "epoch_order", "pca_invariants",
+            "wav_audio_features", "bfs_distances",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

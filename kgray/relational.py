@@ -245,6 +245,106 @@ def shuffle_join(
     )
 
 
+def skew_routed_join(
+    fact: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    fact_key: str,
+    dim_key: str,
+    take_cols: list[str],
+    hot_count_threshold: int = 1_000_000,
+    candidates_per_block: int = 64,
+    max_candidates: int = 4096,
+    num_partitions: int = 32,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Hot-key-routed hash join — the skew defence for the case
+    ``broadcast_lookup_join`` can't cover: BOTH sides too big to
+    broadcast AND a few fact keys hold a corpus-scale share of the rows
+    (the celebrity-entity problem). A plain hash join lands every row of
+    a hot key on ONE aggregator; here hot keys bypass the shuffle:
+
+    1. detect hot fact keys approximately: per-batch top-``candidates_
+       per_block`` key counts fold on the driver (capped at
+       ``max_candidates`` entries, pruning the smallest — detection
+       misses only cost performance, never correctness); a key whose
+       folded count reaches ``hot_count_threshold`` is hot;
+    2. the dim rows for hot keys (bounded: |hot| keys, dimension-unique)
+       broadcast once via ``ray.put`` and merge map-side — the hot rows
+       never enter a shuffle;
+    3. everything else takes the normal hash-shuffle join against the
+       dim remainder; the two streams union (same column layout is
+       enforced explicitly).
+
+    Result == ``shuffle_join`` row-for-row (parity-tested with a forced
+    tiny threshold); only the physical routing differs.
+    """
+
+    def kpart(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[fact_key].value_counts().head(candidates_per_block)
+        return pd.DataFrame({fact_key: vc.index, "n": vc.to_numpy(np.int64)})
+
+    acc: dict = {}
+    for b in (
+        fact.select_columns([fact_key])
+        .map_batches(kpart, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=1 << 16)
+    ):
+        for k, n in zip(b[fact_key], b["n"]):
+            acc[k] = acc.get(k, 0) + int(n)
+        if len(acc) > 4 * max_candidates:
+            acc = dict(
+                sorted(acc.items(), key=lambda kv: -kv[1])[:max_candidates]
+            )
+    hot = {k for k, n in acc.items() if n >= hot_count_threshold}
+
+    out_cols = [c for c in fact.schema().names] + take_cols
+    dim_small = dim.select_columns([dim_key] + take_cols)
+
+    if not hot:
+        joined = shuffle_join(
+            fact, dim_small, on=(fact_key,), right_on=(dim_key,),
+            num_partitions=num_partitions, how=how,
+        )
+        return joined.map_batches(
+            lambda df: df[out_cols], batch_format="pandas"
+        )
+
+    hot_ref = ray.put(sorted(hot))
+
+    def is_hot(df: pd.DataFrame, want: bool) -> pd.DataFrame:
+        mask = df[fact_key].isin(set(ray.get(hot_ref)))
+        return df[mask if want else ~mask]
+
+    hot_dim = dim_small.map_batches(
+        lambda df: df[df[dim_key].isin(set(ray.get(hot_ref)))],
+        batch_format="pandas",
+    ).to_pandas()
+    cold_dim = dim_small.map_batches(
+        lambda df: df[~df[dim_key].isin(set(ray.get(hot_ref)))],
+        batch_format="pandas",
+    )
+
+    hot_out = fact.map_batches(
+        is_hot, fn_kwargs={"want": True}, batch_format="pandas"
+    ).map_batches(
+        _broadcast_merge,
+        fn_kwargs={
+            "ref": ray.put(hot_dim), "fact_key": fact_key,
+            "dim_key": dim_key,
+            "how": "left" if how == "left_outer" else how,
+        },
+        batch_format="pandas",
+    ).map_batches(lambda df: df[out_cols], batch_format="pandas")
+
+    cold_out = shuffle_join(
+        fact.map_batches(is_hot, fn_kwargs={"want": False}, batch_format="pandas"),
+        cold_dim, on=(fact_key,), right_on=(dim_key,),
+        num_partitions=num_partitions, how=how,
+    ).map_batches(lambda df: df[out_cols], batch_format="pandas")
+
+    return hot_out.union(cold_out)
+
+
 def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],

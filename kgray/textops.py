@@ -980,12 +980,14 @@ def bigram_lm_scores(
 
     Plan (all corpus-scale volumes bounded): a per-batch vectorized
     bigram-tf combiner (Arrow tokenize + offset-mask, pandas str.cat —
-    no per-row Python) feeds ONE materialized (doc, gram, w1, tf)
-    stream; corpus counts are two vocabulary-bounded ``grouped_agg``s
-    over it (bigram counts, first-word prefix counts) joined size-routed
-    on w1; the counts attach back to the doc stream via a size-routed
-    lookup join on the gram key; one doc-keyed reduce finishes. Docs
-    with fewer than two words have no bigrams and emit no row.
+    no per-row Python) feeds ONE materialized (doc, gram, tf) stream;
+    bigram counts are ONE vocabulary-bounded gram-keyed ``grouped_agg``
+    over it, prefix counts derive from that (vocabulary-sized) table —
+    c1(w1) = Σ c12 — rather than a second corpus-stream aggregation, and
+    the two join size-routed on w1; the counts attach back to the doc
+    stream via a size-routed lookup join on the gram key; one doc-keyed
+    reduce finishes. Docs with fewer than two words have no bigrams and
+    emit no row.
 
     Returns Dataset(doc_id, n_bigrams, lm_score_ppm).
     """
@@ -1006,7 +1008,8 @@ def bigram_lm_scores(
         n = len(flat)
         empty = pd.DataFrame(
             {id_col: pd.Series([], dtype=np.int64), "g": pd.Series([], dtype=object),
-             "w1": pd.Series([], dtype=object), "tf": pd.Series([], dtype=np.int64)}
+             "tf": pd.Series([], dtype=np.int64),
+             "kind": pd.Series([], dtype=np.int64)}
         )
         if n < 2:
             return empty
@@ -1024,26 +1027,59 @@ def bigram_lm_scores(
             {
                 id_col: doc_ids[valid],
                 "g": gram.to_numpy()[valid],
-                "w1": left.to_numpy()[valid],
             }
         )
         if df.empty:
             return empty
-        return (
-            df.groupby([id_col, "g", "w1"], as_index=False)
+        out0 = (
+            df.groupby([id_col, "g"], as_index=False)
             .size()
             .rename(columns={"size": "tf"})
+        )
+        out0["kind"] = 0
+        # batch-combined prefix partials (vocab-bounded per batch) ride
+        # the SAME exchange as the doc stream, tagged kind=1 — the ngram
+        # max_df fused-shuffle pattern
+        out1 = (
+            pd.DataFrame({"g": left.to_numpy()[valid]})
+            .groupby("g", as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        out1[id_col] = -1
+        out1["kind"] = 1
+        return pd.concat(
+            [out0, out1[[id_col, "g", "tf", "kind"]]], ignore_index=True
         )
 
     stream = ds.select_columns([id_col, text_col]).map_batches(
         big_rows, batch_format="pyarrow"
     ).materialize()
 
-    c12 = grouped_agg(stream, keys=["g", "w1"], sums={"c12": "tf"})
-    c1 = grouped_agg(stream, keys=["w1"], sums={"c1": "tf"})
+    # ONE fused (kind, key) count shuffle: kind 0 reduces c12 per gram,
+    # kind 1 reduces c1 per prefix — no second corpus-stream aggregation
+    # and no separate prefix exchange
+    counts_all = grouped_agg(
+        stream, keys=["kind", "g"], sums={"c": "tf"}
+    ).materialize()
+
+    def take_c12(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(_chunked(t["kind"]), 0))
+        w1 = pc.list_element(pc.split_pattern(_chunked(t["g"]), US), 0)
+        return pa.table({"g": _chunked(t["g"]), "c12": _chunked(t["c"]), "w1": w1})
+
+    def take_c1(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(_chunked(t["kind"]), 1))
+        return pa.table({"w1": _chunked(t["g"]), "c1": _chunked(t["c"])})
+
+    c12 = counts_all.map_batches(take_c12, batch_format="pyarrow")
+    c1 = counts_all.map_batches(take_c1, batch_format="pyarrow")
     counts = broadcast_lookup_join(
         c12, c1, "w1", "w1", ["c1"], broadcast_limit=broadcast_limit, how="inner"
     )
+    # inner join on the gram key also drops the kind-1 rider rows from the
+    # doc stream: prefix keys never contain the US separator, gram keys
+    # always do, so they cannot collide
     attached = broadcast_lookup_join(
         stream, counts.select_columns(["g", "c12", "c1"]), "g", "g",
         ["c12", "c1"], broadcast_limit=broadcast_limit, how="inner",

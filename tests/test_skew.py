@@ -116,3 +116,51 @@ def test_quantile_disc_counts_matches_row_sort(ray_session):
         for g, sub in df.groupby("g"):
             xs = np.sort(sub["x"].to_numpy())
             assert out[g] == xs[int(np.floor((len(xs) - 1) * q))], (g, q)
+
+
+def test_skew_routed_join_parity_and_routing(ray_session):
+    """skew_routed_join == shuffle_join row-for-row with a forced tiny
+    threshold (both routes live), with no hot keys (cold-only route),
+    and under a celebrity key holding half the fact stream."""
+    import pandas as pd
+
+    from kgray.relational import shuffle_join, skew_routed_join
+
+    rng = np.random.RandomState(7)
+    n = 6000
+    # key 0 is the celebrity: half the stream
+    keys = np.where(rng.random(n) < 0.5, 0, rng.randint(1, 200, n)).astype(np.int64)
+    fact = ray.data.from_arrow(
+        pa.table({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    ).repartition(6)
+    dim = ray.data.from_arrow(
+        pa.table(
+            {
+                "dk": np.arange(200, dtype=np.int64),
+                "name": [f"n{i}" for i in range(200)],
+            }
+        )
+    ).repartition(2)
+
+    def collect(ds):
+        rows = ds.take_all()
+        return sorted((r["k"], r["v"], r["name"]) for r in rows)
+
+    want = collect(
+        shuffle_join(fact, dim, on=("k",), right_on=("dk",), how="inner")
+        .map_batches(lambda df: df[["k", "v", "name"]], batch_format="pandas")
+    )
+    # forced threshold: the celebrity (and a few more) route hot
+    got = collect(
+        skew_routed_join(
+            fact, dim, "k", "dk", ["name"], hot_count_threshold=100
+        )
+    )
+    assert got == want
+    # threshold nothing reaches: pure cold route, same rows
+    got_cold = collect(
+        skew_routed_join(
+            fact, dim, "k", "dk", ["name"], hot_count_threshold=10**9
+        )
+    )
+    assert got_cold == want
