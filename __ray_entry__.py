@@ -1228,6 +1228,14 @@ def q_pagerank(sf_dir: str):
     return _table(out)
 
 
+def q_k_core(sf_dir: str):
+    """5-core of the canonical KG: iterative degree peel to fixpoint
+    (driver-fold path under the edge limit; join path beyond, parity-
+    tested) — emits core members with their in-core degree."""
+    out = graphalgo.k_core(_canonical_int_edges(sf_dir), k=5)
+    return _table(out)
+
+
 def q_bfs_distances(sf_dir: str):
     """3-hop BFS distance labels from canonical node 0 over the directed
     canonical edge stream — per-hop broadcast-frontier expansion, one
@@ -3323,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q_bpe_token_counts,
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
+        "k_core": q_k_core,
         "graph_components": q_graph_components,
         "degree_histogram": q_degree_histogram,
         "random_walks": q_random_walks,
@@ -3536,6 +3545,32 @@ def _walks_cte() -> str:
               UNION ALL SELECT walk_id, 3, node FROM w3
             )
     """
+
+
+def _k_core_sql(k: int = 5, rounds: int = 6) -> str:
+    """Unrolled peel: each round recomputes degrees and keeps edges whose
+    endpoints both reach k. Peeling a converged core is the identity, so
+    ``rounds`` only needs to be >= the fixture's convergence depth (3 at
+    the gate scales; 6 leaves headroom)."""
+    sql = f"""{_SQL_PREFIX},
+    {_SQL_LINKED.strip()},
+    e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s - s % 2, o - o % 2) AS a,
+                  GREATEST(s - s % 2, o - o % 2) AS b
+           FROM linked WHERE (s - s % 2) <> (o - o % 2))"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS MATERIALIZED (SELECT v, COUNT(*) AS dg FROM (
+               SELECT a AS v FROM e{i-1} UNION ALL SELECT b FROM e{i-1}
+             ) GROUP BY 1),
+    e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e
+             JOIN d{i} da ON da.v = e.a AND da.dg >= {k}
+             JOIN d{i} db ON db.v = e.b AND db.dg >= {k})"""
+    sql += f""",
+    df AS (SELECT v, COUNT(*) AS dg FROM (
+             SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+           ) GROUP BY 1)
+    SELECT v AS node_id, CAST(dg AS BIGINT) AS core_deg FROM df"""
+    return sql
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
@@ -3950,6 +3985,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "pagerank": _pagerank_sql(iters=5),
+        "k_core": _k_core_sql(k=5, rounds=6),
         "graph_components": f"""{_SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)},
             {_SQL_LINKED.strip()},
             e AS (SELECT (s - s % 2) AS src, (o - o % 2) AS dst FROM linked),

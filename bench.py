@@ -102,7 +102,7 @@ def run_bench() -> dict:
             "bpe_merges", "knn_graph", "label_spread", "random_walks",
             "skipgram_pairs", "bigram_lm", "boilerplate_turns",
             "speaker_token_share", "mention_density", "sft_gate",
-            "preference_pairs", "epoch_order", "pca_invariants",
+            "preference_pairs", "epoch_order", "pca_invariants", "k_core",
             "wav_audio_features", "bfs_distances",
         ]:
             fn = entry.queries()[name]

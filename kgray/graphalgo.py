@@ -739,6 +739,172 @@ def undirected_distinct_edges(
     )
 
 
+def k_core(
+    edges_ds: ray.data.Dataset,
+    k: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    edge_broadcast_limit: int = 50_000_000,
+    max_rounds: int = 64,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """k-core decomposition by iterative peel: drop every node of degree
+    < k from the simple undirected projection, recompute degrees, repeat
+    to fixpoint — the density filter a graph-curation pass runs before
+    embedding training (peripheral nodes contribute noise walks).
+
+    Dual path, routed by the DISTINCT edge count (cheap: the projection
+    is materialized):
+
+    - under ``edge_broadcast_limit``: per-round degree partials (node-
+      bounded per block) fold on the driver, the keep-set broadcasts via
+      ``ray.put``, and the peel is one vectorized ``is_in`` filter pass
+      per round — no shuffles inside the loop;
+    - beyond it: degrees reduce via ``grouped_agg`` and the peel is two
+      keep-set hash joins per round; nothing node- or edge-scale touches
+      the driver. Bit-parity with the driver path is tested with a
+      forced limit of 0.
+
+    Peeling a converged core is the identity, so extra rounds are
+    harmless (the SQL mirror relies on this: it unrolls a fixed round
+    count ≥ the fixture's convergence depth). Returns
+    Dataset(node_id, core_deg) — the k-core members with their degree
+    inside the core.
+    """
+    e = undirected_distinct_edges(edges_ds, src, dst, num_buckets).materialize()
+    if e.count() > edge_broadcast_limit:
+        return _k_core_joined(e, k, max_rounds, num_buckets)
+
+    def part(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                _chunked(t["a"]).to_numpy(zero_copy_only=False),
+                _chunked(t["b"]).to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        v, c = np.unique(both, return_counts=True)
+        return pa.table({"v": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    def fold_degrees(ds):
+        acc: dict = {}
+        for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 18
+        ):
+            for v, c in zip(
+                b["v"].to_numpy(zero_copy_only=False),
+                b["c"].to_numpy(zero_copy_only=False),
+            ):
+                acc[int(v)] = acc.get(int(v), 0) + int(c)
+        return acc
+
+    deg = fold_degrees(e)
+    for _ in range(max_rounds):
+        keep = np.array(
+            sorted(v for v, c in deg.items() if c >= k), dtype=np.int64
+        )
+        if len(keep) == len(deg):
+            break
+        ref = ray.put(keep)
+
+        def peel(t: pa.Table, _ref=ref) -> pa.Table:
+            kp = pa.array(ray.get(_ref))
+            m = pc.and_(
+                pc.is_in(_chunked(t["a"]), value_set=kp),
+                pc.is_in(_chunked(t["b"]), value_set=kp),
+            )
+            return t.filter(m)
+
+        e = e.map_batches(peel, batch_format="pyarrow").materialize()
+        deg = fold_degrees(e)
+
+    nodes = np.array(sorted(deg), dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node_id": pa.array(nodes),
+                "core_deg": pa.array(
+                    np.array([deg[int(v)] for v in nodes], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+def _k_core_joined(
+    e: ray.data.Dataset, k: int, max_rounds: int, num_buckets: int
+) -> ray.data.Dataset:
+    """The beyond-broadcast peel: grouped degree reduce + two keep-set
+    SEMI joins per round; terminates when the edge count stops falling.
+
+    The peel uses ``relational.semi_join`` (size-routed membership
+    filter / bloom-prefiltered marker join), NOT Ray's hash ``join``:
+    map_groups reducers and hash-join outputs emit schema-less empty
+    blocks for empty partitions, those blocks BYPASS map_batches (so no
+    normalization pass can repair them), and pyarrow's acero join
+    rejects any side containing one. The marker machinery never feeds
+    acero, so it is immune."""
+    from ray.data.aggregate import Sum
+
+    from .relational import semi_join
+
+    def part(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                _chunked(t["a"]).to_numpy(zero_copy_only=False),
+                _chunked(t["b"]).to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        v, c = np.unique(both, return_counts=True)
+        return pa.table({"v": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    def degrees(ds):
+        return (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("c", alias_name="deg"))
+        )
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "node_id": pa.array([], type=pa.int64()),
+                "core_deg": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+
+    prev = e.count()
+    for _ in range(max_rounds):
+        if prev == 0:
+            return empty
+        keep = degrees(e).map_batches(
+            lambda t: t.filter(pc.greater_equal(_chunked(t["deg"]), k)).select(
+                ["v"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # probed by BOTH semi joins — never recompute
+        if keep.count() == 0:
+            return empty
+        e = semi_join(e, keep, on="a", right_on="v")
+        e = semi_join(e, keep, on="b", right_on="v").materialize()
+        n = e.count()
+        if n == prev:
+            break
+        prev = n
+
+    if e.count() == 0:
+        return empty
+    return degrees(e).map_batches(
+        lambda t: pa.table(
+            {
+                "node_id": _chunked(t["v"]),
+                "core_deg": pc.cast(_chunked(t["deg"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def triangle_count(
     edges_ds: ray.data.Dataset, src: str = "src", dst: str = "dst",
     num_partitions: int = 16,

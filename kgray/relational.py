@@ -806,9 +806,13 @@ def _marker_join(
     ).materialize()
 
     def collect_unique(ds_keys):
+        # skip schema-less empty blocks: map_groups reducers and hash-join
+        # outputs emit them for empty partitions, and they BYPASS
+        # map_batches, so they can reach any downstream consumer
         chunks = [
             _chunked(b[right_on])
             for b in ds_keys.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
+            if right_on in b.schema.names
         ]
         if not chunks:
             return None

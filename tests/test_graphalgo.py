@@ -287,3 +287,39 @@ def test_bfs_joined_matches_broadcast(ray_session):
     )
     assert lonely["node_id"].to_pylist() == [77]
     assert lonely["dist"].to_pylist() == [0]
+
+
+def test_k_core_hand_checked_and_join_parity(ray_session):
+    """A 4-clique with two pendant paths: the 3-core is exactly the
+    clique (peel takes 2 rounds — removing the outer pendant drops the
+    inner one's degree below 3 only indirectly via the chain); the
+    beyond-broadcast join path (forced limit 0) matches the driver path
+    bit-for-bit."""
+    from kgray.graphalgo import k_core
+
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    pendants = [(3, 4), (4, 5)]  # chain off the clique
+    edges = clique + pendants
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], type=pa.int64()),
+            "dst": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = sorted(
+            (r["node_id"], r["core_deg"]) for r in k_core(ds, k=3).take_all()
+        )
+        assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+    ds = rd.from_arrow(t).repartition(3)
+    joined = sorted(
+        (r["node_id"], r["core_deg"])
+        for r in k_core(ds, k=3, edge_broadcast_limit=0).take_all()
+    )
+    assert joined == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+    # k above the max degree: empty core on both paths
+    assert k_core(ds, k=10).count() == 0
+    assert k_core(ds, k=10, edge_broadcast_limit=0).count() == 0
