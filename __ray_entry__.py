@@ -2568,6 +2568,41 @@ def q_epoch_order(sf_dir: str):
     return _table(epoch_shuffle_order(docs, key_col="doc_id", epochs=2))
 
 
+def q_segment_event_stats(sf_dir: str):
+    """Per-market-segment event rollup THROUGH the hot-key-routed join:
+    events attach their customer's segment via relational.skew_routed_join
+    (threshold forced low so both the broadcast-hot and shuffle-cold
+    routes execute), then one segment-keyed integer reduce. Routing is
+    semantics-free — the oracle is the plain SQL join."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.floor(pc.multiply(_chunk(t["value"]), pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({"user_id": _chunk(t["user_id"]), "value_c": v})
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = relational.skew_routed_join(
+        ev, cust, "user_id", "c_custkey", ["c_mktsegment"],
+        hot_count_threshold=65, how="inner",
+    )
+    per = relational.grouped_agg(
+        joined.map_batches(
+            lambda df: df.assign(n_events=1)[
+                ["c_mktsegment", "n_events", "value_c"]
+            ],
+            batch_format="pandas",
+        ),
+        keys=["c_mktsegment"],
+        sums={"n_events": "n_events", "value_c": "value_c"},
+    )
+    return _table(per)
+
+
 def q_mixture_sample(sf_dir: str):
     """Data mixing: per source, keep docs in deterministic hash order
     until 10k chars — a distributed prefix-sum cutoff (range-partial sums
@@ -3393,6 +3428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": q_cms_user_counts,
         "mixture_sample": q_mixture_sample,
         "epoch_order": q_epoch_order,
+        "segment_event_stats": q_segment_event_stats,
         "iqr_outliers": q_iqr_outliers,
         "mad_per_type": q_mad_per_type,
         "percentile_ranks": q_percentile_ranks,
@@ -4924,6 +4960,14 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT)) // GREATEST(CAST(SUM(tok) AS BIGINT), 1)
                      AS assistant_share_ppm
             FROM tr GROUP BY 1
+        """,
+        "segment_event_stats": """
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(e.value * 100.0) AS BIGINT))
+                        AS BIGINT) AS value_c
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1
         """,
         "epoch_order": """
             WITH e AS (

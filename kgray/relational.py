@@ -322,7 +322,7 @@ def skew_routed_join(
     cold_dim = dim_small.map_batches(
         lambda df: df[~df[dim_key].isin(set(ray.get(hot_ref)))],
         batch_format="pandas",
-    )
+    ).materialize()
 
     hot_out = fact.map_batches(
         is_hot, fn_kwargs={"want": True}, batch_format="pandas"
@@ -336,9 +336,27 @@ def skew_routed_join(
         batch_format="pandas",
     ).map_batches(lambda df: df[out_cols], batch_format="pandas")
 
+    # acero rejects a join whose side is ENTIRELY empty (the placeholder
+    # partitions carry no schema), and a genuinely hot corpus can route
+    # every row hot — guard both cold sides before joining. The cold fact
+    # is materialized anyway: the join's shuffle would land it in
+    # aggregator memory regardless, this just makes the count free.
+    cold_fact = fact.map_batches(
+        is_hot, fn_kwargs={"want": False}, batch_format="pandas"
+    ).materialize()
+    if cold_fact.count() == 0:
+        return hot_out
+    if cold_dim.count() == 0:
+        if how == "inner":
+            return hot_out
+        null_cols = {c: None for c in take_cols}
+        cold_out = cold_fact.map_batches(
+            lambda df: df.assign(**null_cols)[out_cols], batch_format="pandas"
+        )
+        return hot_out.union(cold_out)
+
     cold_out = shuffle_join(
-        fact.map_batches(is_hot, fn_kwargs={"want": False}, batch_format="pandas"),
-        cold_dim, on=(fact_key,), right_on=(dim_key,),
+        cold_fact, cold_dim, on=(fact_key,), right_on=(dim_key,),
         num_partitions=num_partitions, how=how,
     ).map_batches(lambda df: df[out_cols], batch_format="pandas")
 
