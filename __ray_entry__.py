@@ -1221,6 +1221,78 @@ def q_dedup_clusters(sf_dir: str):
     return _table(out)
 
 
+def q_transe_negatives(sf_dir: str):
+    """KG-embedding training prep (TransE-style corrupted triples): each
+    canonical linked mention pairs with a deterministic hash-chosen
+    corrupt object (canonical id space, nudged off the true object) —
+    reproducible negative sampling with no RNG state, map-only after the
+    extract -> link -> canonicalize chain."""
+    canonical, _ = _canonical_triples(sf_dir)
+    pred_idx = {p: i for i, p in enumerate(PREDICATES)}
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.utf8_slice_codeunits(_chunk(t["subject_id"]), 4, 1 << 30), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        o = pc.cast(
+            pc.utf8_slice_codeunits(_chunk(t["object_id"]), 4, 1 << 30), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        p = np.array(
+            [pred_idx[x] for x in _chunk(t["predicate"]).to_pylist()],
+            dtype=np.int64,
+        )
+        neg = (31 * s + 17 * o + 7 * p + 1) % 1000
+        neg = neg - neg % 2  # canonical ids are the even representatives
+        neg = np.where(neg == o, (neg + 2) % 1000, neg)
+        return pa.table(
+            {
+                "subject_id": _chunk(t["subject_id"]),
+                "predicate": _chunk(t["predicate"]),
+                "object_id": _chunk(t["object_id"]),
+                "neg_object_id": pc.binary_join_element_wise(
+                    pa.array(["RAW:"] * len(neg)),
+                    pc.cast(pa.array(neg), pa.string()),
+                    "",
+                ),
+            }
+        )
+
+    return _table(canonical.map_batches(corrupt, batch_format="pyarrow"))
+
+
+def q_temporal_edges(sf_dir: str):
+    """Temporal KG slicing: canonical linked-mention counts per
+    (predicate, UTC day) — the per-window edge weighting a temporal
+    graph pipeline trains on. One small keyed reduce after the
+    extract -> link chain; the turn timestamp reconstitutes from the
+    corpus grammar (ts = 2025-01-01 + 3600c + 60t)."""
+    canonical, _ = _canonical_triples(sf_dir)
+    base_epoch = 1_735_689_600  # 2025-01-01T00:00:00Z
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.utf8_slice_codeunits(_chunk(t["conv_id"]), 5, 1 << 30), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ti = pc.cast(_chunk(t["turn_idx"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = (base_epoch + 3600 * c + 60 * ti) // 86_400
+        return pa.table(
+            {
+                "predicate": _chunk(t["predicate"]),
+                "day": pa.array(day),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per = relational.grouped_agg(
+        canonical.map_batches(day_rows, batch_format="pyarrow"),
+        keys=["predicate", "day"],
+        sums={"n_mentions": "n"},
+    )
+    return _table(per)
+
+
 def q_pagerank(sf_dir: str):
     """5-iteration damping-0.85 PageRank over the canonical KG in int64
     fixed-point — bit-stable at any parallelism, integer-SQL-reproducible."""
@@ -3367,6 +3439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
         "k_core": q_k_core,
+        "transe_negatives": q_transe_negatives,
+        "temporal_edges": q_temporal_edges,
         "graph_components": q_graph_components,
         "degree_histogram": q_degree_histogram,
         "random_walks": q_random_walks,
@@ -4022,6 +4096,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(iters=5),
         "k_core": _k_core_sql(k=5, rounds=6),
+        "transe_negatives": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            canon AS (
+              SELECT (s - s % 2) AS sc, p, (o - o % 2) AS oc FROM linked
+            ), neg AS (
+              SELECT sc, p, oc,
+                     (31 * sc + 17 * oc + 7 * p + 1) % 1000 AS n0
+              FROM canon
+            )
+            SELECT 'RAW:'||sc AS subject_id,
+                   preds[CAST(p AS INT) + 1] AS predicate,
+                   'RAW:'||oc AS object_id,
+                   'RAW:'||(CASE WHEN (n0 - n0 % 2) = oc
+                                 THEN ((n0 - n0 % 2) + 2) % 1000
+                                 ELSE n0 - n0 % 2 END) AS neg_object_id
+            FROM neg, consts
+        """,
+        "temporal_edges": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()}
+            SELECT preds[CAST(p AS INT) + 1] AS predicate,
+                   (1735689600 + 3600 * CAST(substr(conv_id, 6) AS BIGINT)
+                      + 60 * turn_idx) // 86400 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM linked, consts
+            GROUP BY 1, 2
+        """,
         "graph_components": f"""{_SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)},
             {_SQL_LINKED.strip()},
             e AS (SELECT (s - s % 2) AS src, (o - o % 2) AS dst FROM linked),
