@@ -2629,6 +2629,16 @@ def q_iqr_outliers(sf_dir: str):
     )
 
 
+def q_balanced_resample(sf_dir: str):
+    """Class-balancing oversample of the labeled embedding table:
+    minority-class rows repeat ceil(max/n) times (capped), no RNG —
+    label histogram folds on the driver, one vectorized repeat pass."""
+    from kgray.sampling import balanced_resample
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    return _table(balanced_resample(emb))
+
+
 def q_epoch_order(sf_dir: str):
     """Reproducible 2-epoch global training order: ROW_NUMBER over a
     deterministic per-epoch hash, computed as a distributed prefix sum
@@ -3503,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "epoch_order": q_epoch_order,
         "segment_event_stats": q_segment_event_stats,
+        "balanced_resample": q_balanced_resample,
         "iqr_outliers": q_iqr_outliers,
         "mad_per_type": q_mad_per_type,
         "percentile_ranks": q_percentile_ranks,
@@ -5060,6 +5071,23 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT)) // GREATEST(CAST(SUM(tok) AS BIGINT), 1)
                      AS assistant_share_ppm
             FROM tr GROUP BY 1
+        """,
+        "balanced_resample": """
+            WITH c AS (
+              SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+            ), m AS (SELECT MAX(n) AS mx FROM c),
+            f AS (
+              SELECT label,
+                     LEAST((m.mx + n - 1) // n, 8) AS rep
+              FROM c, m
+            )
+            SELECT e.vec_id,
+                   CAST(e.label AS BIGINT) AS label,
+                   CAST(r.range AS BIGINT) AS rep
+            FROM embeddings e
+            JOIN f ON f.label = e.label
+            CROSS JOIN range(0, 8) r
+            WHERE r.range < f.rep
         """,
         "segment_event_stats": """
             SELECT c.c_mktsegment,

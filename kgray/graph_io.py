@@ -326,3 +326,43 @@ def write_orc(ds, out_dir: str):
         return pa.table({"path": [path], "rows": [t.num_rows]})
 
     return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+
+
+def read_feather(paths, columns: "list[str] | None" = None):
+    """Arrow IPC / Feather-v2 source — same composition as ``read_orc``
+    (one ``read_binary_files`` row per file, decoded in a task); the IPC
+    reader projects ``columns`` without deserializing the rest, and
+    memory-maps nothing here because the bytes already live in the object
+    store (zero-copy into Arrow)."""
+    import pyarrow.feather as pa_feather
+
+    import ray.data
+
+    raw = ray.data.read_binary_files(paths)
+
+    def decode(t: pa.Table) -> pa.Table:
+        tables = [
+            pa_feather.read_table(pa.BufferReader(b), columns=columns)
+            for b in t["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_feather(ds, out_dir: str, compression: str = "zstd"):
+    """Arrow IPC / Feather-v2 sink: one file per input block written
+    inside the task, manifest Dataset of (path, rows) back — identical
+    discipline to ``write_orc``."""
+    import uuid
+
+    import pyarrow.feather as pa_feather
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.feather")
+        pa_feather.write_feather(t, path, compression=compression)
+        return pa.table({"path": [path], "rows": [t.num_rows]})
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)

@@ -323,6 +323,70 @@ def mixture_sample(
     return hash_bucketed_groupby(tagged, [source_col, "_range"], cut, num_buckets)
 
 
+def balanced_resample(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    key_col: str = "vec_id",
+    max_rep: int = 8,
+) -> ray.data.Dataset:
+    """Deterministic class-balancing oversample: each row of a minority
+    class repeats ``ceil(max_class_count / class_count)`` times (capped
+    at ``max_rep``), emitted with a 0-based ``rep`` index — the label-
+    rebalancing step before training a classifier head on skewed data.
+    No RNG: the multiset is a pure function of the label histogram, so
+    the SQL mirror reproduces it exactly.
+
+    Plan: per-batch label value-counts fold on the driver (bounded by
+    the label vocabulary — class labels, not content), the factor map
+    broadcasts via ``ray.put``, and the oversample is one vectorized
+    ``np.repeat`` pass per batch. Shuffle-free.
+    """
+
+    acc: dict = {}
+    for b in (
+        ds.select_columns([label_col])
+        .map_batches(
+            lambda df: df[label_col].value_counts().rename_axis(label_col)
+            .reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .iter_batches(batch_format="pandas", batch_size=1 << 16)
+    ):
+        for lab, n in zip(b[label_col], b["n"]):
+            acc[int(lab)] = acc.get(int(lab), 0) + int(n)
+    mx = max(acc.values()) if acc else 0
+    factors = {
+        lab: min((mx + n - 1) // n, max_rep) for lab, n in acc.items()
+    }
+    ref = ray.put(factors)
+
+    def oversample(t: pa.Table, _ref=ref) -> pa.Table:
+        f = ray.get(_ref)
+        lab = pc.cast(_chunked(t[label_col]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key = pc.cast(_chunked(t[key_col]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        reps = np.array([f.get(int(x), 1) for x in lab], dtype=np.int64)
+        idx = np.repeat(np.arange(len(lab), dtype=np.int64), reps)
+        ends = np.cumsum(reps)
+        rep_i = np.arange(ends[-1] if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - reps, reps
+        )
+        return pa.table(
+            {
+                key_col: pa.array(key[idx]),
+                label_col: pa.array(lab[idx]),
+                "rep": pa.array(rep_i),
+            }
+        )
+
+    return ds.select_columns([key_col, label_col]).map_batches(
+        oversample, batch_format="pyarrow"
+    )
+
+
 def epoch_shuffle_order(
     ds: ray.data.Dataset,
     key_col: str = "doc_id",

@@ -157,3 +157,34 @@ def test_orc_source_sink_roundtrip(ray_session, tmp_path):
 
     pruned = read_orc([m["path"] for m in manifest], columns=["id"]).take_all()
     assert set(pruned[0].keys()) == {"id"}
+
+
+def test_feather_source_sink_roundtrip(ray_session, tmp_path):
+    """Arrow IPC source/sink: exact round-trip, one file per block,
+    column projection at the reader."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from kgray.graph_io import read_feather, write_feather
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(80), type=pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(80)]),
+            "vec": pa.array([[float(i), i + 0.5] for i in range(80)],
+                            type=pa.list_(pa.float64())),
+        }
+    )
+    out = str(tmp_path / "feather")
+    manifest = write_feather(rd.from_arrow(tbl).repartition(4), out).take_all()
+    assert sum(m["rows"] for m in manifest) == 80
+    assert len(manifest) == 4
+
+    back = read_feather([m["path"] for m in manifest]).take_all()
+    assert sorted(r["id"] for r in back) == list(range(80))
+    by_id = {r["id"]: r for r in back}
+    assert by_id[3]["name"] == "n3" and list(by_id[3]["vec"]) == [3.0, 3.5]
+
+    pruned = read_feather([m["path"] for m in manifest], columns=["id"]).take_all()
+    assert set(pruned[0].keys()) == {"id"}

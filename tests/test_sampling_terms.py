@@ -185,6 +185,33 @@ def test_epoch_shuffle_order_matches_sequential(ray_session):
     assert sorted(perm0) == list(range(n)) and perm0 != perm1
 
 
+def test_balanced_resample_factors(ray_session):
+    """Oversample factors: 10-vs-3-vs-1 class counts give reps 1, 4
+    (ceil 10/3), and 8 (ceil 10/1 capped); identical at two block
+    counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.sampling import balanced_resample
+
+    labels = [0] * 10 + [1] * 3 + [2]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(labels)), type=pa.int64()),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        rows = balanced_resample(ds, max_rep=8).take_all()
+        per_key = {}
+        for r in rows:
+            per_key.setdefault(r["vec_id"], []).append(r["rep"])
+        assert all(len(per_key[k]) == 1 for k in range(10))        # majority
+        assert all(sorted(per_key[k]) == [0, 1, 2, 3] for k in range(10, 13))
+        assert sorted(per_key[13]) == list(range(8))               # capped
+
+
 def test_train_bpe_classic_example(ray_session):
     """Sennrich-style worked example: corpus low x3, lower x2, newest x4,
     widest x1 -> merges (w,e) n=6, then the 5-count tie (l,o) before (s,t)
