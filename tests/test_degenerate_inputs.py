@@ -141,3 +141,32 @@ def test_excise_spans_null_text(ray_session):
     spans = duplicate_spans(docs, k=4)
     out = {r["doc_id"]: r for r in excise_spans(docs, spans).take_all()}
     assert out[2]["clean_text"] == "" and out[2]["n_removed_words"] == 0
+
+
+def test_empty_round3_ops(ray_session):
+    from kgray.graphalgo import k_core
+    from kgray.sampling import balanced_resample, epoch_shuffle_order
+    from kgray.transcripts import (
+        mention_density, preference_pairs, speaker_token_share,
+    )
+
+    tr = _empty({"conv_id": str, "turn_idx": "int64", "role": str,
+                 "text": str, "conv_key": "int64"})
+    assert speaker_token_share(tr).count() == 0
+    assert mention_density(tr).count() == 0
+    assert preference_pairs(tr).count() == 0
+
+    ids = _empty({"doc_id": "int64"})
+    assert epoch_shuffle_order(ids, epochs=2).count() == 0
+
+    lab = _empty({"vec_id": "int64", "label": "int64"})
+    assert balanced_resample(lab).count() == 0
+
+    e = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], type=pa.int64()),
+             "dst": pa.array([], type=pa.int64())}
+        )
+    )
+    assert k_core(e, k=3).count() == 0
+    assert k_core(e, k=3, edge_broadcast_limit=0).count() == 0

@@ -285,3 +285,25 @@ def test_boilerplate_turns_hand_checked(ray_session):
     assert ((df["boiler_ppm"] >= 0) & (df["boiler_ppm"] <= 1_000_000)).all()
     assert (df["boiler_ppm"] == (1_000_000 * df["n_boiler"]) // df["n_turns"]).all()
     assert df["n_boiler"].sum() > 0  # the filler templates do recur
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1,
+             max_size=300),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_roundtrip_property(samples, channels, rate):
+    """Any PCM16 signal (mono or stereo, any supported rate) survives
+    encode -> decode bit-exactly, including extremes at the int16
+    boundaries."""
+    from kgray.multimodal import decode_wav, encode_wav
+
+    arr = np.array(samples, dtype=np.int16)
+    if channels == 2:
+        arr = np.stack([arr, arr[::-1]], axis=1)
+    out, got_rate = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    want = arr if arr.ndim == 2 else arr[:, None]
+    assert out.shape == want.shape and (out == want).all()
