@@ -488,6 +488,82 @@ def update_graph(
     }
 
 
+def _graph_partition_dirs(root: str):
+    """Yield every hive partition dir under ``root`` holding parquet
+    files (dot-dirs — staging areas — excluded)."""
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        if any(f.endswith(".parquet") for f in filenames):
+            yield dirpath
+
+
+def _commit_partition(part: str, tmp: str) -> int:
+    """Finish a staged partition rewrite. Re-entrant: a crash can land
+    between any two steps below and a re-run must converge. Two rules
+    make that safe: (1) never unlink a file whose basename is in the
+    staged set — after a partial commit those very files sit in ``part``
+    and ARE the data; (2) a staged file missing from tmp was already
+    moved, so require it to exist at the destination instead of
+    replacing."""
+    import glob as _glob
+    import shutil as _shutil
+
+    with open(os.path.join(tmp, "_COMMIT")) as f:
+        staged = set(json.load(f)["files"])
+    for old in _glob.glob(os.path.join(part, "*.parquet")):
+        if os.path.basename(old) not in staged:
+            os.unlink(old)
+    for name in staged:
+        src, dst = os.path.join(tmp, name), os.path.join(part, name)
+        if os.path.exists(src):
+            os.replace(src, dst)
+        elif not os.path.exists(dst):
+            raise RuntimeError(
+                f"commit lost staged file {name!r} in {part}: "
+                "missing from both tmp and partition"
+            )
+    _shutil.rmtree(tmp)
+    return len(staged)
+
+
+def _write_commit_marker(tmp: str, staged: list, n_rows: int) -> None:
+    """fsync marker + its dir so recovery can trust: readable marker ->
+    staging finished before any unlink; torn/absent marker -> the commit
+    phase provably never started and tmp is discardable."""
+    path = os.path.join(tmp, "_COMMIT")
+    with open(path, "w") as f:
+        json.dump({"files": staged, "rows": n_rows}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    dfd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _recover_partition(part: str, tmp: str) -> bool:
+    """Converge a partition that has a leftover staging dir. Returns True
+    when an interrupted COMMIT was finished (partition is now the staged
+    content); False when staged-only work was discarded (old files whole,
+    caller should redo its rewrite)."""
+    import shutil as _shutil
+
+    marker = os.path.join(tmp, "_COMMIT")
+    staged_meta = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                staged_meta = json.load(f)
+        except (json.JSONDecodeError, ValueError):
+            staged_meta = None  # torn marker: commit provably never started
+    if staged_meta is not None:
+        _commit_partition(part, tmp)
+        return True
+    _shutil.rmtree(tmp)
+    return False
+
+
 def compact_graph(
     out_dir: str,
     target_rows_per_file: int = 1_000_000,
@@ -519,50 +595,9 @@ def compact_graph(
     import glob as _glob
     import shutil as _shutil
 
-    def _partition_dirs(root: str):
-        for dirpath, dirnames, filenames in os.walk(root):
-            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
-            if any(f.endswith(".parquet") for f in filenames):
-                yield dirpath
-
-    def _commit(part: str, tmp: str) -> int:
-        # Re-entrant: a crash can land between any two steps below and a
-        # re-run must converge.  Two rules make that safe: (1) never unlink
-        # a file whose basename is in the staged set — after a partial
-        # commit those very files sit in ``part`` and ARE the data; (2) a
-        # staged file missing from tmp was already moved, so require it to
-        # exist at the destination instead of replacing.
-        with open(os.path.join(tmp, "_COMMIT")) as f:
-            staged = set(json.load(f)["files"])
-        for old in _glob.glob(os.path.join(part, "*.parquet")):
-            if os.path.basename(old) not in staged:
-                os.unlink(old)
-        for name in staged:
-            src, dst = os.path.join(tmp, name), os.path.join(part, name)
-            if os.path.exists(src):
-                os.replace(src, dst)
-            elif not os.path.exists(dst):
-                raise RuntimeError(
-                    f"compact commit lost staged file {name!r} in {part}: "
-                    "missing from both tmp and partition"
-                )
-        _shutil.rmtree(tmp)
-        return len(staged)
-
-    def _write_marker(tmp: str, staged: list, n_rows: int) -> None:
-        # fsync marker + its dir so recovery can trust: readable marker ->
-        # staging finished before any unlink; torn/absent marker -> the
-        # commit phase provably never started and tmp is discardable.
-        path = os.path.join(tmp, "_COMMIT")
-        with open(path, "w") as f:
-            json.dump({"files": staged, "rows": n_rows}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        dfd = os.open(tmp, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+    _partition_dirs = _graph_partition_dirs
+    _commit = _commit_partition
+    _write_marker = _write_commit_marker
 
     report = {"partitions_compacted": 0, "files_before": 0, "files_after": 0,
               "partitions_skipped": 0, "rows": 0}
@@ -614,6 +649,146 @@ def compact_graph(
         with open(lineage_path) as f:
             doc = json.load(f)
         doc.setdefault("compactions", []).append(report)
+        with open(lineage_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+    return report
+
+
+def retract_edges(
+    out_dir: str,
+    retractions: "ray.data.Dataset | pa.Table",
+    broadcast_limit: int = 5_000_000,
+) -> dict:
+    """CDC DELETE for the graph output: remove every edge whose
+    ``edge_uid`` appears in the retraction feed — the maintenance verb
+    the create/append (``update_graph``)/compact lifecycle was missing
+    (a source document withdrawn, a triple ruled wrong downstream).
+
+    Only partitions that actually HOLD a retracted uid rewrite, and each
+    rewrite uses the same stage → fsynced ``_COMMIT`` → swap machinery as
+    ``compact_graph``, so a crash mid-retraction never poisons the table
+    and a re-run converges (idempotent: re-applying the same feed removes
+    zero rows).
+
+    Routing: a retraction feed is delta-sized, so up to
+    ``broadcast_limit`` uids it collects to ONE driver set broadcast via
+    ``ray.put`` and membership is a vectorized ``is_in`` per batch; a
+    larger feed falls back to ``relational.anti_join`` per affected
+    partition (key-only, itself size-routed). Node rows are untouched —
+    an endpoint that loses its last edge remains a valid catalog node;
+    orphan GC is a separate policy decision.
+    """
+    import glob as _glob
+
+    from . import relational
+
+    if isinstance(retractions, pa.Table):
+        retr_ds = ray.data.from_arrow(retractions.select(["edge_uid"]))
+    else:
+        retr_ds = retractions.select_columns(["edge_uid"])
+    retr_ds = retr_ds.materialize()
+    n_retr = retr_ds.count()
+
+    uid_set = None
+    if n_retr <= broadcast_limit:
+        chunks = [
+            b["edge_uid"].combine_chunks()
+            if isinstance(b["edge_uid"], pa.ChunkedArray) else b["edge_uid"]
+            for b in retr_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
+            if "edge_uid" in b.schema.names
+        ]
+        uid_set = (
+            pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                              else c for c in chunks]).unique()
+            if chunks else pa.array([], type=pa.string())
+        )
+        set_ref = ray.put(uid_set)
+
+    report = {
+        "uids_requested": n_retr, "edges_removed": 0,
+        "partitions_rewritten": 0, "partitions_affected": 0,
+    }
+    edge_root = os.path.join(out_dir, "edges")
+
+    # converge any interrupted commits FIRST (cheap dir walk, no Datasets)
+    for part in _graph_partition_dirs(edge_root):
+        tmp = os.path.join(part, ".retract_tmp")
+        if os.path.isdir(tmp) and _recover_partition(part, tmp):
+            report["partitions_rewritten"] += 1
+
+    # ONE corpus scan locates the affected partitions: every edge row
+    # carries its source file path, the retraction filter keeps the hits,
+    # and the distinct parent dirs (bounded by the feed size) come back to
+    # the driver — NOT a per-partition scan loop, which pays a fixed
+    # Dataset execution per hive bin (thousands under the P2 layout)
+    all_edges = ray.data.read_parquet(edge_root, include_paths=True)
+
+    def hit_paths(t: pa.Table, _r=set_ref if uid_set is not None else None):
+        col = (
+            t["edge_uid"].combine_chunks()
+            if isinstance(t["edge_uid"], pa.ChunkedArray) else t["edge_uid"]
+        )
+        if _r is not None:
+            m = pc.is_in(col, value_set=ray.get(_r))
+            t = t.filter(m)
+        return pa.table({"path": t["path"]})
+
+    if uid_set is not None:
+        hits = all_edges.map_batches(hit_paths, batch_format="pyarrow")
+    else:
+        hits = relational.semi_join(
+            all_edges, retr_ds, on="edge_uid", right_on="edge_uid"
+        ).map_batches(hit_paths, batch_format="pyarrow")
+    hit_files: set = set()
+    for b in hits.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        if "path" in b.schema.names:
+            hit_files.update(b["path"].to_pylist())
+    affected = sorted({os.path.dirname(p) for p in hit_files})
+    report["partitions_affected"] = len(affected)
+
+    for part in affected:
+        tmp = os.path.join(part, ".retract_tmp")
+        files = sorted(_glob.glob(os.path.join(part, "*.parquet")))
+        if not files:
+            continue
+        full = ray.data.read_parquet(files, partitioning=None)
+        n_before = full.count()
+        if uid_set is not None:
+
+            def drop(t: pa.Table, _r=set_ref) -> pa.Table:
+                col = (
+                    t["edge_uid"].combine_chunks()
+                    if isinstance(t["edge_uid"], pa.ChunkedArray)
+                    else t["edge_uid"]
+                )
+                return t.filter(
+                    pc.invert(pc.is_in(col, value_set=ray.get(_r)))
+                )
+
+            kept = full.map_batches(drop, batch_format="pyarrow")
+        else:
+            kept = relational.anti_join(
+                full, retr_ds, on="edge_uid", right_on="edge_uid"
+            )
+        kept = kept.materialize()
+        n_kept = kept.count()
+        if n_kept:
+            kept.write_parquet(tmp)
+        else:
+            os.makedirs(tmp, exist_ok=True)  # partition becomes empty
+        staged = sorted(
+            os.path.basename(p) for p in _glob.glob(os.path.join(tmp, "*.parquet"))
+        )
+        _write_commit_marker(tmp, staged, n_kept)
+        _commit_partition(part, tmp)
+        report["partitions_rewritten"] += 1
+        report["edges_removed"] += n_before - n_kept
+
+    lineage_path = os.path.join(out_dir, "lineage.json")
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            doc = json.load(f)
+        doc.setdefault("retractions", []).append(report)
         with open(lineage_path, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
     return report

@@ -208,3 +208,64 @@ def test_incremental_dedup_store_matches_oneshot(ray_session, tmp_path):
     # idempotence: replaying delta 2 accepts zero docs
     r3 = incremental_dedup_store(odd, store)
     assert r3["n_new"] == 0 and r3["n_dup"] == r3["n_in"]
+
+
+def test_retract_edges_removes_and_recovers(ray_session, tmp_path):
+    """CDC DELETE: retracting 5 uids removes exactly those rows (only
+    their partitions rewrite), re-applying removes zero, and an
+    interrupted commit (staged tmp + fsynced marker left behind)
+    converges on the next run."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from kgray.pipeline import (
+        _write_commit_marker, retract_edges, run_flagship,
+    )
+
+    out = str(tmp_path / "g")
+    run_flagship(SF, out, resume=False)
+    before = _edge_uids(f"{out}/edges")
+    victims = sorted(before)[:5]
+
+    rep = retract_edges(out, pa.table({"edge_uid": victims}))
+    assert rep["edges_removed"] == 5
+    after = _edge_uids(f"{out}/edges")
+    assert after == before - set(victims)
+
+    # idempotent
+    rep2 = retract_edges(out, pa.table({"edge_uid": victims}))
+    assert rep2["edges_removed"] == 0 and rep2["partitions_rewritten"] == 0
+
+    # interrupted-commit recovery: stage a rewrite of one partition that
+    # drops one more uid, leave the fsynced marker, "crash", re-run
+    victim2 = sorted(after)[0]
+    part = None
+    import glob
+
+    for d in sorted(glob.glob(f"{out}/edges/**/", recursive=True)):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            continue
+        uids = set(
+            pq.ParquetDataset(files).read(columns=["edge_uid"])["edge_uid"].to_pylist()
+        )
+        if victim2 in uids:
+            part = d.rstrip("/")
+            break
+    assert part
+    files = glob.glob(os.path.join(part, "*.parquet"))
+    tbl = pq.ParquetDataset(files).read()
+    kept = tbl.filter(pc.invert(pc.equal(tbl["edge_uid"], victim2)))
+    tmp = os.path.join(part, ".retract_tmp")
+    os.makedirs(tmp)
+    pq.write_table(kept, os.path.join(tmp, "staged-0.parquet"))
+    _write_commit_marker(tmp, ["staged-0.parquet"], kept.num_rows)
+    # crash here — next retraction run must finish the commit first
+    rep3 = retract_edges(out, pa.table({"edge_uid": ["no-such-uid"]}))
+    assert rep3["edges_removed"] == 0 and rep3["partitions_rewritten"] == 1
+    assert _edge_uids(f"{out}/edges") == after - {victim2}
+    assert not os.path.isdir(tmp)
+    lineage = json.load(open(f"{out}/lineage.json"))
+    assert len(lineage["retractions"]) == 3
