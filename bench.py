@@ -103,7 +103,8 @@ def run_bench() -> dict:
             "skipgram_pairs", "bigram_lm", "boilerplate_turns",
             "speaker_token_share", "mention_density", "sft_gate",
             "preference_pairs", "epoch_order", "pca_invariants", "k_core",
-            "wav_audio_features", "bfs_distances",
+            "wav_audio_features", "bfs_distances", "segment_event_stats",
+            "transe_negatives", "temporal_edges", "balanced_resample",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
