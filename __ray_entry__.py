@@ -1156,8 +1156,14 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at the GUARANTEED-recall threshold: with 4
+    chunks of 16 bits, any pair within Hamming distance 3 shares a clean
+    chunk by pigeonhole, so the blocked output EQUALS the exact pair set
+    — and because the word hash is the SQL-mirrorable byte polynomial,
+    the whole thing is value-hash-checked (the oracle recomputes every
+    simhash with HUGEINT arithmetic and self-joins on bit_count)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return _table(dedup.simhash_pairs(docs, max_hamming=8))
+    return _table(dedup.simhash_pairs(docs, max_hamming=3))
 
 
 def q_embedding_dedup(sf_dir: str):
@@ -3539,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked since session 7: the corpus is ASCII, so the
         # byte-polynomial hash mirrors in HUGEINT SQL
         "fingerprints": q_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
         # rows-only (non-SQL-expressible: LSH recall / stubbed media
         # decode / stateful packing scan / eigendecomposition)
         "pack_sequences": q_pack_sequences,
@@ -3547,7 +3554,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_media_features": q_png_media_features,
         "wav_audio_features": q_wav_audio_features,
         "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "embedding_dedup": q_embedding_dedup,
         "knn_ivf": q_knn_ivf,
         "pca_projection": q_pca_projection,
@@ -4107,6 +4113,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(iters=5),
         "k_core": _k_core_sql(k=5, rounds=6),
+        "simhash_pairs": """
+            WITH RECURSIVE tok AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(text), ' ')) AS w,
+                     generate_subscripts(string_split(trim(text), ' '), 1)
+                       AS tid
+              FROM documents WHERE length(trim(text)) > 0
+            ), mxw AS (
+              SELECT MAX(length(w)) AS m FROM tok
+            ), pw(k, v) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+              FROM pw, mxw WHERE k < mxw.m - 1
+            ), pb(b, v) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL SELECT b + 1, v * 2 FROM pb WHERE b < 63
+            ), ch AS (
+              -- ASCII corpus: codepoint == UTF-8 byte (same assumption as
+              -- the fingerprints mirror)
+              SELECT doc_id, tid, length(w) AS L, i,
+                     CAST(unicode(w[i]) AS HUGEINT) AS code
+              FROM tok, UNNEST(generate_series(1, length(w))) t(i)
+            ), fp AS (
+              SELECT doc_id, tid,
+                     SUM(code * p.v) % 18446744073709551616 AS fp
+              FROM ch JOIN pw p ON p.k = ch.L - ch.i
+              GROUP BY 1, 2
+            ), votes AS (
+              SELECT f.doc_id, pb.b,
+                     SUM(2 * CAST((f.fp // pb.v) % 2 AS BIGINT) - 1) AS s
+              FROM fp f, pb GROUP BY 1, 2
+            ), sh AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN v.s > 0 AND v.b < 32
+                          THEN CAST(POWER(2, v.b) AS BIGINT)
+                          ELSE 0 END), 0) AS BIGINT) AS lo,
+                     CAST(COALESCE(SUM(CASE WHEN v.s > 0 AND v.b >= 32
+                          THEN CAST(POWER(2, v.b - 32) AS BIGINT)
+                          ELSE 0 END), 0) AS BIGINT) AS hi
+              FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+              GROUP BY 1
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 3
+        """,
         "transe_negatives": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},
             canon AS (

@@ -661,10 +661,38 @@ def ngram_jaccard_pairs(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+def _word_hashes_poly(texts_col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Like ``_word_hashes`` but hashing each token with the byte-
+    polynomial ``rolling_hash64`` instead of pandas' siphash — the
+    deterministic SQL-mirrorable family (same one the ``fingerprints``
+    oracle replicates with HUGEINT arithmetic), which is what lets
+    ``simhash_pairs`` be value-hash-checked end to end."""
+    from .textops import rolling_hash64
+
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts_col, ""))
+    filled = pc.if_else(
+        pc.equal(trimmed, ""), pa.scalar(None, pa.string()), trimmed
+    )
+    toks = pc.utf8_split_whitespace(filled)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = toks.flatten()
+    return rolling_hash64(flat).astype(np.uint64), lengths
+
+
 class SimHasher:
-    """Actor stage: 64-bit SimHash over word hashes + 16-bit chunk keys
-    (4 chunks; near-dups within Hamming distance <= 3 share >= 1 chunk).
-    Vectorized: Arrow tokenization + per-bit ``add.reduceat`` row sums."""
+    """Actor stage: 64-bit SimHash over byte-polynomial word hashes +
+    16-bit chunk keys (4 chunks; near-dups within Hamming distance <= 3
+    share >= 1 chunk by pigeonhole — recall 1 at the default threshold).
+    Vectorized: Arrow tokenization + per-bit ``add.reduceat`` row sums.
+    The word hash is the SQL-mirrorable polynomial (``rolling_hash64``),
+    so the emitted pair set is value-hash-checked against a DuckDB
+    mirror that recomputes the simhashes exactly."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
@@ -672,7 +700,7 @@ class SimHasher:
     @staticmethod
     def simhash_column(texts_col: pa.Array) -> np.ndarray:
         """(n_rows,) uint64 simhash; empty rows hash to 0."""
-        word_h, lengths = _word_hashes(texts_col)
+        word_h, lengths = _word_hashes_poly(texts_col)
         n = len(lengths)
         ends = np.cumsum(lengths)
         starts = (ends - lengths).astype(np.int64)
