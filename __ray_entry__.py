@@ -3546,14 +3546,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte-polynomial hash mirrors in HUGEINT SQL
         "fingerprints": q_fingerprints,
         "simhash_pairs": q_simhash_pairs,
-        # rows-only (non-SQL-expressible: LSH recall / stubbed media
-        # decode / stateful packing scan / eigendecomposition)
         "pack_sequences": q_pack_sequences,
-        "media_features": q_media_features,
+        "minhash_pairs": q_minhash_pairs,
+        # REAL decode, closed-form oracle: the synthetic gradient corpus
+        # has exact arithmetic channel sums, so the SQL verifies the
+        # actual pixel work without decoding anything itself
         "raw_media_features": q_raw_media_features,
         "png_media_features": q_png_media_features,
+        # rows-only (non-SQL-expressible: fake-path plumbing / DSP rFFT /
+        # float LSH recall / eigendecomposition)
+        "media_features": q_media_features,
         "wav_audio_features": q_wav_audio_features,
-        "minhash_pairs": q_minhash_pairs,
         "embedding_dedup": q_embedding_dedup,
         "knn_ivf": q_knn_ivf,
         "pca_projection": q_pca_projection,
@@ -3672,6 +3675,40 @@ def _walks_cte() -> str:
               UNION ALL SELECT walk_id, 3, node FROM w3
             )
     """
+
+
+def _media_features_sql(prefix: str) -> str:
+    """Closed-form mirror of the REAL image decode: the synthetic corpus
+    is seeded gradient images whose channel sums have exact arithmetic
+    forms (r = x*255//(w-1) summed over the grid, etc.), so the oracle
+    verifies the actual pixel work (zlib inflate + PNG filter
+    reconstruction on the 'p' corpus) without decoding anything itself.
+    No resize dimension lands on an exact .5 for these sizes, so SQL
+    ROUND (half-away) and Python round (banker's) agree — checked."""
+    return f"""
+            WITH s AS (
+              SELECT CAST(t.i AS BIGINT) AS i,
+                     CAST(8 + (t.i * 7) % 64 AS BIGINT) AS w,
+                     CAST(8 + (t.i * 13) % 64 AS BIGINT) AS h
+              FROM UNNEST(generate_series(0, 63)) t(i)
+            ), rs AS (
+              SELECT s.i, SUM((x.x * 255) // (s.w - 1)) AS sx
+              FROM s, UNNEST(generate_series(0, s.w - 1)) x(x) GROUP BY 1
+            ), gs AS (
+              SELECT s.i, SUM((y.y * 255) // (s.h - 1)) AS sy
+              FROM s, UNNEST(generate_series(0, s.h - 1)) y(y) GROUP BY 1
+            )
+            SELECT format('{prefix}{{:04d}}', s.i) AS media_id,
+                   s.w AS width, s.h AS height,
+                   CAST(ROUND(s.w * 64.0 / GREATEST(s.w, s.h)) AS BIGINT)
+                     AS resized_w,
+                   CAST(ROUND(s.h * 64.0 / GREATEST(s.w, s.h)) AS BIGINT)
+                     AS resized_h,
+                   CAST(s.h * rs.sx AS BIGINT) AS r_sum,
+                   CAST(s.w * gs.sy AS BIGINT) AS g_sum,
+                   CAST((s.i % 256) * s.w * s.h AS BIGINT) AS b_sum
+            FROM s JOIN rs ON rs.i = s.i JOIN gs ON gs.i = s.i
+        """
 
 
 def _k_core_sql(k: int = 5, rounds: int = 6) -> str:
@@ -4113,6 +4150,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(iters=5),
         "k_core": _k_core_sql(k=5, rounds=6),
+        "raw_media_features": _media_features_sql("r"),
+        "png_media_features": _media_features_sql("p"),
         "simhash_pairs": """
             WITH RECURSIVE tok AS (
               SELECT doc_id,
