@@ -928,15 +928,16 @@ def q_graph_counts(sf_dir: str):
     )
 
 
-# rows-only queries (no SQL-expressible oracle; driver records row counts)
+# synthetic-corpus queries (real decode kernels; oracles re-derive the
+# outputs from the deterministic generators) and the residual rows-only set
 
 
 def q_raw_media_features(sf_dir: str):
     """REAL media decode: the engine's own KGRW raw-RGB format parsed,
     nearest-neighbor-resized and channel-summed with actual pixel kernels
-    (no external codec needed); rows-only because binary decode has no SQL
-    form — the integer channel sums are parallelism-invariant ground truth
-    and pinned by unit tests."""
+    (no external codec needed); hash-checked — the synthetic gradient
+    corpus has closed-form channel sums, so `_media_features_sql` verifies
+    the pixel work arithmetically without decoding anything itself."""
     ds = rd.from_arrow(multimodal.synthetic_raw_media_table(64))
     out = multimodal.raw_image_features(ds)
     return _table(
@@ -951,8 +952,9 @@ def q_wav_audio_features(sf_dir: str):
     """REAL audio decode with no external codec: deterministic PCM16 WAV
     tones decoded by the engine's minimal RIFF/WAVE codec, then real
     numpy DSP per clip (RMS energy, zero crossings, dominant rFFT bin);
-    rows-only because binary decode has no SQL form — the dominant bin
-    is pinned equal to the generating frequency in
+    hash-checked — `_wav_audio_sql` re-derives the quantized PCM16
+    samples from the bin-aligned-tone generator and computes RMS/ZC/peak
+    itself; the dominant bin is additionally pinned in
     tests/test_dedup_similarity.py::test_wav_audio_features_real_dsp."""
     ds = rd.from_arrow(multimodal.synthetic_wav_media_table(64))
     out = multimodal.audio_features(ds)
@@ -970,8 +972,8 @@ def q_png_media_features(sf_dir: str):
     RGB PNGs (cycling all five scanline filter types) decoded by the
     engine's built-in pure-stdlib PNG decoder (zlib inflate + full filter
     reconstruction), then the same resize/channel-sum pixel kernels as
-    the KGRW path; rows-only because binary decode has no SQL form — the
-    channel sums are pinned equal to the KGRW ground truth in
+    the KGRW path; hash-checked via `_media_features_sql`'s closed-form
+    gradient sums, and pinned equal to the KGRW ground truth in
     tests/test_dedup_similarity.py::test_png_media_pipeline_matches_raw."""
     ds = rd.from_arrow(multimodal.synthetic_png_media_table(64))
     out = multimodal.raw_image_features(ds)
@@ -3553,10 +3555,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actual pixel work without decoding anything itself
         "raw_media_features": q_raw_media_features,
         "png_media_features": q_png_media_features,
-        # rows-only (non-SQL-expressible: fake-path plumbing / DSP rFFT /
+        # REAL decode + DSP, bin-aligned-tone oracle: SQL re-derives the
+        # quantized samples and computes RMS/ZC/peak itself (margins
+        # measured in _wav_audio_sql)
+        "wav_audio_features": q_wav_audio_features,
+        # rows-only (non-SQL-expressible: fake-path plumbing /
         # float LSH recall / eigendecomposition)
         "media_features": q_media_features,
-        "wav_audio_features": q_wav_audio_features,
         "embedding_dedup": q_embedding_dedup,
         "knn_ivf": q_knn_ivf,
         "pca_projection": q_pca_projection,
@@ -3708,6 +3713,69 @@ def _media_features_sql(prefix: str) -> str:
                    CAST(s.w * gs.sy AS BIGINT) AS g_sum,
                    CAST((s.i % 256) * s.w * s.h AS BIGINT) AS b_sum
             FROM s JOIN rs ON rs.i = s.i JOIN gs ON gs.i = s.i
+        """
+
+
+def _wav_audio_sql() -> str:
+    """Independent mirror of the REAL WAV decode + DSP: the synthetic
+    corpus is bin-aligned pure sine tones (`multimodal.py`
+    `synthetic_wav_media_table`), so SQL re-derives the quantized PCM16
+    samples from first principles (generate_series + SIN, same operand
+    order as the numpy generator so the float angles are bit-identical)
+    and computes RMS / zero crossings / peak from them; only the
+    dominant-rFFT-bin column uses the closed form (a bin-aligned tone's
+    spectrum is a delta at its own bin — pinned independently by
+    tests/test_dedup_similarity.py::test_wav_audio_features_real_dsp).
+    Rounding margins are measured, not assumed: min sample distance to a
+    .5 boundary is 2.3e-5 (vs ~1e-13 libm sin ULP drift) and min
+    rms_milli distance is 2.2e-3 (vs ~1e-6 summation-order noise), so
+    DuckDB ROUND and numpy round agree on every value."""
+    return """
+            WITH clips AS (
+              SELECT CAST(t.i AS BIGINT) AS i,
+                     CAST(20 + 3 * t.i AS BIGINT) AS bin,
+                     CAST(8000 + 100 * t.i AS BIGINT) AS amp,
+                     CASE WHEN t.i % 3 = 0 THEN 2 ELSE 1 END AS ch
+              FROM UNNEST(generate_series(0, 63)) t(i)
+            ), samp AS (
+              SELECT c.i, c.ch, s.t,
+                     CAST(ROUND(c.amp * SIN(2 * PI() * c.bin * s.t / 2048.0))
+                          AS BIGINT) AS q
+              FROM clips c, UNNEST(generate_series(0, 2047)) s(t)
+            ), mix AS (
+              SELECT i, t,
+                     CASE WHEN ch = 2
+                          THEN (q + FLOOR(q / 2.0)) / 2.0
+                          ELSE CAST(q AS DOUBLE) END AS m,
+                     CASE WHEN ch = 2
+                          THEN GREATEST(ABS(q), ABS(CAST(FLOOR(q / 2.0) AS BIGINT)))
+                          ELSE ABS(q) END AS amag
+              FROM samp
+            ), stats AS (
+              SELECT i,
+                     CAST(ROUND(1000 * SQRT(AVG(m * m))) AS BIGINT) AS rms_milli,
+                     CAST(MAX(amag) AS BIGINT) AS peak
+              FROM mix GROUP BY i
+            ), zc AS (
+              SELECT i, CAST(COUNT(*) FILTER (WHERE s <> prev_s) AS BIGINT)
+                       AS zero_crossings
+              FROM (
+                SELECT i, SIGN(m) AS s,
+                       LAG(SIGN(m)) OVER (PARTITION BY i ORDER BY t) AS prev_s
+                FROM mix WHERE m <> 0
+              ) GROUP BY i
+            )
+            SELECT format('a{:04d}', c.i) AS media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(2048 AS BIGINT) AS n_samples,
+                   CAST(c.ch AS BIGINT) AS n_channels,
+                   CAST(256 AS BIGINT) AS duration_ms,
+                   st.rms_milli, zc.zero_crossings, st.peak,
+                   c.bin AS dom_bin,
+                   c.bin * 8000 * 1000 // 2048 AS dom_freq_mhz
+            FROM clips c
+            JOIN stats st ON st.i = c.i
+            JOIN zc ON zc.i = c.i
         """
 
 
@@ -4152,6 +4220,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(k=5, rounds=6),
         "raw_media_features": _media_features_sql("r"),
         "png_media_features": _media_features_sql("p"),
+        "wav_audio_features": _wav_audio_sql(),
         "simhash_pairs": """
             WITH RECURSIVE tok AS (
               SELECT doc_id,
