@@ -1174,7 +1174,10 @@ def q_embedding_dedup(sf_dir: str):
     (~65% recall at cos 0.4, selective buckets: expected candidate volume
     ~ b * n^2 / 2^r) so the operator demonstrably emits pairs without a
     candidate explosion; the high-threshold regime is covered by the
-    planted-duplicate recall test (tests/test_dedup_similarity.py)."""
+    planted-duplicate recall test (tests/test_dedup_similarity.py).
+    Hash-checked since r3: the planes are counter-mode hashed Gaussians,
+    so `_embedding_dedup_sql` regenerates them in HUGEINT SQL and re-runs
+    the ENTIRE project -> band -> candidate -> verify path itself."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return _table(
         dedup.embedding_dedup_pairs(emb, threshold=0.4, n_bands=32, band_bits=8),
@@ -3559,10 +3562,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantized samples and computes RMS/ZC/peak itself (margins
         # measured in _wav_audio_sql)
         "wav_audio_features": q_wav_audio_features,
-        # rows-only (non-SQL-expressible: fake-path plumbing /
-        # float LSH recall / eigendecomposition)
-        "media_features": q_media_features,
+        # full-LSH-path oracle: SQL regenerates the hashed-Gaussian
+        # planes and re-runs project -> band -> candidate -> verify
         "embedding_dedup": q_embedding_dedup,
+        # rows-only (non-SQL-expressible: fake-path plumbing /
+        # IVF sampled-kmeans routing / eigendecomposition)
+        "media_features": q_media_features,
         "knn_ivf": q_knn_ivf,
         "pca_projection": q_pca_projection,
         "pca_invariants": q_pca_invariants,
@@ -3776,6 +3781,80 @@ def _wav_audio_sql() -> str:
             FROM clips c
             JOIN stats st ON st.i = c.i
             JOIN zc ON zc.i = c.i
+        """
+
+
+def _embedding_dedup_sql(
+    threshold: float = 0.4, n_bands: int = 32, band_bits: int = 8,
+    dim: int = 64,
+) -> str:
+    """Full independent mirror of the banded sign-LSH pipeline: the
+    hyperplanes are counter-mode hashed Gaussians
+    (`dedup.hashed_gaussian_planes` — two LCG steps in HUGEINT mod-2^64
+    arithmetic, then Box-Muller), so SQL REGENERATES them (parity 2e-16
+    vs numpy), projects every vector, packs sign bits into band keys,
+    self-joins for candidates and verifies exact cosine — the whole LSH
+    path, not just the verify. Decision margins measured on the fixtures:
+    min |projection| 2.9e-6, min |cosine-threshold| 9.9e-6, min rounding
+    margin 3.3e-5 (sf0.1) — all >=5 orders above float noise. The
+    max_bucket=500 truncation cap never fires at sf<=0.1 (max bucket
+    157), so `truncated` is identically FALSE in both arms."""
+    n_planes = n_bands * band_bits
+    return f"""
+            WITH ks AS (
+              SELECT CAST(t.k AS HUGEINT) AS k
+              FROM UNNEST(generate_series(0, {dim * n_planes - 1})) t(k)
+            ), lcg AS (
+              SELECT k, (k * 6364136223846793005 + 1442695040888963407)
+                        % 18446744073709551616 AS m1
+              FROM ks
+            ), planes AS (
+              SELECT CAST(k // {dim} AS BIGINT) AS p,
+                     CAST(k % {dim} AS BIGINT) AS j,
+                     SQRT(-2 * LN((CAST(m1 AS DOUBLE) + 0.5)
+                                  / 18446744073709551616.0))
+                     * COS(2 * PI()
+                           * (CAST((m1 * 6364136223846793005
+                                    + 1442695040888963407)
+                                   % 18446744073709551616 AS DOUBLE) + 0.5)
+                           / 18446744073709551616.0) AS w
+              FROM lcg
+            ), comp AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1
+                       AS j,
+                     CAST(unnest(embedding) AS DOUBLE) AS e
+              FROM embeddings
+            ), proj AS (
+              SELECT c.vec_id, pl.p, SUM(c.e * pl.w) AS d
+              FROM comp c JOIN planes pl ON pl.j = c.j
+              GROUP BY 1, 2
+            ), bh AS (
+              SELECT vec_id, p // {band_bits} AS band_id,
+                     SUM(CASE WHEN d > 0
+                         THEN CAST(POWER(2, p % {band_bits}) AS BIGINT)
+                         ELSE 0 END) AS band_hash
+              FROM proj GROUP BY 1, 2
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bh a JOIN bh b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.vec_id < b.vec_id
+            ), nrm AS (
+              SELECT vec_id, SQRT(SUM(e * e)) AS nrm FROM comp GROUP BY 1
+            ), dp AS (
+              SELECT cand.vec_a, cand.vec_b, SUM(ca.e * cb.e) AS d
+              FROM cand JOIN comp ca ON ca.vec_id = cand.vec_a
+                        JOIN comp cb ON cb.vec_id = cand.vec_b
+                                    AND cb.j = ca.j
+              GROUP BY 1, 2
+            )
+            SELECT dp.vec_a, dp.vec_b,
+                   ROUND(dp.d / (na.nrm * nb.nrm), 6) AS cosine,
+                   FALSE AS truncated
+            FROM dp JOIN nrm na ON na.vec_id = dp.vec_a
+                    JOIN nrm nb ON nb.vec_id = dp.vec_b
+            WHERE dp.d / (na.nrm * nb.nrm) >= {threshold}
         """
 
 
@@ -4221,6 +4300,9 @@ def oracle_sql() -> dict[str, str]:
         "raw_media_features": _media_features_sql("r"),
         "png_media_features": _media_features_sql("p"),
         "wav_audio_features": _wav_audio_sql(),
+        "embedding_dedup": _embedding_dedup_sql(
+            threshold=0.4, n_bands=32, band_bits=8, dim=64
+        ),
         "simhash_pairs": """
             WITH RECURSIVE tok AS (
               SELECT doc_id,
