@@ -1189,6 +1189,11 @@ def q_embedding_dedup(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """Deterministic IVF ANN (hash-checked since r3): LCG-top-bits train
+    sample -> shared exact-int64 Lloyd coarse quantizer -> int-L2 probe
+    lists -> float-cosine top-k inside the probed lists; `_knn_ivf_sql`
+    re-runs the whole path. IVF recall vs bruteforce is separately pinned
+    in tests/test_dedup_similarity.py."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries = _query_vectors(sf_dir)
     out = similarity.knn_ivf(emb, queries, k=10)
@@ -3104,6 +3109,96 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 10**6,
     return sql
 
 
+def _knn_ivf_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+                 iters: int = 3, n_queries: int = 4, train_sample: int = 4096,
+                 scale: int = 10**6, offset: int = 16_000_000) -> str:
+    """Full mirror of the deterministic IVF: LCG-top-bits train sample ->
+    exact-int64 Lloyd trainer (seeded on the k smallest SAMPLED ids, so
+    cid = per-pos ROW_NUMBER rank, not the id itself) -> int-L2 probe
+    lists and vector assignment (ties to the smaller cid) -> float-cosine
+    top-k inside the probed lists with the same (score DESC, id ASC)
+    tiebreak the green knn_bruteforce oracle exercises. At the fixture
+    scales n <= train_sample so the sample predicate keeps every row; the
+    LCG branch is pinned by tests/test_dedup_similarity.py's forced-
+    sample parity test."""
+    two64, two34, two30 = 2**64, 2**34, 2**30
+    sql = f"""
+    WITH u AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                  AS BIGINT) + {offset} AS q
+      FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    s AS (
+      SELECT u.* FROM u, nn
+      WHERE nn.n <= {train_sample}
+         OR ((CAST(vec_id AS HUGEINT) * 6364136223846793005
+              + 1442695040888963407) % {two64}) // {two34}
+            < CAST(FLOOR(({train_sample}.0 / nn.n) * {two30}.0) AS BIGINT)
+    ),
+    seed AS (
+      SELECT DISTINCT vec_id FROM s ORDER BY vec_id LIMIT {n_clusters}
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (PARTITION BY s.pos ORDER BY s.vec_id)
+                  - 1 AS BIGINT) AS cid,
+             s.pos, s.q
+      FROM s WHERE s.vec_id IN (SELECT vec_id FROM seed)
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT s.vec_id, c.cid, SUM((s.q - c.q) * (s.q - c.q)) AS d
+      FROM s JOIN c{i-1} c ON s.pos = c.pos GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id, cid FROM d{i}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    c{i} AS (
+      SELECT a.cid, s.pos, CAST(SUM(s.q) // COUNT(*) AS BIGINT) AS q
+      FROM s JOIN a{i} a ON s.vec_id = a.vec_id GROUP BY 1, 2
+    )"""
+    sql += f""",
+    qv AS (SELECT vec_id AS query_id, pos, q FROM u WHERE vec_id < {n_queries}),
+    pd AS (
+      SELECT qv.query_id, c.cid, SUM((qv.q - c.q) * (qv.q - c.q)) AS d
+      FROM qv JOIN c{iters} c ON qv.pos = c.pos GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT query_id, cid FROM pd
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cid)
+              <= {nprobe}
+    ),
+    ad AS (
+      SELECT u.vec_id, c.cid, SUM((u.q - c.q) * (u.q - c.q)) AS d
+      FROM u JOIN c{iters} c ON u.pos = c.pos GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM ad
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+    )
+    SELECT query_id, vec_id FROM (
+      SELECT c.query_id, c.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(
+                          CAST(eq.embedding AS DOUBLE[]),
+                          CAST(ev.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+                  JOIN embeddings ev ON ev.vec_id = c.vec_id
+    ) WHERE rn <= {k}"""
+    return sql
+
+
 _EPOCH_2024_S = 1_704_067_200  # 2024-01-01 UTC: corpus time origin
 
 
@@ -3565,10 +3660,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-LSH-path oracle: SQL regenerates the hashed-Gaussian
         # planes and re-runs project -> band -> candidate -> verify
         "embedding_dedup": q_embedding_dedup,
-        # rows-only (non-SQL-expressible: fake-path plumbing /
-        # IVF sampled-kmeans routing / eigendecomposition)
-        "media_features": q_media_features,
+        # deterministic IVF: the oracle re-runs sample -> int-Lloyd ->
+        # probe -> cosine top-k
         "knn_ivf": q_knn_ivf,
+        # rows-only (non-SQL-expressible: fake-path plumbing /
+        # eigendecomposition)
+        "media_features": q_media_features,
         "pca_projection": q_pca_projection,
         "pca_invariants": q_pca_invariants,
         "bpe_merges": q_bpe_merges,
@@ -4303,6 +4400,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _embedding_dedup_sql(
             threshold=0.4, n_bands=32, band_bits=8, dim=64
         ),
+        "knn_ivf": _knn_ivf_sql(k=10, n_clusters=16, nprobe=4, iters=3),
         "simhash_pairs": """
             WITH RECURSIVE tok AS (
               SELECT doc_id,

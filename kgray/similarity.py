@@ -19,8 +19,6 @@ import ray
 import ray.data
 from .util import stateful_task_batches
 
-_SEED = 24601
-
 
 def _chunk1(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
@@ -270,48 +268,41 @@ def _cosine_pairs_tiled(prep, threshold, id_col, vec_col, n, tile_rows):
     return tiles_ds.map_batches(tile_kernel, batch_format="pyarrow")
 
 
-def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
-    """Tiny deterministic k-means (seeded init, cosine geometry)."""
-    rng = np.random.RandomState(_SEED)
-    sample = _unit(sample)
-    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
-    centroids = sample[idx]
-    for _ in range(iters):
-        assign = np.argmax(sample @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _unit(centroids)
-    return centroids
-
-
 class _ProbeTopK:
-    """Task stage (cached per worker): IVF probe — assign each vector to its
-    nearest centroid, keep only vectors in a probed list, local top-k per
-    query. ``state_ref`` bundles (centroids, unit queries, probe lists)."""
+    """Task stage (cached per worker): IVF probe — assign each vector to
+    its nearest centroid by EXACT int64 L2 (quantized in-batch with the
+    trainer's scale/offset, ties to the smaller cid), keep only vectors in
+    a probed list, float-cosine local top-k per query with the
+    (score DESC, id ASC) bruteforce tiebreak. ``state_ref`` bundles
+    (cents, cids, unit queries, probe lists, scale, offset)."""
 
     def __init__(self, state_ref, k: int, id_col: str, vec_col: str):
-        self._c, self._q, self._probes = ray.get(state_ref)
+        (self._cents, self._cids, self._q, self._probes,
+         self._scale, self._offset) = ray.get(state_ref)
         self._wanted = np.unique(self._probes.reshape(-1))
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = _chunk1(batch[self.id_col]).to_numpy()
-        mat = _unit(_to_matrix(batch[self.vec_col]))
-        assign = np.argmax(mat @ self._c.T, axis=1)
+        mat = _to_matrix(batch[self.vec_col])
+        q = np.round(mat * self._scale).astype(np.int64) + self._offset
+        # argmin over cid-sorted centroids == tie to the smaller cid
+        assign = self._cids[np.argmin(_int_sq_dists(q, self._cents), axis=1)]
         keep = np.isin(assign, self._wanted)
-        ids, mat, assign = ids[keep], mat[keep], assign[keep]
+        ids, assign = ids[keep], assign[keep]
+        unit = _unit(mat[keep])
         rows = {"query_id": [], "vec_id": [], "score": []}
         if len(ids):
-            sims = self._q @ mat.T
+            sims = self._q @ unit.T
             for qi in range(len(self._q)):
                 in_probe = np.isin(assign, self._probes[qi])
                 if not in_probe.any():
                     continue
                 cand = np.where(in_probe)[0]
                 kk = min(self.k, len(cand))
-                sel = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+                # (score DESC, id ASC) so the local cut is deterministic
+                # even when scores tie at the k boundary
+                sel = cand[np.lexsort((ids[cand], -sims[qi, cand]))[:kk]]
                 rows["query_id"].extend([qi] * kk)
                 rows["vec_id"].extend(ids[sel].tolist())
                 rows["score"].extend(sims[qi, sel].tolist())
@@ -324,49 +315,68 @@ class _ProbeTopK:
         )
 
 
+_IVF_LCG_A = 6364136223846793005
+_IVF_LCG_C = 1442695040888963407
+
+
 def knn_ivf(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
     k: int = 10,
     n_clusters: int = 16,
     nprobe: int = 4,
+    iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int = 4096,
+    scale: int = 1_000_000,
+    offset: int = 16_000_000,
 ) -> pd.DataFrame:
     """IVF ANN: train a coarse quantizer on a sample, tag each vector with
     its nearest centroid inside map_batches, search only the ``nprobe``
     closest inverted lists per query. Same output contract as bruteforce.
 
-    The training sample is a deterministic HASH-UNIFORM draw (keep rows
-    whose id hash falls under ``train_sample/n``), not first-N — a
-    ``limit()`` sample follows block order, which at scale means one shard
-    of the corpus biases every centroid."""
-    import pandas as _pd
+    Fully deterministic and SQL-mirrorable end to end (the
+    ``knn_ivf`` oracle re-runs sample -> train -> probe -> top-k):
 
+    - the training sample keeps ids whose LCG-hash TOP 30 bits fall under
+      ``train_sample/n`` (top bits: the low bits of a 2^64 LCG alternate;
+      and never first-N — a ``limit()`` sample follows block order, which
+      at scale means one shard of the corpus biases every centroid);
+    - the coarse quantizer is the shared exact-int64 Lloyd trainer
+      (``_kmeans_train_int``: quantize ``round(scale*x)+offset``, seed on
+      the k smallest sampled ids, integer mean floors) — the FAISS-style
+      L2 coarse geometry, bit-identical at any parallelism;
+    - probe lists and vector assignment are exact-int64 L2 argmins with
+      ties to the smaller cid;
+    - only the final within-list ranking is float cosine, with the same
+      (score DESC, id ASC) deterministic tiebreak the green
+      ``knn_bruteforce`` oracle already exercises."""
     n = embeddings.count()
+    qds = _quantize_pack_ds(embeddings, id_col, vec_col, scale, offset)
+    train = qds
     if n > train_sample:
-        frac = train_sample / n
+        thr = np.uint64(int(train_sample / n * (1 << 30)))
+        a, c = np.uint64(_IVF_LCG_A), np.uint64(_IVF_LCG_C)
 
         def keep_sample(t: pa.Table) -> pa.Table:
-            ids = t[id_col]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            h = _pd.util.hash_array(ids.to_numpy(zero_copy_only=False)).astype(np.uint64)
-            mask = (h % np.uint64(1 << 30)) < np.uint64(int(frac * (1 << 30)))
-            return t.filter(pa.array(mask))
+            ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):  # uint64 wrap IS the hash
+                h = ids.astype(np.uint64) * a + c
+            return t.filter(pa.array((h >> np.uint64(34)) < thr))
 
-        sample_tbl = embeddings.map_batches(
-            keep_sample, batch_format="pyarrow"
-        ).to_pandas()
-    else:
-        sample_tbl = embeddings.to_pandas()
-    centroids = _kmeans(
-        np.asarray(sample_tbl[vec_col].tolist(), dtype=np.float64), n_clusters
-    )
+        train = qds.map_batches(keep_sample, batch_format="pyarrow")
+    cids, cents = _kmeans_train_int(train, n_clusters, iters, id_col)
+
+    qq = np.round(
+        np.atleast_2d(np.asarray(queries, dtype=np.float64)) * scale
+    ).astype(np.int64) + offset
+    qd = _int_sq_dists(qq, cents)           # (nq, n_cents) exact int64
+    # per query: nprobe nearest centroids, ties to the smaller cid
+    order = np.argsort(qd, axis=1, kind="stable")  # cids are cid-sorted
+    probes = cids[order[:, :nprobe]]
     q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    probe_lists = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :nprobe]
-    state_ref = ray.put((centroids, q_unit, probe_lists))
+    state_ref = ray.put((cents, cids, q_unit, probes, scale, offset))
 
     partials = stateful_task_batches(
         embeddings, _ProbeTopK,
@@ -1040,59 +1050,100 @@ def kmeans_assign(
     Ties in distance break to the smallest cid in both arms. Returns the
     final (id, cluster) assignment.
     """
-    from .relational import grouped_agg
     from .util import list_to_matrix
 
-    def quant(t: pa.Table) -> np.ndarray:
-        return np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64) + offset
+    qds = _quantize_pack_ds(embeddings, id_col, vec_col, scale, offset)
 
-    import pyarrow.compute as _pc
+    def qmat(t: pa.Table) -> np.ndarray:
+        return list_to_matrix(t["__q"], dtype=np.int64)
 
-    # quantize ONCE into a materialized int64 dataset: every subsequent
-    # pass (seed pull, per-iteration partials, final assignment) reads
-    # object-store blocks instead of re-reading parquet + re-quantizing —
-    # the fixed per-round cost was dominating the wall at small k*d
+    cids, cents = _kmeans_train_int(qds, k, iters, id_col)
+
+    def final(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
+        q = qmat(t)
+        assign = _ids[np.argmin(_int_sq_dists(q, _c), axis=1)]
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {id_col: pa.array(ids), "cluster": pa.array(assign, type=pa.int64())}
+        )
+
+    out = qds.map_batches(final, batch_format="pyarrow")
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    )
+
+
+def _quantize_pack_ds(
+    embeddings: ray.data.Dataset, id_col: str, vec_col: str,
+    scale: int, offset: int,
+) -> ray.data.Dataset:
+    """Quantize ONCE into a materialized int64 ``__q`` fixed-size-list
+    dataset (``round(scale*x) + offset``): every subsequent pass (seed
+    pull, per-iteration partials, final assignment, IVF probe) reads
+    object-store blocks instead of re-reading parquet + re-quantizing —
+    the fixed per-round cost dominates the wall at small k*d."""
     def pack(t: pa.Table) -> pa.Table:
-        q = quant(t)
+        q = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64) + offset
         packed = pa.FixedSizeListArray.from_arrays(
             pa.array(np.ascontiguousarray(q).reshape(-1)), q.shape[1]
         )
         return pa.table({id_col: _chunk1(t[id_col]), "__q": packed})
 
-    qds = (
+    return (
         embeddings.select_columns([id_col, vec_col])
         .map_batches(pack, batch_format="pyarrow")
         .materialize()
     )
 
+
+def _int_sq_dists(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Exact int64 squared L2 distances, one cluster at a time (k small)."""
+    out = np.empty((len(q), len(c)), dtype=np.int64)
+    for j in range(len(c)):
+        d = q - c[j]
+        out[:, j] = (d * d).sum(axis=1)
+    return out
+
+
+def _kmeans_train_int(
+    qds: ray.data.Dataset, k: int, iters: int, id_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """The exact-integer Lloyd trainer shared by ``kmeans_assign`` and
+    ``knn_ivf``: seeds on the ``k`` SMALLEST ids in the dataset (a
+    per-batch min-k partial then a tiny driver merge — NOT ``id < k``,
+    which silently under-seeds when the train set is a sample with
+    non-contiguous ids), then ``iters`` one-pass centroid updates with
+    (cid, pos, sum_q, n) int64 partials. Returns (cids, cents); clusters
+    that lose all members are dropped (SQL inner-join semantics). Every
+    step is int64, so the result is bit-identical at any parallelism and
+    to the unrolled SQL mirror."""
+    from .relational import grouped_agg
+    from .util import list_to_matrix
+
     def qmat(t: pa.Table) -> np.ndarray:
         return list_to_matrix(t["__q"], dtype=np.int64)
 
-    def _seed_filter(t: pa.Table) -> pa.Table:
-        return t.filter(_pc.less(t[id_col].combine_chunks(), k))
+    def _seed_part(t: pa.Table) -> pa.Table:
+        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) > k:
+            t = t.take(pa.array(np.argsort(ids, kind="stable")[:k]))
+        return t
 
     seed_tbl = pa.concat_tables(
-        qds.map_batches(_seed_filter, batch_format="pyarrow")
+        qds.map_batches(_seed_part, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
     )
-    order = np.argsort(
+    seed_ids = (
         _chunk1(seed_tbl[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
     )
+    order = np.argsort(seed_ids, kind="stable")[:k]
     cents = qmat(seed_tbl)[order]           # (k, d), cid = row index
     cids = np.arange(len(cents), dtype=np.int64)
-
-    def dists(q: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # exact int64 squared distances, one cluster at a time (k is small)
-        out = np.empty((len(q), len(c)), dtype=np.int64)
-        for j in range(len(c)):
-            d = q - c[j]
-            out[:, j] = (d * d).sum(axis=1)
-        return out
 
     for _ in range(iters):
         def part(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
             q = qmat(t)
-            assign = _ids[np.argmin(dists(q, _c), axis=1)]
+            assign = _ids[np.argmin(_int_sq_dists(q, _c), axis=1)]
             uniq, codes = np.unique(assign, return_inverse=True)
             kk, d = len(uniq), q.shape[1]
             sums = np.zeros((kk, d), dtype=np.int64)
@@ -1118,15 +1169,4 @@ def kmeans_assign(
             // stats["n"].to_numpy(dtype=np.int64)
         ).reshape(len(cids), d)
 
-    def final(t: pa.Table, _c=cents, _ids=cids) -> pa.Table:
-        q = qmat(t)
-        assign = _ids[np.argmin(dists(q, _c), axis=1)]
-        ids = _chunk1(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {id_col: pa.array(ids), "cluster": pa.array(assign, type=pa.int64())}
-        )
-
-    out = qds.map_batches(final, batch_format="pyarrow")
-    return pa.concat_tables(
-        out.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
-    )
+    return cids, cents

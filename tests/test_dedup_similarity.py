@@ -131,6 +131,39 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 lists
 
 
+def test_knn_ivf_sampled_path_deterministic(ray_session):
+    """Force the LCG train-sample branch (train_sample << n) and check the
+    result is bit-identical across block layouts — the engine's
+    any-parallelism guarantee for the sampled coarse quantizer — and that
+    the sample filter matches the documented LCG-top-30-bits predicate."""
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((300, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+    queries = mat[:2]
+    outs = []
+    for blocks in (2, 8):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = similarity.knn_ivf(
+            ds, queries, k=5, n_clusters=4, nprobe=2, train_sample=64
+        )
+        outs.append(list(zip(out["query_id"], out["vec_id"])))
+    assert outs[0] == outs[1]
+    # the sample predicate is the documented closed form
+    ids = np.arange(300, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = ids * np.uint64(similarity._IVF_LCG_A) + np.uint64(
+            similarity._IVF_LCG_C
+        )
+    thr = np.uint64(int(64 / 300 * (1 << 30)))
+    n_sampled = int(((h >> np.uint64(34)) < thr).sum())
+    assert 20 <= n_sampled <= 150  # ~64 expected, binomial spread
+
+
 def test_multimodal_plumbing(ray_session):
     ds = ray.data.from_arrow(multimodal.synthetic_media_table(16))
     out = multimodal.extract_features(
