@@ -368,6 +368,25 @@ def q_token_counts(sf_dir: str):
     return _table(out.select_columns(["doc_id", "n_tokens"]))
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance selection (Xie et al. 2023): hashed unigram LMs
+    over target (source src0/src1 — the 'domain to match') vs the full
+    raw corpus; per-doc int64 fixed-point importance scores; top-100 by
+    (score DESC, doc_id ASC). `_dsir_sql` re-runs the whole path with
+    the HUGEINT polynomial word hash."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    target = relational.filter_batches(
+        docs,
+        lambda t: pc.is_in(
+            t["source"].combine_chunks(),
+            value_set=pa.array(["src0", "src1"]),
+        ),
+    )
+    return textops.dsir_select(docs, target, n_select=100)
+
+
 def q_quality_scores(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(textops.quality_score_batch, batch_format="pyarrow")
@@ -3525,6 +3544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_text_dedup": q_exact_text_dedup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "dsir_select": q_dsir_select,
         "windowed_events": q_windowed_events,
         "hopping_windows": q_hopping_windows,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -3815,6 +3835,70 @@ def _media_features_sql(prefix: str) -> str:
                    CAST(s.w * gs.sy AS BIGINT) AS g_sum,
                    CAST((s.i % 256) * s.w * s.h AS BIGINT) AS b_sum
             FROM s JOIN rs ON rs.i = s.i JOIN gs ON gs.i = s.i
+        """
+
+
+def _dsir_sql(n_select: int = 100, num_buckets: int = 4096,
+              ratio_scale: int = 10**6) -> str:
+    """Full mirror of the DSIR selection: per-token HUGEINT polynomial
+    hashes (the ASCII-corpus assumption the fingerprints/simhash mirrors
+    share), bucket counts for the target (src0/src1) and raw models,
+    the +1-smoothed fixed-point log-ratio, per-doc int64 score sums and
+    the (score DESC, doc_id ASC) top-n. The only float step is the
+    per-bucket LN ratio before int quantization — rounding margins are
+    measured (min distance to a .5 boundary 1.1e-2 across sf0.001/0.01/0.1),
+    so numpy banker's round and SQL half-away ROUND agree."""
+    return f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS tid
+              FROM documents
+            ), tr AS (
+              SELECT doc_id, source, tid, w FROM tok WHERE w <> ''
+            ), mxw AS (
+              SELECT MAX(length(w)) AS m FROM tr
+            ), pw(k, v) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+              FROM pw, mxw WHERE k < mxw.m - 1
+            ), ch AS (
+              SELECT doc_id, source, tid, length(w) AS L, i,
+                     CAST(unicode(w[i]) AS HUGEINT) AS code
+              FROM tr, UNNEST(generate_series(1, length(w))) t(i)
+            ), fp AS (
+              SELECT doc_id, source, tid,
+                     (SUM(code * p.v) % 18446744073709551616)
+                       % {num_buckets} AS b
+              FROM ch JOIN pw p ON p.k = ch.L - ch.i
+              GROUP BY 1, 2, 3
+            ), ct AS (
+              SELECT b, COUNT(*) AS c FROM fp
+              WHERE source IN ('src0', 'src1') GROUP BY 1
+            ), cr AS (
+              SELECT b, COUNT(*) AS c FROM fp GROUP BY 1
+            ), nt AS (
+              SELECT COALESCE(SUM(c), 0) AS n FROM ct
+            ), nr AS (
+              SELECT SUM(c) AS n FROM cr
+            ), ratio AS (
+              SELECT cr.b,
+                     CAST(ROUND({ratio_scale}
+                       * (LN((COALESCE(ct.c, 0) + 1.0) / (nt.n + {num_buckets}))
+                        - LN((cr.c + 1.0) / (nr.n + {num_buckets}))))
+                       AS BIGINT) AS r
+              FROM cr LEFT JOIN ct ON ct.b = cr.b, nt, nr
+            ), score AS (
+              SELECT fp.doc_id, CAST(SUM(ratio.r) AS BIGINT) AS dsir_score
+              FROM fp JOIN ratio ON ratio.b = fp.b GROUP BY 1
+            )
+            SELECT doc_id, dsir_score FROM (
+              SELECT doc_id, dsir_score,
+                     ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+                       AS rn
+              FROM score
+            ) WHERE rn <= {n_select}
         """
 
 
@@ -4401,6 +4485,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, n_bands=32, band_bits=8, dim=64
         ),
         "knn_ivf": _knn_ivf_sql(k=10, n_clusters=16, nprobe=4, iters=3),
+        "dsir_select": _dsir_sql(n_select=100, num_buckets=4096),
         "simhash_pairs": """
             WITH RECURSIVE tok AS (
               SELECT doc_id,

@@ -1201,6 +1201,123 @@ def feature_hashing(
     )
 
 
+def dsir_select(
+    raw_ds,
+    target_ds,
+    n_select: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    ratio_scale: int = 1_000_000,
+) -> pa.Table:
+    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): fit hashed unigram
+    bag-of-words LMs over the target and raw corpora, score every raw
+    document by its importance log-ratio, keep the top ``n_select``.
+
+    Distributed plan — two bounded exchanges and one streaming pass:
+
+    1. each side reduces to (bucket, cnt) partials inside ``map_batches``
+       (tokens -> ``rolling_hash64`` -> ``% num_buckets`` -> bincount) and
+       one grouped sum; the driver folds a fixed ``num_buckets``-long
+       vector per side (the fold is dimension-bounded, never corpus-sized);
+    2. the per-bucket log-ratio ``round(scale*(ln p̂_t - ln p̂_r))`` with
+       +1 smoothing quantizes ONCE on the driver to int64 fixed-point, so
+       per-doc scores are order-free integer sums — bit-identical at any
+       parallelism and in the SQL mirror (ratio rounding margins are
+       measured in the oracle helper);
+    3. one pass over the raw docs emits local top-``n_select`` partials
+       (score DESC, id ASC); the driver merges ``n_select x n_blocks``
+       rows. Temperature-0 selection — the paper's Gumbel resampling
+       variant adds hash-salted noise to the same score; the greedy cut
+       keeps the oracle exact and is what curation pipelines run at
+       fixed token budgets.
+
+    Documents with no non-empty tokens are dropped (no grams -> no score),
+    matching the SQL mirror's inner per-doc aggregation.
+    """
+    from .relational import grouped_agg
+
+    nb = np.uint64(num_buckets)
+
+    def _bucket_partials(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(_chunked(t[text_col]), ""), " ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        cnt = np.bincount(
+            (rolling_hash64(toks) % nb).astype(np.int64), minlength=num_buckets
+        )
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "cnt": pa.array(cnt[nz], type=pa.int64()),
+            }
+        )
+
+    def _model_vec(ds) -> np.ndarray:
+        agg = grouped_agg(
+            ds.map_batches(_bucket_partials, batch_format="pyarrow"),
+            keys=["bucket"], sums={"cnt": "cnt"},
+        )
+        vec = np.zeros(num_buckets, dtype=np.int64)
+        for bt in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            vec[_chunked(bt["bucket"]).to_numpy()] = _chunked(bt["cnt"]).to_numpy()
+        return vec
+
+    ct = _model_vec(target_ds.select_columns([text_col]))
+    cr = _model_vec(raw_ds.select_columns([text_col]))
+    nt, nr = int(ct.sum()), int(cr.sum())
+    ratio = np.round(
+        ratio_scale
+        * (np.log((ct + 1.0) / (nt + num_buckets))
+           - np.log((cr + 1.0) / (nr + num_buckets)))
+    ).astype(np.int64)
+
+    def _score_part(t: pa.Table, _r=ratio) -> pa.Table:
+        ids = _chunked(t[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(pc.fill_null(_chunked(t[text_col]), ""), " ")
+        offs = np.asarray(lists.offsets)
+        offs = offs - offs[0]  # sliced-array offsets align with list_flatten
+        toks = pc.list_flatten(lists)
+        vals = _r[(rolling_hash64(toks) % nb).astype(np.int64)]
+        valid = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        vals = np.where(valid, vals, 0)
+        lens = offs[1:] - offs[:-1]
+        nzdoc = lens > 0
+        scores = np.zeros(len(ids), dtype=np.int64)
+        nvalid = np.zeros(len(ids), dtype=np.int64)
+        if nzdoc.any():
+            starts = offs[:-1][nzdoc]
+            scores[nzdoc] = np.add.reduceat(vals, starts)
+            nvalid[nzdoc] = np.add.reduceat(valid.astype(np.int64), starts)
+        keep = nvalid > 0
+        ids, scores = ids[keep], scores[keep]
+        loc = np.lexsort((ids, -scores))[:n_select]
+        return pa.table(
+            {
+                id_col: pa.array(ids[loc], type=pa.int64()),
+                "dsir_score": pa.array(scores[loc], type=pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        raw_ds.select_columns([id_col, text_col])
+        .map_batches(_score_part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    )
+    ids = _chunked(parts[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+    scores = _chunked(parts["dsir_score"]).to_numpy()
+    top = np.lexsort((ids, -scores))[:n_select]
+    return pa.table(
+        {
+            id_col: pa.array(ids[top], type=pa.int64()),
+            "dsir_score": pa.array(scores[top], type=pa.int64()),
+        }
+    )
+
+
 def hashed_normal_equations(
     ds,
     text_col: str = "text",

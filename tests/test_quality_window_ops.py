@@ -145,3 +145,44 @@ def test_cms_never_undercounts(ray_session):
     exact = collections.Counter(keys)
     assert all(got[k] >= exact[k] for k in exact)
     assert got == dict(exact)  # roomy width: no collisions among 4 keys
+
+
+def test_dsir_select_prefers_target_domain(ray_session):
+    """DSIR importance selection: raw docs sharing the target corpus's
+    vocabulary must outrank off-domain docs; blank docs are dropped; the
+    result is bit-identical across block layouts (int64 fixed-point
+    scores are order-free)."""
+    from kgray.textops import dsir_select
+
+    target_words = "alpha beta gamma delta"
+    off_words = "zork quux blorp fnord"
+    raw_rows = (
+        [(i, f"{target_words} alpha beta") for i in range(10)]          # on-domain
+        + [(i, f"{off_words} zork quux") for i in range(10, 30)]        # off-domain
+        + [(30, ""), (31, "   ")]                                       # blank
+    )
+    raw = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in raw_rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in raw_rows]),
+        }
+    )
+    tgt = pa.table(
+        {
+            "doc_id": pa.array([100, 101], type=pa.int64()),
+            "text": pa.array([target_words, "alpha beta gamma"]),
+        }
+    )
+    outs = []
+    for blocks in (1, 4):
+        out = dsir_select(
+            rd.from_arrow(raw).repartition(blocks),
+            rd.from_arrow(tgt),
+            n_select=10,
+        )
+        outs.append(list(zip(out["doc_id"].to_pylist(),
+                             out["dsir_score"].to_pylist())))
+    assert outs[0] == outs[1]
+    picked = {d for d, _ in outs[0]}
+    assert picked == set(range(10))          # exactly the on-domain docs
+    assert 30 not in picked and 31 not in picked
