@@ -1247,6 +1247,17 @@ def _canonical_int_edges(sf_dir: str):
     return canonical.map_batches(to_int, batch_format="pyarrow")
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): exact-int64 kmeans coarse clusters,
+    within-cluster-only cosine pairs (n^2 -> sum n_c^2), transitive
+    components, per-row survivor verdict. `_semdedup_sql` re-runs the
+    whole path (unrolled Lloyd + pair self-join + recursive reach)."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _table(dedup.semdedup(emb, threshold=0.4, n_clusters=8, iters=3))
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup pairs -> transitive clusters -> per-doc survivor verdict
     (the stage a training pipeline runs after any pair-emitting dedup)."""
@@ -3128,6 +3139,69 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 10**6,
     return sql
 
 
+def _semdedup_sql(threshold: float = 0.4, n_clusters: int = 8,
+                  iters: int = 3, scale: int = 10**6,
+                  offset: int = 16_000_000) -> str:
+    """Full mirror of SemDeDup: the same unrolled exact-int64 Lloyd
+    CTEs as `_kmeans_sql` (final assignment = a{iters+1}), a same-cluster
+    pair self-join with the float `list_cosine_similarity >= threshold`
+    cut the cosine_pairs oracle exercises, then the dedup_clusters
+    recursive-reach component/verdict tail."""
+    sql = f"""
+    WITH RECURSIVE u AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                  AS BIGINT) + {offset} AS q
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, q FROM u WHERE vec_id < {n_clusters})"""
+    for i in range(1, iters + 2):
+        sql += f""",
+    d{i} AS (
+      SELECT u.vec_id, c.cid, SUM((u.q - c.q) * (u.q - c.q)) AS d
+      FROM u JOIN c{i-1} c ON u.pos = c.pos GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id, cid FROM d{i}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    )"""
+        if i <= iters:
+            sql += f""",
+    c{i} AS (
+      SELECT a.cid, u.pos, CAST(SUM(u.q) // COUNT(*) AS BIGINT) AS q
+      FROM u JOIN a{i} a ON u.vec_id = a.vec_id GROUP BY 1, 2
+    )"""
+    sql += f""",
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a{iters + 1} x JOIN a{iters + 1} y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                   CAST(ey.embedding AS DOUBLE[]))
+            >= {threshold}
+    ),
+    sym AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS vec_id, LEAST(a, MIN(b)) AS cid FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           COALESCE(c.cid, e.vec_id) AS cluster_id,
+           CAST(e.vec_id = COALESCE(c.cid, e.vec_id) AS BIGINT)
+             AS is_canonical
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id"""
+    return sql
+
+
 def _knn_ivf_sql(k: int = 10, n_clusters: int = 16, nprobe: int = 4,
                  iters: int = 3, n_queries: int = 4, train_sample: int = 4096,
                  scale: int = 10**6, offset: int = 16_000_000) -> str:
@@ -3573,6 +3647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_stats": q_lang_token_stats,
         "bpe_token_counts": q_bpe_token_counts,
         "dedup_clusters": q_dedup_clusters,
+        "semdedup": q_semdedup,
         "pagerank": q_pagerank,
         "k_core": q_k_core,
         "transe_negatives": q_transe_negatives,
@@ -4486,6 +4561,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_ivf": _knn_ivf_sql(k=10, n_clusters=16, nprobe=4, iters=3),
         "dsir_select": _dsir_sql(n_select=100, num_buckets=4096),
+        "semdedup": _semdedup_sql(threshold=0.4, n_clusters=8, iters=3),
         "simhash_pairs": """
             WITH RECURSIVE tok AS (
               SELECT doc_id,

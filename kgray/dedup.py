@@ -1125,6 +1125,105 @@ def embedding_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedupe semantic dedup)
+# ---------------------------------------------------------------------------
+
+def semdedup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.4,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: int = 16_000_000,
+    num_buckets: int = 64,
+    max_cluster: int = 65_536,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, "Semantic deduplication"): k-means-
+    cluster the embedding space, compare pairs ONLY within a cluster —
+    the all-pairs n^2 cosine scan becomes sum(n_c^2), the trick that makes
+    semantic dedup tractable at corpus scale — then transitive components
+    and a per-item survivor verdict. Returns (id, cluster_id,
+    is_canonical) for every row, the same contract as ``dedup_clusters``.
+
+    Deterministic end to end, so the SQL oracle re-runs the whole path:
+    the coarse clustering is the shared exact-int64 Lloyd trainer
+    (``similarity._kmeans_train_int`` — bit-stable at any parallelism),
+    per-batch assignment is exact int-L2 with ties to the smaller cid,
+    and within-cluster similarity is exact float cosine with the same
+    >= threshold cut the green ``cosine_pairs`` oracle exercises.
+
+    Scale plan: one training pass (k x d partials), one tag pass that
+    ships (id, cluster, packed unit vector) through a cluster-keyed
+    bucketed shuffle — vectors ride as fixed-size binary, and only
+    same-cluster rows ever meet in a task. A cluster larger than
+    ``max_cluster`` raises with a pointer to a larger ``n_clusters``
+    (the within-cluster matmul is that task's heap bound)."""
+    from .graphalgo import dedup_clusters
+    from .relational import hash_bucketed_groupby
+    from .similarity import (
+        _int_sq_dists, _kmeans_train_int, _quantize_pack_ds, _to_matrix,
+        _unit,
+    )
+
+    qds = _quantize_pack_ds(embeddings, id_col, vec_col, scale, offset)
+    cids, cents = _kmeans_train_int(qds, n_clusters, iters, id_col)
+    dim = cents.shape[1]
+
+    def tag(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        q = np.round(mat * scale).astype(np.int64) + offset
+        cl = cids[np.argmin(_int_sq_dists(q, cents), axis=1)]
+        u = np.ascontiguousarray(_unit(mat))
+        packed = pa.Array.from_buffers(
+            pa.binary(dim * 8), len(t), [None, pa.py_buffer(u.tobytes())]
+        )
+        return pa.table(
+            {
+                id_col: _chunked(t[id_col]),
+                "kcluster": pa.array(cl, type=pa.int64()),
+                "__vec": packed,
+            }
+        )
+
+    tagged = embeddings.map_batches(tag, batch_format="pyarrow")
+
+    def cluster_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_p, b_p = [], []
+        for _, g in df.groupby("kcluster", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            if n > max_cluster:
+                raise ValueError(
+                    f"semdedup cluster of {n} rows exceeds max_cluster="
+                    f"{max_cluster}; raise n_clusters so per-cluster "
+                    "matmuls fit a task heap"
+                )
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            m = np.frombuffer(
+                b"".join(g["__vec"].tolist()), dtype=np.float64
+            ).reshape(n, dim)
+            sims = m @ m.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a_p.append(np.minimum(ids[ii], ids[jj]))
+            b_p.append(np.maximum(ids[ii], ids[jj]))
+        if not a_p:
+            a_p = b_p = [np.array([], dtype=np.int64)]
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(a_p), "vec_b": np.concatenate(b_p)}
+        )
+
+    pairs = hash_bucketed_groupby(
+        tagged, ["kcluster"], cluster_pairs, num_buckets=num_buckets
+    )
+    return dedup_clusters(
+        embeddings, pairs, id_col=id_col, col_a="vec_a", col_b="vec_b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (shared-shingle removal)
 # ---------------------------------------------------------------------------
 

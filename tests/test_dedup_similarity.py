@@ -764,3 +764,25 @@ def test_png_media_pipeline_matches_raw(ray_session):
     for r in decoded:
         assert (r["width"], r["height"]) == want[r["media_id"]]
         assert r["n_frames"] == 1
+
+
+def test_semdedup_planted_and_parallelism_invariant(ray_session):
+    """SemDeDup: the same-magnitude planted near-dup (0, 50) must land in
+    one component with the smaller id as survivor, and the full verdict
+    table must be bit-identical across block layouts (int kmeans + exact
+    cosine are both order-free)."""
+    tbl, _ = _embeddings_with_dupes()
+    outs = []
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = dedup.semdedup(ds, threshold=0.95, n_clusters=4).take_all()
+        outs.append(sorted((r["vec_id"], r["cluster_id"], r["is_canonical"])
+                           for r in out))
+    assert outs[0] == outs[1]
+    verdict = {v: (c, k) for v, c, k in outs[0]}
+    assert verdict[50] == (0, 0)   # clustered under survivor 0, not canonical
+    assert verdict[0] == (0, 1)    # the survivor
+    # every row is present exactly once and singletons self-cluster
+    assert len(verdict) == 60
+    singles = [v for v, (c, k) in verdict.items() if c == v]
+    assert all(verdict[v][1] == 1 for v in singles)
