@@ -387,6 +387,16 @@ def q_dsir_select(sf_dir: str):
     return textops.dsir_select(docs, target, n_select=100)
 
 
+def q_gopher_gate(sf_dir: str):
+    """Gopher composite quality gate (Rae et al. 2021 §A1.1) with a
+    per-rule audit column per document — shuffle-free map_batches; every
+    rule is exact integer arithmetic so the SQL mirror is value-exact."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        ds.map_batches(textops.gopher_gate_batch, batch_format="pyarrow")
+    )
+
+
 def q_quality_scores(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(textops.quality_score_batch, batch_format="pyarrow")
@@ -3619,6 +3629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "dsir_select": q_dsir_select,
+        "gopher_gate": q_gopher_gate,
         "windowed_events": q_windowed_events,
         "hopping_windows": q_hopping_windows,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -4562,6 +4573,42 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _knn_ivf_sql(k=10, n_clusters=16, nprobe=4, iters=3),
         "dsir_select": _dsir_sql(n_select=100, num_buckets=4096),
         "semdedup": _semdedup_sql(threshold=0.4, n_clusters=8, iters=3),
+        "gopher_gate": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), tw AS (
+              SELECT doc_id, w FROM tok WHERE w <> ''
+            ), agg AS (
+              SELECT d.doc_id,
+                     COUNT(t.w) AS n_words,
+                     COALESCE(SUM(length(t.w)), 0) AS sum_len,
+                     COALESCE(SUM(CASE WHEN regexp_matches(t.w, '[A-Za-z]')
+                                  THEN 1 ELSE 0 END), 0) AS n_alpha,
+                     COALESCE(SUM(CASE WHEN regexp_matches(t.w, '#|\.\.\.')
+                                  THEN 1 ELSE 0 END), 0) AS n_sym,
+                     COUNT(DISTINCT CASE WHEN t.w IN
+                       ('the', 'a', 'and', 'of', 'to') THEN t.w END)
+                       AS n_stop
+              FROM documents d LEFT JOIN tw t ON t.doc_id = d.doc_id
+              GROUP BY 1
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_words >= 10 AND n_words <= 100000 AS BIGINT)
+                     AS wordcount_ok,
+                   CAST(3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                        AND n_words > 0 AS BIGINT) AS meanlen_ok,
+                   CAST(5 * n_alpha >= 4 * n_words AS BIGINT) AS alpha_ok,
+                   CAST(10 * n_sym <= n_words AS BIGINT) AS symbol_ok,
+                   CAST(n_stop >= 2 AS BIGINT) AS stop_ok,
+                   CAST(n_words >= 10 AND n_words <= 100000
+                        AND 3 * n_words <= sum_len
+                        AND sum_len <= 10 * n_words AND n_words > 0
+                        AND 5 * n_alpha >= 4 * n_words
+                        AND 10 * n_sym <= n_words
+                        AND n_stop >= 2 AS BIGINT) AS keep
+            FROM agg
+        """,
         "simhash_pairs": """
             WITH RECURSIVE tok AS (
               SELECT doc_id,

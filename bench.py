@@ -105,7 +105,7 @@ def run_bench() -> dict:
             "preference_pairs", "epoch_order", "pca_invariants", "k_core",
             "wav_audio_features", "bfs_distances", "segment_event_stats",
             "transe_negatives", "temporal_edges", "balanced_resample",
-            "dsir_select", "knn_ivf", "embedding_dedup", "semdedup",
+            "dsir_select", "knn_ivf", "embedding_dedup", "semdedup", "gopher_gate",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

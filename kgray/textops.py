@@ -1201,6 +1201,102 @@ def feature_hashing(
     )
 
 
+def gopher_gate_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+) -> pa.Table:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1), with a
+    PER-RULE audit column so drops are attributable — the form the paper's
+    pipeline actually ships, not just a keep bit. Doc-local, so it runs as
+    a plain ``map_batches`` with NO shuffle; every rule is exact integer
+    arithmetic (means compared by cross-multiplication), so the SQL mirror
+    is value-exact. Rules (single-space split, like the SQL
+    ``string_split``):
+
+    - ``wordcount_ok``: min_words <= n_words <= max_words
+    - ``meanlen_ok``: min_mean_len <= mean word length <= max_mean_len,
+      as ``min*n <= sum_len`` and ``sum_len <= max*n``
+    - ``alpha_ok``: >= 80% of words contain an alphabetic character
+      (``5 * n_alpha >= 4 * n_words``)
+    - ``symbol_ok``: <= 10% of words contain '#' or '...'
+      (``10 * n_sym <= n_words``)
+    - ``stop_ok``: >= 2 DISTINCT stopwords of the fixed 5-word list appear
+    - ``keep`` = AND of all five.
+
+    The paper's line-based rules (bullet/ellipsis line fractions) are
+    omitted: the synthetic corpus is single-line, so they would be
+    vacuously true; the repetition rules live in
+    ``repetition_stats_batch`` and compose upstream/downstream.
+    """
+    import pandas as pd
+
+    texts = _chunked(batch[text_col])
+    words = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_docs = len(words)
+    lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    flat = words.flatten()
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+
+    def per_doc(vals: np.ndarray) -> np.ndarray:
+        out = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(out, doc_idx, vals.astype(np.int64))
+        return out
+
+    n_words = per_doc(nonempty)
+    sum_len = per_doc(
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False) * nonempty
+    )
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = per_doc(alpha & nonempty)
+    sym = pc.match_substring_regex(flat, r"#|\.\.\.").to_numpy(
+        zero_copy_only=False
+    )
+    n_sym = per_doc(sym & nonempty)
+    stop_mask = pc.is_in(
+        flat, value_set=pa.array(list(STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    n_stop_distinct = np.zeros(n_docs, dtype=np.int64)
+    if stop_mask.any():
+        s = pd.DataFrame(
+            {
+                "d": doc_idx[stop_mask],
+                "w": np.asarray(flat.to_pandas(), dtype=object)[stop_mask],
+            }
+        )
+        nd = s.groupby("d", sort=False)["w"].nunique()
+        n_stop_distinct[nd.index.to_numpy()] = nd.to_numpy(np.int64)
+
+    wordcount_ok = (n_words >= min_words) & (n_words <= max_words)
+    meanlen_ok = (min_mean_len * n_words <= sum_len) & (
+        sum_len <= max_mean_len * n_words
+    ) & (n_words > 0)
+    alpha_ok = 5 * n_alpha >= 4 * n_words
+    symbol_ok = 10 * n_sym <= n_words
+    stop_ok = n_stop_distinct >= 2
+    keep = wordcount_ok & meanlen_ok & alpha_ok & symbol_ok & stop_ok
+    cols = {
+        id_col: _chunked(batch[id_col]),
+        "n_words": pa.array(n_words, type=pa.int64()),
+    }
+    for name, arr in [
+        ("wordcount_ok", wordcount_ok), ("meanlen_ok", meanlen_ok),
+        ("alpha_ok", alpha_ok), ("symbol_ok", symbol_ok),
+        ("stop_ok", stop_ok), ("keep", keep),
+    ]:
+        cols[name] = pa.array(arr.astype(np.int64), type=pa.int64())
+    return pa.table(cols)
+
+
 def dsir_select(
     raw_ds,
     target_ds,

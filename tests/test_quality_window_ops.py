@@ -186,3 +186,33 @@ def test_dsir_select_prefers_target_domain(ray_session):
     picked = {d for d, _ in outs[0]}
     assert picked == set(range(10))          # exactly the on-domain docs
     assert 30 not in picked and 31 not in picked
+
+
+def test_gopher_gate_rules_each_bite():
+    """Each Gopher rule fails exactly the doc planted to violate it."""
+    from kgray.textops import gopher_gate_batch
+
+    rows = {
+        0: "the cat and dog of the house went to the market today ok",  # clean
+        1: "too short",                                                 # wordcount
+        2: "the a of to and " + " ".join(["supercalifragilistic"] * 10),  # meanlen
+        3: "the a of " + " ".join(["123", "456", "789"] * 5),           # alpha
+        4: "the a of and to " + " ".join(["x#y"] * 12),                 # symbol
+        5: " ".join(["alpha", "beta", "gamma"] * 5),                    # stopwords
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(rows), type=pa.int64()),
+            "text": pa.array([rows[k] for k in sorted(rows)]),
+        }
+    )
+    out = gopher_gate_batch(t).to_pydict()
+    by = {d: i for i, d in enumerate(out["doc_id"])}
+    assert out["keep"][by[0]] == 1
+    assert out["wordcount_ok"][by[1]] == 0
+    assert out["meanlen_ok"][by[2]] == 0
+    assert out["alpha_ok"][by[3]] == 0
+    assert out["symbol_ok"][by[4]] == 0
+    assert out["stop_ok"][by[5]] == 0
+    for d in (1, 2, 3, 4, 5):
+        assert out["keep"][by[d]] == 0
