@@ -1162,32 +1162,30 @@ def semdedup(
     (the within-cluster matmul is that task's heap bound)."""
     from .graphalgo import dedup_clusters
     from .relational import hash_bucketed_groupby
-    from .similarity import (
-        _int_sq_dists, _kmeans_train_int, _quantize_pack_ds, _to_matrix,
-        _unit,
-    )
+    from .similarity import _int_sq_dists, _kmeans_train_int, _quantize_pack_ds
+    from .util import list_to_matrix
 
-    qds = _quantize_pack_ds(embeddings, id_col, vec_col, scale, offset)
+    # one quantize-once read carries BOTH the int64 kmeans view and the
+    # packed float unit vectors, so training, tagging and the cosine
+    # verify all scan object-store blocks instead of re-reading parquet
+    qds = _quantize_pack_ds(
+        embeddings, id_col, vec_col, scale, offset, with_unit=True
+    )
     cids, cents = _kmeans_train_int(qds, n_clusters, iters, id_col)
     dim = cents.shape[1]
 
     def tag(t: pa.Table) -> pa.Table:
-        mat = _to_matrix(t[vec_col])
-        q = np.round(mat * scale).astype(np.int64) + offset
+        q = list_to_matrix(t["__q"], dtype=np.int64)
         cl = cids[np.argmin(_int_sq_dists(q, cents), axis=1)]
-        u = np.ascontiguousarray(_unit(mat))
-        packed = pa.Array.from_buffers(
-            pa.binary(dim * 8), len(t), [None, pa.py_buffer(u.tobytes())]
-        )
         return pa.table(
             {
                 id_col: _chunked(t[id_col]),
                 "kcluster": pa.array(cl, type=pa.int64()),
-                "__vec": packed,
+                "__vec": _chunked(t["__u"]),
             }
         )
 
-    tagged = embeddings.map_batches(tag, batch_format="pyarrow")
+    tagged = qds.map_batches(tag, batch_format="pyarrow")
 
     def cluster_pairs(df: pd.DataFrame) -> pd.DataFrame:
         a_p, b_p = [], []

@@ -1075,19 +1075,30 @@ def kmeans_assign(
 
 def _quantize_pack_ds(
     embeddings: ray.data.Dataset, id_col: str, vec_col: str,
-    scale: int, offset: int,
+    scale: int, offset: int, with_unit: bool = False,
 ) -> ray.data.Dataset:
     """Quantize ONCE into a materialized int64 ``__q`` fixed-size-list
     dataset (``round(scale*x) + offset``): every subsequent pass (seed
     pull, per-iteration partials, final assignment, IVF probe) reads
     object-store blocks instead of re-reading parquet + re-quantizing —
-    the fixed per-round cost dominates the wall at small k*d."""
+    the fixed per-round cost dominates the wall at small k*d.
+    ``with_unit`` additionally packs the float64 UNIT vector as
+    fixed-size binary (``__u``) for consumers that follow the integer
+    stages with an exact-cosine step (semdedup) — one read instead of
+    two, at dim x 8 bytes/row extra only when asked for."""
     def pack(t: pa.Table) -> pa.Table:
-        q = np.round(_to_matrix(t[vec_col]) * scale).astype(np.int64) + offset
+        mat = _to_matrix(t[vec_col])
+        q = np.round(mat * scale).astype(np.int64) + offset
         packed = pa.FixedSizeListArray.from_arrays(
             pa.array(np.ascontiguousarray(q).reshape(-1)), q.shape[1]
         )
-        return pa.table({id_col: _chunk1(t[id_col]), "__q": packed})
+        cols = {id_col: _chunk1(t[id_col]), "__q": packed}
+        if with_unit:
+            u = np.ascontiguousarray(_unit(mat))
+            cols["__u"] = pa.Array.from_buffers(
+                pa.binary(q.shape[1] * 8), len(t), [None, pa.py_buffer(u.tobytes())]
+            )
+        return pa.table(cols)
 
     return (
         embeddings.select_columns([id_col, vec_col])
