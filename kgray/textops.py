@@ -1398,10 +1398,17 @@ def dsir_select(
             }
         )
 
+    empty = pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "dsir_score": pa.array([], type=pa.int64())}
+    )
     parts = pa.concat_tables(
-        raw_ds.select_columns([id_col, text_col])
-        .map_batches(_score_part, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        [empty]  # zero-batch guard: an all-blank corpus yields no partials
+        + list(
+            raw_ds.select_columns([id_col, text_col])
+            .map_batches(_score_part, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        )
     )
     ids = _chunked(parts[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
     scores = _chunked(parts["dsir_score"]).to_numpy()

@@ -307,3 +307,111 @@ def test_wav_codec_roundtrip_property(samples, channels, rate):
     assert got_rate == rate
     want = arr if arr.ndim == 2 else arr[:, None]
     assert out.shape == want.shape and (out == want).all()
+
+
+def _ref_gopher(text: str) -> dict:
+    words = [w for w in text.split(" ") if w]
+    n = len(words)
+    sum_len = sum(len(w) for w in words)
+    n_alpha = sum(any(c.isascii() and c.isalpha() for c in w) for w in words)
+    n_sym = sum(("#" in w) or ("..." in w) for w in words)
+    n_stop = len({w for w in words if w in ("the", "a", "and", "of", "to")})
+    return {
+        "n_words": n,
+        "wordcount_ok": int(10 <= n <= 100_000),
+        "meanlen_ok": int(n > 0 and 3 * n <= sum_len <= 10 * n),
+        "alpha_ok": int(5 * n_alpha >= 4 * n),
+        "symbol_ok": int(10 * n_sym <= n),
+        "stop_ok": int(n_stop >= 2),
+    }
+
+
+_gopher_word = st.sampled_from(
+    ["the", "a", "and", "of", "to", "ab", "c#d", "...", "x12", "999",
+     "supercalifragilistically", "", "cat", "doghouse"]
+)
+_gopher_doc = st.lists(_gopher_word, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_gopher_doc, min_size=1, max_size=12))
+def test_gopher_gate_matches_scalar_reference(texts):
+    from kgray.textops import gopher_gate_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = gopher_gate_batch(t).to_pydict()
+    for i, text in enumerate(texts):
+        ref = _ref_gopher(text)
+        for key, want in ref.items():
+            assert out[key][i] == want, (key, text)
+        want_keep = all(
+            ref[k] for k in
+            ("wordcount_ok", "meanlen_ok", "alpha_ok", "symbol_ok", "stop_ok")
+        )
+        assert out["keep"][i] == int(want_keep)
+
+
+def _ref_dsir_scores(raw, target, num_buckets=64, scale=10**6):
+    from kgray.textops import rolling_hash64 as rh
+
+    def buckets(texts):
+        toks = [w for t in texts for w in t.split(" ") if w]
+        if not toks:
+            return np.zeros(num_buckets, dtype=np.int64)
+        h = rh(pa.array(toks, type=pa.string()))
+        return np.bincount(
+            (h % np.uint64(num_buckets)).astype(np.int64), minlength=num_buckets
+        )
+
+    ct, cr = buckets([t for _, t in target]), buckets([t for _, t in raw])
+    nt, nr = ct.sum(), cr.sum()
+    ratio = np.round(
+        scale * (np.log((ct + 1.0) / (nt + num_buckets))
+                 - np.log((cr + 1.0) / (nr + num_buckets)))
+    ).astype(np.int64)
+    scores = {}
+    for i, t in raw:
+        toks = [w for w in t.split(" ") if w]
+        if not toks:
+            continue
+        h = rh(pa.array(toks, type=pa.string()))
+        scores[i] = int(
+            ratio[(h % np.uint64(num_buckets)).astype(np.int64)].sum()
+        )
+    return scores
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc ", max_size=20), min_size=1, max_size=10),
+    st.lists(st.text(alphabet="abc ", max_size=20), min_size=1, max_size=4),
+)
+def test_dsir_select_matches_scalar_reference(ray_session, raw_texts, tgt_texts):
+    import ray.data as rd
+
+    from kgray.textops import dsir_select
+
+    raw = list(enumerate(raw_texts))
+    tgt = list(enumerate(tgt_texts))
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], type=pa.int64()),
+                "text": pa.array([t for _, t in rows]),
+            }
+        )
+
+    got = dsir_select(
+        rd.from_arrow(tbl(raw)), rd.from_arrow(tbl(tgt)),
+        n_select=5, num_buckets=64,
+    )
+    ref = _ref_dsir_scores(raw, tgt)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["doc_id"].to_pylist(),
+                    got["dsir_score"].to_pylist())) == want
