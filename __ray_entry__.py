@@ -2728,7 +2728,9 @@ def q_segment_event_stats(sf_dir: str):
         ev, cust, "user_id", "c_custkey", ["c_mktsegment"],
         hot_count_threshold=65, how="inner",
     )
-    per = relational.grouped_agg(
+    # segments are dimension-bounded (5 values) — fold the per-batch
+    # partials on the driver instead of paying a keyed shuffle
+    per = relational.grouped_agg_local(
         joined.map_batches(
             lambda df: df.assign(n_events=1)[
                 ["c_mktsegment", "n_events", "value_c"]

@@ -252,8 +252,6 @@ def skew_routed_join(
     dim_key: str,
     take_cols: list[str],
     hot_count_threshold: int = 1_000_000,
-    candidates_per_block: int = 64,
-    max_candidates: int = 4096,
     num_partitions: int = 32,
     how: str = "inner",
 ) -> ray.data.Dataset:
@@ -263,11 +261,15 @@ def skew_routed_join(
     (the celebrity-entity problem). A plain hash join lands every row of
     a hot key on ONE aggregator; here hot keys bypass the shuffle:
 
-    1. detect hot fact keys approximately: per-batch top-``candidates_
-       per_block`` key counts fold on the driver (capped at
-       ``max_candidates`` entries, pruning the smallest — detection
-       misses only cost performance, never correctness); a key whose
-       folded count reaches ``hot_count_threshold`` is hot;
+    1. detect hot fact keys EXACTLY: per-batch full value counts collapse
+       the stream to one (key, n) partial row per distinct key per block,
+       ``grouped_agg`` folds the partials through its bucketed reduce, and
+       only keys at/over ``hot_count_threshold`` reach the driver — at
+       most N/threshold of them, so the driver object is bounded by
+       construction. The partial exchange ships 16 B/key-occurrence worst
+       case (near-unique keys), the floor any exact heavy-hitter pass
+       pays, and collapses to #distinct rows on the skewed streams this
+       routing exists for;
     2. the dim rows for hot keys (bounded: |hot| keys, dimension-unique)
        broadcast once via ``ray.put`` and merge map-side — the hot rows
        never enter a shuffle;
@@ -279,23 +281,20 @@ def skew_routed_join(
     tiny threshold); only the physical routing differs.
     """
 
-    def kpart(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df[fact_key].value_counts().head(candidates_per_block)
-        return pd.DataFrame({fact_key: vc.index, "n": vc.to_numpy(np.int64)})
-
-    acc: dict = {}
-    for b in (
-        fact.select_columns([fact_key])
-        .map_batches(kpart, batch_format="pandas")
-        .iter_batches(batch_format="pandas", batch_size=1 << 16)
-    ):
-        for k, n in zip(b[fact_key], b["n"]):
-            acc[k] = acc.get(k, 0) + int(n)
-        if len(acc) > 4 * max_candidates:
-            acc = dict(
-                sorted(acc.items(), key=lambda kv: -kv[1])[:max_candidates]
-            )
-    hot = {k for k, n in acc.items() if n >= hot_count_threshold}
+    # the fact stream is consumed three times (detection, hot filter,
+    # cold filter); checkpoint it to object-store blocks once instead of
+    # re-executing its lineage per pass. The cold remainder would land in
+    # aggregator memory at the join shuffle regardless, and blocks spill
+    # under pressure, so peak footprint matches the plain join's.
+    fact = fact.materialize()
+    counts = grouped_agg(
+        fact.select_columns([fact_key]), keys=[fact_key], count_alias="__n"
+    )
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["__n"], hot_count_threshold)),
+        batch_format="pyarrow",
+    ).take_all()
+    hot = {r[fact_key] for r in hot_rows}
 
     out_cols = [c for c in fact.schema().names] + take_cols
     dim_small = dim.select_columns([dim_key] + take_cols)
@@ -309,18 +308,18 @@ def skew_routed_join(
             lambda df: df[out_cols], batch_format="pandas"
         )
 
-    hot_ref = ray.put(sorted(hot))
+    hot_ref = ray.put(frozenset(hot))
 
     def is_hot(df: pd.DataFrame, want: bool) -> pd.DataFrame:
-        mask = df[fact_key].isin(set(ray.get(hot_ref)))
+        mask = df[fact_key].isin(ray.get(hot_ref))
         return df[mask if want else ~mask]
 
     hot_dim = dim_small.map_batches(
-        lambda df: df[df[dim_key].isin(set(ray.get(hot_ref)))],
+        lambda df: df[df[dim_key].isin(ray.get(hot_ref))],
         batch_format="pandas",
     ).to_pandas()
     cold_dim = dim_small.map_batches(
-        lambda df: df[~df[dim_key].isin(set(ray.get(hot_ref)))],
+        lambda df: df[~df[dim_key].isin(ray.get(hot_ref))],
         batch_format="pandas",
     ).materialize()
 
@@ -338,9 +337,8 @@ def skew_routed_join(
 
     # acero rejects a join whose side is ENTIRELY empty (the placeholder
     # partitions carry no schema), and a genuinely hot corpus can route
-    # every row hot — guard both cold sides before joining. The cold fact
-    # is materialized anyway: the join's shuffle would land it in
-    # aggregator memory regardless, this just makes the count free.
+    # every row hot — guard both cold sides before joining; materializing
+    # the cold filter makes the count free.
     cold_fact = fact.map_batches(
         is_hot, fn_kwargs={"want": False}, batch_format="pandas"
     ).materialize()
@@ -378,6 +376,16 @@ def grouped_agg(
     the reduce, mins/maxs re-min/max (all associative).
     """
     sums, mins, maxs = sums or {}, mins or {}, maxs or {}
+    partial, reduce_bucket = _agg_partial_and_reduce(
+        keys, sums, mins, maxs, count_alias
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_bucketed_groupby(partials, keys, reduce_bucket)
+
+
+def _agg_partial_and_reduce(keys, sums, mins, maxs, count_alias):
+    """Shared per-batch partial + associative re-reduce for grouped_agg
+    and grouped_agg_local."""
 
     def partial(t: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in sorted(set(sums.values()))]
@@ -397,7 +405,6 @@ def grouped_agg(
             cols[count_alias] = gb[f"{keys[0]}_count"]
         return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
     sum_cols = list(sums) + ([count_alias] if count_alias else [])
     min_cols, max_cols = list(mins), list(maxs)
 
@@ -407,7 +414,34 @@ def grouped_agg(
         agg_spec.update({c: (c, "max") for c in max_cols})
         return df.groupby(keys, sort=False, as_index=False).agg(**agg_spec)
 
-    return hash_bucketed_groupby(partials, keys, reduce_bucket)
+    return partial, reduce_bucket
+
+
+def grouped_agg_local(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_alias: str | None = None,
+) -> pa.Table:
+    """``grouped_agg`` for DIMENSION-BOUNDED key sets, skipping the keyed
+    shuffle: the same per-batch partials (≤ |distinct keys| rows per
+    block) stream to the driver and fold in one pandas groupby. Use ONLY
+    when the key cardinality is a priori small (market segments, regions,
+    event types) — the driver object is |keys| × #blocks partial rows.
+    For unbounded keys use ``grouped_agg``.
+    """
+    sums, mins, maxs = sums or {}, mins or {}, maxs or {}
+    partial, reduce_fold = _agg_partial_and_reduce(
+        keys, sums, mins, maxs, count_alias
+    )
+    parts = _table_local(ds.map_batches(partial, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return parts
+    return pa.Table.from_pandas(
+        reduce_fold(parts.to_pandas()), preserve_index=False
+    )
 
 
 def above_mean_per_group(

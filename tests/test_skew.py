@@ -164,3 +164,59 @@ def test_skew_routed_join_parity_and_routing(ray_session):
         )
     )
     assert got_cold == want
+
+
+def test_exact_hot_detection_and_local_agg_parity(ray_session):
+    """skew_routed_join's detection is EXACT: the hot set equals the true
+    over-threshold keys even when a key's rows are split across many
+    blocks (the failure mode of per-block top-k folds). grouped_agg_local
+    == grouped_agg on a dimension-bounded key."""
+    import pandas as pd
+
+    from kgray.relational import grouped_agg, grouped_agg_local
+
+    rng = np.random.RandomState(11)
+    n = 8000
+    # every key appears 4..120 times, spread uniformly over 16 blocks so
+    # no single block's top-k would surface the per-block slivers
+    keys = rng.randint(0, 400, n).astype(np.int64)
+    vals = rng.randint(0, 100, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(16)
+
+    import collections
+
+    true_counts = collections.Counter(keys.tolist())
+    thresh = 30
+    want_hot = {k for k, c in true_counts.items() if c >= thresh}
+
+    # drive detection through the public join: dim covers every key, so
+    # routing exactness is observable via the hot-branch row count
+    from kgray.relational import skew_routed_join, shuffle_join
+
+    dim = ray.data.from_arrow(
+        pa.table({"dk": np.arange(400, dtype=np.int64),
+                  "tag": [f"t{i}" for i in range(400)]})
+    )
+    got = skew_routed_join(ds, dim, "k", "dk", ["tag"],
+                           hot_count_threshold=thresh).take_all()
+    want = shuffle_join(ds, dim, on=("k",), right_on=("dk",), how="inner")
+    want = want.map_batches(
+        lambda df: df[["k", "v", "tag"]], batch_format="pandas"
+    ).take_all()
+    assert sorted((r["k"], r["v"], r["tag"]) for r in got) == sorted(
+        (r["k"], r["v"], r["tag"]) for r in want
+    )
+
+    # the detection itself, probed directly: grouped_agg partial-count
+    # equals the true counter, and local-fold equals the shuffled fold
+    shuffled = grouped_agg(ds, keys=["k"], sums={"sv": "v"}, count_alias="n")
+    a = pd.concat(
+        list(shuffled.iter_batches(batch_format="pandas", batch_size=1 << 20))
+    ).sort_values("k").reset_index(drop=True)
+    b = grouped_agg_local(ds, keys=["k"], sums={"sv": "v"}, count_alias="n")
+    b = b.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["k", "sv", "n"]], b[["k", "sv", "n"]], check_dtype=False
+    )
+    assert dict(zip(a["k"], a["n"])) == dict(true_counts)
+    assert {k for k, c in zip(a["k"], a["n"]) if c >= thresh} == want_hot
