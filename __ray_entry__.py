@@ -2333,6 +2333,22 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus partition (Wenzek et al.
+    2020): bigram-LM fluency score -> exact corpus percentile ->
+    tercile bucket. All-integer (ppm score, ppm rank, two int cuts), so
+    the SQL RANK() mirror hash-matches."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _table(
+        textops.perplexity_buckets(docs),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+             ("lm_score_ppm", pa.int64()), ("pct_ppm", pa.int64()),
+             ("bucket", pa.string())]
+        ),
+    )
+
+
 def q_speaker_token_share(sf_dir: str):
     """SFT balance gate input: per-conversation role token budgets (one
     Arrow tokenize + masked int partials per batch, one conv-keyed
@@ -3713,6 +3729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": q_fk_violations,
         "doc_rarity": q_doc_rarity,
         "bigram_lm": q_bigram_lm,
+        "ccnet_buckets": q_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "speaker_token_share": q_speaker_token_share,
         "mention_density": q_mention_density,
@@ -5587,6 +5604,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams,
                    contrib // n_bigrams AS lm_score_ppm
             FROM per
+        """,
+        "ccnet_buckets": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), b AS (
+              SELECT doc_id, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM w
+            ), bg AS (
+              SELECT doc_id, w1, w1 || chr(31) || w2 AS g
+              FROM b WHERE w2 IS NOT NULL
+            ), c12 AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1
+            ), c1 AS (
+              SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+            ), per AS (
+              SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM((1000000 * c12.c12) // c1.c1) AS BIGINT) AS contrib
+              FROM bg JOIN c12 USING (g) JOIN c1 USING (w1)
+              GROUP BY 1
+            ), sc AS (
+              SELECT doc_id, n_bigrams,
+                     contrib // n_bigrams AS lm_score_ppm
+              FROM per
+            ), r AS (
+              SELECT doc_id, n_bigrams, lm_score_ppm,
+                     (1000000 * (RANK() OVER (ORDER BY lm_score_ppm ASC)
+                                 - 1)) // (SELECT COUNT(*) FROM sc)
+                       AS pct_ppm
+              FROM sc
+            )
+            SELECT doc_id, n_bigrams, lm_score_ppm, pct_ppm,
+                   CASE WHEN pct_ppm >= 666666 THEN 'head'
+                        WHEN pct_ppm >= 333333 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r
         """,
         "boilerplate_turns": f"""{_SQL_PREFIX},
             tr AS (

@@ -1055,6 +1055,21 @@ def bigram_lm_scores(
     stream = ds.select_columns([id_col, text_col]).map_batches(
         big_rows, batch_format="pyarrow"
     ).materialize()
+    if stream.count() == 0:
+        # zero bigrams corpus-wide (every doc < 2 words): the lookup joins
+        # below would meet schema-less empty blocks — return the empty
+        # contract directly
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_bigrams": pa.array([], type=pa.int64()),
+                    "lm_score_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     # ONE fused (kind, key) count shuffle: kind 0 reduces c12 per gram,
     # kind 1 reduces c1 per prefix — no second corpus-stream aggregation
@@ -1114,6 +1129,48 @@ def bigram_lm_scores(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def perplexity_buckets(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_ppm: int = 666_666,
+    middle_ppm: int = 333_333,
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """CCNet-style corpus partition (Wenzek et al. 2020, "CCNet:
+    extracting high-quality monolingual datasets from web crawl data"):
+    score every document with the in-corpus bigram LM, percentile-rank
+    the scores corpus-wide, and cut head / middle / tail thirds — the
+    standard pre-training split where the head feeds the model and the
+    tail feeds the discard pile. CCNet ranks by KenLM perplexity
+    (lower = better); ``bigram_lm_scores`` is a fluency (higher =
+    better), so head = the TOP third by score — the same documents.
+
+    Everything stays exact int64: the score is ``bigram_lm_scores``'
+    ppm integer, the corpus position is ``percentile_rank``'s
+    floor(1e6 * strictly_below / n) (cardinality-routed — a near-unique
+    score column never folds onto the driver), and the bucket cut is two
+    integer comparisons, so the SQL RANK() mirror hash-matches at any
+    parallelism. Docs with fewer than two words have no bigrams, hence
+    no score and no bucket — identical on both arms.
+
+    Returns Dataset(id, n_bigrams, lm_score_ppm, pct_ppm, bucket).
+    """
+    from .relational import percentile_rank
+
+    scores = bigram_lm_scores(ds, text_col=text_col, id_col=id_col, scale=scale)
+    ranked = percentile_rank(scores, "lm_score_ppm", out_col="pct_ppm")
+
+    def tag(t: pa.Table) -> pa.Table:
+        p = _chunked(t["pct_ppm"]).to_numpy(zero_copy_only=False)
+        bucket = np.where(
+            p >= head_ppm, "head", np.where(p >= middle_ppm, "middle", "tail")
+        )
+        return t.append_column("bucket", pa.array(bucket, type=pa.string()))
+
+    return ranked.map_batches(tag, batch_format="pyarrow")
 
 
 def phrase_tag(

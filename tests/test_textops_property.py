@@ -415,3 +415,32 @@ def test_dsir_select_matches_scalar_reference(ray_session, raw_texts, tgt_texts)
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["doc_id"].to_pylist(),
                     got["dsir_score"].to_pylist())) == want
+
+
+def test_perplexity_buckets_hand_checked(ray_session):
+    """Tercile buckets over the tiny corpus: docs 0/1 share the top score
+    (tie -> same strictly-below rank -> same bucket), doc 2 ranks lowest;
+    docs with <2 words never appear. Cuts are pure int comparisons on the
+    ppm percentile."""
+    import ray.data as rd
+
+    from kgray.textops import perplexity_buckets
+
+    rows = [
+        {"doc_id": 0, "text": "a b"},      # lm 666666 (tie with doc 1)
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "a c"},      # lm 333333 -> lowest
+        {"doc_id": 3, "text": "solo"},     # no bigrams -> absent
+    ]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    out = {r["doc_id"]: r for r in perplexity_buckets(ds).take_all()}
+    assert set(out) == {0, 1, 2}
+    # n=3 scored docs: doc 2 has 0 strictly below -> pct 0 -> tail;
+    # docs 0/1 tie with 1 strictly below -> pct floor(1e6/3)=333333 -> middle
+    assert out[2]["pct_ppm"] == 0 and out[2]["bucket"] == "tail"
+    for d in (0, 1):
+        assert out[d]["pct_ppm"] == 333_333 and out[d]["bucket"] == "middle"
+
+    # empty corpus: no rows, no crash
+    empty = rd.from_items([{"doc_id": 1, "text": "one"}])
+    assert perplexity_buckets(empty).take_all() == []
