@@ -254,6 +254,8 @@ def skew_routed_join(
     hot_count_threshold: int = 1_000_000,
     num_partitions: int = 32,
     how: str = "inner",
+    detect_cardinality_cap: int = 2_000_000,
+    dim_broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Hot-key-routed hash join — the skew defence for the case
     ``broadcast_lookup_join`` can't cover: BOTH sides too big to
@@ -261,21 +263,24 @@ def skew_routed_join(
     (the celebrity-entity problem). A plain hash join lands every row of
     a hot key on ONE aggregator; here hot keys bypass the shuffle:
 
-    1. detect hot fact keys EXACTLY: per-batch full value counts collapse
-       the stream to one (key, n) partial row per distinct key per block,
-       ``grouped_agg`` folds the partials through its bucketed reduce, and
-       only keys at/over ``hot_count_threshold`` reach the driver — at
-       most N/threshold of them, so the driver object is bounded by
-       construction. The partial exchange ships 16 B/key-occurrence worst
-       case (near-unique keys), the floor any exact heavy-hitter pass
-       pays, and collapses to #distinct rows on the skewed streams this
-       routing exists for;
+    1. detect hot fact keys EXACTLY, size-routed by measured key
+       cardinality (the ``percentile_rank`` pattern): per-batch full
+       value counts collapse the stream to one (key, n) partial row per
+       distinct key per block; under ``detect_cardinality_cap`` the
+       partials fold in a driver dict (the fold itself is the
+       cardinality probe — it aborts the moment the dict crosses the
+       cap), beyond it the same partials go through ``grouped_agg``'s
+       bucketed reduce so nothing cardinality-sized lands on the driver.
+       Either way only keys at/over ``hot_count_threshold`` survive — at
+       most N/threshold of them, bounded by construction;
     2. the dim rows for hot keys (bounded: |hot| keys, dimension-unique)
        broadcast once via ``ray.put`` and merge map-side — the hot rows
        never enter a shuffle;
-    3. everything else takes the normal hash-shuffle join against the
-       dim remainder; the two streams union (same column layout is
-       enforced explicitly).
+    3. everything else joins against the dim remainder, size-routed by
+       the measured remainder: map-side broadcast merge under
+       ``dim_broadcast_limit`` (the common case when only the FACT side
+       is corpus-scale), hash-shuffle join beyond; the two streams union
+       (same column layout is enforced explicitly).
 
     Result == ``shuffle_join`` row-for-row (parity-tested with a forced
     tiny threshold); only the physical routing differs.
@@ -287,14 +292,39 @@ def skew_routed_join(
     # aggregator memory at the join shuffle regardless, and blocks spill
     # under pressure, so peak footprint matches the plain join's.
     fact = fact.materialize()
-    counts = grouped_agg(
-        fact.select_columns([fact_key]), keys=[fact_key], count_alias="__n"
+
+    def vpart(t: pa.Table) -> pa.Table:
+        vc = _chunked(t[fact_key]).value_counts()
+        return pa.table(
+            {fact_key: vc.field("values"),
+             "__n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    partials = fact.select_columns([fact_key]).map_batches(
+        vpart, batch_format="pyarrow"
     )
-    hot_rows = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["__n"], hot_count_threshold)),
-        batch_format="pyarrow",
-    ).take_all()
-    hot = {r[fact_key] for r in hot_rows}
+    acc: dict = {}
+    exceeded = False
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        for v, n in zip(
+            b[fact_key].to_pylist(), b["__n"].to_numpy(zero_copy_only=False)
+        ):
+            acc[v] = acc.get(v, 0) + int(n)
+        if len(acc) > detect_cardinality_cap:
+            exceeded = True
+            break
+    if exceeded:
+        del acc
+        counts = grouped_agg(
+            fact.select_columns([fact_key]), keys=[fact_key], count_alias="__n"
+        )
+        hot_rows = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["__n"], hot_count_threshold)),
+            batch_format="pyarrow",
+        ).take_all()
+        hot = {r[fact_key] for r in hot_rows}
+    else:
+        hot = {k for k, n in acc.items() if n >= hot_count_threshold}
 
     out_cols = [c for c in fact.schema().names] + take_cols
     dim_small = dim.select_columns([dim_key] + take_cols)
@@ -353,10 +383,26 @@ def skew_routed_join(
         )
         return hot_out.union(cold_out)
 
-    cold_out = shuffle_join(
-        cold_fact, cold_dim, on=(fact_key,), right_on=(dim_key,),
-        num_partitions=num_partitions, how=how,
-    ).map_batches(lambda df: df[out_cols], batch_format="pandas")
+    # size-route the cold branch like every other dim attach: a cold dim
+    # under the broadcast limit merges map-side (no shuffle at all — the
+    # common case when only the FACT side is corpus-scale); a genuinely
+    # big dim takes the hash-shuffle join. The count is free (cold_dim is
+    # materialized above).
+    if cold_dim.count() <= dim_broadcast_limit:
+        cold_out = cold_fact.map_batches(
+            _broadcast_merge,
+            fn_kwargs={
+                "ref": ray.put(cold_dim.to_pandas()),
+                "fact_key": fact_key, "dim_key": dim_key,
+                "how": "left" if how == "left_outer" else how,
+            },
+            batch_format="pandas",
+        ).map_batches(lambda df: df[out_cols], batch_format="pandas")
+    else:
+        cold_out = shuffle_join(
+            cold_fact, cold_dim, on=(fact_key,), right_on=(dim_key,),
+            num_partitions=num_partitions, how=how,
+        ).map_batches(lambda df: df[out_cols], batch_format="pandas")
 
     return hot_out.union(cold_out)
 

@@ -164,6 +164,16 @@ def test_skew_routed_join_parity_and_routing(ray_session):
         )
     )
     assert got_cold == want
+    # forced beyond-cap detection AND beyond-limit cold dim: the
+    # distributed grouped-reduce detection and the hash-shuffle cold
+    # branch must find the same hot set and produce the same rows
+    got_dist = collect(
+        skew_routed_join(
+            fact, dim, "k", "dk", ["name"], hot_count_threshold=100,
+            detect_cardinality_cap=0, dim_broadcast_limit=0,
+        )
+    )
+    assert got_dist == want
 
 
 def test_exact_hot_detection_and_local_agg_parity(ray_session):
