@@ -53,6 +53,11 @@ def main(argv=None) -> int:
         "--target-rows-per-file", type=int, default=1_000_000,
         help="compact: rewrite partitions to ceil(rows/target) files",
     )
+    p.add_argument(
+        "--tail-local-limit", type=int, default=2_000_000,
+        help="deduped-edge row count at/under which the node-build/tag/"
+             "write tail runs driver-local; 0 forces the distributed path",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -78,7 +83,10 @@ def main(argv=None) -> int:
     fingerprint = f"{args.sf_dir}|repeat={args.repeat}"
 
     if args.type in ("all", "convert", "bin"):
-        pipe = KGPipeline(out_dir=args.out, resume=not args.no_resume)
+        pipe = KGPipeline(
+            out_dir=args.out, resume=not args.no_resume,
+            tail_local_limit=args.tail_local_limit,
+        )
         stop = "triples" if args.type == "convert" else None
         res = pipe.run(
             transcripts_dataset(args.sf_dir, repeat=args.repeat),

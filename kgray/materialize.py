@@ -23,6 +23,9 @@ Re-expresses the reference's binning topology on Ray Data:
 
 from __future__ import annotations
 
+import os
+from urllib.parse import quote as _quote
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -261,6 +264,149 @@ def write_graph(
             edges, part_cols, lambda df: df, num_buckets=num_write_buckets
         )
     edges.write_parquet(edge_dir, partition_cols=part_cols)
+    return {"nodes": node_dir, "edges": edge_dir}
+
+
+def build_nodes_local(
+    edges_tbl: pa.Table,
+    cat_idx: dict,
+    endpoint_cols: tuple[str, str] = ("subject", "object"),
+) -> pa.Table:
+    """``build_nodes`` for a DRIVER-RESIDENT edge table (the size-routed
+    tail: after (s,p,o) dedup the edge table is distinct-triple-bounded,
+    and under the pipeline's ``tail_local_limit`` the whole node build is
+    one vectorized pass — no Dataset stages). Same kernels, same rows as
+    the distributed path (parity-tested in tests/test_pipeline_e2e.py)."""
+    s_col, o_col = endpoint_cols
+    ids = pa.concat_arrays(
+        [
+            _chunked(edges_tbl[s_col]).cast(pa.string()),
+            _chunked(edges_tbl[o_col]).cast(pa.string()),
+        ]
+    ).unique()
+    rows = [cat_idx.get(i) for i in ids.to_pylist()]
+    names = pa.array([r[0] if r else None for r in rows], type=pa.string())
+    cats = pa.array([r[1] if r else [] for r in rows], type=pa.list_(pa.string()))
+    equiv = pa.array([r[2] if r else [] for r in rows], type=pa.list_(pa.string()))
+    labels = reorder_labels(cats)
+    return pa.table(
+        {
+            "id": ids,
+            "name": names,
+            "labels": labels,
+            "equivalent_identifiers": equiv,
+            "primary_class": primary_class(labels),
+        }
+    )
+
+
+def tag_edge_classes_local(edges_tbl: pa.Table, class_lookup: dict) -> pa.Table:
+    """``tag_edge_classes`` for a driver-resident edge table."""
+
+    def cls(col):
+        enc = pc.dictionary_encode(_chunked(col))
+        get = class_lookup.get
+        mapped = pa.array(
+            [get(v) for v in enc.dictionary.to_pylist()], type=pa.string()
+        )
+        return mapped.take(enc.indices)
+
+    return edges_tbl.append_column(
+        "subject_class", cls(edges_tbl["subject"])
+    ).append_column("object_class", cls(edges_tbl["object"]))
+
+
+@ray.remote
+def _write_partition_slice(
+    tbl: pa.Table, part_cols: list[str], keys: list[tuple], out_dir: str
+) -> int:
+    """Write the rows of ``tbl`` whose partition key is in ``keys`` as one
+    hive-layout file per key (pyarrow dirs are read-compatible with the
+    Dataset writer's layout; nulls use the hive default-partition sentinel,
+    which pyarrow's hive discovery reads back as null). ``keys`` holds
+    stringified tuples from :func:`_partition_keys_str`. Row→key matching
+    is ONE dictionary-encode of the combined key column + one numpy
+    compare per key — never a Python loop over rows."""
+    import numpy as _np
+    import pyarrow.parquet as pq
+
+    combo = _combined_key(tbl, part_cols)
+    enc = pc.dictionary_encode(combo)
+    code_of = {v: i for i, v in enumerate(enc.dictionary.to_pylist())}
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    n = 0
+    for key in keys:
+        code = code_of.get("\x1f".join(key))
+        if code is None:
+            continue
+        sub = tbl.filter(pa.array(idx == code)).drop_columns(part_cols)
+        # URL-quote values like the Dataset writer does ('biolink:x' ->
+        # 'biolink%3Ax') so both writers land in the SAME directories
+        d = os.path.join(
+            out_dir, *(f"{c}={_quote(v, safe='')}" for c, v in zip(part_cols, key))
+        )
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, "part-local.parquet"))
+        n += sub.num_rows
+    return n
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _combined_key(tbl: pa.Table, part_cols: list[str]) -> pa.Array:
+    """'\\x1f'-joined stringified partition key per row, nulls → hive
+    sentinel (so null keys round-trip through the directory name)."""
+    cols = [
+        pc.fill_null(_chunked(tbl[c]).cast(pa.string()), _HIVE_NULL)
+        for c in part_cols
+    ]
+    return cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "\x1f")
+
+
+def _partition_keys_str(tbl: pa.Table, part_cols: list[str]) -> list[tuple]:
+    """Sorted distinct stringified partition keys of ``tbl``."""
+    return sorted(
+        tuple(k.split("\x1f")) for k in _combined_key(tbl, part_cols).unique().to_pylist()
+    )
+
+
+def write_graph_local(
+    nodes_tbl: pa.Table,
+    edges_tbl: pa.Table,
+    out_dir: str,
+    partition_edges_by_classes: bool = True,
+    num_write_tasks: int = 16,
+) -> dict[str, str]:
+    """``write_graph`` for driver-resident tables (size-routed tail): the
+    same hive layout, written by ``num_write_tasks`` flat Ray tasks over
+    disjoint partition-key ranges instead of a bucketed shuffle + Dataset
+    sink — one task round replaces three stage executions. Layout parity
+    with the distributed writer is asserted by tests that read both back."""
+    node_dir = f"{out_dir}/nodes"
+    edge_dir = f"{out_dir}/edges"
+    part_cols = ["predicate"] + (
+        ["subject_class", "object_class"] if partition_edges_by_classes else []
+    )
+
+    nodes_ref = ray.put(nodes_tbl)
+    node_keys = _partition_keys_str(nodes_tbl, ["primary_class"])
+    edge_keys = _partition_keys_str(edges_tbl, part_cols)
+    edges_ref = ray.put(edges_tbl)
+
+    futs = [
+        _write_partition_slice.remote(
+            nodes_ref, ["primary_class"], node_keys, node_dir
+        )
+    ]
+    chunk = max(1, (len(edge_keys) + num_write_tasks - 1) // num_write_tasks)
+    for i in range(0, len(edge_keys), chunk):
+        futs.append(
+            _write_partition_slice.remote(
+                edges_ref, part_cols, edge_keys[i : i + chunk], edge_dir
+            )
+        )
+    ray.get(futs)
     return {"nodes": node_dir, "edges": edge_dir}
 
 

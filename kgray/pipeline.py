@@ -80,6 +80,20 @@ def _partition_counts(ds: ray.data.Dataset, cols: "str | list[str]") -> dict:
     return out
 
 
+def _partition_counts_local(tbl: pa.Table, cols: list[str]) -> dict:
+    """``_partition_counts`` for a driver-resident table (size-routed
+    tail) — one vectorized group_by, same 'a/b/c' key shape incl. the
+    'None' marker for null components."""
+    g = tbl.group_by(cols).aggregate([([cols[0]], "count")]).rename_columns(
+        cols + ["n"]
+    )
+    keys = zip(*(g[c].to_pylist() for c in cols))
+    return {
+        "/".join(str(x) for x in k): int(n)
+        for k, n in zip(keys, g["n"].to_pylist())
+    }
+
+
 def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
     """write_parquet on an empty dataset writes no files; give readers an
     empty-but-typed table so the pipeline degrades gracefully."""
@@ -104,6 +118,7 @@ class KGPipeline:
         turn_order: str = "local",
         checkpoint_memory_reuse: bool = True,
         max_edge_partitions: int = 4096,
+        tail_local_limit: int = 2_000_000,
     ):
         """``turn_order`` — how the stable (conv_id, turn_idx) ordering is
         enforced before extraction:
@@ -128,6 +143,15 @@ class KGPipeline:
         object_class) partition count for the full P2 edge layout
         (`Kuzu:344`); past it — or when any class is null — the write
         falls back to predicate-only binning (skew/explosion guard).
+
+        ``tail_local_limit``: size route for the post-dedup tail (node
+        build + class tagging + partitioned write). The deduped edge table
+        is distinct-triple-bounded — orders smaller than the turn stream —
+        and at/below this row count the tail runs driver-local (vectorized
+        Arrow kernels + one flat task round for the write) instead of 4+
+        Ray stage executions whose fixed scheduling cost dominates at that
+        size. Beyond the limit the distributed path is unchanged (the
+        100-TB route). 2M edges ≈ 200 MB driver heap.
         """
         self.out_dir = out_dir
         self.catalog = catalog if catalog is not None else entity_catalog()
@@ -137,6 +161,7 @@ class KGPipeline:
         self.turn_order = turn_order
         self.checkpoint_memory_reuse = checkpoint_memory_reuse
         self.max_edge_partitions = max_edge_partitions
+        self.tail_local_limit = tail_local_limit
         self.metrics = StageMetrics(run_id=os.path.basename(out_dir.rstrip("/")))
 
     # -- checkpoint manifests -------------------------------------------------
@@ -271,53 +296,107 @@ class KGPipeline:
             edges_pre_tag_count = edges.count()
 
         # 6. node table: distinct edge endpoints + M6/M7 normalization;
-        #    then tag edges with endpoint classes (J1) for the layout
-        with m.time_stage("nodes"):
-            cat_ref = lookups.broadcast(catalog_index(self.catalog))
-            nodes = materialize.build_nodes(edges, cat_ref).materialize()
-            class_ref = lookups.broadcast(lookups.node_class_lookup(nodes))
-            # materialize the tagged table once: the partition-count pass and
-            # the write both consume it (the deduped edge table is small)
-            edges = materialize.tag_edge_classes(edges, class_ref).materialize()
-
+        #    then tag edges with endpoint classes (J1) for the layout.
         # 7. partitioned writes + metrics. Edges get the reference's FULL
         #    P2 layout — (predicate, subject_class, object_class) bins,
         #    `Kuzu/kuzu_build_graph_csv.py:344` — guarded: fall back to
         #    predicate-only when the triple key would explode the partition
         #    count or contains nulls (un-partitionable keys).
-        with m.time_stage("write"):
-            triple_cols = ["predicate", "subject_class", "object_class"]
-            triple_counts = _partition_counts(edges, triple_cols)
-            use_classes = (
-                0 < len(triple_counts) <= self.max_edge_partitions
-                and not any("None" in k.split("/") for k in triple_counts)
-            )
-            paths = materialize.write_graph(
-                nodes, edges, self.out_dir,
-                partition_edges_by_classes=use_classes,
-            )
-            from .schema import EDGE_SCHEMA, NODE_SCHEMA
+        #
+        # Both stages are SIZE-ROUTED on the deduped edge count (the same
+        # discipline as broadcast_lookup_join): at/under tail_local_limit
+        # the whole tail is driver-vectorized + one flat write-task round;
+        # beyond it the distributed Dataset path runs unchanged.
+        triple_cols = ["predicate", "subject_class", "object_class"]
+        from .metrics import partition_skew
+        from .schema import EDGE_SCHEMA, NODE_SCHEMA
 
-            _ensure_parquet_dir(paths["nodes"], NODE_SCHEMA)
-            _ensure_parquet_dir(paths["edges"], EDGE_SCHEMA)
-            # counts come from the already-materialized datasets (cached
-            # metadata, no extra execution); tagging doesn't change row counts
-            n_nodes = nodes.count()
-            n_edges = edges_pre_tag_count
-            # per-partition lineage + skew (cheap: blocks are already cached)
-            node_parts = _partition_counts(nodes, "primary_class")
-            edge_parts = (
-                triple_counts if use_classes else _partition_counts(edges, "predicate")
-            )
-            from .metrics import partition_skew
+        if 0 < edges_pre_tag_count <= self.tail_local_limit:
+            with m.time_stage("nodes"):
+                # iter_batches (not to_arrow_refs): blocks may be pandas
+                # after the bucketed dedup; this converts per block
+                edges_tbl = pa.concat_tables(
+                    edges.iter_batches(batch_format="pyarrow", batch_size=None)
+                )
+                nodes_tbl = materialize.build_nodes_local(
+                    edges_tbl, catalog_index(self.catalog)
+                )
+                class_lookup = dict(
+                    zip(
+                        nodes_tbl["id"].to_pylist(),
+                        nodes_tbl["primary_class"].to_pylist(),
+                    )
+                )
+                edges_tbl = materialize.tag_edge_classes_local(
+                    edges_tbl, class_lookup
+                )
+            with m.time_stage("write"):
+                triple_counts = _partition_counts_local(edges_tbl, triple_cols)
+                use_classes = (
+                    0 < len(triple_counts) <= self.max_edge_partitions
+                    and not any("None" in k.split("/") for k in triple_counts)
+                )
+                paths = materialize.write_graph_local(
+                    nodes_tbl, edges_tbl, self.out_dir,
+                    partition_edges_by_classes=use_classes,
+                )
+                _ensure_parquet_dir(paths["nodes"], NODE_SCHEMA)
+                _ensure_parquet_dir(paths["edges"], EDGE_SCHEMA)
+                n_nodes = nodes_tbl.num_rows
+                n_edges = edges_pre_tag_count
+                node_parts = _partition_counts_local(nodes_tbl, ["primary_class"])
+                edge_parts = (
+                    triple_counts
+                    if use_classes
+                    else _partition_counts_local(edges_tbl, ["predicate"])
+                )
+                m.record(
+                    "write", n_nodes=n_nodes, n_edges=n_edges,
+                    edge_layout=triple_cols if use_classes else ["predicate"],
+                    node_partitions=node_parts, edge_partitions=edge_parts,
+                    node_skew=partition_skew(list(node_parts.values())),
+                    edge_skew=partition_skew(list(edge_parts.values())),
+                    tail_local=True,
+                )
+        else:
+            with m.time_stage("nodes"):
+                cat_ref = lookups.broadcast(catalog_index(self.catalog))
+                nodes = materialize.build_nodes(edges, cat_ref).materialize()
+                class_ref = lookups.broadcast(lookups.node_class_lookup(nodes))
+                # materialize the tagged table once: the partition-count pass
+                # and the write both consume it (the deduped table is small)
+                edges = materialize.tag_edge_classes(edges, class_ref).materialize()
 
-            m.record(
-                "write", n_nodes=n_nodes, n_edges=n_edges,
-                edge_layout=triple_cols if use_classes else ["predicate"],
-                node_partitions=node_parts, edge_partitions=edge_parts,
-                node_skew=partition_skew(list(node_parts.values())),
-                edge_skew=partition_skew(list(edge_parts.values())),
-            )
+            with m.time_stage("write"):
+                triple_counts = _partition_counts(edges, triple_cols)
+                use_classes = (
+                    0 < len(triple_counts) <= self.max_edge_partitions
+                    and not any("None" in k.split("/") for k in triple_counts)
+                )
+                paths = materialize.write_graph(
+                    nodes, edges, self.out_dir,
+                    partition_edges_by_classes=use_classes,
+                )
+                _ensure_parquet_dir(paths["nodes"], NODE_SCHEMA)
+                _ensure_parquet_dir(paths["edges"], EDGE_SCHEMA)
+                # counts come from the already-materialized datasets (cached
+                # metadata, no extra execution); tagging keeps row counts
+                n_nodes = nodes.count()
+                n_edges = edges_pre_tag_count
+                # per-partition lineage + skew (cheap: blocks already cached)
+                node_parts = _partition_counts(nodes, "primary_class")
+                edge_parts = (
+                    triple_counts
+                    if use_classes
+                    else _partition_counts(edges, "predicate")
+                )
+                m.record(
+                    "write", n_nodes=n_nodes, n_edges=n_edges,
+                    edge_layout=triple_cols if use_classes else ["predicate"],
+                    node_partitions=node_parts, edge_partitions=edge_parts,
+                    node_skew=partition_skew(list(node_parts.values())),
+                    edge_skew=partition_skew(list(edge_parts.values())),
+                )
 
         # drop accounting (J2: count, never silently truncate) — ONE pass
         # over the cached linked column computing both totals

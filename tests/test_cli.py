@@ -20,7 +20,10 @@ def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
     assert not os.path.isdir(os.path.join(out, "edges"))
 
     # stage 2: bin -> full graph build, resuming the triples checkpoint
-    assert main(["--type=bin", f"--sf-dir={sf_dir}", f"--out={out}"]) == 0
+    # (--tail-local-limit=0 forces the distributed parallel writer so
+    # stage 5's compaction has multi-file partitions to fold)
+    assert main(["--type=bin", f"--sf-dir={sf_dir}", f"--out={out}",
+                 "--tail-local-limit=0"]) == 0
     assert os.path.isdir(os.path.join(out, "edges"))
     assert os.path.isdir(os.path.join(out, "nodes"))
 

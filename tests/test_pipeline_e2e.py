@@ -124,3 +124,39 @@ def test_fingerprint_invalidation_forces_rerun(ray_session, sf_dir, tmp_path):
         transcripts_dataset(sf_dir), fingerprint="v2"
     )
     assert not r3["resumed"]  # changed inputs -> full rebuild
+
+
+def test_local_tail_matches_distributed(ray_session, sf_dir, tmp_path):
+    """Size-routed tail parity: tail_local_limit=0 forces the distributed
+    node-build/tag/write path; the default routes the same corpus through
+    the driver-local tail. Outputs must match bit-for-bit (sorted), and
+    the hive layout (incl. full P2 triple binning) must be identical."""
+    import pyarrow.dataset as pads
+
+    from kgray.pipeline import KGPipeline
+    from kgray.transcripts import transcripts_dataset
+
+    tables = {}
+    layouts = {}
+    for name, limit in (("dist", 0), ("loc", 2_000_000)):
+        out = str(tmp_path / name)
+        pipe = KGPipeline(out_dir=out, resume=False, tail_local_limit=limit)
+        r = pipe.run(transcripts_dataset(sf_dir), fingerprint=name)
+        assert r["metrics"]["stages"]["write"].get("tail_local") == (
+            True if name == "loc" else None
+        )
+        for sub in ("nodes", "edges"):
+            t = pads.dataset(f"{out}/{sub}", partitioning="hive").to_table()
+            keys = [k for k in ("edge_uid", "id") if k in t.column_names]
+            cols = sorted(t.column_names)
+            tables[(name, sub)] = t.select(cols).sort_by(
+                [(k, "ascending") for k in keys]
+            )
+        layouts[name] = sorted(
+            p.relative_to(out).as_posix()
+            for p in __import__("pathlib").Path(out).glob("edges/**/")
+        )
+
+    for sub in ("nodes", "edges"):
+        assert tables[("dist", sub)].equals(tables[("loc", sub)]), sub
+    assert layouts["dist"] == layouts["loc"]
