@@ -1373,6 +1373,34 @@ def q_bfs_distances(sf_dir: str):
     )
 
 
+def q_graphsage_sample(sf_dir: str):
+    """GraphSAGE-style layered neighbor-fanout sampling (Hamilton et al.
+    2017) over the canonical KG — GNN minibatch prep: seeds = canonical
+    nodes with id % 10 == 0, fanouts [3, 2], neighbor order the exact
+    integer hash (31*src + 17*dst) % 997 with dst tiebreak over the
+    DISTINCT edge set, so the sample is a pure function of the graph and
+    the SQL ROW_NUMBER mirror reproduces it bit-for-bit. Each layer is
+    one size-routed frontier semi-join + one src-keyed top-k shuffle
+    (block-local top-k combiner ahead of it)."""
+    edges = _canonical_int_edges(sf_dir)
+
+    def seed_batch(t: pa.Table) -> pa.Table:
+        s = _chunk(t["src"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(s[s % 10 == 0]), type=pa.int64())}
+        )
+
+    seeds = edges.map_batches(seed_batch, batch_format="pyarrow")
+    out = graphalgo.neighbor_fanout_sample(edges, seeds, fanouts=[3, 2])
+    return _table(
+        out,
+        schema=pa.schema(
+            [("layer", pa.int64()), ("src", pa.int64()),
+             ("dst", pa.int64()), ("rk", pa.int64())]
+        ),
+    )
+
+
 _WALK_CORPUS_CACHE: dict = {}
 
 
@@ -3689,6 +3717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_triplets": q_contrastive_triplets,
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
+        "graphsage_sample": q_graphsage_sample,
         "triangle_count": q_triangle_count,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -5076,6 +5105,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_) AS BIGINT) AS out_deg,
                    CAST(SUM(i_) AS BIGINT) AS in_deg
             FROM degrows GROUP BY 1
+        """,
+        "graphsage_sample": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            e AS (SELECT DISTINCT (s - s % 2) AS src, (o - o % 2) AS dst
+                  FROM linked),
+            s1 AS (
+              SELECT src, dst, rk FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                           ORDER BY (31*src + 17*dst) % 997, dst) AS rk
+                FROM e WHERE src % 10 = 0
+              ) WHERE rk <= 3
+            ),
+            s2 AS (
+              SELECT src, dst, rk FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                           ORDER BY (31*src + 17*dst) % 997, dst) AS rk
+                FROM e WHERE src IN (SELECT DISTINCT dst FROM s1)
+              ) WHERE rk <= 2
+            )
+            SELECT CAST(1 AS BIGINT) AS layer, src, dst,
+                   CAST(rk AS BIGINT) AS rk FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS layer, src, dst,
+                   CAST(rk AS BIGINT) AS rk FROM s2
         """,
         "random_walks": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

@@ -1287,3 +1287,121 @@ def _random_walks_joined(
     for e in emitted[1:]:
         out = out.union(e)
     return out
+
+
+def neighbor_fanout_sample(
+    edges_ds: ray.data.Dataset,
+    seeds,
+    fanouts: "list[int]",
+    src: str = "src",
+    dst: str = "dst",
+    hash_a: int = 31,
+    hash_b: int = 17,
+    hash_mod: int = 997,
+    num_buckets: int = 32,
+    semi_broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """GraphSAGE-style layered neighbor-fanout sampling (Hamilton et al.
+    2017) for GNN / KG-embedding minibatch prep: starting from ``seeds``,
+    draw at most ``fanouts[l]`` out-neighbors per frontier node at layer
+    l+1; the layer's sampled targets become the next frontier.
+
+    Determinism (no RNG state, reproducible on any partitioning): the
+    "random" neighbor order is the integer hash
+    ``(hash_a*src + hash_b*dst) % hash_mod`` with ``dst`` as the exact
+    tiebreak, over the DISTINCT edge set — so the sample is a pure
+    function of the graph, exactly reproducible by a SQL
+    ``ROW_NUMBER() OVER (PARTITION BY src ORDER BY hash, dst)`` mirror.
+
+    Scale (100-TB discipline): no frontier ever lands on the driver.
+    Each layer is ONE size-routed semi-join of the edge stream against
+    the frontier Dataset (``relational.semi_join``: broadcast under
+    ``semi_broadcast_limit`` distinct keys, bloom-prefiltered shuffle
+    beyond) plus ONE src-keyed top-k shuffle whose exchange moves at most
+    ``fanout`` rows per (src, block): the per-batch combiner keeps each
+    block's local top-``fanout`` per src, and the global top-``fanout``
+    by (hash, dst) is always contained in the union of block-local
+    top-``fanout`` sets. The multigraph needs NO global distinct shuffle:
+    the rank is a pure function of (src, dst), so duplicate edges are
+    adjacent after the kernel's sort and a per-kernel
+    ``drop_duplicates([src, dst])`` yields the distinct-graph sample.
+
+    Returns a Dataset with columns (layer, src, dst, rk) — rk is the
+    1-based rank of dst within src's sampled neighbors at that layer.
+    """
+    from . import relational
+
+    edges = edges_ds.select_columns([src, dst]).materialize()
+    # the frontier key column gets a reserved name: the semi-join's shuffle
+    # arm carries it through the marker join, where a name shared with a
+    # LEFT column (e.g. layer-2 frontiers keyed by ``dst``) would collide
+    if isinstance(seeds, ray.data.Dataset):
+        seed_col = seeds.schema().names[0]
+        frontier = seeds.map_batches(
+            lambda t, _c=seed_col: pa.table(
+                {"__frontier": pc.cast(_chunked(t[_c]), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        frontier = ray.data.from_arrow(
+            pa.table({"__frontier": pa.array(list(seeds), type=pa.int64())})
+        )
+
+    def topk(df: pd.DataFrame, f: int) -> pd.DataFrame:
+        df = df.drop_duplicates([src, dst])
+        h = (
+            hash_a * df[src].to_numpy(dtype=np.int64)
+            + hash_b * df[dst].to_numpy(dtype=np.int64)
+        ) % hash_mod
+        out = df.assign(_h=h).sort_values([src, "_h", dst], kind="mergesort")
+        out["rk"] = out.groupby(src, sort=False).cumcount() + 1
+        return out.loc[out["rk"] <= f, [src, dst, "rk"]]
+
+    layers: list[ray.data.Dataset] = []
+    for layer_no, fanout in enumerate(fanouts, start=1):
+        cand = relational.semi_join(
+            edges, frontier, on=src, right_on="__frontier",
+            broadcast_limit=semi_broadcast_limit,
+        )
+        # block-local top-fanout combiner (rk recomputed after the shuffle)
+        pre = cand.map_batches(
+            lambda df, _f=fanout: topk(df, _f)[[src, dst]],
+            batch_format="pandas",
+        )
+        sampled = relational.hash_bucketed_groupby(
+            pre, [src], lambda df, _f=fanout: topk(df, _f), num_buckets
+        ).map_batches(
+            lambda t, _l=layer_no: pa.table(
+                {
+                    "layer": pa.array(np.full(len(t), _l, dtype=np.int64)),
+                    src: pc.cast(_chunked(t[src]), pa.int64()),
+                    dst: pc.cast(_chunked(t[dst]), pa.int64()),
+                    "rk": pc.cast(_chunked(t["rk"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if sampled.count() == 0:
+            break
+        layers.append(sampled)
+        frontier = sampled.map_batches(
+            lambda t: pa.table({"__frontier": _chunked(t[dst])}),
+            batch_format="pyarrow",
+        )
+
+    if not layers:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "layer": pa.array([], type=pa.int64()),
+                    src: pa.array([], type=pa.int64()),
+                    dst: pa.array([], type=pa.int64()),
+                    "rk": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.union(l)
+    return out

@@ -323,3 +323,44 @@ def test_k_core_hand_checked_and_join_parity(ray_session):
     # k above the max degree: empty core on both paths
     assert k_core(ds, k=10).count() == 0
     assert k_core(ds, k=10, edge_broadcast_limit=0).count() == 0
+
+
+class TestNeighborFanoutSample:
+    # 0 -> {1..5} (dup edge 0->1 planted to exercise the distinct), 1 -> {2,3}
+    EDGES = [(0, 1), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 3)]
+
+    def _expected(self):
+        # rank hash h = (31*src + 17*dst) % 997; ascending (h, dst)
+        # src 0: h(dst)=17*dst -> order 1,2,3,4,5; top-2 = [1, 2]
+        # layer 2 frontier {1, 2}: src 1 -> h: dst2=65, dst3=82 -> top-1 = [2]
+        #                          src 2 has no out-edges
+        return {
+            (1, 0, 1, 1), (1, 0, 2, 2),
+            (2, 1, 2, 1),
+        }
+
+    def _got(self, **kw):
+        out = graphalgo.neighbor_fanout_sample(
+            _edges_ds(self.EDGES), seeds=[0], fanouts=[2, 1], **kw
+        )
+        return {
+            tuple(r)
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in zip(
+                b["layer"].to_pylist(), b["src"].to_pylist(),
+                b["dst"].to_pylist(), b["rk"].to_pylist(),
+            )
+        }
+
+    def test_deterministic_sample(self):
+        assert self._got() == self._expected()
+
+    def test_shuffle_semi_join_parity(self):
+        # force the bloom-prefiltered shuffle arm of the frontier semi-join
+        assert self._got(semi_broadcast_limit=0) == self._expected()
+
+    def test_exhausted_frontier(self):
+        out = graphalgo.neighbor_fanout_sample(
+            _edges_ds([(7, 8)]), seeds=[8], fanouts=[2, 2]
+        )
+        assert out.count() == 0
