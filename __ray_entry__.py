@@ -1401,6 +1401,57 @@ def q_graphsage_sample(sf_dir: str):
     )
 
 
+def q_metapath_counts(sf_dir: str):
+    """2-hop metapath counts per ordered predicate pair over the
+    canonical KG — n_paths(p1, p2) = #(a -p1-> v -p2-> b) on the
+    distinct edge set. The plan contracts per node (in/out predicate
+    degree counts on ONE node-keyed shuffle, crossed within the kernel)
+    instead of enumerating wedges, so the exchange is
+    (node x predicate)-bounded at any corpus size."""
+    canonical, _ = _canonical_triples(sf_dir)
+    pred_idx = {p: i for i, p in enumerate(PREDICATES)}
+
+    def to_int(t: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.utf8_slice_codeunits(_chunk(t["subject_id"]), 4, 1 << 30), pa.int64()
+        )
+        o = pc.cast(
+            pc.utf8_slice_codeunits(_chunk(t["object_id"]), 4, 1 << 30), pa.int64()
+        )
+        p = pa.array(
+            [pred_idx[x] for x in _chunk(t["predicate"]).to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.table({"src": s, "p": p, "dst": o})
+
+    out = graphalgo.metapath_counts(
+        canonical.map_batches(to_int, batch_format="pyarrow")
+    )
+    return pa.table(
+        {
+            "p1": pa.array([PREDICATES[i] for i in out["p1"].to_pylist()]),
+            "p2": pa.array([PREDICATES[i] for i in out["p2"].to_pylist()]),
+            "n_paths": out["n_paths"],
+        }
+    )
+
+
+def q_link_pred_features(sf_dir: str):
+    """Link-prediction features over the canonical KG's undirected
+    projection: common-neighbor count, preferential attachment and
+    integer Jaccard (ppm) for every pair with a shared neighbor —
+    wedge join on the middle node, size-routed degree attach,
+    all-integer outputs."""
+    out = graphalgo.link_pred_features(_canonical_int_edges(sf_dir))
+    return _table(
+        out,
+        schema=pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64()),
+             ("pref_attach", pa.int64()), ("jaccard_ppm", pa.int64())]
+        ),
+    )
+
+
 _WALK_CORPUS_CACHE: dict = {}
 
 
@@ -3718,6 +3769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
         "graphsage_sample": q_graphsage_sample,
+        "metapath_counts": q_metapath_counts,
+        "link_pred_features": q_link_pred_features,
         "triangle_count": q_triangle_count,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -5131,6 +5184,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(2 AS BIGINT) AS layer, src, dst,
                    CAST(rk AS BIGINT) AS rk FROM s2
+        """,
+        "metapath_counts": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            e AS (SELECT DISTINCT (s - s % 2) AS src, p, (o - o % 2) AS dst
+                  FROM linked),
+            ic AS (SELECT dst AS v, p AS pi, COUNT(*) AS n1 FROM e GROUP BY 1, 2),
+            oc AS (SELECT src AS v, p AS po, COUNT(*) AS n2 FROM e GROUP BY 1, 2)
+            SELECT preds[CAST(pi AS INT) + 1] AS p1,
+                   preds[CAST(po AS INT) + 1] AS p2,
+                   CAST(SUM(n1 * n2) AS BIGINT) AS n_paths
+            FROM ic JOIN oc USING (v), consts GROUP BY 1, 2
+        """,
+        "link_pred_features": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            e0 AS (SELECT DISTINCT least(s - s % 2, o - o % 2) AS a,
+                                   greatest(s - s % 2, o - o % 2) AS b
+                   FROM linked WHERE (s - s % 2) <> (o - o % 2)),
+            adj AS (SELECT a AS v, b AS w FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
+            cnt AS (
+              SELECT x.w AS u, y.w AS v2, CAST(COUNT(*) AS BIGINT) AS cn
+              FROM adj x JOIN adj y ON x.v = y.v AND x.w < y.w
+              GROUP BY 1, 2
+            )
+            SELECT c.u AS u, c.v2 AS v, c.cn AS cn,
+                   CAST(da.d * db.d AS BIGINT) AS pref_attach,
+                   CAST((1000000 * c.cn) // (da.d + db.d - c.cn) AS BIGINT)
+                     AS jaccard_ppm
+            FROM cnt c
+            JOIN deg da ON da.v = c.u
+            JOIN deg db ON db.v = c.v2
         """,
         "random_walks": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

@@ -106,7 +106,8 @@ def run_bench() -> dict:
             "wav_audio_features", "bfs_distances", "segment_event_stats",
             "transe_negatives", "temporal_edges", "balanced_resample",
             "dsir_select", "knn_ivf", "embedding_dedup", "semdedup", "gopher_gate",
-            "ccnet_buckets", "graphsage_sample",
+            "ccnet_buckets", "graphsage_sample", "metapath_counts",
+            "link_pred_features",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -1405,3 +1405,195 @@ def neighbor_fanout_sample(
     for l in layers[1:]:
         out = out.union(l)
     return out
+
+
+def metapath_counts(
+    edges_ds: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    pred: str = "p",
+    num_buckets: int = 32,
+) -> pa.Table:
+    """2-hop metapath counts per ordered predicate pair — for each (p1,
+    p2), the number of distinct-edge paths a -p1-> v -p2-> b. The classic
+    KG feature/statistics pass for link prediction and schema audit.
+
+    Scale shape: NO wedge enumeration. n_paths(p1, p2) =
+    sum_v in_p1(v) * out_p2(v), so the plan contracts per node first:
+    one distinct-(s,p,o) shuffle, then per-batch (node, pred) in/out
+    partial counts riding ONE node-keyed shuffle whose kernel both
+    finishes the counts and crosses in x out predicates within each
+    node — the exchange is (node x predicate)-bounded, never
+    path-bounded. The final fold is predicate-pair-bounded (tiny) on the
+    driver.
+
+    Returns a table (p1, p2, n_paths) with predicates as given (the
+    caller maps index -> name).
+    """
+    from .relational import hash_bucketed_groupby
+
+    combined = edges_ds.select_columns([src, pred, dst]).map_batches(
+        lambda t: t.select([src, pred, dst]).group_by([src, pred, dst]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    e = hash_bucketed_groupby(
+        combined, [src, pred, dst], lambda df: df.drop_duplicates(), num_buckets
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        i = (
+            t.select([dst, pred]).group_by([dst, pred]).aggregate([([dst], "count")])
+            .rename_columns(["v", "p", "n"])
+        )
+        o = (
+            t.select([src, pred]).group_by([src, pred]).aggregate([([src], "count")])
+            .rename_columns(["v", "p", "n"])
+        )
+        z_i = pa.array(np.zeros(len(i), dtype=np.int64))
+        z_o = pa.array(np.zeros(len(o), dtype=np.int64))
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [_chunked(i["v"]).cast(pa.int64()), _chunked(o["v"]).cast(pa.int64())]
+                ),
+                "p": pa.concat_arrays([_chunked(i["p"]), _chunked(o["p"])]),
+                "n_in": pa.concat_arrays(
+                    [pc.cast(_chunked(i["n"]), pa.int64()), z_o]
+                ),
+                "n_out": pa.concat_arrays(
+                    [z_i, pc.cast(_chunked(o["n"]), pa.int64())]
+                ),
+            }
+        )
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        # finish the (v, p) sums, then cross in x out predicates per node;
+        # every v's rows are co-located (the shuffle is keyed by v alone)
+        g = df.groupby(["v", "p"], sort=False)[["n_in", "n_out"]].sum().reset_index()
+        m = g.merge(g, on="v", suffixes=("_1", "_2"))
+        m = m[(m["n_in_1"] > 0) & (m["n_out_2"] > 0)]
+        out = (
+            m.assign(n=m["n_in_1"] * m["n_out_2"])
+            .groupby(["p_1", "p_2"], sort=False)["n"].sum().reset_index()
+        )
+        return out.rename(columns={"p_1": "p1", "p_2": "p2"})
+
+    folded = hash_bucketed_groupby(
+        e.map_batches(partials, batch_format="pyarrow"), ["v"], cross, num_buckets
+    )
+    # predicate-pair-bounded final fold (<= |preds|^2 rows)
+    acc: dict = {}
+    for b in folded.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        if "p1" not in b.schema.names:  # schema-less empty reducer block
+            continue
+        for p1, p2, n in zip(
+            b["p1"].to_pylist(), b["p2"].to_pylist(), b["n"].to_pylist()
+        ):
+            acc[(p1, p2)] = acc.get((p1, p2), 0) + int(n)
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "p1": pa.array([k[0] for k in keys]),
+            "p2": pa.array([k[1] for k in keys]),
+            "n_paths": pa.array([acc[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def link_pred_features(
+    edges_ds: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-pair link-prediction features over the simple undirected
+    projection: common-neighbor count, preferential attachment
+    (deg(u)*deg(v)) and integer Jaccard
+    (``jaccard_ppm = floor(1e6*cn / (deg(u)+deg(v)-cn))``) for every
+    unordered pair with >= 1 common neighbor.
+
+    All-integer outputs (exact on any partitioning). The wedge join on
+    the middle node is the quadratic term (triangle_count's layout) —
+    partition-by-middle keeps it distributed; degrees ride a size-routed
+    lookup join (broadcast under the node budget, hash join beyond).
+    """
+    from .relational import broadcast_lookup_join, hash_bucketed_groupby
+
+    e = undirected_distinct_edges(edges_ds, src, dst).materialize()
+    adj = e.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [_chunked(t["a"]).cast(pa.int64()), _chunked(t["b"]).cast(pa.int64())]
+                ),
+                "w": pa.concat_arrays(
+                    [_chunked(t["b"]).cast(pa.int64()), _chunked(t["a"]).cast(pa.int64())]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    deg_partial = adj.map_batches(
+        lambda t: t.group_by(["v"]).aggregate([(["v"], "count")]).rename_columns(
+            ["node", "d"]
+        ),
+        batch_format="pyarrow",
+    )
+    deg = hash_bucketed_groupby(
+        deg_partial, ["node"],
+        lambda df: df.groupby("node", sort=False, as_index=False)["d"].sum(),
+        num_buckets,
+    ).materialize()
+
+    wedges = adj.join(
+        adj.map_batches(
+            lambda t: pa.table({"v2": _chunked(t["v"]), "w2": _chunked(t["w"])}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=_clamp_partitions(num_partitions, adj.count()),
+        on=("v",), right_on=("v2",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(_chunked(t["w"]), _chunked(t["w2"]))
+        p = pa.table({"u": _chunked(t["w"]), "v": _chunked(t["w2"])}).filter(keep)
+        return p.group_by(["u", "v"]).aggregate([(["u"], "count")]).rename_columns(
+            ["u", "v", "cn"]
+        )
+
+    cn = hash_bucketed_groupby(
+        wedges.map_batches(pair_partial, batch_format="pyarrow"), ["u", "v"],
+        lambda df: df.groupby(["u", "v"], sort=False, as_index=False)["cn"].sum(),
+        num_buckets,
+    )
+
+    du = deg.map_batches(
+        lambda t: pa.table({"node": _chunked(t["node"]), "du": _chunked(t["d"])}),
+        batch_format="pyarrow",
+    )
+    dv = deg.map_batches(
+        lambda t: pa.table({"node": _chunked(t["node"]), "dv": _chunked(t["d"])}),
+        batch_format="pyarrow",
+    )
+    with_deg = broadcast_lookup_join(
+        broadcast_lookup_join(cn, du, "u", "node", ["du"]), dv, "v", "node", ["dv"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cn_ = pc.cast(_chunked(t["cn"]), pa.int64()).to_numpy(zero_copy_only=False)
+        du_ = pc.cast(_chunked(t["du"]), pa.int64()).to_numpy(zero_copy_only=False)
+        dv_ = pc.cast(_chunked(t["dv"]), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pc.cast(_chunked(t["u"]), pa.int64()),
+                "v": pc.cast(_chunked(t["v"]), pa.int64()),
+                "cn": pa.array(cn_),
+                "pref_attach": pa.array(du_ * dv_),
+                "jaccard_ppm": pa.array((1_000_000 * cn_) // (du_ + dv_ - cn_)),
+            }
+        )
+
+    return with_deg.map_batches(finish, batch_format="pyarrow")

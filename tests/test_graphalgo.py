@@ -364,3 +364,47 @@ class TestNeighborFanoutSample:
             _edges_ds([(7, 8)]), seeds=[8], fanouts=[2, 2]
         )
         assert out.count() == 0
+
+
+class TestMetapathCounts:
+    def test_counts_on_distinct_edges(self):
+        # 0 -p0-> 1, 4 -p0-> 1, 1 -p1-> 2, 1 -p1-> 3 (plus a planted dup):
+        # via middle 1: in_p0=2, out_p1=2 -> n(p0,p1)=4; plus every edge's
+        # own (p_in, p_out) contributions through other middles (none here
+        # except 1; middle 2/3 have no out-edges, middle 0/4 no in-edges)
+        rows = [(0, 0, 1), (0, 0, 1), (4, 0, 1), (1, 1, 2), (1, 1, 3)]
+        t = pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], type=pa.int64()),
+                "p": pa.array([r[1] for r in rows], type=pa.int64()),
+                "dst": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+        out = graphalgo.metapath_counts(rd.from_arrow(t).repartition(3))
+        got = {
+            (a, b): n
+            for a, b, n in zip(
+                out["p1"].to_pylist(), out["p2"].to_pylist(),
+                out["n_paths"].to_pylist(),
+            )
+        }
+        assert got == {(0, 1): 4}
+
+
+class TestLinkPredFeatures:
+    def test_square_graph(self):
+        # square 0-1-2-3-0: N(0)={1,3}=N(2), N(1)={0,2}=N(3); the only
+        # common-neighbor pairs are (0,2) and (1,3), each cn=2, deg 2*2,
+        # jaccard = 2/(2+2-2) = 1.0 -> 1_000_000 ppm
+        out = graphalgo.link_pred_features(
+            _edges_ds([(0, 1), (1, 2), (2, 3), (3, 0)])
+        )
+        got = {
+            (r["u"], r["v"]): (r["cn"], r["pref_attach"], r["jaccard_ppm"])
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        assert got == {
+            (0, 2): (2, 4, 1_000_000),
+            (1, 3): (2, 4, 1_000_000),
+        }
