@@ -1438,16 +1438,19 @@ def q_metapath_counts(sf_dir: str):
 
 def q_link_pred_features(sf_dir: str):
     """Link-prediction features over the canonical KG's undirected
-    projection: common-neighbor count, preferential attachment and
-    integer Jaccard (ppm) for every pair with a shared neighbor —
-    wedge join on the middle node, size-routed degree attach,
-    all-integer outputs."""
+    projection: common-neighbor count, preferential attachment, integer
+    Jaccard (ppm) and the resource-allocation index (per-term
+    1e6 // deg(w) floor, order-free) for every pair with a shared
+    neighbor — wedge join on the middle node, middle degree attached to
+    the node-bounded adjacency before the join, size-routed endpoint
+    degree attach, all-integer outputs."""
     out = graphalgo.link_pred_features(_canonical_int_edges(sf_dir))
     return _table(
         out,
         schema=pa.schema(
             [("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64()),
-             ("pref_attach", pa.int64()), ("jaccard_ppm", pa.int64())]
+             ("pref_attach", pa.int64()), ("jaccard_ppm", pa.int64()),
+             ("ra_ppm", pa.int64())]
         ),
     )
 
@@ -5205,14 +5208,18 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL SELECT b, a FROM e0),
             deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
             cnt AS (
-              SELECT x.w AS u, y.w AS v2, CAST(COUNT(*) AS BIGINT) AS cn
-              FROM adj x JOIN adj y ON x.v = y.v AND x.w < y.w
+              SELECT x.w AS u, y.w AS v2, CAST(COUNT(*) AS BIGINT) AS cn,
+                     CAST(SUM(1000000 // dm.d) AS BIGINT) AS ra
+              FROM adj x
+              JOIN adj y ON x.v = y.v AND x.w < y.w
+              JOIN deg dm ON dm.v = x.v
               GROUP BY 1, 2
             )
             SELECT c.u AS u, c.v2 AS v, c.cn AS cn,
                    CAST(da.d * db.d AS BIGINT) AS pref_attach,
                    CAST((1000000 * c.cn) // (da.d + db.d - c.cn) AS BIGINT)
-                     AS jaccard_ppm
+                     AS jaccard_ppm,
+                   c.ra AS ra_ppm
             FROM cnt c
             JOIN deg da ON da.v = c.u
             JOIN deg db ON db.v = c.v2

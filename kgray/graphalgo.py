@@ -1509,14 +1509,19 @@ def link_pred_features(
 ) -> ray.data.Dataset:
     """Per-pair link-prediction features over the simple undirected
     projection: common-neighbor count, preferential attachment
-    (deg(u)*deg(v)) and integer Jaccard
-    (``jaccard_ppm = floor(1e6*cn / (deg(u)+deg(v)-cn))``) for every
-    unordered pair with >= 1 common neighbor.
+    (deg(u)*deg(v)), integer Jaccard
+    (``jaccard_ppm = floor(1e6*cn / (deg(u)+deg(v)-cn))``) and the
+    resource-allocation index (Zhou et al. 2009) as
+    ``ra_ppm = sum_w floor(1e6 / deg(w))`` over common neighbors w —
+    for every unordered pair with >= 1 common neighbor.
 
-    All-integer outputs (exact on any partitioning). The wedge join on
-    the middle node is the quadratic term (triangle_count's layout) —
-    partition-by-middle keeps it distributed; degrees ride a size-routed
-    lookup join (broadcast under the node budget, hash join beyond).
+    All-integer outputs (per-term floor then sum, so exact and
+    order-free on any partitioning). The wedge join on the middle node
+    is the quadratic term (triangle_count's layout) — partition-by-middle
+    keeps it distributed; the middle's degree is attached to the
+    node-bounded adjacency BEFORE the join (never a second pass over the
+    quadratic wedge stream); endpoint degrees ride a size-routed lookup
+    join (broadcast under the node budget, hash join beyond).
     """
     from .relational import broadcast_lookup_join, hash_bucketed_groupby
 
@@ -1547,7 +1552,15 @@ def link_pred_features(
         num_buckets,
     ).materialize()
 
-    wedges = adj.join(
+    # middle-node degree rides the node-bounded adjacency into the join,
+    # so each wedge row already carries deg(middle) for the RA index
+    adj_d = broadcast_lookup_join(
+        adj, deg.map_batches(
+            lambda t: pa.table({"node": _chunked(t["node"]), "dmid": _chunked(t["d"])}),
+            batch_format="pyarrow",
+        ), "v", "node", ["dmid"],
+    )
+    wedges = adj_d.join(
         adj.map_batches(
             lambda t: pa.table({"v2": _chunked(t["v"]), "w2": _chunked(t["w"])}),
             batch_format="pyarrow",
@@ -1559,14 +1572,23 @@ def link_pred_features(
 
     def pair_partial(t: pa.Table) -> pa.Table:
         keep = pc.less(_chunked(t["w"]), _chunked(t["w2"]))
-        p = pa.table({"u": _chunked(t["w"]), "v": _chunked(t["w2"])}).filter(keep)
-        return p.group_by(["u", "v"]).aggregate([(["u"], "count")]).rename_columns(
-            ["u", "v", "cn"]
-        )
+        dmid = pc.cast(_chunked(t["dmid"]), pa.int64()).to_numpy(zero_copy_only=False)
+        p = pa.table(
+            {
+                "u": _chunked(t["w"]),
+                "v": _chunked(t["w2"]),
+                "ra": pa.array(1_000_000 // dmid),
+            }
+        ).filter(keep)
+        return p.group_by(["u", "v"]).aggregate(
+            [(["u"], "count"), (["ra"], "sum")]
+        ).rename_columns(["u", "v", "cn", "ra"])
 
     cn = hash_bucketed_groupby(
         wedges.map_batches(pair_partial, batch_format="pyarrow"), ["u", "v"],
-        lambda df: df.groupby(["u", "v"], sort=False, as_index=False)["cn"].sum(),
+        lambda df: df.groupby(["u", "v"], sort=False, as_index=False)[
+            ["cn", "ra"]
+        ].sum(),
         num_buckets,
     )
 
@@ -1593,6 +1615,7 @@ def link_pred_features(
                 "cn": pa.array(cn_),
                 "pref_attach": pa.array(du_ * dv_),
                 "jaccard_ppm": pa.array((1_000_000 * cn_) // (du_ + dv_ - cn_)),
+                "ra_ppm": pc.cast(_chunked(t["ra"]), pa.int64()),
             }
         )
 

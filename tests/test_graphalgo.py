@@ -395,16 +395,19 @@ class TestLinkPredFeatures:
     def test_square_graph(self):
         # square 0-1-2-3-0: N(0)={1,3}=N(2), N(1)={0,2}=N(3); the only
         # common-neighbor pairs are (0,2) and (1,3), each cn=2, deg 2*2,
-        # jaccard = 2/(2+2-2) = 1.0 -> 1_000_000 ppm
+        # jaccard = 2/(2+2-2) = 1.0 -> 1_000_000 ppm; RA = 2 middles of
+        # degree 2 -> 2 * (1e6 // 2) = 1_000_000 ppm
         out = graphalgo.link_pred_features(
             _edges_ds([(0, 1), (1, 2), (2, 3), (3, 0)])
         )
         got = {
-            (r["u"], r["v"]): (r["cn"], r["pref_attach"], r["jaccard_ppm"])
+            (r["u"], r["v"]): (
+                r["cn"], r["pref_attach"], r["jaccard_ppm"], r["ra_ppm"]
+            )
             for b in out.iter_batches(batch_format="pyarrow")
             for r in b.to_pylist()
         }
         assert got == {
-            (0, 2): (2, 4, 1_000_000),
-            (1, 3): (2, 4, 1_000_000),
+            (0, 2): (2, 4, 1_000_000, 1_000_000),
+            (1, 3): (2, 4, 1_000_000, 1_000_000),
         }
