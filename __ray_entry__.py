@@ -3055,6 +3055,19 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
+def q_funnel_steps(sf_dir: str):
+    """Ordered funnel (signup -> purchase -> error): users completing
+    each step prefix IN ORDER (strict-after timestamps, earliest
+    completion per step). Pruned to funnel types at the scan; ONE
+    user-keyed shuffle; per-step counts are per-bucket int partials."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return streaming.funnel_counts(
+        ev, steps=["signup", "purchase", "error"], ts_col="ts"
+    )
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix over the event stream: distinct
     users per (first-active week, week offset); one user-keyed shuffle
@@ -3837,6 +3850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "shipping_priority": q_shipping_priority,
         "cohort_retention": q_cohort_retention,
+        "funnel_steps": q_funnel_steps,
         "feature_scale": q_feature_scale,
         "segment_unpivot": q_segment_unpivot,
         "user_activity_coverage": q_user_activity_coverage,
@@ -6189,6 +6203,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, o_date_s ASC, o_orderkey ASC
             LIMIT 10
+        """,
+        "funnel_steps": """
+            WITH ev AS (
+              SELECT user_id AS u, event_type AS s, epoch_us(ts) AS t
+              FROM events
+              WHERE event_type IN ('signup', 'purchase', 'error')
+            ),
+            s1 AS (SELECT u, MIN(t) AS t FROM ev WHERE s = 'signup'
+                   GROUP BY 1),
+            s2 AS (SELECT e.u, MIN(e.t) AS t FROM ev e
+                   JOIN s1 ON s1.u = e.u AND e.t > s1.t
+                   WHERE e.s = 'purchase' GROUP BY 1),
+            s3 AS (SELECT e.u, MIN(e.t) AS t FROM ev e
+                   JOIN s2 ON s2.u = e.u AND e.t > s2.t
+                   WHERE e.s = 'error' GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'purchase',
+                   CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'error',
+                   CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
         """,
         "cohort_retention": """
             WITH p AS (

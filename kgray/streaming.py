@@ -491,3 +491,90 @@ def ordered_transitions(
         ds.select_columns([key_col, order_col, val_col]), [key_col], fn, num_buckets
     )
     return grouped_agg(partials, keys=[from_alias, to_alias], sums={"n": "n"})
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    users completed it IN ORDER — user u completes step i when some
+    event of type ``steps[i]`` has a timestamp strictly after u's
+    (earliest-completion) time of step i-1. The classic product-analytics
+    window query, exact and deterministic (int64 timestamps, MIN per
+    step, strict > between steps).
+
+    Plan: prune to funnel event types at the scan, ONE user-keyed
+    shuffle co-locates each user's funnel events, then the per-bucket
+    kernel resolves all steps vectorized — per step one groupby-min over
+    the rows later than the user's previous-step time (k merges, no
+    per-row Python). Per-step user counts are per-bucket partials summed
+    on the driver (``len(steps)`` ints per bucket). The exchange moves
+    only (user, type, ts) for in-funnel events; funnel semantics
+    irreducibly require per-user co-location, so that shuffle IS the
+    lower bound.
+    """
+    from .relational import hash_bucketed_groupby
+
+    step_arr = pa.array(steps, type=pa.string())
+
+    def prune(t: pa.Table) -> pa.Table:
+        types = _chunked_str(t[type_col])
+        keep = pc.is_in(types, value_set=step_arr)
+        f = t.select([user_col, type_col, ts_col]).filter(keep)
+        return pa.table(
+            {
+                "u": pc.cast(_chunked_any(f[user_col]), pa.int64()),
+                "s": pc.cast(
+                    pc.index_in(_chunked_str(f[type_col]), value_set=step_arr),
+                    pa.int64(),
+                ),
+                "t": pc.cast(_chunked_any(f[ts_col]), pa.int64()),
+            }
+        )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # cur: per-user completion time of the previous step (None = out)
+        counts = []
+        cur = None
+        for i in range(len(steps)):
+            rows = df[df["s"] == i]
+            if cur is not None:
+                rows = rows.merge(cur, on="u", how="inner")
+                rows = rows[rows["t"] > rows["t_prev"]]
+            cur = (
+                rows.groupby("u", sort=False, as_index=False)["t"].min()
+                .rename(columns={"t": "t_prev"})
+            )
+            counts.append(len(cur))
+        return pd.DataFrame({"step_idx": range(len(steps)), "n_users": counts})
+
+    parts = hash_bucketed_groupby(
+        ds.map_batches(prune, batch_format="pyarrow"), ["u"], resolve, num_buckets
+    )
+    totals = [0] * len(steps)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        if "step_idx" not in b.schema.names:
+            continue
+        for i, n in zip(b["step_idx"].to_pylist(), b["n_users"].to_pylist()):
+            totals[int(i)] += int(n)
+    return pa.table(
+        {
+            "step_idx": pa.array(range(1, len(steps) + 1), type=pa.int64()),
+            "step": pa.array(steps, type=pa.string()),
+            "n_users": pa.array(totals, type=pa.int64()),
+        }
+    )
+
+
+def _chunked_str(arr):
+    c = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+    return c.cast(pa.string())
+
+
+def _chunked_any(arr):
+    return arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr

@@ -216,3 +216,37 @@ def test_gopher_gate_rules_each_bite():
     assert out["stop_ok"][by[5]] == 0
     for d in (1, 2, 3, 4, 5):
         assert out["keep"][by[d]] == 0
+
+
+class TestFunnelCounts:
+    def test_strict_ordered_funnel(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgray import streaming
+
+        # u1 completes all three; u2's purchase precedes its signup
+        # (fails step 2); u3's purchase ties the signup ts (strict >
+        # excludes it)
+        rows = [
+            (1, "signup", 10), (1, "purchase", 20), (1, "error", 30),
+            (2, "purchase", 5), (2, "signup", 10),
+            (3, "signup", 10), (3, "purchase", 10),
+            (4, "error", 50),  # never signed up: counts nowhere
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "ts_us": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+        out = streaming.funnel_counts(
+            rd.from_arrow(t).repartition(3),
+            steps=["signup", "purchase", "error"],
+        )
+        assert out.to_pydict() == {
+            "step_idx": [1, 2, 3],
+            "step": ["signup", "purchase", "error"],
+            "n_users": [3, 1, 1],
+        }
