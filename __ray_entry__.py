@@ -1373,6 +1373,36 @@ def q_bfs_distances(sf_dir: str):
     )
 
 
+def q_sssp_khop(sf_dir: str):
+    """Weighted 3-hop shortest paths from canonical node 0 — bounded
+    Bellman-Ford (3 relaxation rounds, exact int64 weights) over the
+    canonical edge stream. Weights are the deterministic edge hash
+    (31*src + 17*dst) % 97 + 1 so the result is a pure function of the
+    graph and the recursive-CTE mirror reproduces it bit-for-bit; each
+    round is one vectorized edge pass (broadcast frontier) with a
+    parity-tested join path past the driver limit."""
+    edges = _canonical_int_edges(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = pc.cast(_chunk(t["src"]), pa.int64())
+        d = pc.cast(_chunk(t["dst"]), pa.int64())
+        h = pc.add(pc.multiply(s, 31), pc.multiply(d, 17))
+        # h % 97 + 1 (ids are non-negative, so trunc-div == floor-div)
+        w = pc.add(
+            pc.subtract(h, pc.multiply(pc.divide(h, 97), 97)),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.table({"src": s, "dst": d, "w": w})
+
+    return _ints64(
+        graphalgo.sssp_khop(
+            edges.map_batches(add_w, batch_format="pyarrow"),
+            source=0,
+            max_hops=3,
+        )
+    )
+
+
 def q_graphsage_sample(sf_dir: str):
     """GraphSAGE-style layered neighbor-fanout sampling (Hamilton et al.
     2017) over the canonical KG — GNN minibatch prep: seeds = canonical
@@ -3784,6 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_triplets": q_contrastive_triplets,
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
+        "sssp_khop": q_sssp_khop,
         "graphsage_sample": q_graphsage_sample,
         "metapath_counts": q_metapath_counts,
         "link_pred_features": q_link_pred_features,
@@ -5161,6 +5192,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, w.d + 1
               FROM walk w JOIN dedges e ON e.src = w.node
               WHERE w.d < 3
+            )
+            SELECT node AS node_id, MIN(d) AS dist FROM walk GROUP BY 1
+        """,
+        "sssp_khop": f"""{_SQL_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)},
+            {_SQL_LINKED.strip()},
+            wedges AS (
+              SELECT (s - s % 2) AS src, (o - o % 2) AS dst,
+                     (31 * (s - s % 2) + 17 * (o - o % 2)) % 97 + 1 AS w
+              FROM linked
+            ),
+            walk(node, d, hops) AS (
+              SELECT 0, CAST(0 AS BIGINT), 0
+              UNION
+              SELECT e.dst, wk.d + e.w, wk.hops + 1
+              FROM walk wk JOIN wedges e ON e.src = wk.node
+              WHERE wk.hops < 3
             )
             SELECT node AS node_id, MIN(d) AS dist FROM walk GROUP BY 1
         """,

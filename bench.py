@@ -107,7 +107,7 @@ def run_bench() -> dict:
             "transe_negatives", "temporal_edges", "balanced_resample",
             "dsir_select", "knn_ivf", "embedding_dedup", "semdedup", "gopher_gate",
             "ccnet_buckets", "graphsage_sample", "metapath_counts",
-            "link_pred_features", "funnel_steps",
+            "link_pred_features", "funnel_steps", "sssp_khop",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

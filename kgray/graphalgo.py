@@ -1077,6 +1077,215 @@ def _bfs_distances_joined(
     return tbl.sort_by([("node_id", "ascending")])
 
 
+def sssp_khop(
+    edges_ds: ray.data.Dataset,
+    source: int,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    frontier_limit: int = 50_000_000,
+) -> pa.Table:
+    """Weighted single-source shortest paths, bounded to ``max_hops``
+    edges — ``max_hops`` rounds of Bellman-Ford relaxation over the
+    directed edge stream with int64 weights. dist(v) = min total weight
+    over paths of <= ``max_hops`` edges, so the result is a pure
+    function of the graph (exact integer arithmetic, no float
+    summation-order drift) and a recursive-CTE SQL mirror reproduces it
+    bit-for-bit. Parallel edges are harmless (MIN absorbs them) — no
+    distinct pre-shuffle is needed.
+
+    Dual-path like ``bfs_distances``: while the settled-node map fits
+    the driver, each round is ONE vectorized edge-stream pass (frontier
+    dists broadcast via ``ray.put``, per-batch searchsorted lookup +
+    grouped min over successors — no shuffle). Past ``frontier_limit``
+    (or when it is forced <= 1) the SAME relaxation runs distributed:
+    frontier dists ride a size-routed inner join onto the edge stream,
+    candidates reduce by grouped min, and a node-keyed bucketed merge
+    against the visited table keeps only improvements. Parity-tested
+    bit-for-bit (tests/test_graphalgo.py).
+
+    The source row is always emitted with dist 0, reachable or not.
+    """
+    edges = edges_ds.select_columns([src, dst, weight]).materialize()
+    if frontier_limit <= 1:  # forced scale path (tests / tiny budgets)
+        return _sssp_khop_joined(edges, source, max_hops, src, dst, weight)
+
+    dist: dict[int, int] = {int(source): 0}
+    frontier: dict[int, int] = {int(source): 0}
+
+    for _ in range(max_hops):
+        fn = np.array(sorted(frontier), dtype=np.int64)
+        fd = np.array([frontier[v] for v in fn], dtype=np.int64)
+        ref = ray.put((fn, fd))
+
+        def relax(t: pa.Table, _ref=ref) -> pa.Table:
+            nodes, dists = ray.get(_ref)
+            s = pc.cast(_chunked(t[src]), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            idx = np.searchsorted(nodes, s)
+            idx[idx >= len(nodes)] = 0
+            hit = nodes[idx] == s
+            if not hit.any():
+                return pa.table(
+                    {
+                        "v": pa.array([], type=pa.int64()),
+                        "cand": pa.array([], type=pa.int64()),
+                    }
+                )
+            w = pc.cast(_chunked(t[weight]), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            d = pc.cast(_chunked(t[dst]), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            cand = pa.table(
+                {
+                    "v": pa.array(d[hit]),
+                    "cand": pa.array(dists[idx[hit]] + w[hit]),
+                }
+            )
+            return (
+                cand.group_by("v")
+                .aggregate([("cand", "min")])
+                .rename_columns(["v", "cand"])
+            )
+
+        found: dict[int, int] = {}
+        for b in edges.map_batches(relax, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for v, c in zip(b["v"].to_pylist(), b["cand"].to_pylist()):
+                if c < found.get(v, c + 1):
+                    found[v] = c
+        frontier = {
+            v: c for v, c in found.items() if c < dist.get(v, c + 1)
+        }
+        if not frontier:
+            break
+        if len(dist) + len(frontier) > frontier_limit:
+            logger.warning(
+                "sssp settled set passed frontier_limit=%d; restarting "
+                "with the join-based relaxation", frontier_limit,
+            )
+            return _sssp_khop_joined(edges, source, max_hops, src, dst, weight)
+        dist.update(frontier)
+
+    nodes_out = sorted(dist)
+    return pa.table(
+        {
+            "node_id": pa.array(nodes_out, type=pa.int64()),
+            "dist": pa.array([dist[v] for v in nodes_out], type=pa.int64()),
+        }
+    )
+
+
+def _sssp_khop_joined(
+    edges: ray.data.Dataset,
+    source: int,
+    max_hops: int,
+    src: str,
+    dst: str,
+    weight: str,
+) -> pa.Table:
+    """Beyond-broadcast SSSP: dist tables are DATASETS. Per round: the
+    frontier's dists ride a size-routed inner join onto the edge stream
+    (``broadcast_lookup_join`` — broadcast while small, hash join past
+    its limit), candidates reduce by one grouped min per successor, and
+    a node-keyed bucketed merge against the visited table emits the new
+    dist + improvement flag. Bit-identical to the broadcast path."""
+    from .relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+        hash_bucketed_groupby,
+    )
+
+    seed = pa.table(
+        {
+            "node_id": pa.array([int(source)], type=pa.int64()),
+            "__d": pa.array([0], type=pa.int64()),
+        }
+    )
+    visited = ray.data.from_arrow(seed).materialize()
+    frontier = visited
+
+    for _ in range(max_hops):
+        touched = broadcast_lookup_join(
+            edges, frontier, fact_key=src, dim_key="node_id",
+            take_cols=["__d"], how="inner",
+        )
+
+        def cand_batch(t: pa.Table) -> pa.Table:
+            c = pc.add(
+                pc.cast(_chunked(t["__d"]), pa.int64()),
+                pc.cast(_chunked(t[weight]), pa.int64()),
+            )
+            out = pa.table(
+                {"node_id": pc.cast(_chunked(t[dst]), pa.int64()), "cand": c}
+            )
+            return (
+                out.group_by("node_id")
+                .aggregate([("cand", "min")])
+                .rename_columns(["node_id", "cand"])
+            )
+
+        cands = grouped_agg(
+            touched.map_batches(cand_batch, batch_format="pyarrow"),
+            keys=["node_id"], mins={"cand": "cand"},
+        )
+        tagged = visited.map_batches(
+            lambda t: pa.table(
+                {
+                    "node_id": pc.cast(_chunked(t["node_id"]), pa.int64()),
+                    "d": pc.cast(_chunked(t["__d"]), pa.int64()),
+                    "tag": pa.array(np.zeros(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(
+            cands.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node_id": pc.cast(_chunked(t["node_id"]), pa.int64()),
+                        "d": pc.cast(_chunked(t["cand"]), pa.int64()),
+                        "tag": pa.array(np.ones(len(t), dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            old = df[df["tag"] == 0].groupby("node_id", sort=False)["d"].min()
+            new = df[df["tag"] == 1].groupby("node_id", sort=False)["d"].min()
+            m = pd.concat(
+                [old.rename("old"), new.rename("new")], axis=1, join="outer"
+            ).reset_index()
+            improved = m["old"].isna() | (m["new"] < m["old"])
+            m["__d"] = m[["old", "new"]].min(axis=1).astype("int64")
+            m["improved"] = improved.fillna(False).astype(bool)
+            return m[["node_id", "__d", "improved"]]
+
+        merged = hash_bucketed_groupby(
+            tagged, ["node_id"], merge, num_buckets=16
+        ).materialize()
+        frontier = merged.map_batches(
+            lambda t: t.filter(_chunked(t["improved"])).select(
+                ["node_id", "__d"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        visited = merged.select_columns(["node_id", "__d"]).materialize()
+        if frontier.count() == 0:
+            break
+
+    tbl = pa.concat_tables(
+        visited.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    ).rename_columns(["node_id", "dist"])
+    return tbl.sort_by([("node_id", "ascending")])
+
+
 _STEP_MIX = 2654435769  # second odd Weyl constant for the walk-step mix
 
 

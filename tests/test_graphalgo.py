@@ -411,3 +411,53 @@ class TestLinkPredFeatures:
             (0, 2): (2, 4, 1_000_000, 1_000_000),
             (1, 3): (2, 4, 1_000_000, 1_000_000),
         }
+
+
+def test_sssp_khop_hand_checked_and_join_parity(ray_session):
+    """Bounded Bellman-Ford: a heavy direct edge must lose to a lighter
+    two-hop path once max_hops allows it; the join-based relaxation
+    (forced via frontier_limit=0) reproduces the broadcast path
+    bit-for-bit, including on a random weighted multigraph."""
+    # 0 -(10)-> 3 ; 0 -(1)-> 1 -(2)-> 3 ; 3 -(1)-> 4 ; parallel heavier
+    # 0->1 edge that MIN must absorb; 9->9 self-loop never reached
+    t = pa.table(
+        {
+            "src": pa.array([0, 0, 1, 3, 0, 9], type=pa.int64()),
+            "dst": pa.array([3, 1, 3, 4, 1, 9], type=pa.int64()),
+            "w": pa.array([10, 1, 2, 1, 5, 7], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    one = graphalgo.sssp_khop(ds, source=0, max_hops=1)
+    got1 = dict(zip(one["node_id"].to_pylist(), one["dist"].to_pylist()))
+    assert got1 == {0: 0, 1: 1, 3: 10}
+    two = graphalgo.sssp_khop(ds, source=0, max_hops=2)
+    got2 = dict(zip(two["node_id"].to_pylist(), two["dist"].to_pylist()))
+    assert got2 == {0: 0, 1: 1, 3: 3, 4: 11}
+    three = graphalgo.sssp_khop(ds, source=0, max_hops=3)
+    got3 = dict(zip(three["node_id"].to_pylist(), three["dist"].to_pylist()))
+    assert got3 == {0: 0, 1: 1, 3: 3, 4: 4}
+
+    rng = np.random.RandomState(47)
+    big = pa.table(
+        {
+            "src": pa.array(rng.randint(0, 60, 400), type=pa.int64()),
+            "dst": pa.array(rng.randint(0, 80, 400), type=pa.int64()),
+            "w": pa.array(rng.randint(1, 50, 400), type=pa.int64()),
+        }
+    )
+    bds = rd.from_arrow(big).repartition(5)
+    for hops in (1, 2, 4):
+        base = graphalgo.sssp_khop(bds, source=3, max_hops=hops)
+        joined = graphalgo.sssp_khop(
+            bds, source=3, max_hops=hops, frontier_limit=0
+        )
+        assert base.equals(joined), hops
+
+    # unreachable source still emits its dist-0 row on both paths
+    for lim in (50_000_000, 0):
+        lonely = graphalgo.sssp_khop(
+            rd.from_arrow(t), source=77, max_hops=2, frontier_limit=lim
+        )
+        assert lonely["node_id"].to_pylist() == [77]
+        assert lonely["dist"].to_pylist() == [0]
