@@ -220,6 +220,44 @@ def q_kg_edges(sf_dir: str):
     return _table(edges.select_columns(["subject", "predicate", "object", "n_mentions"]))
 
 
+def q_edge_provenance(sf_dir: str):
+    """KG edge provenance: per canonical (subject, predicate, object)
+    the supporting-evidence profile — mention count, distinct supporting
+    conversations, first/last turn index. The audit table a KG user
+    consults before trusting an edge; ONE triple-keyed bucketed shuffle
+    co-locates each edge's mentions, then one vectorized pandas agg per
+    bucket (triple groups are mention-sized, never corpus-sized)."""
+    import pandas as pd
+
+    canonical, _ = _canonical_triples(sf_dir)
+    triples = canonical.map_batches(
+        lambda t: pa.table(
+            {
+                "subject": _chunk(t["subject_id"]),
+                "predicate": _chunk(t["predicate"]),
+                "object": _chunk(t["object_id"]),
+                "conv_id": _chunk(t["conv_id"]),
+                "turn_idx": pc.cast(_chunk(t["turn_idx"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def prov(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["subject", "predicate", "object"], sort=False)
+        return g.agg(
+            n_mentions=("conv_id", "size"),
+            n_convs=("conv_id", "nunique"),
+            first_turn=("turn_idx", "min"),
+            last_turn=("turn_idx", "max"),
+        ).reset_index()
+
+    out = relational.hash_bucketed_groupby(
+        triples, ["subject", "predicate", "object"], prov, num_buckets=32
+    )
+    return _table(out)
+
+
 def q_kg_nodes(sf_dir: str):
     from kgray.materialize import build_nodes, catalog_index
 
@@ -3815,6 +3853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_degrees": q_node_degrees,
         "bfs_distances": q_bfs_distances,
         "sssp_khop": q_sssp_khop,
+        "edge_provenance": q_edge_provenance,
         "graphsage_sample": q_graphsage_sample,
         "metapath_counts": q_metapath_counts,
         "link_pred_features": q_link_pred_features,
@@ -4445,6 +4484,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": kg_edges,
         "kg_nodes": kg_nodes,
         "kg_flagship": kg_edges,  # same contract: canonical deduped edges
+        "edge_provenance": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()}
+            SELECT 'RAW:'||(s - s % 2) AS subject,
+                   preds[CAST(p AS INT)+1] AS predicate,
+                   'RAW:'||(o - o % 2) AS object,
+                   COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   CAST(MIN(turn_idx) AS BIGINT) AS first_turn,
+                   CAST(MAX(turn_idx) AS BIGINT) AS last_turn
+            FROM linked, consts
+            GROUP BY 1, 2, 3
+        """,
         "q1_pricing": q1,
         "dup_name_audit": """
             SELECT p_name, COUNT(*) AS cnt FROM part
