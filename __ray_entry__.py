@@ -258,6 +258,57 @@ def q_edge_provenance(sf_dir: str):
     return _table(out)
 
 
+def q_entity_timeline(sf_dir: str):
+    """KG entity activity profile: per canonical entity, mention counts
+    split by role (subject / object), distinct supporting conversations,
+    and first/last turn index — the node-level companion to
+    `edge_provenance`. Plan: project the canonical triple stream to
+    (entity, role, conv, turn) rows batch-locally (two column slices, no
+    exchange), then ONE entity-keyed bucketed shuffle + vectorized
+    per-bucket agg."""
+    import pandas as pd
+
+    canonical, _ = _canonical_triples(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        conv = _chunk(t["conv_id"])
+        turn = pc.cast(_chunk(t["turn_idx"]), pa.int64())
+        if isinstance(turn, pa.ChunkedArray):
+            turn = turn.combine_chunks()
+        n = len(t)
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [_chunk(t["subject_id"]), _chunk(t["object_id"])]
+                ),
+                "as_subj": pa.array(
+                    np.r_[np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64)]
+                ),
+                "conv_id": pa.concat_arrays([conv, conv]),
+                "turn_idx": pa.concat_arrays([turn, turn]),
+            }
+        )
+
+    rows = canonical.map_batches(explode, batch_format="pyarrow")
+
+    def prof(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id", sort=False)
+        out = g.agg(
+            n_ment=("as_subj", "size"),
+            n_subj=("as_subj", "sum"),
+            n_convs=("conv_id", "nunique"),
+            first_turn=("turn_idx", "min"),
+            last_turn=("turn_idx", "max"),
+        ).reset_index()
+        out["n_obj"] = out["n_ment"] - out["n_subj"]
+        return out[
+            ["id", "n_subj", "n_obj", "n_convs", "first_turn", "last_turn"]
+        ]
+
+    out = relational.hash_bucketed_groupby(rows, ["id"], prof, num_buckets=32)
+    return _table(out)
+
+
 def q_kg_nodes(sf_dir: str):
     from kgray.materialize import build_nodes, catalog_index
 
@@ -3854,6 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": q_bfs_distances,
         "sssp_khop": q_sssp_khop,
         "edge_provenance": q_edge_provenance,
+        "entity_timeline": q_entity_timeline,
         "graphsage_sample": q_graphsage_sample,
         "metapath_counts": q_metapath_counts,
         "link_pred_features": q_link_pred_features,
@@ -4495,6 +4547,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS last_turn
             FROM linked, consts
             GROUP BY 1, 2, 3
+        """,
+        "entity_timeline": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            ends AS (
+              SELECT 'RAW:'||(s - s % 2) AS id, 1 AS as_subj,
+                     conv_id, turn_idx FROM linked
+              UNION ALL
+              SELECT 'RAW:'||(o - o % 2), 0, conv_id, turn_idx FROM linked
+            )
+            SELECT id,
+                   CAST(SUM(as_subj) AS BIGINT) AS n_subj,
+                   CAST(SUM(1 - as_subj) AS BIGINT) AS n_obj,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   CAST(MIN(turn_idx) AS BIGINT) AS first_turn,
+                   CAST(MAX(turn_idx) AS BIGINT) AS last_turn
+            FROM ends GROUP BY 1
         """,
         "q1_pricing": q1,
         "dup_name_audit": """
