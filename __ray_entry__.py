@@ -199,6 +199,52 @@ def q_kg_linked(sf_dir: str):
     return _table(keep)
 
 
+def q_conv_kg_stats(sf_dir: str):
+    """Per-conversation KG lineage as a query surface: triples
+    extracted, triples linked, and the link rate (exact ppm integer) —
+    the per-partition metrics the flagship writes to lineage.json,
+    exposed per conv_id so skew/quality regressions are attributable.
+    Plan: batch-local (conv, count, linked-count) partials ride the
+    extract->link stream (pa group_by per batch, no row loop), then one
+    small conv-keyed grouped sum; the exchange moves two ints per
+    (batch, conv)."""
+    ds = transcripts_dataset(sf_dir)
+    triples = extract.extract_triples(ds)
+    ref = lookups.broadcast(build_alias_index(entity_catalog()))
+    linked = link.link_entities(triples, ref)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "conv_id": _chunk(t["conv_id"]),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                "lk": pc.cast(_chunk(t["linked"]), pa.int64()),
+            }
+        )
+        out = g.group_by("conv_id").aggregate([("one", "sum"), ("lk", "sum")])
+        return out.rename_columns(["conv_id", "n_triples", "n_linked"])
+
+    sums = relational.grouped_agg(
+        linked.map_batches(partial, batch_format="pyarrow"),
+        keys=["conv_id"],
+        sums={"n_triples": "n_triples", "n_linked": "n_linked"},
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = pc.cast(_chunk(t["n_triples"]), pa.int64())
+        lk = pc.cast(_chunk(t["n_linked"]), pa.int64())
+        return pa.table(
+            {
+                "conv_id": _chunk(t["conv_id"]),
+                "n_triples": n,
+                "n_linked": lk,
+                "link_rate_ppm": pc.divide(pc.multiply(lk, 1_000_000), n),
+            }
+        )
+
+    return _table(sums.map_batches(rate, batch_format="pyarrow"))
+
+
 def _canonical_triples(sf_dir: str):
     # extraction is per-row; the driver compare is row-order-insensitive
     # (rows are sorted before hashing), so no global corpus sort is needed
@@ -3906,6 +3952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_khop": q_sssp_khop,
         "edge_provenance": q_edge_provenance,
         "entity_timeline": q_entity_timeline,
+        "conv_kg_stats": q_conv_kg_stats,
         "graphsage_sample": q_graphsage_sample,
         "metapath_counts": q_metapath_counts,
         "link_pred_features": q_link_pred_features,
@@ -4563,6 +4610,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(turn_idx) AS BIGINT) AS first_turn,
                    CAST(MAX(turn_idx) AS BIGINT) AS last_turn
             FROM ends GROUP BY 1
+        """,
+        "conv_kg_stats": f"""{_SQL_PREFIX},
+            raw AS (
+              SELECT 'conv-'||c AS conv_id,
+                     CAST(NOT unlink1 AS INT) AS lk FROM calc WHERE has1
+              UNION ALL
+              SELECT 'conv-'||c, 1 FROM calc WHERE has2
+            )
+            SELECT conv_id,
+                   COUNT(*) AS n_triples,
+                   CAST(SUM(lk) AS BIGINT) AS n_linked,
+                   CAST(SUM(lk) * 1000000 // COUNT(*) AS BIGINT)
+                     AS link_rate_ppm
+            FROM raw GROUP BY 1
         """,
         "q1_pricing": q1,
         "dup_name_audit": """

@@ -108,7 +108,7 @@ def run_bench() -> dict:
             "dsir_select", "knn_ivf", "embedding_dedup", "semdedup", "gopher_gate",
             "ccnet_buckets", "graphsage_sample", "metapath_counts",
             "link_pred_features", "funnel_steps", "sssp_khop",
-            "edge_provenance", "entity_timeline",
+            "edge_provenance", "entity_timeline", "conv_kg_stats",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
