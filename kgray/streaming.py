@@ -528,12 +528,12 @@ def funnel_counts(
         f = t.select([user_col, type_col, ts_col]).filter(keep)
         return pa.table(
             {
-                "u": pc.cast(_chunked_any(f[user_col]), pa.int64()),
+                "u": _chunked_i64(f[user_col]),
                 "s": pc.cast(
                     pc.index_in(_chunked_str(f[type_col]), value_set=step_arr),
                     pa.int64(),
                 ),
-                "t": pc.cast(_chunked_any(f[ts_col]), pa.int64()),
+                "t": _chunked_i64(f[ts_col]),
             }
         )
 
@@ -572,9 +572,5 @@ def funnel_counts(
 
 
 def _chunked_str(arr):
-    c = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
-    return c.cast(pa.string())
-
-
-def _chunked_any(arr):
-    return arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+    c = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return c.cast(pa.string()) if c.type != pa.string() else c
