@@ -170,3 +170,37 @@ def test_empty_round3_ops(ray_session):
     )
     assert k_core(e, k=3).count() == 0
     assert k_core(e, k=3, edge_broadcast_limit=0).count() == 0
+
+
+def test_empty_sssp_and_funnel(ray_session):
+    from kgray.graphalgo import sssp_khop
+    from kgray.streaming import funnel_counts
+
+    e = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "w": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    # SSSP always emits the source row (dist 0) on both paths
+    for lim in (50_000_000, 0):
+        out = sssp_khop(e, source=5, max_hops=3, frontier_limit=lim)
+        assert out.num_rows == 1 and out["dist"].to_pylist() == [0]
+
+    # funnel over a stream with NO events of the funnel types: every
+    # step counts zero users (prune emits schema-less empty blocks —
+    # the bucketed groupby + partial fold must survive them)
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2], type=pa.int64()),
+                "event_type": pa.array(["view", "view"]),
+                "ts_us": pa.array([10, 20], type=pa.int64()),
+            }
+        )
+    )
+    out = funnel_counts(ev, steps=["signup", "purchase"])
+    assert out["n_users"].to_pylist() == [0, 0]
