@@ -319,8 +319,6 @@ def q_entity_timeline(sf_dir: str):
     def explode(t: pa.Table) -> pa.Table:
         conv = _chunk(t["conv_id"])
         turn = pc.cast(_chunk(t["turn_idx"]), pa.int64())
-        if isinstance(turn, pa.ChunkedArray):
-            turn = turn.combine_chunks()
         n = len(t)
         return pa.table(
             {

@@ -1152,15 +1152,28 @@ def sssp_khop(
                 .rename_columns(["v", "cand"])
             )
 
-        found: dict[int, int] = {}
+        vs_parts, cs_parts = [], []
         for b in edges.map_batches(relax, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         ):
-            for v, c in zip(b["v"].to_pylist(), b["cand"].to_pylist()):
-                if c < found.get(v, c + 1):
-                    found[v] = c
+            if b.num_rows:
+                vs_parts.append(b["v"].to_numpy(zero_copy_only=False))
+                cs_parts.append(b["cand"].to_numpy(zero_copy_only=False))
+        if not vs_parts:
+            break
+        # ONE C-level grouped min over all per-batch partials (int64
+        # stays int64 — no NaN enters), then a single pass over unique
+        # candidate nodes for the dict compare (the same driver-fold
+        # cost class as bfs_distances' visited update)
+        mins = (
+            pd.Series(np.concatenate(cs_parts))
+            .groupby(pd.Series(np.concatenate(vs_parts)), sort=False)
+            .min()
+        )
         frontier = {
-            v: c for v, c in found.items() if c < dist.get(v, c + 1)
+            int(v): int(c)
+            for v, c in mins.items()
+            if c < dist.get(int(v), c + 1)
         }
         if not frontier:
             break
@@ -1257,15 +1270,28 @@ def _sssp_khop_joined(
         )
 
         def merge(df: pd.DataFrame) -> pd.DataFrame:
-            old = df[df["tag"] == 0].groupby("node_id", sort=False)["d"].min()
-            new = df[df["tag"] == 1].groupby("node_id", sort=False)["d"].min()
-            m = pd.concat(
-                [old.rename("old"), new.rename("new")], axis=1, join="outer"
-            ).reset_index()
-            improved = m["old"].isna() | (m["new"] < m["old"])
-            m["__d"] = m[["old", "new"]].min(axis=1).astype("int64")
-            m["improved"] = improved.fillna(False).astype(bool)
-            return m[["node_id", "__d", "improved"]]
+            # int64-exact merge (no outer-join NaN/float64 round trip, so
+            # dists >= 2^53 stay bit-identical to the broadcast path):
+            # the new dist is the min over ALL of a node's rows — every
+            # node has at least one — and the previous dist rides along
+            # as an int64 max-sentinel where the node is newly reached
+            d = df["d"].to_numpy()
+            old_d = np.where(
+                df["tag"].to_numpy() == 0, d, np.iinfo(np.int64).max
+            )
+            g = (
+                pd.DataFrame(
+                    {
+                        "node_id": df["node_id"].to_numpy(),
+                        "__d": d,
+                        "__old": old_d,
+                    }
+                )
+                .groupby("node_id", sort=False, as_index=False)
+                .min()
+            )
+            g["improved"] = g["__d"] < g["__old"]
+            return g[["node_id", "__d", "improved"]]
 
         merged = hash_bucketed_groupby(
             tagged, ["node_id"], merge, num_buckets=16

@@ -521,6 +521,10 @@ def funnel_counts(
     from .relational import hash_bucketed_groupby
 
     step_arr = pa.array(steps, type=pa.string())
+    # index_in maps every event of a repeated step name to the FIRST
+    # occurrence's index, so resolve must compare against that alias —
+    # a repeat-purchase funnel ['signup','purchase','purchase'] works
+    first_of = [steps.index(s) for s in steps]
 
     def prune(t: pa.Table) -> pa.Table:
         types = _chunked_str(t[type_col])
@@ -542,7 +546,7 @@ def funnel_counts(
         counts = []
         cur = None
         for i in range(len(steps)):
-            rows = df[df["s"] == i]
+            rows = df[df["s"] == first_of[i]]
             if cur is not None:
                 rows = rows.merge(cur, on="u", how="inner")
                 rows = rows[rows["t"] > rows["t_prev"]]

@@ -461,3 +461,20 @@ def test_sssp_khop_hand_checked_and_join_parity(ray_session):
         )
         assert lonely["node_id"].to_pylist() == [77]
         assert lonely["dist"].to_pylist() == [0]
+
+    # dists beyond 2^53 (float64's exact-integer ceiling) must stay
+    # bit-exact on BOTH paths — the joined merge is int64 end to end
+    w0, w1 = (1 << 52) + 1, (1 << 52) + 3
+    huge = pa.table(
+        {
+            "src": pa.array([0, 1], type=pa.int64()),
+            "dst": pa.array([1, 2], type=pa.int64()),
+            "w": pa.array([w0, w1], type=pa.int64()),
+        }
+    )
+    hds = rd.from_arrow(huge)
+    for lim in (50_000_000, 0):
+        got = graphalgo.sssp_khop(hds, source=0, max_hops=2, frontier_limit=lim)
+        assert dict(
+            zip(got["node_id"].to_pylist(), got["dist"].to_pylist())
+        ) == {0: 0, 1: w0, 2: w0 + w1}, lim

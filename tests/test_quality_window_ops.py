@@ -250,3 +250,30 @@ class TestFunnelCounts:
             "step": ["signup", "purchase", "error"],
             "n_users": [3, 1, 1],
         }
+
+    def test_repeated_step_funnel(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgray import streaming
+
+        # repeat-purchase funnel: u1 purchases twice after signup (in
+        # order); u2 purchases only once — fails the repeated 3rd step;
+        # u3's second purchase ties the first (strict > excludes it)
+        rows = [
+            (1, "signup", 10), (1, "purchase", 20), (1, "purchase", 30),
+            (2, "signup", 10), (2, "purchase", 20),
+            (3, "signup", 10), (3, "purchase", 20), (3, "purchase", 20),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "ts_us": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+        out = streaming.funnel_counts(
+            rd.from_arrow(t).repartition(2),
+            steps=["signup", "purchase", "purchase"],
+        )
+        assert out["n_users"].to_pylist() == [3, 3, 1]
