@@ -304,6 +304,57 @@ def q_edge_provenance(sf_dir: str):
     return _table(out)
 
 
+def q_schema_census(sf_dir: str):
+    """Schema induction over the canonical KG: distinct-edge and mention
+    counts per (subject_class, predicate, object_class) triple-type —
+    the P2 partition-layout histogram as a first-class query (the table
+    a partition planner sizes bins from, and the ontology census a KG
+    consumer audits). Reuses the flagship stages verbatim: deduped
+    `build_edges`, `build_nodes` for classes, broadcast class tag, then
+    one small class-keyed grouped sum (25x6x25 keys max)."""
+    from kgray.materialize import (
+        build_edges,
+        build_nodes,
+        catalog_index,
+        tag_edge_classes,
+    )
+
+    canonical, catalog = _canonical_triples(sf_dir)
+    edges = build_edges(canonical)
+    nodes = build_nodes(
+        canonical, lookups.broadcast(catalog_index(catalog)),
+        endpoint_cols=("subject_id", "object_id"),
+    )
+    class_ref = lookups.broadcast(lookups.node_class_lookup(nodes))
+    tagged = tag_edge_classes(edges, class_ref)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "subject_class": _chunk(t["subject_class"]),
+                "predicate": _chunk(t["predicate"]),
+                "object_class": _chunk(t["object_class"]),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                "nm": pc.cast(_chunk(t["n_mentions"]), pa.int64()),
+            }
+        )
+        out = g.group_by(
+            ["subject_class", "predicate", "object_class"]
+        ).aggregate([("one", "sum"), ("nm", "sum")])
+        return out.rename_columns(
+            ["subject_class", "predicate", "object_class", "n_edges",
+             "n_mentions"]
+        )
+
+    return _table(
+        relational.grouped_agg(
+            tagged.map_batches(partial, batch_format="pyarrow"),
+            keys=["subject_class", "predicate", "object_class"],
+            sums={"n_edges": "n_edges", "n_mentions": "n_mentions"},
+        )
+    )
+
+
 def q_entity_timeline(sf_dir: str):
     """KG entity activity profile: per canonical entity, mention counts
     split by role (subject / object), distinct supporting conversations,
@@ -3951,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_provenance": q_edge_provenance,
         "entity_timeline": q_entity_timeline,
         "conv_kg_stats": q_conv_kg_stats,
+        "schema_census": q_schema_census,
         "graphsage_sample": q_graphsage_sample,
         "metapath_counts": q_metapath_counts,
         "link_pred_features": q_link_pred_features,
@@ -4622,6 +4674,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(lk) * 1000000 // COUNT(*) AS BIGINT)
                      AS link_rate_ppm
             FROM raw GROUP BY 1
+        """,
+        "schema_census": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            e AS (
+              SELECT (s - s % 2) AS si, p, (o - o % 2) AS oi,
+                     COUNT(*) AS nm
+              FROM linked GROUP BY 1, 2, 3
+            )
+            SELECT substr(cats[CAST(si % 25 AS INT) + 1], 9)
+                     AS subject_class,
+                   preds[CAST(p AS INT) + 1] AS predicate,
+                   substr(cats[CAST(oi % 25 AS INT) + 1], 9)
+                     AS object_class,
+                   COUNT(*) AS n_edges,
+                   CAST(SUM(nm) AS BIGINT) AS n_mentions
+            FROM e, consts GROUP BY 1, 2, 3
         """,
         "q1_pricing": q1,
         "dup_name_audit": """

@@ -109,6 +109,7 @@ def run_bench() -> dict:
             "ccnet_buckets", "graphsage_sample", "metapath_counts",
             "link_pred_features", "funnel_steps", "sssp_khop",
             "edge_provenance", "entity_timeline", "conv_kg_stats",
+            "schema_census",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
