@@ -29,8 +29,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from kgray import (
-    dedup, extract, graphalgo, link, lookups, multimodal, relational, similarity,
-    streaming, textops,
+    dedup, extract, graph_io, graphalgo, link, lookups, multimodal, relational,
+    similarity, streaming, textops,
 )
 from kgray.canonicalize import canonical_map_local, rewrite_ids
 from kgray.link import build_alias_index
@@ -3924,6 +3924,60 @@ def q_bm25_keywords(sf_dir: str):
     return _table(textops.bm25_keywords(docs, k=3))
 
 
+# fixed retrieval workload: terms drawn from the synthetic corpus vocab
+_BM25_QUERIES = {
+    0: ["scan", "join"],
+    1: ["window", "sort", "merge"],
+    2: ["query", "vector"],
+}
+
+
+def q_bm25_retrieval(sf_dir: str):
+    """Query->document lexical retrieval: per-query top-10 docs by the
+    exact-integer BM25 kernel (same rational-odds idf as bm25_keywords,
+    so SQL reproduces every score bit-for-bit). One bounded stats pass
+    (df restricted to the query vocabulary), then a shuffle-free scoring
+    pass emitting per-block top-k partials."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textops.bm25_retrieval(docs, _BM25_QUERIES, k=10)
+
+
+def q_watermark_late(sf_dir: str):
+    """Event-time watermark audit (Flink/Beam bounded-out-of-orderness
+    made deterministic): replay events in event_id arrival order; an
+    event is LATE iff its time falls strictly below (max event time over
+    earlier arrivals) - 30s. Distributed as range-partitioned carry-in
+    watermarks + segmented vectorized cummax (mixture_sample's
+    prefix-scan pattern); the driver fold is num_ranges rows."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ds = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts_s": pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _table(
+        streaming.watermark_late_events(ds, "event_id", "ts_s", delay=30)
+    )
+
+
+def q_rdf_roundtrip(sf_dir: str):
+    """KG edges exported as W3C N-Triples (percent-encoded IRIs) and
+    parsed back — the RDF interchange sink/source exercised end-to-end;
+    returns the canonical triples, proving the render is injective."""
+    import tempfile
+
+    edges = q_kg_edges(sf_dir)
+    out = tempfile.mkdtemp(prefix="kgray_nt_", dir="/tmp")
+    manifest = graph_io.write_ntriples(
+        rd.from_arrow(edges.select(["subject", "predicate", "object"])), out
+    ).take_all()
+    return _table(graph_io.read_ntriples([m["path"] for m in manifest]))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4112,6 +4166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_projection": q_pca_projection,
         "pca_invariants": q_pca_invariants,
         "bpe_merges": q_bpe_merges,
+        # session 4
+        "bm25_retrieval": q_bm25_retrieval,
+        "watermark_late": q_watermark_late,
+        "rdf_roundtrip": q_rdf_roundtrip,
     }
 
 
@@ -6794,5 +6852,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sp.n, 0) AS BIGINT) AS n
             FROM spine s LEFT JOIN sparse sp
               ON s.event_type = sp.event_type AND s.win = sp.win
+        """,
+        "bm25_retrieval": """
+            WITH q(query_id, term) AS (VALUES
+              (0, 'scan'), (0, 'join'),
+              (1, 'window'), (1, 'sort'), (1, 'merge'),
+              (2, 'query'), (2, 'vector')
+            ), toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), toks_f AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS dl FROM toks_f GROUP BY 1
+            ), stats AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT COUNT(*) FROM toks_f) AS total
+            ), df AS (
+              SELECT term, COUNT(*) AS df FROM tf
+              WHERE term IN (SELECT term FROM q) GROUP BY 1
+            ), sc AS (
+              SELECT t.doc_id, t.term,
+                CAST((1000 * (22 * t.tf * s.total)
+                      * (2 * s.n_docs - 2 * d.df + 1))
+                     // (((10 * t.tf + 3) * s.total + 9 * l.dl * s.n_docs)
+                         * (2 * d.df + 1)) AS BIGINT) AS score_ppk
+              FROM tf t
+              JOIN dl l ON t.doc_id = l.doc_id
+              JOIN df d ON t.term = d.term
+              CROSS JOIN stats s
+            ), qs AS (
+              SELECT q.query_id, s.doc_id, SUM(s.score_ppk) AS score
+              FROM q JOIN sc s ON q.term = s.term
+              GROUP BY 1, 2
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM qs
+            QUALIFY rank <= 10
+        """,
+        "watermark_late": """
+            WITH e AS (
+              SELECT event_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+            ), w AS (
+              SELECT event_id, ts_s,
+                     MAX(ts_s) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max
+              FROM e
+            )
+            SELECT event_id, ts_s,
+                   CAST(CASE WHEN prev_max IS NOT NULL
+                             AND ts_s < prev_max - 30
+                        THEN 1 ELSE 0 END AS BIGINT) AS late
+            FROM w
+        """,
+        "rdf_roundtrip": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()}
+            SELECT DISTINCT 'RAW:'||(s - s % 2) AS subject,
+                   preds[CAST(p AS INT)+1] AS predicate,
+                   'RAW:'||(o - o % 2) AS object
+            FROM linked, consts
         """,
     }

@@ -109,7 +109,8 @@ def run_bench() -> dict:
             "ccnet_buckets", "graphsage_sample", "metapath_counts",
             "link_pred_features", "funnel_steps", "sssp_khop",
             "edge_provenance", "entity_timeline", "conv_kg_stats",
-            "schema_census",
+            "schema_census", "bm25_retrieval", "watermark_late",
+            "rdf_roundtrip",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

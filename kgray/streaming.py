@@ -578,3 +578,118 @@ def funnel_counts(
 def _chunked_str(arr):
     c = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     return c.cast(pa.string()) if c.type != pa.string() else c
+
+
+def watermark_late_events(
+    ds: ray.data.Dataset,
+    seq_col: str = "event_id",
+    ts_col: str = "ts_s",
+    delay: int = 30,
+    num_ranges: int = 1024,
+) -> ray.data.Dataset:
+    """Event-time watermark / late-data audit — the Flink/Beam
+    bounded-out-of-orderness rule made deterministic. Events are replayed
+    in arrival order (``seq_col``); after any arrival prefix the watermark
+    is ``max(event time over the prefix) - delay``, and an event is LATE
+    iff its event time falls strictly below the watermark carried by
+    earlier arrivals. A streaming engine would drop (or side-output)
+    those rows; here every row is kept and flagged so the result is a
+    full per-event table an oracle can hash.
+
+    A running prefix-max is inherently sequential, so it distributes the
+    way ``sampling.mixture_sample``'s prefix sum does:
+
+    1. range-partition arrivals into ``num_ranges`` equal-width
+       ``seq_col`` slices; one combiner pass folds a per-range max-ts
+       table (bounded: ``num_ranges`` rows) on the driver,
+    2. an exclusive running max over that tiny table gives each range its
+       carry-in watermark,
+    3. one bucketed shuffle co-locates each range and a vectorized
+       ``np.maximum.accumulate`` finishes it.
+
+    ``num_ranges`` bounds per-task memory at corpus/num_ranges rows —
+    raise it for bigger corpora (the driver fold stays num_ranges-sized).
+    Output: (seq_col, ts_col, late) — late is int64 0/1.
+    """
+    lo = ds.min(seq_col)
+    hi = ds.max(seq_col)
+    if lo is None or hi is None:  # empty input
+        return ray.data.from_arrow(
+            pa.table(
+                {seq_col: pa.array([], pa.int64()), ts_col: pa.array([], pa.int64()),
+                 "late": pa.array([], pa.int64())}
+            )
+        )
+    width = max(1, (int(hi) - int(lo)) // num_ranges + 1)
+    _lo = int(lo)
+
+    def tag(t: pa.Table) -> pa.Table:
+        seq = pc.cast(_chunked_i64(t[seq_col]), pa.int64())
+        rng = pc.divide(pc.subtract(seq, _lo), width)
+        return pa.table(
+            {
+                seq_col: seq,
+                ts_col: pc.cast(_chunked_i64(t[ts_col]), pa.int64()),
+                "_rng": pc.cast(rng, pa.int64()),
+            }
+        )
+
+    tagged = ds.select_columns([seq_col, ts_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+    def max_part(t: pa.Table) -> pa.Table:
+        agg = t.group_by("_rng").aggregate([(ts_col, "max")])
+        return agg.rename_columns(["_rng", "max_ts"])
+
+    range_max: dict[int, int] = {}
+    for b in tagged.map_batches(max_part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1 << 16
+    ):
+        for r, m in zip(b["_rng"].to_pylist(), b["max_ts"].to_pylist()):
+            r = int(r)
+            m = int(m)
+            if r not in range_max or m > range_max[r]:
+                range_max[r] = m
+
+    none = np.iinfo(np.int64).min // 4  # sentinel: "no earlier arrival"
+    carry_in: dict[int, int] = {}
+    running = none
+    for r in sorted(range_max):
+        carry_in[r] = running
+        running = max(running, range_max[r])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # a hash bucket holds SEVERAL ranges: segmented exclusive cummax —
+        # python cost is per segment (<= num_ranges/num_buckets), numpy within
+        if len(df) == 0:
+            return pd.DataFrame(
+                {seq_col: pd.Series([], dtype="int64"),
+                 ts_col: pd.Series([], dtype="int64"),
+                 "late": pd.Series([], dtype="int64")}
+            )
+        df = df.sort_values(["_rng", seq_col], kind="mergesort")
+        rng = df["_rng"].to_numpy(dtype=np.int64)
+        ts = df[ts_col].to_numpy(dtype=np.int64)
+        prev = np.empty_like(ts)
+        starts = np.flatnonzero(np.r_[True, rng[1:] != rng[:-1]])
+        bounds = np.r_[starts, len(ts)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            c = carry_in.get(int(rng[a]), none)
+            prev[a] = c
+            if b - a > 1:
+                seg = np.maximum(ts[a : b - 1], c)
+                np.maximum.accumulate(seg, out=seg)
+                prev[a + 1 : b] = seg
+        late = (prev > none) & (ts < prev - delay)
+        return pd.DataFrame(
+            {
+                seq_col: df[seq_col].to_numpy(dtype=np.int64),
+                ts_col: ts,
+                "late": late.astype(np.int64),
+            }
+        )
+
+    from .relational import hash_bucketed_groupby
+
+    return hash_bucketed_groupby(tagged, ["_rng"], finish, num_buckets=64)

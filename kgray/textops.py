@@ -1545,3 +1545,106 @@ def hashed_normal_equations(
     return grouped_agg(
         ds.map_batches(part, batch_format="pyarrow"), keys=["i", "j"], sums={"s": "s"}
     )
+
+
+def bm25_retrieval(
+    ds,
+    query_terms: "dict[int, list[str]]",
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Query -> document LEXICAL retrieval with ``bm25_keywords``' exact-
+    integer BM25 kernel: a document's score for a query is the sum of its
+    per-term ``score_ppk`` over the query's terms, so every score is an
+    int64 and the ranking is reproducible bit-for-bit in SQL.
+
+    One combined stats pass (per-term df restricted to the query
+    vocabulary + (N, T) scalars — the driver fold is |vocab|+2 rows, a
+    constant), then a shuffle-free scoring pass: tf and dl are complete
+    within a batch because docs are rows; each batch emits only its local
+    top-``k`` per query, and the driver merges ``n_blocks x |queries| x k``
+    partial rows — bounded, never corpus-sized. Returns a small pandas
+    DataFrame (query_id, doc_id, score, rank) with rank 1..k per query,
+    ties broken by doc_id.
+    """
+    import pandas as pd
+
+    vocab = sorted({t for ts in query_terms.values() for t in ts})
+    vset = frozenset(vocab)
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
+        return ex[ex["term"].notna() & (ex["term"] != "")]
+
+    def stats_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok(df)
+        hits = toks[toks["term"].isin(vset)].drop_duplicates()
+        d = hits.groupby("term", as_index=False).size().rename(columns={"size": "n"})
+        d = pd.concat(
+            [d, pd.DataFrame({"term": ["\x00n_docs", "\x00total"],
+                              "n": [len(df), len(toks)]})],
+            ignore_index=True,
+        )
+        return d
+
+    folded: dict = {}
+    for b in ds.map_batches(stats_part, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=1 << 16
+    ):
+        for t, n in zip(b["term"], b["n"]):
+            folded[t] = folded.get(t, 0) + int(n)
+    n_docs = folded.pop("\x00n_docs", 0)
+    total = folded.pop("\x00total", 0)
+    df_map = {t: folded.get(t, 0) for t in vocab}
+
+    # (query_id, term) expansion as a small frame each task joins against
+    q_expand = pd.DataFrame(
+        [(q, t) for q, ts in sorted(query_terms.items()) for t in ts],
+        columns=["query_id", "term"],
+    )
+
+    def score(df: pd.DataFrame, _df=df_map, _n=n_docs, _t=total) -> pd.DataFrame:
+        toks = _tok(df)
+        dl = toks.groupby(id_col, as_index=False).size().rename(columns={"size": "dl"})
+        toks = toks[toks["term"].isin(vset)]
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="int64")}
+            )
+        tf = toks.groupby([id_col, "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        m = tf.merge(dl, on=id_col)
+        tfv = m["tf"].to_numpy(dtype="int64")
+        dlv = m["dl"].to_numpy(dtype="int64")
+        dfv = m["term"].map(_df).to_numpy(dtype="int64")
+        idf_num = 2 * _n - 2 * dfv + 1
+        idf_den = 2 * dfv + 1
+        num = 1000 * (22 * tfv * _t) * idf_num
+        den = ((10 * tfv + 3) * _t + 9 * dlv * _n) * idf_den
+        m["score_ppk"] = num // den
+        qd = m.merge(q_expand, on="term")
+        sc = qd.groupby(["query_id", id_col], as_index=False)["score_ppk"].sum()
+        sc = sc.rename(columns={"score_ppk": "score"})
+        sc = sc.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = sc.groupby("query_id", sort=False).head(k)
+        return top.astype({"query_id": "int64", id_col: "int64", "score": "int64"})
+
+    parts = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("query_id", id_col, "score", "rank")}
+        )
+    parts = parts.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", id_col, "score", "rank"]].astype("int64")
