@@ -29,8 +29,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from kgray import (
-    dedup, extract, graph_io, graphalgo, link, lookups, multimodal, relational,
-    similarity, streaming, textops,
+    bgp, dedup, extract, graph_io, graphalgo, link, lookups, multimodal,
+    relational, similarity, streaming, textops,
 )
 from kgray.canonicalize import canonical_map_local, rewrite_ids
 from kgray.link import build_alias_index
@@ -1104,6 +1104,30 @@ def q_two_hop_neighborhood(sf_dir: str, target: str = "RAW:0"):
 
 def _chunk(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def q_bgp_paths(sf_dir: str):
+    """SPARQL-style conjunctive pattern over the canonical triples
+    (generalizes the reference's MATCH-chain runbook queries,
+    `docs/cypher-cmds-1.txt:72-73`): the typed 3-hop chain
+    ?a -treats-> ?b -causes-> ?c -part_of-> ?d, folded through Ray's
+    hash-shuffle join by `kgray.bgp.bgp_match`."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges,
+        [
+            ("?a", "biolink:treats", "?b"),
+            ("?b", "biolink:causes", "?c"),
+            ("?c", "biolink:part_of", "?d"),
+        ],
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()),
+             ("c", pa.string()), ("d", pa.string())]
+        ),
+    )
 
 
 def q_distinct_labels(sf_dir: str):
@@ -4033,6 +4057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": q_cosine_pairs,
         "neighborhood": q_neighborhood,
         "two_hop_neighborhood": q_two_hop_neighborhood,
+        "bgp_paths": q_bgp_paths,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5657,6 +5682,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT id FROM h2
             WHERE id NOT IN (SELECT id FROM h1) AND id <> 'RAW:0'
+        """,
+        "bgp_paths": f"""
+            WITH e AS ({kg_edges})
+            SELECT e1.subject AS a, e1.object AS b, e2.object AS c,
+                   e3.object AS d
+            FROM e e1
+            JOIN e e2 ON e2.subject = e1.object
+            JOIN e e3 ON e3.subject = e2.object
+            WHERE e1.predicate = 'biolink:treats'
+              AND e2.predicate = 'biolink:causes'
+              AND e3.predicate = 'biolink:part_of'
         """,
         "distinct_labels": f"""
             SELECT DISTINCT unnest(string_split(labels_str, ';')) AS label

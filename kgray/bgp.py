@@ -1,0 +1,138 @@
+"""SPARQL-style basic-graph-pattern (BGP) matching over the canonical
+triple table — the query surface that pairs with the N-Triples
+interchange (`graph_io.write_ntriples`): a user who exports the KG as
+RDF can ask the same conjunctive queries here without a triple store.
+
+The reference's docs express these as Cypher MATCH chains
+(`docs/cypher-cmds.txt:91`, `docs/cypher-cmds-1.txt:72-73` — the 1- and
+2-hop neighborhood runbook queries); ``bgp_match`` generalizes them to
+any conjunction of triple patterns with shared variables.
+
+Semantics: the edge Dataset holds DISTINCT (subject, predicate, object)
+triples (materialize.build_edges guarantees this). Each pattern is a
+3-tuple of terms; a term starting with ``?`` is a variable, anything
+else a constant. The result has one column per distinct variable and
+one row per binding. Because every input relation is a set and every
+join keeps the full variable set on both sides, bindings are a set too
+— no DISTINCT pass is needed (mirrors SPARQL set semantics over a
+distinct-triple store, and makes the SQL oracle a plain join chain).
+
+Scale plan: each pattern becomes one filtered projection of the edge
+stream (constant slots pruned batch-side, repeated variables enforced
+as vectorized equality masks); patterns then fold left-to-right through
+Ray's native hash-shuffle join on the shared variables. Each
+intermediate is materialized — a join is an all-to-all pipeline breaker
+anyway, and the count unlocks (a) empty-side short-circuiting (acero
+joins break on schema-less empty blocks) and (b) fan-out sizing via
+``join_partitions``. Patterns that share no variable with the
+accumulated prefix are rejected: a cartesian product is never what you
+want at 100 TB — reorder the patterns or add a linking pattern.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .util import join_partitions
+
+_SLOTS = ("subject", "predicate", "object")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_relation(edges: ray.data.Dataset, pattern) -> "tuple[ray.data.Dataset, list[str]]":
+    """One triple pattern -> (relation Dataset, variable column names).
+    Constants filter; repeated variables add slot-equality masks; the
+    projection keeps each variable once, named without the ``?``."""
+    if len(pattern) != 3:
+        raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
+    consts = [(slot, t) for slot, t in zip(_SLOTS, pattern) if not _is_var(t)]
+    var_slots: dict[str, list[str]] = {}
+    for slot, t in zip(_SLOTS, pattern):
+        if _is_var(t):
+            var_slots.setdefault(t[1:], []).append(slot)
+    if not var_slots:
+        raise ValueError(f"pattern {pattern!r} has no variables")
+    var_names = list(var_slots)
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = None
+        for slot, value in consts:
+            m = pc.equal(t[slot], pa.scalar(value, pa.string()))
+            mask = m if mask is None else pc.and_(mask, m)
+        for slots in var_slots.values():
+            for extra in slots[1:]:  # repeated variable: slots must agree
+                m = pc.equal(t[slots[0]], t[extra])
+                mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            t = t.filter(pc.fill_null(mask, False))
+        return pa.table({v: t[slots[0]] for v, slots in var_slots.items()})
+
+    return (
+        edges.select_columns(list(_SLOTS)).map_batches(
+            project, batch_format="pyarrow"
+        ),
+        var_names,
+    )
+
+
+def bgp_match(
+    edges: ray.data.Dataset,
+    patterns,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Match a conjunction of triple ``patterns`` against a distinct
+    (subject, predicate, object) Dataset; returns one row per variable
+    binding (columns = variables in first-appearance order)."""
+    if not patterns:
+        raise ValueError("need at least one pattern")
+
+    acc, acc_vars = _pattern_relation(edges, patterns[0])
+    acc = acc.materialize()
+    n_acc = acc.count()
+    for pat in patterns[1:]:
+        rel, rel_vars = _pattern_relation(edges, pat)
+        shared = [v for v in acc_vars if v in rel_vars]
+        if not shared:
+            raise ValueError(
+                f"pattern {pat!r} shares no variable with {acc_vars} — "
+                "reorder patterns or add a linking pattern (cartesian "
+                "products are refused)"
+            )
+        new_vars = [v for v in rel_vars if v not in acc_vars]
+        if n_acc == 0:
+            empty = pa.table(
+                {v: pa.array([], pa.string()) for v in acc_vars + new_vars}
+            )
+            return ray.data.from_arrow(empty)
+        rel = rel.materialize()
+        if rel.count() == 0:
+            empty = pa.table(
+                {v: pa.array([], pa.string()) for v in acc_vars + new_vars}
+            )
+            return ray.data.from_arrow(empty)
+        acc = acc.join(
+            rel,
+            join_type="inner",
+            num_partitions=join_partitions(
+                num_partitions, max(n_acc, rel.count())
+            ),
+            on=tuple(shared),
+        ).materialize()
+        n_acc = acc.count()
+        acc_vars = acc_vars + new_vars
+    if n_acc == 0:
+        # an empty join result carries no schema; pin the contract columns
+        return ray.data.from_arrow(
+            pa.table({v: pa.array([], pa.string()) for v in acc_vars})
+        )
+    # joins can reorder columns; pin first-appearance variable order
+    return acc.map_batches(
+        lambda t, _cols=tuple(acc_vars): t.select(list(_cols)),
+        batch_format="pyarrow",
+    )

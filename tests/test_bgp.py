@@ -1,0 +1,105 @@
+"""bgp_match vs a brute-force nested-loop binder on small random triple
+sets, plus the structural error/empty contracts."""
+
+import itertools
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+from kgray.bgp import bgp_match
+
+triples_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.sampled_from(["p", "q"]),
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+    ),
+    min_size=0,
+    max_size=25,
+    unique=True,  # bgp_match's set semantics assume distinct triples
+)
+
+
+def _ref_bgp(triples, patterns):
+    """Nested-loop join: enumerate all pattern-to-triple assignments
+    whose variable bindings agree."""
+    var_order = []
+    for pat in patterns:
+        for t in pat:
+            if t.startswith("?") and t[1:] not in var_order:
+                var_order.append(t[1:])
+    out = set()
+    for combo in itertools.product(triples, repeat=len(patterns)):
+        bind = {}
+        ok = True
+        for pat, trip in zip(patterns, combo):
+            for term, val in zip(pat, trip):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if bind.setdefault(v, val) != val:
+                        ok = False
+                elif term != val:
+                    ok = False
+            if not ok:
+                break
+        if ok:
+            out.add(tuple(bind[v] for v in var_order))
+    return out, var_order
+
+
+def _ds(triples):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subject": [s for s, _, _ in triples],
+                "predicate": [p for _, p, _ in triples],
+                "object": [o for _, _, o in triples],
+            },
+            schema=pa.schema(
+                [("subject", pa.string()), ("predicate", pa.string()),
+                 ("object", pa.string())]
+            ),
+        )
+    ).repartition(2)
+
+
+PATTERN_SETS = [
+    [("?x", "p", "?y")],
+    [("?x", "p", "?y"), ("?y", "q", "?z")],
+    [("?x", "p", "?y"), ("?y", "q", "?z"), ("?x", "p", "?z")],
+    [("?x", "?r", "?x")],                      # repeated variable in-pattern
+    [("?x", "p", "a"), ("?x", "q", "?y")],     # constant object
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(triples_strategy)
+def test_bgp_matches_bruteforce(ray_session, triples):
+    for patterns in PATTERN_SETS:
+        want, var_order = _ref_bgp(triples, patterns)
+        out = bgp_match(_ds(triples), patterns).take_all()
+        got = {tuple(r[v] for v in var_order) for r in out}
+        assert got == want, patterns
+        assert len(out) == len(want), patterns  # set semantics: no dups
+
+
+def test_bgp_refuses_cartesian_and_groundings(ray_session):
+    ds = _ds([("a", "p", "b")])
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(ds, [("?x", "p", "?y"), ("?u", "q", "?v")])
+    with pytest.raises(ValueError, match="no variables"):
+        bgp_match(ds, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="need at least one"):
+        bgp_match(ds, [])
+
+
+def test_bgp_empty_join_short_circuits(ray_session):
+    ds = _ds([("a", "p", "b"), ("c", "q", "d")])
+    out = bgp_match(ds, [("?x", "p", "?y"), ("?y", "q", "?z")])
+    tbl = out.take_all()
+    assert tbl == []
+    assert set(out.schema().names) == {"x", "y", "z"}
