@@ -1130,6 +1130,25 @@ def q_bgp_paths(sf_dir: str):
     )
 
 
+def q_bgp_optional(sf_dir: str):
+    """SPARQL OPTIONAL over the canonical triples: every treats edge,
+    with the object's part_of parent attached where one exists (null
+    otherwise) — the left-join pattern audit UIs use for 'show the
+    hierarchy context if we have it'."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges,
+        [("?a", "biolink:treats", "?b")],
+        optional=[("?b", "biolink:part_of", "?c")],
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
+    )
+
+
 def q_distinct_labels(sf_dir: str):
     """A7 distinct labels (UNWIND+collect, `docs/cypher-cmds-1.txt:84-86`)."""
     from kgray.materialize import build_nodes, catalog_index
@@ -4058,6 +4077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood": q_neighborhood,
         "two_hop_neighborhood": q_two_hop_neighborhood,
         "bgp_paths": q_bgp_paths,
+        "bgp_optional": q_bgp_optional,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5693,6 +5713,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE e1.predicate = 'biolink:treats'
               AND e2.predicate = 'biolink:causes'
               AND e3.predicate = 'biolink:part_of'
+        """,
+        "bgp_optional": f"""
+            WITH e AS ({kg_edges})
+            SELECT e1.subject AS a, e1.object AS b, e2.object AS c
+            FROM e e1
+            LEFT JOIN e e2 ON e2.subject = e1.object
+                          AND e2.predicate = 'biolink:part_of'
+            WHERE e1.predicate = 'biolink:treats'
         """,
         "distinct_labels": f"""
             SELECT DISTINCT unnest(string_split(labels_str, ';')) AS label

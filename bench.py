@@ -110,7 +110,7 @@ def run_bench() -> dict:
             "link_pred_features", "funnel_steps", "sssp_khop",
             "edge_provenance", "entity_timeline", "conv_kg_stats",
             "schema_census", "bm25_retrieval", "watermark_late",
-            "rdf_roundtrip", "bgp_paths",
+            "rdf_roundtrip", "bgp_paths", "bgp_optional",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -17,6 +17,12 @@ join keeps the full variable set on both sides, bindings are a set too
 — no DISTINCT pass is needed (mirrors SPARQL set semantics over a
 distinct-triple store, and makes the SQL oracle a plain join chain).
 
+OPTIONAL patterns (SPARQL left-join semantics, well-designed subset)
+attach nullable bindings after the required fold: each optional pattern
+correlates with the required variables only, so the left joins are
+independent and order-insensitive, and the SQL mirror is a plain LEFT
+JOIN chain.
+
 Scale plan: each pattern becomes one filtered projection of the edge
 stream (constant slots pruned batch-side, repeated variables enforced
 as vectorized equality masks); patterns then fold left-to-right through
@@ -81,14 +87,28 @@ def _pattern_relation(edges: ray.data.Dataset, pattern) -> "tuple[ray.data.Datas
     )
 
 
+def _empty_result(var_names) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({v: pa.array([], pa.string()) for v in var_names})
+    )
+
+
 def bgp_match(
     edges: ray.data.Dataset,
     patterns,
+    optional=(),
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Match a conjunction of triple ``patterns`` against a distinct
     (subject, predicate, object) Dataset; returns one row per variable
-    binding (columns = variables in first-appearance order)."""
+    binding (columns = variables in first-appearance order).
+
+    ``optional`` patterns follow SPARQL OPTIONAL semantics restricted to
+    the well-designed case: each left-joins onto the required bindings
+    (unmatched rows keep nulls for its fresh variables). Every optional
+    pattern must share >=1 variable with the REQUIRED set and bind >=1
+    fresh variable not seen anywhere else — cross-optional correlation
+    is refused rather than silently mis-scoped."""
     if not patterns:
         raise ValueError("need at least one pattern")
 
@@ -106,16 +126,15 @@ def bgp_match(
             )
         new_vars = [v for v in rel_vars if v not in acc_vars]
         if n_acc == 0:
-            empty = pa.table(
-                {v: pa.array([], pa.string()) for v in acc_vars + new_vars}
-            )
-            return ray.data.from_arrow(empty)
+            # keep accumulating variables so the empty-result schema (and
+            # the optional-pattern validation below) see every pattern
+            acc_vars = acc_vars + new_vars
+            continue
         rel = rel.materialize()
         if rel.count() == 0:
-            empty = pa.table(
-                {v: pa.array([], pa.string()) for v in acc_vars + new_vars}
-            )
-            return ray.data.from_arrow(empty)
+            n_acc = 0
+            acc_vars = acc_vars + new_vars
+            continue
         acc = acc.join(
             rel,
             join_type="inner",
@@ -126,11 +145,59 @@ def bgp_match(
         ).materialize()
         n_acc = acc.count()
         acc_vars = acc_vars + new_vars
+
+    required_vars = list(acc_vars)
+    opt_relations = []  # validated before any short-circuit return
+    seen_opt_vars: set[str] = set()
+    for pat in optional:
+        rel, rel_vars = _pattern_relation(edges, pat)
+        shared = [v for v in rel_vars if v in required_vars]
+        fresh = [v for v in rel_vars if v not in required_vars]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat!r} shares no variable with the "
+                f"required bindings {required_vars}"
+            )
+        clash = [v for v in fresh if v in seen_opt_vars]
+        if clash:
+            raise ValueError(
+                f"optional pattern {pat!r} re-binds {clash} from another "
+                "optional pattern — cross-optional correlation is refused"
+            )
+        if not fresh:
+            raise ValueError(
+                f"optional pattern {pat!r} binds no fresh variable — "
+                "make it a required pattern"
+            )
+        seen_opt_vars.update(fresh)
+        opt_relations.append((pat, rel, shared, fresh))
+        acc_vars = acc_vars + fresh
+
     if n_acc == 0:
         # an empty join result carries no schema; pin the contract columns
-        return ray.data.from_arrow(
-            pa.table({v: pa.array([], pa.string()) for v in acc_vars})
-        )
+        return _empty_result(acc_vars)
+
+    for pat, rel, shared, fresh in opt_relations:
+        rel = rel.materialize()
+        if rel.count() == 0:
+            acc = acc.map_batches(
+                lambda t, _f=tuple(fresh): pa.table(
+                    {
+                        **{c: t[c] for c in t.column_names},
+                        **{v: pa.nulls(t.num_rows, pa.string()) for v in _f},
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            continue
+        acc = acc.join(
+            rel,
+            join_type="left_outer",
+            num_partitions=join_partitions(
+                num_partitions, max(n_acc, rel.count())
+            ),
+            on=tuple(shared),
+        ).materialize()
     # joins can reorder columns; pin first-appearance variable order
     return acc.map_batches(
         lambda t, _cols=tuple(acc_vars): t.select(list(_cols)),

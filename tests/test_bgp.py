@@ -87,6 +87,76 @@ def test_bgp_matches_bruteforce(ray_session, triples):
         assert len(out) == len(want), patterns  # set semantics: no dups
 
 
+def _ref_optional(triples, patterns, optional):
+    """Required bindings x per-optional match lists (or a null row)."""
+    want, var_order = _ref_bgp(triples, patterns)
+    out = set()
+    for req in want:
+        bind = dict(zip(var_order, req))
+        per_opt = []
+        for pat in optional:
+            matches = []
+            fresh = [t[1:] for t in pat if t.startswith("?") and t[1:] not in bind]
+            for trip in triples:
+                b = dict(bind)
+                ok = True
+                for term, val in zip(pat, trip):
+                    if term.startswith("?"):
+                        if b.setdefault(term[1:], val) != val:
+                            ok = False
+                    elif term != val:
+                        ok = False
+                if ok:
+                    matches.append(tuple(b[v] for v in fresh))
+            per_opt.append((fresh, matches or [tuple(None for _ in fresh)]))
+        for combo in itertools.product(*(m for _, m in per_opt)):
+            row = dict(bind)
+            for (fresh, _), vals in zip(per_opt, combo):
+                row.update(dict(zip(fresh, vals)))
+            out.add(tuple(row[v] for v in var_order + [v for f, _ in per_opt for v in f]))
+    all_vars = var_order + [v for pat in optional for v in
+                            [t[1:] for t in pat if t.startswith("?")]
+                            if v not in var_order]
+    return out, all_vars
+
+
+@settings(max_examples=10, deadline=None)
+@given(triples_strategy)
+def test_bgp_optional_matches_bruteforce(ray_session, triples):
+    cases = [
+        ([("?x", "p", "?y")], [(("?y", "q", "?z"))]),
+        ([("?x", "p", "?y")], [("?y", "q", "?z"), ("?x", "q", "?w")]),
+        ([("?x", "p", "?y"), ("?y", "q", "?z")], [("?z", "p", "?w")]),
+    ]
+    for patterns, optional in cases:
+        want, all_vars = _ref_optional(triples, patterns, optional)
+        res = bgp_match(_ds(triples), patterns, optional=optional)
+        out = res.take_all()
+        got = {tuple(r[v] for v in all_vars) for r in out}
+        assert got == want, (patterns, optional)
+        assert len(out) == len(want), (patterns, optional)
+        assert list(res.schema().names) == all_vars, (patterns, optional)
+
+
+def test_bgp_optional_contracts(ray_session):
+    ds = _ds([("a", "p", "b")])
+    with pytest.raises(ValueError, match="shares no variable with the"):
+        bgp_match(ds, [("?x", "p", "?y")], optional=[("?u", "q", "?v")])
+    with pytest.raises(ValueError, match="re-binds"):
+        bgp_match(
+            ds, [("?x", "p", "?y")],
+            optional=[("?x", "q", "?z"), ("?y", "q", "?z")],
+        )
+    with pytest.raises(ValueError, match="binds no fresh"):
+        bgp_match(ds, [("?x", "p", "?y")], optional=[("?x", "q", "?y")])
+    # empty required side still pins required + optional columns
+    out = bgp_match(
+        ds, [("?x", "q", "?y")], optional=[("?y", "p", "?z")]
+    )
+    assert out.take_all() == []
+    assert set(out.schema().names) == {"x", "y", "z"}
+
+
 def test_bgp_refuses_cartesian_and_groundings(ray_session):
     ds = _ds([("a", "p", "b")])
     with pytest.raises(ValueError, match="shares no variable"):
