@@ -1149,6 +1149,27 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_part_of_closure(sf_dir: str):
+    """Reachability closure of the part_of hierarchy (SPARQL
+    `biolink:part_of+` / Datalog ancestor) — semi-naive delta-join rounds,
+    parity-tested against the doubling plan and a brute-force binder
+    (tests/test_graphalgo.py)."""
+    edges = _kg_edge_table(sf_dir)
+    rel = edges.map_batches(
+        lambda t: pa.table(
+            {"part": _chunk(t["subject"]), "whole": _chunk(t["object"])}
+        ).filter(
+            pc.equal(_chunk(t["predicate"]), "biolink:part_of")
+        ),
+        batch_format="pyarrow",
+    )
+    out = graphalgo.transitive_closure(rel, src="part", dst="whole")
+    return _table(
+        out,
+        schema=pa.schema([("part", pa.string()), ("whole", pa.string())]),
+    )
+
+
 def q_distinct_labels(sf_dir: str):
     """A7 distinct labels (UNWIND+collect, `docs/cypher-cmds-1.txt:84-86`)."""
     from kgray.materialize import build_nodes, catalog_index
@@ -4078,6 +4099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_neighborhood": q_two_hop_neighborhood,
         "bgp_paths": q_bgp_paths,
         "bgp_optional": q_bgp_optional,
+        "part_of_closure": q_part_of_closure,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5721,6 +5743,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "part_of_closure": f"""
+            WITH RECURSIVE rel AS (
+              SELECT subject AS part, object AS whole FROM ({kg_edges})
+              WHERE predicate = 'biolink:part_of'
+            ),
+            tc AS (
+              SELECT part, whole FROM rel
+              UNION
+              SELECT tc.part, rel.whole FROM tc JOIN rel ON tc.whole = rel.part
+            )
+            SELECT part, whole FROM tc
         """,
         "distinct_labels": f"""
             SELECT DISTINCT unnest(string_split(labels_str, ';')) AS label

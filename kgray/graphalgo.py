@@ -1855,3 +1855,212 @@ def link_pred_features(
         )
 
     return with_deg.map_batches(finish, batch_format="pyarrow")
+
+
+def _distinct_pairs(ds: ray.data.Dataset, a: str, b: str,
+                    num_buckets: int) -> ray.data.Dataset:
+    """Distinct (a, b) pairs: per-batch combiner, then one keyed shuffle."""
+    from .relational import hash_bucketed_groupby
+
+    combined = ds.select_columns([a, b]).map_batches(
+        lambda t: t.group_by([a, b]).aggregate([]), batch_format="pyarrow"
+    )
+    deduped = hash_bucketed_groupby(
+        combined, [a, b], lambda df: df.drop_duplicates(), num_buckets
+    )
+    # map_groups emits PANDAS blocks; downstream unions mix them with
+    # arrow join outputs, which Ray refuses — normalize here
+    return deduped.map_batches(
+        lambda t: t.select([a, b]), batch_format="pyarrow"
+    )
+
+
+def _pack_pair_key(t: pa.Table, a: str, b: str) -> pa.Table:
+    key = pc.binary_join_element_wise(
+        pc.cast(_chunked(t[a]), pa.string()),
+        pc.cast(_chunked(t[b]), pa.string()),
+        "\x1f",
+    )
+    return t.append_column("pair_key", key)
+
+
+def _closure_local(
+    tbl: pa.Table, src: str, dst: str, max_iters: int, pair_cap: int
+) -> "pa.Table | None":
+    """Driver-local semi-naive closure: node ids factorized to codes,
+    pairs packed into int64 keys, the delta-join expanded with
+    searchsorted + repeat — every step a numpy kernel. Returns None if
+    the closure outgrows ``pair_cap`` (caller falls back to the
+    distributed plan, which streams the output instead of holding it)."""
+    a = pc.cast(_chunked(tbl[src]), pa.string())
+    b = pc.cast(_chunked(tbl[dst]), pa.string())
+    both = pa.concat_arrays([a, b])
+    uniques = both.unique()
+    n = len(uniques)
+    codes = pc.index_in(both, value_set=uniques).to_numpy(zero_copy_only=False).astype(np.int64)
+    a_c, b_c = codes[: len(a)], codes[len(a):]
+    base_keys = np.unique(a_c * n + b_c)
+    order = np.argsort(a_c, kind="stable")
+    base_a, base_b = a_c[order], b_c[order]
+
+    closure = base_keys
+    delta = base_keys
+    for _ in range(max_iters):
+        dx, dy = delta // n, delta % n
+        lo = np.searchsorted(base_a, dy, side="left")
+        hi = np.searchsorted(base_a, dy, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            break
+        starts = np.cumsum(cnt) - cnt
+        idx = np.repeat(lo - starts, cnt) + np.arange(total)
+        new_keys = np.repeat(dx, cnt) * n + base_b[idx]
+        fresh = np.setdiff1d(np.unique(new_keys), closure, assume_unique=True)
+        if fresh.size == 0:
+            break
+        closure = np.union1d(closure, fresh)
+        if closure.size > pair_cap:
+            return None
+        delta = fresh
+    else:
+        raise RuntimeError(f"transitive_closure: no fixpoint in {max_iters} rounds")
+    out_type = tbl.schema.field(src).type
+    return pa.table(
+        {
+            src: pc.cast(uniques.take(pa.array(closure // n)), out_type),
+            dst: pc.cast(uniques.take(pa.array(closure % n)), out_type),
+        }
+    )
+
+
+def transitive_closure(
+    edges_ds: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    method: str = "seminaive",
+    num_partitions: int = 32,
+    max_iters: int = 64,
+    broadcast_limit: int = 2_000_000,
+    local_pair_cap: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Reachability closure: all (a, b) with a directed path a -> b of
+    length >= 1 (SPARQL property-path ``p+`` / Datalog ancestor). Cycles
+    are fine — a node on a cycle reaches itself and the result is the
+    reachability SET, mirrored exactly by a recursive-CTE UNION.
+
+    Dual-path (SURVEY §7 discipline): up to ``broadcast_limit`` distinct
+    base pairs the whole recurrence runs as numpy kernels on the driver
+    (factorized codes, packed int64 keys, searchsorted joins) — each
+    distributed round costs ~2 shuffles of fixed overhead, ruinous for a
+    hierarchy-sized relation. If the LOCAL closure outgrows
+    ``local_pair_cap`` it is abandoned (loudly) for the distributed plan.
+
+    Two distributed plans past the limit, parity-tested against each
+    other, the local path and a brute-force binder
+    (tests/test_graphalgo.py):
+
+    - ``seminaive``: delta-join-base per round — new pairs =
+      distinct(delta(a,m) JOIN base(m,b)) anti-joined against the
+      closure-so-far. Work-efficient (every closure pair is produced by
+      its shortest derivation; the exchange per round is delta-bounded),
+      rounds = longest shortest-path length.
+    - ``doubling``: R <- distinct(R UNION R(a,m) JOIN R(m,b)) —
+      logarithmic rounds (ceil(log2 diameter) + 1) for latency-bound
+      deep hierarchies, at the cost of re-deriving pairs each round.
+
+    Scale note: the OUTPUT is the closure itself — Theta(V^2) on dense
+    graphs. That is inherent to the operator, not the plan; the
+    distributed plans stream it through bucketed shuffles without ever
+    collecting pairs on the driver. ``max_iters`` bounds runaway inputs
+    (raises past it).
+    """
+    from .relational import anti_join
+    from .util import join_partitions
+
+    if method not in ("seminaive", "doubling"):
+        raise ValueError(f"unknown method {method!r}")
+    base = _distinct_pairs(edges_ds, src, dst, num_partitions).materialize()
+    n_base = base.count()
+    if n_base == 0:
+        return base
+
+    if n_base <= broadcast_limit:
+        tbl = pa.concat_tables(
+            base.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        ).combine_chunks()
+        local = _closure_local(tbl, src, dst, max_iters, local_pair_cap)
+        if local is not None:
+            return ray.data.from_arrow(local)
+        logger.warning(
+            "transitive_closure: local closure exceeded local_pair_cap=%d; "
+            "falling back to the distributed %s plan", local_pair_cap, method,
+        )
+
+    def compose(left: ray.data.Dataset, n_left: int,
+                right: ray.data.Dataset, n_right: int) -> ray.data.Dataset:
+        """left(a, m) JOIN right(m, b) -> distinct (a, b)."""
+        l = left.map_batches(
+            lambda t: pa.table({"a_": _chunked(t[src]), "m_": _chunked(t[dst])}),
+            batch_format="pyarrow",
+        )
+        r = right.map_batches(
+            lambda t: pa.table({"m_": _chunked(t[src]), "b_": _chunked(t[dst])}),
+            batch_format="pyarrow",
+        )
+        joined = l.join(
+            r,
+            join_type="inner",
+            num_partitions=join_partitions(
+                num_partitions, max(n_left, n_right)
+            ),
+            on=("m_",),
+        ).map_batches(
+            lambda t: pa.table({src: _chunked(t["a_"]), dst: _chunked(t["b_"])}),
+            batch_format="pyarrow",
+        )
+        return _distinct_pairs(joined, src, dst, num_partitions)
+
+    if method == "doubling":
+        closure, n = base, n_base
+        for _ in range(max_iters):
+            squared = compose(closure, n, closure, n)
+            closure = _distinct_pairs(
+                closure.union(squared), src, dst, num_partitions
+            ).materialize()
+            n_new = closure.count()
+            if n_new == n:
+                return closure
+            n = n_new
+        raise RuntimeError(f"transitive_closure: no fixpoint in {max_iters} rounds")
+
+    # the closure's key column gets a RESERVED name: past the broadcast
+    # limit anti_join falls back to a marker hash join, and a right_on
+    # name that collides with a left column breaks that arm
+    def rekey(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda t: pa.table({"__tc_key": _chunked(t["pair_key"])}),
+            batch_format="pyarrow",
+        )
+
+    keyed = base.map_batches(
+        lambda t: _pack_pair_key(t, src, dst), batch_format="pyarrow"
+    ).materialize()
+    closure_keys = rekey(keyed).materialize()
+    closure = base
+    delta, n_delta = base, n_base
+    for _ in range(max_iters):
+        new = compose(delta, n_delta, base, n_base).map_batches(
+            lambda t: _pack_pair_key(t, src, dst), batch_format="pyarrow"
+        )
+        fresh = anti_join(
+            new, closure_keys, "pair_key", "__tc_key",
+            num_partitions=num_partitions,
+        ).materialize()
+        n_delta = fresh.count()
+        if n_delta == 0:
+            return closure
+        delta = fresh.select_columns([src, dst]).materialize()
+        closure = closure.union(delta).materialize()
+        closure_keys = closure_keys.union(rekey(fresh)).materialize()
+    raise RuntimeError(f"transitive_closure: no fixpoint in {max_iters} rounds")

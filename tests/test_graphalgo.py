@@ -4,6 +4,8 @@ PageRank (broadcast vs distributed-join parity), degrees, triangles."""
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import ray.data as rd
 
@@ -478,3 +480,78 @@ def test_sssp_khop_hand_checked_and_join_parity(ray_session):
         assert dict(
             zip(got["node_id"].to_pylist(), got["dist"].to_pylist())
         ) == {0: 0, 1: w0, 2: w0 + w1}, lim
+
+
+def _closure_bruteforce(edges):
+    """Reachability set via iterated relational composition on dicts."""
+    closure = set(edges)
+    while True:
+        new = {(a, d) for a, b in closure for c, d in edges if b == c}
+        grown = closure | new
+        if grown == closure:
+            return closure
+        closure = grown
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0, max_size=20, unique=True,
+    )
+)
+def test_transitive_closure_both_methods_match_bruteforce(ray_session, edges):
+    want = _closure_bruteforce(edges)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([str(a) for a, _ in edges], pa.string()),
+                "dst": pa.array([str(b) for _, b in edges], pa.string()),
+            }
+        )
+    ).repartition(2)
+    configs = [
+        {"method": "seminaive"},  # local numpy path (under broadcast_limit)
+        {"method": "seminaive", "broadcast_limit": 0},
+        {"method": "doubling", "broadcast_limit": 0},
+    ]
+    for cfg in configs:
+        out = graphalgo.transitive_closure(ds, **cfg).take_all()
+        got = {(int(r["src"]), int(r["dst"])) for r in out}
+        assert got == want, cfg
+        assert len(out) == len(want), cfg  # distinct pairs
+
+
+def test_transitive_closure_cycle_and_chain(ray_session):
+    # chain 0->1->2->3 plus cycle 4->5->4: cycle nodes reach themselves
+    edges = [("0", "1"), ("1", "2"), ("2", "3"), ("4", "5"), ("5", "4")]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.string()),
+                "dst": pa.array([b for _, b in edges], pa.string()),
+            }
+        )
+    )
+    want = {
+        ("0", "1"), ("0", "2"), ("0", "3"), ("1", "2"), ("1", "3"),
+        ("2", "3"), ("4", "5"), ("5", "4"), ("4", "4"), ("5", "5"),
+    }
+    for cfg in (
+        {},
+        {"broadcast_limit": 0},
+        {"method": "doubling", "broadcast_limit": 0},
+    ):
+        got = {
+            (r["src"], r["dst"])
+            for r in graphalgo.transitive_closure(ds, **cfg).take_all()
+        }
+        assert got == want, cfg
+    with pytest.raises(ValueError, match="unknown method"):
+        graphalgo.transitive_closure(ds, method="magic")
+    # cap overrun abandons the local path for the distributed plan
+    got = {
+        (r["src"], r["dst"])
+        for r in graphalgo.transitive_closure(ds, local_pair_cap=3).take_all()
+    }
+    assert got == want
