@@ -1149,6 +1149,29 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_inferred_treats(sf_dir: str):
+    """Rule materialization (SPARQL CONSTRUCT / Datalog head): treats
+    propagates one level up the part_of hierarchy — (a treats b) &
+    (b part_of c) => (a, biolink:treats, c) — returning only the
+    inference DELTA (triples not already asserted)."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.construct(
+        edges,
+        patterns=[
+            ("?a", "biolink:treats", "?b"),
+            ("?b", "biolink:part_of", "?c"),
+        ],
+        emit=("?a", "biolink:treats", "?c"),
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()),
+             ("object", pa.string())]
+        ),
+    )
+
+
 def q_part_of_closure(sf_dir: str):
     """Reachability closure of the part_of hierarchy (SPARQL
     `biolink:part_of+` / Datalog ancestor) — semi-naive delta-join rounds,
@@ -4100,6 +4123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_paths": q_bgp_paths,
         "bgp_optional": q_bgp_optional,
         "part_of_closure": q_part_of_closure,
+        "inferred_treats": q_inferred_treats,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5755,6 +5779,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT tc.part, rel.whole FROM tc JOIN rel ON tc.whole = rel.part
             )
             SELECT part, whole FROM tc
+        """,
+        "inferred_treats": f"""
+            WITH e AS ({kg_edges}),
+            inf AS (
+              SELECT DISTINCT e1.subject AS subject,
+                     'biolink:treats' AS predicate, e2.object AS object
+              FROM e e1 JOIN e e2 ON e2.subject = e1.object
+              WHERE e1.predicate = 'biolink:treats'
+                AND e2.predicate = 'biolink:part_of'
+            )
+            SELECT subject, predicate, object FROM inf
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e
+              WHERE e.subject = inf.subject
+                AND e.predicate = inf.predicate
+                AND e.object = inf.object
+            )
         """,
         "distinct_labels": f"""
             SELECT DISTINCT unnest(string_split(labels_str, ';')) AS label

@@ -203,3 +203,83 @@ def bgp_match(
         lambda t, _cols=tuple(acc_vars): t.select(list(_cols)),
         batch_format="pyarrow",
     )
+
+
+def construct(
+    edges: ray.data.Dataset,
+    patterns,
+    emit,
+    optional=(),
+    only_new: bool = True,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SPARQL CONSTRUCT / Datalog rule head: match ``patterns`` (and
+    ``optional``), then emit one (subject, predicate, object) triple per
+    binding from the ``emit`` template — each slot a ``?var`` or a
+    constant. Bindings with a null emitted term are skipped (the SPARQL
+    CONSTRUCT rule for incomplete triples). Output triples are distinct;
+    with ``only_new`` the existing edge set is anti-joined away so the
+    result is the INFERENCE DELTA, ready to union into the graph.
+
+    The rule-materialization primitive: e.g. emit=("?a",
+    "biolink:treats", "?c") over patterns [(?a treats ?b), (?b part_of
+    ?c)] propagates treats up the part-of hierarchy."""
+    if len(emit) != 3:
+        raise ValueError(f"emit must be (s, p, o), got {emit!r}")
+    bindings = bgp_match(
+        edges, patterns, optional=optional, num_partitions=num_partitions
+    )
+    bound = set(bindings.schema().names)
+    missing = [t[1:] for t in emit if _is_var(t) and t[1:] not in bound]
+    if missing:
+        raise ValueError(f"emit uses unbound variables {missing}")
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        for slot, term in zip(_SLOTS, emit):
+            if _is_var(term):
+                cols[slot] = pc.cast(t[term[1:]], pa.string())
+            else:
+                cols[slot] = pa.array([term] * t.num_rows, pa.string())
+        out = pa.table(cols)
+        return out.drop_null().group_by(list(_SLOTS)).aggregate([])
+
+    triples = bindings.map_batches(project, batch_format="pyarrow")
+    from .relational import anti_join, hash_bucketed_groupby
+
+    distinct = hash_bucketed_groupby(
+        triples, list(_SLOTS), lambda df: df.drop_duplicates(),
+        num_buckets=num_partitions,
+    ).map_batches(lambda t: t.select(list(_SLOTS)), batch_format="pyarrow")
+    if not only_new:
+        return distinct
+
+    def pack(t: pa.Table, out_col: str) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(_chunked_str(t["subject"]), pa.string()),
+            pc.cast(_chunked_str(t["predicate"]), pa.string()),
+            pc.cast(_chunked_str(t["object"]), pa.string()),
+            "\x1f",
+        )
+        return t.append_column(out_col, key)
+
+    keyed = distinct.map_batches(
+        lambda t: pack(t, "triple_key"), batch_format="pyarrow"
+    )
+    # reserved right-key name: a colliding right_on breaks the
+    # marker-join arm of anti_join past its broadcast limit
+    existing = edges.select_columns(list(_SLOTS)).map_batches(
+        lambda t: pack(t, "__existing_key").select(["__existing_key"]),
+        batch_format="pyarrow",
+    )
+    fresh = anti_join(
+        keyed, existing, "triple_key", "__existing_key",
+        num_partitions=num_partitions,
+    )
+    return fresh.map_batches(
+        lambda t: t.select(list(_SLOTS)), batch_format="pyarrow"
+    )
+
+
+def _chunked_str(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr

@@ -173,3 +173,47 @@ def test_bgp_empty_join_short_circuits(ray_session):
     tbl = out.take_all()
     assert tbl == []
     assert set(out.schema().names) == {"x", "y", "z"}
+
+
+def test_construct_rule_materialization(ray_session):
+    from kgray.bgp import construct
+
+    triples = [
+        ("a", "treats", "b"), ("b", "part_of", "c"), ("c", "part_of", "d"),
+        ("a", "treats", "x"),            # no part_of successor -> no inference
+        ("e", "treats", "f"), ("f", "part_of", "g"),
+        ("e", "treats", "g"),            # inference already asserted
+    ]
+    ds = _ds(triples)
+    rule = dict(
+        patterns=[("?a", "treats", "?b"), ("?b", "part_of", "?c")],
+        emit=("?a", "treats", "?c"),
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in construct(ds, **rule).take_all()
+    }
+    assert got == {("a", "treats", "c")}  # e->g already asserted
+    got_all = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in construct(ds, only_new=False, **rule).take_all()
+    }
+    assert got_all == {("a", "treats", "c"), ("e", "treats", "g")}
+
+
+def test_construct_contracts_and_null_skip(ray_session):
+    from kgray.bgp import construct
+
+    ds = _ds([("a", "p", "b"), ("b", "q", "c"), ("x", "p", "y")])
+    with pytest.raises(ValueError, match="unbound variables"):
+        construct(ds, [("?a", "p", "?b")], emit=("?a", "p", "?zzz"))
+    with pytest.raises(ValueError, match="emit must be"):
+        construct(ds, [("?a", "p", "?b")], emit=("?a", "?b"))
+    # optional-bound null terms are skipped (SPARQL CONSTRUCT rule)
+    out = construct(
+        ds, [("?a", "p", "?b")], optional=[("?b", "q", "?c")],
+        emit=("?a", "derived", "?c"), only_new=False,
+    ).take_all()
+    assert {(r["subject"], r["predicate"], r["object"]) for r in out} == {
+        ("a", "derived", "c")
+    }
