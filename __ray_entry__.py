@@ -1149,6 +1149,26 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_name_match_pairs(sf_dir: str):
+    """Entity-resolution candidates over the canonical node catalog:
+    char-bigram Jaccard >= 0.7 on normalized names (link.fuzzy_name_pairs
+    — the exact inverted-index join in char mode)."""
+    from kgray.materialize import build_nodes, catalog_index
+
+    canonical, catalog = _canonical_triples(sf_dir)
+    nodes = build_nodes(
+        canonical, lookups.broadcast(catalog_index(catalog)),
+        endpoint_cols=("subject_id", "object_id"),
+    )
+    return _table(
+        link.fuzzy_name_pairs(nodes, threshold=0.7),
+        schema=pa.schema(
+            [("id_a", pa.string()), ("id_b", pa.string()),
+             ("jaccard_ppm", pa.int64())]
+        ),
+    )
+
+
 def q_inferred_treats(sf_dir: str):
     """Rule materialization (SPARQL CONSTRUCT / Datalog head): treats
     propagates one level up the part_of hierarchy — (a treats b) &
@@ -4124,6 +4144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_optional": q_bgp_optional,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
+        "name_match_pairs": q_name_match_pairs,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5796,6 +5817,36 @@ def oracle_sql() -> dict[str, str]:
                 AND e.predicate = inf.predicate
                 AND e.object = inf.object
             )
+        """,
+        "name_match_pairs": f"""
+            WITH nrm AS (
+              SELECT id, regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS nm
+              FROM ({kg_nodes})
+            ), grams AS (
+              SELECT id, unnest(
+                CASE WHEN len(nm) >= 2 THEN
+                  list_distinct(list_transform(generate_series(1, len(nm)-1),
+                                               i -> substr(nm, i, 2)))
+                WHEN len(nm) >= 1 THEN [nm] ELSE [] END) AS gram
+              FROM nrm
+            ), gram_df AS (
+              SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1
+            ), kept AS (
+              SELECT g.id, g.gram FROM grams g
+              JOIN gram_df d ON g.gram = d.gram WHERE d.df <= 1000
+            ), counts AS (
+              SELECT id, COUNT(*) AS c FROM kept GROUP BY 1
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+              FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   (1000000 * n) // (ca.c + cb.c - n) AS jaccard_ppm
+            FROM inter
+            JOIN counts ca ON ca.id = id_a
+            JOIN counts cb ON cb.id = id_b
+            WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.7
         """,
         "distinct_labels": f"""
             SELECT DISTINCT unnest(string_split(labels_str, ';')) AS label

@@ -111,7 +111,7 @@ def run_bench() -> dict:
             "edge_provenance", "entity_timeline", "conv_kg_stats",
             "schema_census", "bm25_retrieval", "watermark_late",
             "rdf_roundtrip", "bgp_paths", "bgp_optional",
-            "part_of_closure", "inferred_treats",
+            "part_of_closure", "inferred_treats", "name_match_pairs",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

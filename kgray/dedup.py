@@ -135,6 +135,25 @@ def _word_hashes(texts_col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return hashes, lengths
 
 
+def _char_hashes(texts_col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Per-BYTE values + per-row byte counts for char-gram similarity
+    (zero-copy off the Arrow string buffer — rows are contiguous, so the
+    flat byte stream between the first and last offsets IS the row
+    concatenation). Callers should pre-normalize to lowercase ASCII so
+    byte grams equal character grams."""
+    arr = pc.cast(pc.fill_null(texts_col, ""), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lengths = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
+    data_buf = arr.buffers()[2]
+    if data_buf is None or int(lengths.sum()) == 0:
+        return np.zeros(0, dtype=np.uint64), lengths
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    return data[offsets[0] : offsets[-1]].astype(np.uint64), lengths
+
+
 def _gram_hashes(
     word_h: np.ndarray, lengths: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -505,6 +524,7 @@ def ngram_jaccard_pairs(
     broadcast_limit: int = 500_000,
     num_partitions: int = 32,
     stats: dict | None = None,
+    gram_mode: str = "word",
 ) -> ray.data.Dataset:
     """EXACT word-``k``-gram Jaccard pairs >= ``threshold`` via a distributed
     inverted-index join (gram -> posting list -> co-occurrence counts) — no
@@ -519,6 +539,10 @@ def ngram_jaccard_pairs(
     distinct dropped grams is logged and reported via ``stats``
     (``{'dropped_grams': n}``) if a dict is passed.
 
+    ``gram_mode='char'`` grams over BYTES instead of words (pre-normalize
+    to lowercase ASCII so bytes == characters) — the entity-resolution
+    name-similarity configuration (``link.fuzzy_name_pairs``).
+
     Shuffle plan: ONE gram-keyed exchange of (doc, gram) rows whose
     per-bucket pass emits all three reductions as a tagged union (pair
     co-counts, per-doc retained-gram counts, over-``max_df`` drop audit) —
@@ -529,13 +553,19 @@ def ngram_jaccard_pairs(
     """
     from .relational import hash_bucketed_groupby
 
+    if gram_mode not in ("word", "char"):
+        raise ValueError(f"unknown gram_mode {gram_mode!r}")
+
     def to_grams(batch: pa.Table) -> pa.Table:
         # vectorized: rolling-hash k-grams (same equality structure as the
         # string grams — two docs share a hashed gram iff they share the
         # word k-gram, modulo a 2^-64 collision), deduped per row to SET
         # semantics; the shuffle then moves uint64s instead of strings
-        word_h, lengths = _word_hashes(_chunked(batch[text_col]))
-        grams, n_grams = _gram_hashes(word_h, lengths, k)
+        if gram_mode == "char":
+            unit_h, lengths = _char_hashes(_chunked(batch[text_col]))
+        else:
+            unit_h, lengths = _word_hashes(_chunked(batch[text_col]))
+        grams, n_grams = _gram_hashes(unit_h, lengths, k)
         rows = np.repeat(np.arange(len(n_grams), dtype=np.int64), n_grams)
         order = np.lexsort((grams, rows))
         r, g = rows[order], grams[order]

@@ -222,3 +222,48 @@ def split_linked(linked_ds):
         lambda t: t.filter(pc.invert(t["linked"])), batch_format="pyarrow"
     )
     return keep, dropped
+
+
+def fuzzy_name_pairs(
+    nodes: "ray.data.Dataset",
+    id_col: str = "id",
+    name_col: str = "name",
+    threshold: float = 0.7,
+    k: int = 2,
+    max_df: int = 1000,
+    **kwargs,
+):
+    """Entity-resolution candidate pairs: node ids whose NORMALIZED names
+    (lowercased, non-alphanumerics stripped) have char-``k``-gram Jaccard
+    >= ``threshold``. The blocking+verify half of ER — downstream merge
+    decisions ride ``graphalgo.dedup_clusters`` like any other pair set.
+
+    Plan: the exact inverted-index join of ``dedup.ngram_jaccard_pairs``
+    in char mode — ONE gram-keyed shuffle regardless of corpus size; the
+    normalization makes byte grams equal character grams so the SQL
+    oracle can mirror it with substr(). Returns (id_a, id_b,
+    jaccard_ppm)."""
+    from .dedup import ngram_jaccard_pairs
+
+    def norm(t: pa.Table) -> pa.Table:
+        name = pc.cast(t[name_col], pa.string())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "__norm_name": pc.replace_substring_regex(
+                    pc.utf8_lower(pc.fill_null(name, "")), "[^a-z0-9]", ""
+                ),
+            }
+        )
+
+    pairs = ngram_jaccard_pairs(
+        nodes.select_columns([id_col, name_col]).map_batches(
+            norm, batch_format="pyarrow"
+        ),
+        threshold=threshold, id_col=id_col, text_col="__norm_name",
+        k=k, max_df=max_df, gram_mode="char", **kwargs,
+    )
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "jaccard_ppm"]),
+        batch_format="pyarrow",
+    )

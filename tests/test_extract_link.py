@@ -207,3 +207,42 @@ def test_join_linking_parity_case_variants_and_duplicate_names(ray_session):
     assert by_mention["nope"] is None
     by_obj = {r["subject_mention"]: r["object_id"] for r in a}
     assert by_obj["ASPIRIN"] == "E:3"  # object "Aspirin" -> last dup name
+
+
+def test_fuzzy_name_pairs_hand_checked(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.link import fuzzy_name_pairs
+
+    tbl = pa.table(
+        {
+            "id": ["n1", "n2", "n3", "n4", "n5"],
+            "name": ["Aspirin", "aspirin!", "Aspirine", "Ibuprofen", "x"],
+        }
+    )
+    out = fuzzy_name_pairs(
+        rd.from_arrow(tbl).repartition(2), threshold=0.7
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in out}
+    # n1/n2 normalize identically -> jaccard 1
+    assert got[("n1", "n2")] == 1_000_000
+    # aspirin vs aspirine: bigrams {as,sp,pi,ir,ri,in} vs +{ne}: 6/7
+    assert got[("n1", "n3")] == (1_000_000 * 6) // 7
+    assert got[("n2", "n3")] == got[("n1", "n3")]
+    assert set(got) == {("n1", "n2"), ("n1", "n3"), ("n2", "n3")}
+
+
+def test_fuzzy_name_pairs_short_and_empty_names(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.link import fuzzy_name_pairs
+
+    tbl = pa.table(
+        {
+            "id": ["a", "b", "c", "d"],
+            "name": ["X", "x", "", None],  # single-char gram fallback
+        }
+    )
+    out = fuzzy_name_pairs(rd.from_arrow(tbl), threshold=0.5).take_all()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in out}
+    assert got == {("a", "b"): 1_000_000}  # empty/null contribute no grams
