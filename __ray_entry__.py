@@ -1149,6 +1149,23 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_treats_ancestors(sf_dir: str):
+    """SPARQL property path inside a BGP: ?a treats ?b . ?b part_of+ ?c
+    — every (treatment, part-of ANCESTOR of its target) pair, the
+    closure-expanded form of `inferred_treats`'s one-level rule."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges,
+        [("?a", "biolink:treats", "?b"), ("?b", "biolink:part_of+", "?c")],
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
+    )
+
+
 def q_name_match_pairs(sf_dir: str):
     """Entity-resolution candidates over the canonical node catalog:
     char-bigram Jaccard >= 0.7 on normalized names (link.fuzzy_name_pairs
@@ -4145,6 +4162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
+        "treats_ancestors": q_treats_ancestors,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5817,6 +5835,21 @@ def oracle_sql() -> dict[str, str]:
                 AND e.predicate = inf.predicate
                 AND e.object = inf.object
             )
+        """,
+        "treats_ancestors": f"""
+            WITH RECURSIVE e AS ({kg_edges}),
+            rel AS (
+              SELECT subject AS part, object AS whole FROM e
+              WHERE predicate = 'biolink:part_of'
+            ),
+            tc AS (
+              SELECT part, whole FROM rel
+              UNION
+              SELECT tc.part, rel.whole FROM tc JOIN rel ON tc.whole = rel.part
+            )
+            SELECT t.subject AS a, t.object AS b, tc.whole AS c
+            FROM e t JOIN tc ON tc.part = t.object
+            WHERE t.predicate = 'biolink:treats'
         """,
         "name_match_pairs": f"""
             WITH nrm AS (

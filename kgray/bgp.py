@@ -51,15 +51,43 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def _pattern_relation(edges: ray.data.Dataset, pattern) -> "tuple[ray.data.Dataset, list[str]]":
+def _pattern_relation(
+    edges: ray.data.Dataset, pattern, num_partitions: int = 32
+) -> "tuple[ray.data.Dataset, list[str]]":
     """One triple pattern -> (relation Dataset, variable column names).
     Constants filter; repeated variables add slot-equality masks; the
-    projection keeps each variable once, named without the ``?``."""
+    projection keeps each variable once, named without the ``?``.
+
+    A constant predicate ending in ``+`` is a SPARQL property path: the
+    pattern matches the TRANSITIVE CLOSURE of that predicate's edge set
+    (``graphalgo.transitive_closure`` — one closure compute feeding the
+    same constant/variable handling on its two endpoint slots)."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
-    consts = [(slot, t) for slot, t in zip(_SLOTS, pattern) if not _is_var(t)]
+    p_term = pattern[1]
+    if not _is_var(p_term) and isinstance(p_term, str) and p_term.endswith("+"):
+        from .graphalgo import transitive_closure
+
+        pred = p_term[:-1]
+        base = edges.select_columns(list(_SLOTS)).map_batches(
+            lambda t, _p=pred: pa.table(
+                {"subject": t["subject"], "object": t["object"]}
+            ).filter(pc.fill_null(pc.equal(t["predicate"], _p), False)),
+            batch_format="pyarrow",
+        )
+        base = transitive_closure(
+            base, src="subject", dst="object", num_partitions=num_partitions
+        )
+        slots: tuple = ("subject", "object")
+        terms = (pattern[0], pattern[2])
+    else:
+        base = edges.select_columns(list(_SLOTS))
+        slots = _SLOTS
+        terms = pattern
+
+    consts = [(slot, t) for slot, t in zip(slots, terms) if not _is_var(t)]
     var_slots: dict[str, list[str]] = {}
-    for slot, t in zip(_SLOTS, pattern):
+    for slot, t in zip(slots, terms):
         if _is_var(t):
             var_slots.setdefault(t[1:], []).append(slot)
     if not var_slots:
@@ -71,20 +99,15 @@ def _pattern_relation(edges: ray.data.Dataset, pattern) -> "tuple[ray.data.Datas
         for slot, value in consts:
             m = pc.equal(t[slot], pa.scalar(value, pa.string()))
             mask = m if mask is None else pc.and_(mask, m)
-        for slots in var_slots.values():
-            for extra in slots[1:]:  # repeated variable: slots must agree
-                m = pc.equal(t[slots[0]], t[extra])
+        for vslots in var_slots.values():
+            for extra in vslots[1:]:  # repeated variable: slots must agree
+                m = pc.equal(t[vslots[0]], t[extra])
                 mask = m if mask is None else pc.and_(mask, m)
         if mask is not None:
             t = t.filter(pc.fill_null(mask, False))
-        return pa.table({v: t[slots[0]] for v, slots in var_slots.items()})
+        return pa.table({v: t[vslots[0]] for v, vslots in var_slots.items()})
 
-    return (
-        edges.select_columns(list(_SLOTS)).map_batches(
-            project, batch_format="pyarrow"
-        ),
-        var_names,
-    )
+    return base.map_batches(project, batch_format="pyarrow"), var_names
 
 
 def _empty_result(var_names) -> ray.data.Dataset:
@@ -112,11 +135,11 @@ def bgp_match(
     if not patterns:
         raise ValueError("need at least one pattern")
 
-    acc, acc_vars = _pattern_relation(edges, patterns[0])
+    acc, acc_vars = _pattern_relation(edges, patterns[0], num_partitions)
     acc = acc.materialize()
     n_acc = acc.count()
     for pat in patterns[1:]:
-        rel, rel_vars = _pattern_relation(edges, pat)
+        rel, rel_vars = _pattern_relation(edges, pat, num_partitions)
         shared = [v for v in acc_vars if v in rel_vars]
         if not shared:
             raise ValueError(
@@ -150,7 +173,7 @@ def bgp_match(
     opt_relations = []  # validated before any short-circuit return
     seen_opt_vars: set[str] = set()
     for pat in optional:
-        rel, rel_vars = _pattern_relation(edges, pat)
+        rel, rel_vars = _pattern_relation(edges, pat, num_partitions)
         shared = [v for v in rel_vars if v in required_vars]
         fresh = [v for v in rel_vars if v not in required_vars]
         if not shared:

@@ -217,3 +217,39 @@ def test_construct_contracts_and_null_skip(ray_session):
     assert {(r["subject"], r["predicate"], r["object"]) for r in out} == {
         ("a", "derived", "c")
     }
+
+
+@settings(max_examples=8, deadline=None)
+@given(triples_strategy)
+def test_bgp_property_path_matches_closure_bruteforce(ray_session, triples):
+    # closure of the 'p' relation, brute-force
+    p_edges = {(s, o) for s, p, o in triples if p == "p"}
+    closure = set(p_edges)
+    while True:
+        new = {(a, d) for a, b in closure for c, d in p_edges if b == c}
+        if new <= closure:
+            break
+        closure |= new
+    out = bgp_match(_ds(triples), [("?x", "p+", "?y")]).take_all()
+    assert {(r["x"], r["y"]) for r in out} == closure
+    assert len(out) == len(closure)
+    # composed with a plain pattern: q then p+ chain
+    want = {
+        (s, o, b) for s, p, o in triples if p == "q"
+        for a, b in closure if a == o
+    }
+    out2 = bgp_match(
+        _ds(triples), [("?x", "q", "?y"), ("?y", "p+", "?z")]
+    ).take_all()
+    assert {(r["x"], r["y"], r["z"]) for r in out2} == want
+
+
+def test_bgp_property_path_constants_and_self(ray_session):
+    ds = _ds([("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+              ("x", "p", "y")])
+    # constant subject over the closure
+    out = bgp_match(ds, [("a", "p+", "?r")]).take_all()
+    assert {r["r"] for r in out} == {"a", "b", "c"}  # cycle: a reaches itself
+    # repeated variable: nodes on a cycle
+    out2 = bgp_match(ds, [("?n", "p+", "?n")]).take_all()
+    assert {r["n"] for r in out2} == {"a", "b", "c"}
