@@ -1149,6 +1149,21 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_leaf_treatments(sf_dir: str):
+    """SPARQL MINUS: treats edges whose target has no part_of parent
+    (leaf-targeted treatments) — the negation complement of
+    `bgp_optional`'s left join."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges,
+        [("?a", "biolink:treats", "?b")],
+        minus=[[("?b", "biolink:part_of", "?c")]],
+    )
+    return _table(
+        out, schema=pa.schema([("a", pa.string()), ("b", pa.string())])
+    )
+
+
 def q_treats_ancestors(sf_dir: str):
     """SPARQL property path inside a BGP: ?a treats ?b . ?b part_of+ ?c
     — every (treatment, part-of ANCESTOR of its target) pair, the
@@ -4163,6 +4178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
         "treats_ancestors": q_treats_ancestors,
+        "leaf_treatments": q_leaf_treatments,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5835,6 +5851,17 @@ def oracle_sql() -> dict[str, str]:
                 AND e.predicate = inf.predicate
                 AND e.object = inf.object
             )
+        """,
+        "leaf_treatments": f"""
+            WITH e AS ({kg_edges})
+            SELECT t.subject AS a, t.object AS b
+            FROM e t
+            WHERE t.predicate = 'biolink:treats'
+              AND NOT EXISTS (
+                SELECT 1 FROM e p
+                WHERE p.predicate = 'biolink:part_of'
+                  AND p.subject = t.object
+              )
         """,
         "treats_ancestors": f"""
             WITH RECURSIVE e AS ({kg_edges}),

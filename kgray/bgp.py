@@ -120,6 +120,7 @@ def bgp_match(
     edges: ray.data.Dataset,
     patterns,
     optional=(),
+    minus=(),
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Match a conjunction of triple ``patterns`` against a distinct
@@ -131,7 +132,14 @@ def bgp_match(
     (unmatched rows keep nulls for its fresh variables). Every optional
     pattern must share >=1 variable with the REQUIRED set and bind >=1
     fresh variable not seen anywhere else — cross-optional correlation
-    is refused rather than silently mis-scoped."""
+    is refused rather than silently mis-scoped.
+
+    ``minus`` is a sequence of pattern GROUPS (each a conjunction,
+    evaluated like ``patterns``): required bindings compatible with any
+    group binding on their shared variables are REMOVED (SPARQL MINUS as
+    an anti-join on a packed shared-variable key). A group sharing no
+    variable with the required set is refused — under SPARQL semantics
+    it would remove nothing, which is never what the query meant."""
     if not patterns:
         raise ValueError("need at least one pattern")
 
@@ -170,6 +178,49 @@ def bgp_match(
         acc_vars = acc_vars + new_vars
 
     required_vars = list(acc_vars)
+
+    def _pack_vars(t: pa.Table, cols, out_col: str) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            *[pc.cast(t[c], pa.string()) for c in cols], "\x1f"
+        ) if len(cols) > 1 else pc.cast(t[cols[0]], pa.string())
+        return t.append_column(out_col, key)
+
+    for group in minus:
+        sub = bgp_match(edges, group, num_partitions=num_partitions)
+        shared = [v for v in required_vars if v in sub.schema().names]
+        if not shared:
+            raise ValueError(
+                f"minus group {group!r} shares no variable with the "
+                f"required bindings {required_vars} — under SPARQL MINUS "
+                "it would remove nothing"
+            )
+        if n_acc == 0:
+            continue
+        sub = sub.materialize()
+        if sub.count() == 0:
+            continue
+        from .relational import anti_join
+
+        # reserved right-key name: a colliding right_on breaks the
+        # marker-join arm of anti_join past its broadcast limit
+        sub_keys = sub.map_batches(
+            lambda t, _s=tuple(shared): _pack_vars(
+                t, list(_s), "__minus_key"
+            ).select(["__minus_key"]),
+            batch_format="pyarrow",
+        )
+        keyed = acc.map_batches(
+            lambda t, _s=tuple(shared): _pack_vars(t, list(_s), "bind_key"),
+            batch_format="pyarrow",
+        )
+        acc = anti_join(
+            keyed, sub_keys, "bind_key", "__minus_key",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.drop_columns(["bind_key"]), batch_format="pyarrow"
+        ).materialize()
+        n_acc = acc.count()
+
     opt_relations = []  # validated before any short-circuit return
     seen_opt_vars: set[str] = set()
     for pat in optional:

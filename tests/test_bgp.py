@@ -253,3 +253,40 @@ def test_bgp_property_path_constants_and_self(ray_session):
     # repeated variable: nodes on a cycle
     out2 = bgp_match(ds, [("?n", "p+", "?n")]).take_all()
     assert {r["n"] for r in out2} == {"a", "b", "c"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(triples_strategy)
+def test_bgp_minus_matches_bruteforce(ray_session, triples):
+    patterns = [("?x", "p", "?y")]
+    cases = [
+        [[("?y", "q", "?z")]],                      # one single-pattern group
+        [[("?x", "q", "?w")], [("?y", "q", "?z")]], # two groups
+        [[("?y", "q", "?z"), ("?z", "p", "?x")]],   # conjunctive group
+    ]
+    for minus in cases:
+        want, var_order = _ref_bgp(triples, patterns)
+        survivors = set()
+        for binding in want:
+            bind = dict(zip(var_order, binding))
+            removed = False
+            for group in minus:
+                g_want, g_vars = _ref_bgp(triples, group)
+                shared = [v for v in var_order if v in g_vars]
+                g_proj = {tuple(dict(zip(g_vars, g))[v] for v in shared)
+                          for g in g_want}
+                if tuple(bind[v] for v in shared) in g_proj:
+                    removed = True
+                    break
+            if not removed:
+                survivors.add(binding)
+        out = bgp_match(_ds(triples), patterns, minus=minus).take_all()
+        got = {tuple(r[v] for v in var_order) for r in out}
+        assert got == survivors, minus
+        assert len(out) == len(survivors), minus
+
+
+def test_bgp_minus_contract(ray_session):
+    ds = _ds([("a", "p", "b")])
+    with pytest.raises(ValueError, match="minus group"):
+        bgp_match(ds, [("?x", "p", "?y")], minus=[[("?u", "q", "?v")]])
