@@ -1149,6 +1149,19 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_part_of_connected(sf_dir: str):
+    """Property-path grammar: (part_of | ^part_of)+ — ordered pairs of
+    nodes in the same UNDIRECTED part_of component (every non-isolated
+    node reaches itself through the back-and-forth cycle)."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges, [("?x", "biolink:part_of|^biolink:part_of+", "?y")]
+    )
+    return _table(
+        out, schema=pa.schema([("x", pa.string()), ("y", pa.string())])
+    )
+
+
 def q_leaf_treatments(sf_dir: str):
     """SPARQL MINUS: treats edges whose target has no part_of parent
     (leaf-targeted treatments) — the negation complement of
@@ -4179,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_match_pairs": q_name_match_pairs,
         "treats_ancestors": q_treats_ancestors,
         "leaf_treatments": q_leaf_treatments,
+        "part_of_connected": q_part_of_connected,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5851,6 +5865,21 @@ def oracle_sql() -> dict[str, str]:
                 AND e.predicate = inf.predicate
                 AND e.object = inf.object
             )
+        """,
+        "part_of_connected": f"""
+            WITH RECURSIVE rel AS (
+              SELECT subject AS x, object AS y FROM ({kg_edges})
+              WHERE predicate = 'biolink:part_of'
+            ),
+            und AS (
+              SELECT x, y FROM rel UNION SELECT y, x FROM rel
+            ),
+            tc AS (
+              SELECT x, y FROM und
+              UNION
+              SELECT tc.x, und.y FROM tc JOIN und ON tc.y = und.x
+            )
+            SELECT x, y FROM tc
         """,
         "leaf_treatments": f"""
             WITH e AS ({kg_edges})

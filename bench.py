@@ -112,7 +112,7 @@ def run_bench() -> dict:
             "schema_census", "bm25_retrieval", "watermark_late",
             "rdf_roundtrip", "bgp_paths", "bgp_optional",
             "part_of_closure", "inferred_treats", "name_match_pairs",
-            "treats_ancestors", "leaf_treatments",
+            "treats_ancestors", "leaf_treatments", "part_of_connected",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

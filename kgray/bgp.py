@@ -65,19 +65,12 @@ def _pattern_relation(
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p_term = pattern[1]
-    if not _is_var(p_term) and isinstance(p_term, str) and p_term.endswith("+"):
-        from .graphalgo import transitive_closure
-
-        pred = p_term[:-1]
-        base = edges.select_columns(list(_SLOTS)).map_batches(
-            lambda t, _p=pred: pa.table(
-                {"subject": t["subject"], "object": t["object"]}
-            ).filter(pc.fill_null(pc.equal(t["predicate"], _p), False)),
-            batch_format="pyarrow",
-        )
-        base = transitive_closure(
-            base, src="subject", dst="object", num_partitions=num_partitions
-        )
+    if (
+        not _is_var(p_term)
+        and isinstance(p_term, str)
+        and any(c in p_term for c in "+|^")
+    ):
+        base = _path_relation(edges, p_term, num_partitions)
         slots: tuple = ("subject", "object")
         terms = (pattern[0], pattern[2])
     else:
@@ -108,6 +101,53 @@ def _pattern_relation(
         return pa.table({v: t[vslots[0]] for v, vslots in var_slots.items()})
 
     return base.map_batches(project, batch_format="pyarrow"), var_names
+
+
+def _path_relation(
+    edges: ray.data.Dataset, expr: str, num_partitions: int
+) -> ray.data.Dataset:
+    """SPARQL property-path subset -> (subject, object) relation.
+
+    Grammar: ``alt ::= pred | ^pred`` (inverse swaps the endpoints),
+    ``expr ::= alt ('|' alt)* ['+']`` — a trailing ``+`` takes the
+    transitive closure of the UNION relation (so ``(p|^p)+`` is
+    undirected reachability). Each alternative is one filtered
+    projection of the edge stream; closure rides
+    ``graphalgo.transitive_closure``'s dual-path plan."""
+    closure = expr.endswith("+")
+    body = expr[:-1] if closure else expr
+    parts = []
+    for alt in body.split("|"):
+        inverse = alt.startswith("^")
+        pred = alt[1:] if inverse else alt
+        if not pred or any(c in pred for c in "+|^"):
+            raise ValueError(
+                f"unsupported property path {expr!r} — grammar is "
+                "pred | ^pred, '|'-alternation, one trailing '+'"
+            )
+        s_col, o_col = ("object", "subject") if inverse else ("subject", "object")
+        parts.append(
+            edges.select_columns(list(_SLOTS)).map_batches(
+                lambda t, _p=pred, _s=s_col, _o=o_col: pa.table(
+                    {"subject": t[_s], "object": t[_o]}
+                ).filter(pc.fill_null(pc.equal(t["predicate"], _p), False)),
+                batch_format="pyarrow",
+            )
+        )
+    base = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    if closure:
+        from .graphalgo import transitive_closure
+
+        return transitive_closure(
+            base, src="subject", dst="object", num_partitions=num_partitions
+        )
+    if len(parts) > 1:
+        # (s,p1,o) and (s,p2,o) both existing would double the (s,o)
+        # binding — alternation must stay a SET like every other relation
+        from .graphalgo import _distinct_pairs
+
+        return _distinct_pairs(base, "subject", "object", num_partitions)
+    return base
 
 
 def _empty_result(var_names) -> ray.data.Dataset:

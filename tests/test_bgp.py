@@ -290,3 +290,44 @@ def test_bgp_minus_contract(ray_session):
     ds = _ds([("a", "p", "b")])
     with pytest.raises(ValueError, match="minus group"):
         bgp_match(ds, [("?x", "p", "?y")], minus=[[("?u", "q", "?v")]])
+
+
+def _path_pairs(triples, expr):
+    """Brute-force property-path relation."""
+    closure = expr.endswith("+")
+    body = expr[:-1] if closure else expr
+    pairs = set()
+    for alt in body.split("|"):
+        inv = alt.startswith("^")
+        pred = alt[1:] if inv else alt
+        for s, p, o in triples:
+            if p == pred:
+                pairs.add((o, s) if inv else (s, o))
+    if closure:
+        while True:
+            new = {(a, d) for a, b in pairs for c, d in pairs if b == c}
+            if new <= pairs:
+                return pairs
+            pairs |= new
+    return pairs
+
+
+@settings(max_examples=8, deadline=None)
+@given(triples_strategy)
+def test_bgp_path_grammar_matches_bruteforce(ray_session, triples):
+    for expr in ("^p", "p|q", "^p|q", "(never)|p".replace("(never)", "zz"),
+                 "p|^p", "p|^p+"):
+        # note: 'p|^p+' parses as closure OVER the union (grammar: one
+        # trailing +), i.e. undirected reachability for p
+        want = _path_pairs(triples, expr)
+        out = bgp_match(_ds(triples), [("?x", expr, "?y")]).take_all()
+        got = {(r["x"], r["y"]) for r in out}
+        assert got == want, expr
+        assert len(out) == len(want), expr
+
+
+def test_bgp_path_grammar_errors(ray_session):
+    ds = _ds([("a", "p", "b")])
+    for bad in ("p++", "p|", "^", "|p", "p|^"):
+        with pytest.raises(ValueError, match="unsupported property path"):
+            bgp_match(ds, [("?x", bad, "?y")])
