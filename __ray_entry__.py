@@ -1149,6 +1149,31 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_datalog_ancestors(sf_dir: str):
+    """Datalog saturation (bgp.infer_fixpoint) of the classic ancestor
+    program — anc(x,y) :- part_of(x,y); anc(x,z) :- anc(x,y), anc(y,z)
+    — over the canonical triples. The quadratic rule doubles derivation
+    depth per round, so saturation converges in ~log2(depth) rounds; the
+    result equals part_of's transitive closure re-labeled 'anc'."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.infer_fixpoint(
+        edges,
+        [
+            {"patterns": [("?x", "biolink:part_of", "?y")],
+             "emit": ("?x", "anc", "?y")},
+            {"patterns": [("?x", "anc", "?y"), ("?y", "anc", "?z")],
+             "emit": ("?x", "anc", "?z")},
+        ],
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()),
+             ("object", pa.string())]
+        ),
+    )
+
+
 def q_part_of_connected(sf_dir: str):
     """Property-path grammar: (part_of | ^part_of)+ — ordered pairs of
     nodes in the same UNDIRECTED part_of component (every non-isolated
@@ -4193,6 +4218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "treats_ancestors": q_treats_ancestors,
         "leaf_treatments": q_leaf_treatments,
         "part_of_connected": q_part_of_connected,
+        "datalog_ancestors": q_datalog_ancestors,
         "distinct_labels": q_distinct_labels,
         "graph_counts": q_graph_counts,
         "lang_id": q_lang_id,
@@ -5865,6 +5891,19 @@ def oracle_sql() -> dict[str, str]:
                 AND e.predicate = inf.predicate
                 AND e.object = inf.object
             )
+        """,
+        "datalog_ancestors": f"""
+            WITH RECURSIVE rel AS (
+              SELECT subject AS part, object AS whole FROM ({kg_edges})
+              WHERE predicate = 'biolink:part_of'
+            ),
+            tc AS (
+              SELECT part, whole FROM rel
+              UNION
+              SELECT tc.part, rel.whole FROM tc JOIN rel ON tc.whole = rel.part
+            )
+            SELECT part AS subject, 'anc' AS predicate, whole AS object
+            FROM tc
         """,
         "part_of_connected": f"""
             WITH RECURSIVE rel AS (

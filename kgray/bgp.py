@@ -397,3 +397,55 @@ def construct(
 
 def _chunked_str(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def infer_fixpoint(
+    edges: ray.data.Dataset,
+    rules,
+    max_rounds: int = 32,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Datalog-style saturation: apply every rule (a ``construct``
+    spec: {'patterns': [...], 'emit': (s, p, o), 'optional': [...]})
+    against the CURRENT graph — asserted plus everything inferred so
+    far — until a full round adds no fresh triple. Returns the distinct
+    INFERRED delta (input triples are never re-emitted).
+
+    This is the NAIVE evaluation strategy: each round re-matches every
+    rule against the whole graph, so rounds cost full BGP folds and the
+    round count is the derivation depth. For single linear rules
+    (ancestor/reachability shapes) prefer a ``pred+`` property path or
+    ``transitive_closure`` — their semi-naive/doubling plans do the same
+    work without re-derivation. ``infer_fixpoint`` is the general
+    fallback for MULTI-rule programs whose rules feed each other."""
+    if not rules:
+        raise ValueError("need at least one rule")
+    graph = edges.select_columns(list(_SLOTS)).materialize()
+    inferred: "ray.data.Dataset | None" = None
+    for _ in range(max_rounds):
+        fresh_any = False
+        for rule in rules:
+            fresh = construct(
+                graph,
+                rule["patterns"],
+                rule["emit"],
+                optional=rule.get("optional", ()),
+                only_new=True,
+                num_partitions=num_partitions,
+            ).materialize()
+            if fresh.count():
+                fresh_any = True
+                graph = graph.union(fresh).materialize()
+                inferred = (
+                    fresh if inferred is None
+                    else inferred.union(fresh).materialize()
+                )
+        if not fresh_any:
+            if inferred is None:
+                return ray.data.from_arrow(
+                    pa.table(
+                        {s: pa.array([], pa.string()) for s in _SLOTS}
+                    )
+                )
+            return inferred
+    raise RuntimeError(f"infer_fixpoint: no fixpoint in {max_rounds} rounds")

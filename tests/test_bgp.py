@@ -331,3 +331,44 @@ def test_bgp_path_grammar_errors(ray_session):
     for bad in ("p++", "p|", "^", "|p", "p|^"):
         with pytest.raises(ValueError, match="unsupported property path"):
             bgp_match(ds, [("?x", bad, "?y")])
+
+
+def test_infer_fixpoint_ancestor_program_matches_closure(ray_session):
+    from kgray.bgp import infer_fixpoint
+    from kgray import graphalgo
+
+    triples = [("a", "part_of", "b"), ("b", "part_of", "c"),
+               ("c", "part_of", "d"), ("x", "part_of", "y"),
+               ("a", "anc", "b")]  # one ancestor fact pre-asserted
+    ds = _ds(triples)
+    rules = [
+        {"patterns": [("?x", "part_of", "?y")], "emit": ("?x", "anc", "?y")},
+        {"patterns": [("?x", "anc", "?y"), ("?y", "anc", "?z")],
+         "emit": ("?x", "anc", "?z")},
+    ]
+    out = infer_fixpoint(ds, rules).take_all()
+    got = {(r["subject"], r["object"]) for r in out}
+    assert all(r["predicate"] == "anc" for r in out)
+    closure = {
+        (r["src"], r["dst"])
+        for r in graphalgo.transitive_closure(
+            _ds([t for t in triples if t[1] == "part_of"]).map_batches(
+                lambda t: t.rename_columns(["src", "predicate", "dst"]),
+                batch_format="pyarrow",
+            )
+        ).take_all()
+    }
+    assert got == closure - {("a", "b")}  # pre-asserted fact not re-emitted
+
+
+def test_infer_fixpoint_empty_and_contract(ray_session):
+    from kgray.bgp import infer_fixpoint
+
+    ds = _ds([("a", "p", "b")])
+    with pytest.raises(ValueError, match="at least one rule"):
+        infer_fixpoint(ds, [])
+    out = infer_fixpoint(
+        ds, [{"patterns": [("?x", "q", "?y")], "emit": ("?x", "r", "?y")}]
+    )
+    assert out.take_all() == []
+    assert set(out.schema().names) == {"subject", "predicate", "object"}
