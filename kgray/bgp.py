@@ -23,19 +23,29 @@ correlates with the required variables only, so the left joins are
 independent and order-insensitive, and the SQL mirror is a plain LEFT
 JOIN chain.
 
-Scale plan: each pattern becomes one filtered projection of the edge
-stream (constant slots pruned batch-side, repeated variables enforced
+Dual-path plan (the SURVEY §7 discipline shared with
+``graphalgo.transitive_closure``): up to ``broadcast_limit`` distinct
+triples the whole fold runs DRIVER-LOCAL as Arrow compute — filtered
+projections + acero hash joins on a collected table — because each
+distributed join is an all-to-all pipeline breaker whose fixed overhead
+dwarfs the work for dimension-sized graphs, and saturation loops
+(``infer_fixpoint``) pay that overhead once per rule per round. Past
+the limit each pattern becomes one filtered projection of the edge
+STREAM (constant slots pruned batch-side, repeated variables enforced
 as vectorized equality masks); patterns then fold left-to-right through
 Ray's native hash-shuffle join on the shared variables. Each
 intermediate is materialized — a join is an all-to-all pipeline breaker
 anyway, and the count unlocks (a) empty-side short-circuiting (acero
 joins break on schema-less empty blocks) and (b) fan-out sizing via
 ``join_partitions``. Patterns that share no variable with the
-accumulated prefix are rejected: a cartesian product is never what you
-want at 100 TB — reorder the patterns or add a linking pattern.
+accumulated prefix are rejected on BOTH paths: a cartesian product is
+never what you want at 100 TB — reorder the patterns or add a linking
+pattern.
 """
 
 from __future__ import annotations
+
+import logging
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -44,24 +54,30 @@ import ray.data
 
 from .util import join_partitions
 
+logger = logging.getLogger(__name__)
+
 _SLOTS = ("subject", "predicate", "object")
+
+#: triple count up to which the whole BGP fold runs driver-local
+#: (matches graphalgo.transitive_closure's broadcast_limit)
+BROADCAST_LIMIT = 2_000_000
+
+
+class _LocalOverflow(Exception):
+    """A local-path kernel outgrew its cap — fall back to the
+    distributed plan (transitive_closure's local_pair_cap discipline)."""
 
 
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def _pattern_relation(
-    edges: ray.data.Dataset, pattern, num_partitions: int = 32
-) -> "tuple[ray.data.Dataset, list[str]]":
-    """One triple pattern -> (relation Dataset, variable column names).
-    Constants filter; repeated variables add slot-equality masks; the
-    projection keeps each variable once, named without the ``?``.
+def _pattern_spec(pattern):
+    """One triple pattern -> (path_expr | None, slots, terms).
 
-    A constant predicate ending in ``+`` is a SPARQL property path: the
-    pattern matches the TRANSITIVE CLOSURE of that predicate's edge set
-    (``graphalgo.transitive_closure`` — one closure compute feeding the
-    same constant/variable handling on its two endpoint slots)."""
+    A constant predicate containing ``+``/``|``/``^`` is a SPARQL
+    property path: the pattern matches over the 2-column path relation
+    (see ``_path_relation``) instead of the raw 3-slot triple stream."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p_term = pattern[1]
@@ -70,14 +86,16 @@ def _pattern_relation(
         and isinstance(p_term, str)
         and any(c in p_term for c in "+|^")
     ):
-        base = _path_relation(edges, p_term, num_partitions)
-        slots: tuple = ("subject", "object")
-        terms = (pattern[0], pattern[2])
-    else:
-        base = edges.select_columns(list(_SLOTS))
-        slots = _SLOTS
-        terms = pattern
+        return p_term, ("subject", "object"), (pattern[0], pattern[2])
+    return None, _SLOTS, pattern
 
+
+def _make_project(slots, terms, pattern):
+    """Shared pattern kernel -> (pa.Table -> pa.Table binding relation,
+    variable names). Constants filter; repeated variables add
+    slot-equality masks; the projection keeps each variable once, named
+    without the ``?``. The SAME function is the per-batch stage on the
+    distributed path and the one-shot kernel on the local path."""
     consts = [(slot, t) for slot, t in zip(slots, terms) if not _is_var(t)]
     var_slots: dict[str, list[str]] = {}
     for slot, t in zip(slots, terms):
@@ -85,7 +103,6 @@ def _pattern_relation(
             var_slots.setdefault(t[1:], []).append(slot)
     if not var_slots:
         raise ValueError(f"pattern {pattern!r} has no variables")
-    var_names = list(var_slots)
 
     def project(t: pa.Table) -> pa.Table:
         mask = None
@@ -100,23 +117,15 @@ def _pattern_relation(
             t = t.filter(pc.fill_null(mask, False))
         return pa.table({v: t[vslots[0]] for v, vslots in var_slots.items()})
 
-    return base.map_batches(project, batch_format="pyarrow"), var_names
+    return project, list(var_slots)
 
 
-def _path_relation(
-    edges: ray.data.Dataset, expr: str, num_partitions: int
-) -> ray.data.Dataset:
-    """SPARQL property-path subset -> (subject, object) relation.
-
-    Grammar: ``alt ::= pred | ^pred`` (inverse swaps the endpoints),
-    ``expr ::= alt ('|' alt)* ['+']`` — a trailing ``+`` takes the
-    transitive closure of the UNION relation (so ``(p|^p)+`` is
-    undirected reachability). Each alternative is one filtered
-    projection of the edge stream; closure rides
-    ``graphalgo.transitive_closure``'s dual-path plan."""
+def _parse_path(expr: str):
+    """``alt ::= pred | ^pred``, ``expr ::= alt ('|' alt)* ['+']`` ->
+    (closure: bool, [(pred, s_col, o_col), ...])."""
     closure = expr.endswith("+")
     body = expr[:-1] if closure else expr
-    parts = []
+    alts = []
     for alt in body.split("|"):
         inverse = alt.startswith("^")
         pred = alt[1:] if inverse else alt
@@ -126,14 +135,43 @@ def _path_relation(
                 "pred | ^pred, '|'-alternation, one trailing '+'"
             )
         s_col, o_col = ("object", "subject") if inverse else ("subject", "object")
-        parts.append(
-            edges.select_columns(list(_SLOTS)).map_batches(
-                lambda t, _p=pred, _s=s_col, _o=o_col: pa.table(
-                    {"subject": t[_s], "object": t[_o]}
-                ).filter(pc.fill_null(pc.equal(t["predicate"], _p), False)),
-                batch_format="pyarrow",
-            )
+        alts.append((pred, s_col, o_col))
+    return closure, alts
+
+
+def _pattern_relation(
+    edges: ray.data.Dataset, pattern, num_partitions: int = 32
+) -> "tuple[ray.data.Dataset, list[str]]":
+    """Distributed arm: one triple pattern -> (relation Dataset,
+    variable column names)."""
+    path_expr, slots, terms = _pattern_spec(pattern)
+    if path_expr is not None:
+        base = _path_relation(edges, path_expr, num_partitions)
+    else:
+        base = edges.select_columns(list(_SLOTS))
+    project, var_names = _make_project(slots, terms, pattern)
+    return base.map_batches(project, batch_format="pyarrow"), var_names
+
+
+def _path_relation(
+    edges: ray.data.Dataset, expr: str, num_partitions: int
+) -> ray.data.Dataset:
+    """SPARQL property-path subset -> (subject, object) relation
+    (distributed arm). Inverse swaps the endpoints; a trailing ``+``
+    takes the transitive closure of the UNION relation (so ``(p|^p)+``
+    is undirected reachability). Each alternative is one filtered
+    projection of the edge stream; closure rides
+    ``graphalgo.transitive_closure``'s dual-path plan."""
+    closure, alts = _parse_path(expr)
+    parts = [
+        edges.select_columns(list(_SLOTS)).map_batches(
+            lambda t, _p=pred, _s=s_col, _o=o_col: pa.table(
+                {"subject": t[_s], "object": t[_o]}
+            ).filter(pc.fill_null(pc.equal(t["predicate"], _p), False)),
+            batch_format="pyarrow",
         )
+        for pred, s_col, o_col in alts
+    ]
     base = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     if closure:
         from .graphalgo import transitive_closure
@@ -150,6 +188,119 @@ def _path_relation(
     return base
 
 
+def _local_path_relation(tbl: pa.Table, expr: str) -> pa.Table:
+    """Local arm of ``_path_relation``: same grammar, Arrow kernels on
+    the collected triple table; closure rides
+    ``graphalgo._closure_local`` (numpy semi-naive)."""
+    closure, alts = _parse_path(expr)
+    parts = []
+    for pred, s_col, o_col in alts:
+        flt = tbl.filter(
+            pc.fill_null(pc.equal(tbl["predicate"], pred), False)
+        )
+        parts.append(
+            pa.table({"subject": flt[s_col], "object": flt[o_col]})
+        )
+    base = pa.concat_tables(parts).combine_chunks()
+    if closure:
+        from .graphalgo import _closure_local
+
+        out = _closure_local(
+            base, "subject", "object", max_iters=64, pair_cap=50_000_000
+        )
+        if out is None:
+            raise _LocalOverflow(f"property path {expr!r} closure")
+        return out
+    if len(alts) > 1:
+        base = base.group_by(["subject", "object"]).aggregate([])
+    return base
+
+
+def _local_pattern_table(tbl: pa.Table, pattern):
+    """Local arm of ``_pattern_relation``: (binding pa.Table, vars)."""
+    path_expr, slots, terms = _pattern_spec(pattern)
+    base = _local_path_relation(tbl, path_expr) if path_expr is not None else tbl
+    project, var_names = _make_project(slots, terms, pattern)
+    return project(base), var_names
+
+
+def _collect_triples(edges: ray.data.Dataset) -> pa.Table:
+    """Pull the (already materialized, under-limit) distinct triple set
+    to the driver as one combined Arrow table."""
+    batches = list(
+        edges.select_columns(list(_SLOTS)).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        )
+    )
+    if not batches:
+        return pa.table({s: pa.array([], pa.string()) for s in _SLOTS})
+    return pa.concat_tables(batches).combine_chunks()
+
+
+def _local_bgp(tbl: pa.Table, patterns, optional=(), minus=(), sources=None):
+    """Driver-local BGP fold: acero hash joins over pattern relations.
+    Mirrors the distributed fold exactly — same validation, same errors,
+    same variable order — so the two paths are interchangeable (and
+    parity-tested, tests/test_bgp.py). ``sources`` optionally overrides
+    the triple table per REQUIRED pattern (the semi-naive fixpoint hook:
+    one atom reads the delta, the rest the full graph)."""
+    src = lambda i: tbl if sources is None or sources[i] is None else sources[i]  # noqa: E731
+    acc, acc_vars = _local_pattern_table(src(0), patterns[0])
+    for idx, pat in enumerate(patterns[1:], start=1):
+        rel, rel_vars = _local_pattern_table(src(idx), pat)
+        shared = [v for v in acc_vars if v in rel_vars]
+        if not shared:
+            raise ValueError(
+                f"pattern {pat!r} shares no variable with {acc_vars} — "
+                "reorder patterns or add a linking pattern (cartesian "
+                "products are refused)"
+            )
+        acc = acc.join(rel, keys=shared, join_type="inner")
+        acc_vars = acc_vars + [v for v in rel_vars if v not in acc_vars]
+
+    required_vars = list(acc_vars)
+    for group in minus:
+        sub, sub_vars = _local_bgp(tbl, group)
+        shared = [v for v in required_vars if v in sub_vars]
+        if not shared:
+            raise ValueError(
+                f"minus group {group!r} shares no variable with the "
+                f"required bindings {required_vars} — under SPARQL MINUS "
+                "it would remove nothing"
+            )
+        acc = acc.join(sub.select(shared), keys=shared, join_type="left anti")
+
+    seen_opt_vars: set[str] = set()
+    opt_relations = []
+    for pat in optional:
+        rel, rel_vars = _local_pattern_table(tbl, pat)
+        shared = [v for v in rel_vars if v in required_vars]
+        fresh = [v for v in rel_vars if v not in required_vars]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat!r} shares no variable with the "
+                f"required bindings {required_vars}"
+            )
+        clash = [v for v in fresh if v in seen_opt_vars]
+        if clash:
+            raise ValueError(
+                f"optional pattern {pat!r} re-binds {clash} from another "
+                "optional pattern — cross-optional correlation is refused"
+            )
+        if not fresh:
+            raise ValueError(
+                f"optional pattern {pat!r} binds no fresh variable — "
+                "make it a required pattern"
+            )
+        seen_opt_vars.update(fresh)
+        opt_relations.append((rel, shared))
+        acc_vars = acc_vars + fresh
+
+    for rel, shared in opt_relations:
+        acc = acc.join(rel, keys=shared, join_type="left outer")
+    return acc.select(acc_vars), acc_vars
+
+
 def _empty_result(var_names) -> ray.data.Dataset:
     return ray.data.from_arrow(
         pa.table({v: pa.array([], pa.string()) for v in var_names})
@@ -162,6 +313,7 @@ def bgp_match(
     optional=(),
     minus=(),
     num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
 ) -> ray.data.Dataset:
     """Match a conjunction of triple ``patterns`` against a distinct
     (subject, predicate, object) Dataset; returns one row per variable
@@ -177,11 +329,31 @@ def bgp_match(
     ``minus`` is a sequence of pattern GROUPS (each a conjunction,
     evaluated like ``patterns``): required bindings compatible with any
     group binding on their shared variables are REMOVED (SPARQL MINUS as
-    an anti-join on a packed shared-variable key). A group sharing no
-    variable with the required set is refused — under SPARQL semantics
-    it would remove nothing, which is never what the query meant."""
+    an anti-join on the shared variables). A group sharing no variable
+    with the required set is refused — under SPARQL semantics it would
+    remove nothing, which is never what the query meant.
+
+    Dual-path: up to ``broadcast_limit`` distinct triples the fold runs
+    driver-local (module docstring); beyond, the distributed join fold."""
     if not patterns:
         raise ValueError("need at least one pattern")
+
+    # every pattern (and every MINUS group) scans `edges`; pin the blocks
+    # once so an upstream compute chain (extract -> link -> canonicalize)
+    # executes once, not once per pattern
+    edges = edges.materialize()
+    if edges.count() <= broadcast_limit:
+        try:
+            acc, _ = _local_bgp(
+                _collect_triples(edges), patterns,
+                optional=optional, minus=minus,
+            )
+            return ray.data.from_arrow(acc)
+        except _LocalOverflow as exc:
+            logger.warning(
+                "bgp_match: %s outgrew the local cap; "
+                "falling back to the distributed fold", exc,
+            )
 
     acc, acc_vars = _pattern_relation(edges, patterns[0], num_partitions)
     acc = acc.materialize()
@@ -226,7 +398,10 @@ def bgp_match(
         return t.append_column(out_col, key)
 
     for group in minus:
-        sub = bgp_match(edges, group, num_partitions=num_partitions)
+        sub = bgp_match(
+            edges, group,
+            num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        )
         shared = [v for v in required_vars if v in sub.schema().names]
         if not shared:
             raise ValueError(
@@ -319,6 +494,26 @@ def bgp_match(
     )
 
 
+def _check_emit(emit, bound) -> None:
+    missing = [t[1:] for t in emit if _is_var(t) and t[1:] not in bound]
+    if missing:
+        raise ValueError(f"emit uses unbound variables {missing}")
+
+
+def _emit_project(t: pa.Table, emit) -> pa.Table:
+    """Bindings -> distinct emitted triples (null-emitting rows skipped,
+    the SPARQL CONSTRUCT rule for incomplete triples). Per-batch
+    combiner on the distributed path; the whole projection locally."""
+    cols = {}
+    for slot, term in zip(_SLOTS, emit):
+        if _is_var(term):
+            cols[slot] = pc.cast(t[term[1:]], pa.string())
+        else:
+            cols[slot] = pa.array([term] * t.num_rows, pa.string())
+    out = pa.table(cols)
+    return out.drop_null().group_by(list(_SLOTS)).aggregate([])
+
+
 def construct(
     edges: ray.data.Dataset,
     patterns,
@@ -326,6 +521,7 @@ def construct(
     optional=(),
     only_new: bool = True,
     num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
 ) -> ray.data.Dataset:
     """SPARQL CONSTRUCT / Datalog rule head: match ``patterns`` (and
     ``optional``), then emit one (subject, predicate, object) triple per
@@ -337,28 +533,38 @@ def construct(
 
     The rule-materialization primitive: e.g. emit=("?a",
     "biolink:treats", "?c") over patterns [(?a treats ?b), (?b part_of
-    ?c)] propagates treats up the part-of hierarchy."""
+    ?c)] propagates treats up the part-of hierarchy. Dual-path like
+    ``bgp_match`` — under ``broadcast_limit`` the match, projection and
+    anti-join all run driver-local."""
     if len(emit) != 3:
         raise ValueError(f"emit must be (s, p, o), got {emit!r}")
+    edges = edges.materialize()  # scanned by the match AND the anti-join
+    if edges.count() <= broadcast_limit:
+        try:
+            tbl = _collect_triples(edges)
+            bindings, bound_vars = _local_bgp(tbl, patterns, optional=optional)
+            _check_emit(emit, set(bound_vars))
+            out = _emit_project(bindings, emit)
+            if only_new:
+                out = out.join(tbl, keys=list(_SLOTS), join_type="left anti")
+            return ray.data.from_arrow(out.select(list(_SLOTS)))
+        except _LocalOverflow as exc:
+            logger.warning(
+                "construct: %s outgrew the local cap; "
+                "falling back to the distributed plan", exc,
+            )
+            # the overflow is deterministic — don't retry the local arm
+            broadcast_limit = 0
+
     bindings = bgp_match(
-        edges, patterns, optional=optional, num_partitions=num_partitions
+        edges, patterns, optional=optional,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
-    bound = set(bindings.schema().names)
-    missing = [t[1:] for t in emit if _is_var(t) and t[1:] not in bound]
-    if missing:
-        raise ValueError(f"emit uses unbound variables {missing}")
+    _check_emit(emit, set(bindings.schema().names))
 
-    def project(t: pa.Table) -> pa.Table:
-        cols = {}
-        for slot, term in zip(_SLOTS, emit):
-            if _is_var(term):
-                cols[slot] = pc.cast(t[term[1:]], pa.string())
-            else:
-                cols[slot] = pa.array([term] * t.num_rows, pa.string())
-        out = pa.table(cols)
-        return out.drop_null().group_by(list(_SLOTS)).aggregate([])
-
-    triples = bindings.map_batches(project, batch_format="pyarrow")
+    triples = bindings.map_batches(
+        lambda t: _emit_project(t, emit), batch_format="pyarrow"
+    )
     from .relational import anti_join, hash_bucketed_groupby
 
     distinct = hash_bucketed_groupby(
@@ -399,11 +605,93 @@ def _chunked_str(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
+def _local_fixpoint(
+    tbl: pa.Table, rules, max_rounds: int, triple_cap: int
+) -> "pa.Table | None":
+    """Driver-local saturation loop: pure Arrow joins, no per-round Ray
+    barriers. Returns the inferred delta, or None if the graph outgrows
+    ``triple_cap`` (caller falls back to the distributed loop).
+
+    Evaluation is SEMI-NAIVE for plain rules (no property paths, no
+    optional): past round 1 a fresh derivation must use >=1 triple added
+    since the rule's last evaluation, so each k-atom rule runs as k
+    variants with one atom restricted to the round delta — the standard
+    Datalog optimization that keeps the quadratic ancestor rule from
+    re-deriving the whole closure every round. The delta is a provable
+    SUPERSET of "added since this rule last ran" (previous round's fresh
+    plus the current round's so far), so no derivation is missed;
+    over-derivation is absorbed by the distinct + anti-join. Rules with
+    a path atom (the closure must see the FULL graph) or an optional
+    block (a null branch can flip as the graph grows) conservatively
+    re-match the whole graph each round."""
+    graph = tbl
+    delta = tbl  # triples added since the previous round; round 1: all
+    inferred: "pa.Table | None" = None
+    for _ in range(max_rounds):
+        round_fresh: list[pa.Table] = []
+        for rule in rules:
+            emit = rule["emit"]
+            if len(emit) != 3:
+                raise ValueError(f"emit must be (s, p, o), got {emit!r}")
+            patterns = rule["patterns"]
+            optional = rule.get("optional", ())
+            plain = not optional and all(
+                _pattern_spec(p)[0] is None for p in patterns
+            )
+            if plain and delta is not graph:
+                cur_delta = (
+                    delta if not round_fresh
+                    else pa.concat_tables([delta] + round_fresh)
+                )
+                parts = []
+                for i in range(len(patterns)):
+                    srcs = [
+                        cur_delta if j == i else graph
+                        for j in range(len(patterns))
+                    ]
+                    bindings, bound_vars = _local_bgp(
+                        graph, patterns, sources=srcs
+                    )
+                    _check_emit(emit, set(bound_vars))
+                    parts.append(_emit_project(bindings, emit))
+                out = pa.concat_tables(parts)
+                if len(parts) > 1:  # a 2-delta derivation appears twice
+                    out = out.group_by(list(_SLOTS)).aggregate([])
+            else:
+                bindings, bound_vars = _local_bgp(
+                    graph, patterns, optional=optional
+                )
+                _check_emit(emit, set(bound_vars))
+                out = _emit_project(bindings, emit)
+            fresh = out.join(graph, keys=list(_SLOTS), join_type="left anti")
+            if fresh.num_rows:
+                fresh = fresh.select(list(_SLOTS))
+                round_fresh.append(fresh)
+                graph = pa.concat_tables([graph, fresh]).combine_chunks()
+                if graph.num_rows > triple_cap:
+                    return None
+                inferred = (
+                    fresh if inferred is None
+                    else pa.concat_tables([inferred, fresh])
+                )
+        if not round_fresh:
+            if inferred is None:
+                return pa.table({s: pa.array([], pa.string()) for s in _SLOTS})
+            return inferred.select(list(_SLOTS)).combine_chunks()
+        delta = (
+            round_fresh[0] if len(round_fresh) == 1
+            else pa.concat_tables(round_fresh).combine_chunks()
+        )
+    raise RuntimeError(f"infer_fixpoint: no fixpoint in {max_rounds} rounds")
+
+
 def infer_fixpoint(
     edges: ray.data.Dataset,
     rules,
     max_rounds: int = 32,
     num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    local_triple_cap: int = 8_000_000,
 ) -> ray.data.Dataset:
     """Datalog-style saturation: apply every rule (a ``construct``
     spec: {'patterns': [...], 'emit': (s, p, o), 'optional': [...]})
@@ -411,16 +699,41 @@ def infer_fixpoint(
     far — until a full round adds no fresh triple. Returns the distinct
     INFERRED delta (input triples are never re-emitted).
 
-    This is the NAIVE evaluation strategy: each round re-matches every
-    rule against the whole graph, so rounds cost full BGP folds and the
-    round count is the derivation depth. For single linear rules
-    (ancestor/reachability shapes) prefer a ``pred+`` property path or
-    ``transitive_closure`` — their semi-naive/doubling plans do the same
-    work without re-derivation. ``infer_fixpoint`` is the general
-    fallback for MULTI-rule programs whose rules feed each other."""
+    Dual-path: an asserted graph under ``broadcast_limit`` triples runs
+    the WHOLE saturation driver-local (pure Arrow joins — a distributed
+    round costs ~10 all-to-all barriers per rule, ruinous when the graph
+    is dimension-sized); if the local graph outgrows ``local_triple_cap``
+    the local attempt is abandoned (loudly) for the distributed loop,
+    the ``transitive_closure`` discipline.
+
+    The distributed loop is the NAIVE evaluation strategy: each round
+    re-matches every rule against the whole graph, so rounds cost full
+    BGP folds and the round count is the derivation depth. For single
+    linear rules (ancestor/reachability shapes) prefer a ``pred+``
+    property path or ``transitive_closure`` — their semi-naive/doubling
+    plans do the same work without re-derivation. ``infer_fixpoint`` is
+    the general fallback for MULTI-rule programs whose rules feed each
+    other."""
     if not rules:
         raise ValueError("need at least one rule")
     graph = edges.select_columns(list(_SLOTS)).materialize()
+    per_rule_limit = broadcast_limit
+    if graph.count() <= broadcast_limit:
+        try:
+            local = _local_fixpoint(
+                _collect_triples(graph), rules, max_rounds, local_triple_cap
+            )
+        except _LocalOverflow:
+            local = None
+        if local is not None:
+            return ray.data.from_arrow(local)
+        logger.warning(
+            "infer_fixpoint: local saturation exceeded local_triple_cap=%d; "
+            "falling back to the distributed loop", local_triple_cap,
+        )
+        # the saturated graph provably outgrows the driver — keep every
+        # per-round construct on the distributed plan too
+        per_rule_limit = 0
     inferred: "ray.data.Dataset | None" = None
     for _ in range(max_rounds):
         fresh_any = False
@@ -432,6 +745,7 @@ def infer_fixpoint(
                 optional=rule.get("optional", ()),
                 only_new=True,
                 num_partitions=num_partitions,
+                broadcast_limit=per_rule_limit,
             ).materialize()
             if fresh.count():
                 fresh_any = True

@@ -372,3 +372,84 @@ def test_infer_fixpoint_empty_and_contract(ray_session):
     )
     assert out.take_all() == []
     assert set(out.schema().names) == {"subject", "predicate", "object"}
+
+
+# ---- dual-path parity: local Arrow fold vs distributed join fold ----
+# broadcast_limit=0 forces every stage onto the distributed plan; the
+# default routes everything driver-local. Same inputs, bit-identical
+# binding sets and schemas (the transitive_closure parity discipline).
+
+_PARITY_TRIPLES = [
+    ("a", "p", "b"), ("b", "q", "c"), ("c", "p", "d"), ("d", "p", "a"),
+    ("a", "q", "d"), ("b", "p", "c"), ("e", "p", "e"), ("x", "q", "a"),
+    ("c", "q", "a"), ("d", "q", "b"),
+]
+
+
+def _rows(ds, names):
+    return sorted(tuple(r[v] for v in names) for r in ds.take_all())
+
+
+def test_bgp_dual_path_parity(ray_session):
+    cases = [
+        dict(patterns=[("?x", "p", "?y"), ("?y", "q", "?z")]),
+        dict(patterns=[("?x", "p", "?y")],
+             optional=[("?y", "q", "?z"), ("?x", "q", "?w")]),
+        dict(patterns=[("?x", "p", "?y")],
+             minus=[[("?y", "q", "?z")], [("?x", "q", "?w"), ("?w", "p", "?v")]]),
+        dict(patterns=[("?x", "p+", "?y"), ("?y", "q", "?z")]),
+        dict(patterns=[("?x", "p|^q", "?y")]),
+        dict(patterns=[("?n", "p|^p+", "?n")]),
+        dict(patterns=[("?x", "zz", "?y")],            # empty required side
+             optional=[("?y", "p", "?z")]),
+    ]
+    ds = _ds(_PARITY_TRIPLES)
+    for case in cases:
+        local = bgp_match(ds, **case)
+        dist = bgp_match(ds, broadcast_limit=0, **case)
+        names = list(local.schema().names)
+        assert list(dist.schema().names) == names, case
+        assert _rows(local, names) == _rows(dist, names), case
+
+
+def test_bgp_dual_path_contract_parity(ray_session):
+    ds = _ds(_PARITY_TRIPLES)
+    failing = [
+        dict(patterns=[("?x", "p", "?y"), ("?u", "q", "?v")]),
+        dict(patterns=[("?x", "p", "?y")], optional=[("?u", "q", "?v")]),
+        dict(patterns=[("?x", "p", "?y")],
+             optional=[("?x", "q", "?z"), ("?y", "q", "?z")]),
+        dict(patterns=[("?x", "p", "?y")], optional=[("?x", "q", "?y")]),
+        dict(patterns=[("?x", "p", "?y")], minus=[[("?u", "q", "?v")]]),
+        dict(patterns=[("?x", "p++", "?y")]),
+    ]
+    for case in failing:
+        with pytest.raises(ValueError):
+            bgp_match(ds, **case)
+        with pytest.raises(ValueError):
+            bgp_match(ds, broadcast_limit=0, **case)
+
+
+def test_construct_and_fixpoint_dual_path_parity(ray_session):
+    from kgray.bgp import construct, infer_fixpoint
+
+    ds = _ds(_PARITY_TRIPLES)
+    spec = dict(
+        patterns=[("?a", "p", "?b"), ("?b", "q", "?c")],
+        emit=("?a", "p", "?c"),
+    )
+    for only_new in (True, False):
+        names = ["subject", "predicate", "object"]
+        local = construct(ds, only_new=only_new, **spec)
+        dist = construct(ds, only_new=only_new, broadcast_limit=0, **spec)
+        assert _rows(local, names) == _rows(dist, names), only_new
+
+    rules = [
+        {"patterns": [("?x", "p", "?y")], "emit": ("?x", "anc", "?y")},
+        {"patterns": [("?x", "anc", "?y"), ("?y", "anc", "?z")],
+         "emit": ("?x", "anc", "?z")},
+    ]
+    names = ["subject", "predicate", "object"]
+    local = infer_fixpoint(ds, rules)
+    dist = infer_fixpoint(ds, rules, broadcast_limit=0)
+    assert _rows(local, names) == _rows(dist, names)
