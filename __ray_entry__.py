@@ -1167,6 +1167,52 @@ def q_bgp_optional(sf_dir: str):
     )
 
 
+def q_bgp_filtered(sf_dir: str):
+    """SPARQL FILTER over a 2-hop BGP: treats->part_of chains restricted
+    by a conjunction of binding predicates (?a != ?c, ?a < ?b
+    lexicographic, ?c contains '1') — the group-level FILTER every
+    SPARQL SELECT uses; one vectorized mask per batch, never a shuffle."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges,
+        [("?a", "biolink:treats", "?b"), ("?b", "biolink:part_of", "?c")],
+        filters=[
+            ("!=", "?a", "?c"),
+            ("<", "?a", "?b"),
+            ("contains", "?c", "1"),
+        ],
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
+    )
+
+
+def q_bgp_seeded(sf_dir: str):
+    """SPARQL VALUES (parameterized query): a driver-literal seed list
+    inner-joined into the group before OPTIONAL — the id-batch lookup
+    shape (audit UIs: 'show these four entities with hierarchy context
+    where we have it'). One seed is planted to match nothing."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges,
+        [("?a", "biolink:treats", "?b")],
+        optional=[("?b", "biolink:part_of", "?c")],
+        values=(
+            ("?a",),
+            [("RAW:20",), ("RAW:74",), ("RAW:584",), ("RAW:999",)],
+        ),
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
+    )
+
+
 def q_datalog_ancestors(sf_dir: str):
     """Datalog saturation (bgp.infer_fixpoint) of the classic ancestor
     program — anc(x,y) :- part_of(x,y); anc(x,z) :- part_of(x,y),
@@ -4236,6 +4282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_neighborhood": q_two_hop_neighborhood,
         "bgp_paths": q_bgp_paths,
         "bgp_optional": q_bgp_optional,
+        "bgp_filtered": q_bgp_filtered,
+        "bgp_seeded": q_bgp_seeded,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -5883,6 +5931,29 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS ({kg_edges})
             SELECT e1.subject AS a, e1.object AS b, e2.object AS c
             FROM e e1
+            LEFT JOIN e e2 ON e2.subject = e1.object
+                          AND e2.predicate = 'biolink:part_of'
+            WHERE e1.predicate = 'biolink:treats'
+        """,
+        "bgp_filtered": f"""
+            WITH e AS ({kg_edges})
+            SELECT e1.subject AS a, e1.object AS b, e2.object AS c
+            FROM e e1
+            JOIN e e2 ON e2.subject = e1.object
+            WHERE e1.predicate = 'biolink:treats'
+              AND e2.predicate = 'biolink:part_of'
+              AND e1.subject <> e2.object
+              AND e1.subject < e1.object
+              AND e2.object LIKE '%1%'
+        """,
+        "bgp_seeded": f"""
+            WITH e AS ({kg_edges}),
+            seeds(a) AS (
+              VALUES ('RAW:20'), ('RAW:74'), ('RAW:584'), ('RAW:999')
+            )
+            SELECT e1.subject AS a, e1.object AS b, e2.object AS c
+            FROM e e1
+            JOIN seeds ON seeds.a = e1.subject
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'

@@ -113,7 +113,7 @@ def run_bench() -> dict:
             "rdf_roundtrip", "bgp_paths", "bgp_optional",
             "part_of_closure", "inferred_treats", "name_match_pairs",
             "treats_ancestors", "leaf_treatments", "part_of_connected",
-            "datalog_ancestors",
+            "datalog_ancestors", "bgp_filtered", "bgp_seeded",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -120,6 +120,115 @@ def _make_project(slots, terms, pattern):
     return project, list(var_slots)
 
 
+_FILTER_OPS = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+_FILTER_STR_OPS = ("contains", "prefix", "regex")
+
+
+def _make_filters(filters, bound):
+    """SPARQL FILTER subset -> one vectorized (pa.Table -> pa.Table).
+
+    Each filter is ``(op, "?var", rhs)``; ``op`` is a comparison from
+    ``_FILTER_OPS`` (rhs a constant string or a second ``?var``) or one
+    of ``contains`` / ``prefix`` / ``regex`` (rhs a constant pattern).
+    Bindings are strings, so comparisons are LEXICOGRAPHIC — the SQL
+    mirror is a plain VARCHAR comparison (DuckDB's default binary
+    collation agrees with Arrow's byte-wise compare). A filter over a
+    null binding (an unmatched OPTIONAL variable) drops the row — the
+    SPARQL error-is-false rule, which is also SQL WHERE semantics.
+    Validation is eager so both plan arms reject bad specs identically."""
+    specs = []
+    for f in filters:
+        if len(f) != 3:
+            raise ValueError(f"filter must be (op, ?var, rhs), got {f!r}")
+        op, lhs, rhs = f
+        if not _is_var(lhs):
+            raise ValueError(f"filter lhs must be a ?variable, got {lhs!r}")
+        if lhs[1:] not in bound:
+            raise ValueError(f"filter {f!r} uses unbound variable {lhs!r}")
+        if op in _FILTER_OPS:
+            if _is_var(rhs) and rhs[1:] not in bound:
+                raise ValueError(f"filter {f!r} uses unbound variable {rhs!r}")
+        elif op in _FILTER_STR_OPS:
+            if _is_var(rhs):
+                raise ValueError(
+                    f"filter op {op!r} needs a constant pattern, got {rhs!r}"
+                )
+        else:
+            raise ValueError(
+                f"unsupported filter op {op!r} — use one of "
+                f"{sorted(_FILTER_OPS)} or {list(_FILTER_STR_OPS)}"
+            )
+        specs.append((op, lhs[1:], rhs))
+
+    def apply(t: pa.Table) -> pa.Table:
+        mask = None
+        for op, l, r in specs:
+            lcol = pc.cast(_chunked_str(t[l]), pa.string())
+            if op in _FILTER_OPS:
+                rv = (
+                    pc.cast(_chunked_str(t[r[1:]]), pa.string())
+                    if _is_var(r) else pa.scalar(r, pa.string())
+                )
+                m = _FILTER_OPS[op](lcol, rv)
+            elif op == "contains":
+                m = pc.match_substring(lcol, r)
+            elif op == "prefix":
+                m = pc.starts_with(lcol, r)
+            else:
+                m = pc.match_substring_regex(lcol, r)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        if mask is None:
+            return t
+        return t.filter(pc.fill_null(mask, False))
+
+    return apply
+
+
+def _values_table(values) -> "tuple[pa.Table, list[str]]":
+    """SPARQL VALUES block ``(("?a", ...), [(const, ...), ...])`` ->
+    (distinct binding pa.Table, variable names). UNDEF (None) is
+    refused — a wildcard row silently changes join semantics; split the
+    query instead."""
+    terms, rows = values
+    if not terms or not all(_is_var(t) for t in terms):
+        raise ValueError(f"values terms must all be ?variables, got {terms!r}")
+    names = [t[1:] for t in terms]
+    if len(set(names)) != len(names):
+        raise ValueError(f"values terms repeat a variable: {terms!r}")
+    cols: dict[str, list] = {n: [] for n in names}
+    for row in rows:
+        if len(row) != len(names):
+            raise ValueError(
+                f"values row {row!r} has {len(row)} terms, expected {len(names)}"
+            )
+        for n, v in zip(names, row):
+            if v is None or not isinstance(v, str):
+                raise ValueError(
+                    f"values row {row!r}: UNDEF/non-string terms are unsupported"
+                )
+            cols[n].append(v)
+    tbl = pa.table({n: pa.array(cols[n], pa.string()) for n in names})
+    return tbl.group_by(names).aggregate([]).select(names), names
+
+
+def _values_join(t: pa.Table, vtbl: pa.Table, shared, out_cols) -> pa.Table:
+    """Inner-join one binding batch against the (tiny, driver-literal)
+    VALUES table. Per-batch is safe: acc rows are a set, so no batch
+    boundary can duplicate a joined row."""
+    if t.num_rows == 0:
+        return pa.table({c: pa.array([], pa.string()) for c in out_cols})
+    return t.join(vtbl, keys=list(shared), join_type="inner").select(
+        list(out_cols)
+    )
+
+
 def _parse_path(expr: str):
     """``alt ::= pred | ^pred``, ``expr ::= alt ('|' alt)* ['+']`` ->
     (closure: bool, [(pred, s_col, o_col), ...])."""
@@ -237,7 +346,10 @@ def _collect_triples(edges: ray.data.Dataset) -> pa.Table:
     return pa.concat_tables(batches).combine_chunks()
 
 
-def _local_bgp(tbl: pa.Table, patterns, optional=(), minus=(), sources=None):
+def _local_bgp(
+    tbl: pa.Table, patterns, optional=(), minus=(), sources=None,
+    values=None, filters=(),
+):
     """Driver-local BGP fold: acero hash joins over pattern relations.
     Mirrors the distributed fold exactly — same validation, same errors,
     same variable order — so the two paths are interchangeable (and
@@ -257,6 +369,17 @@ def _local_bgp(tbl: pa.Table, patterns, optional=(), minus=(), sources=None):
             )
         acc = acc.join(rel, keys=shared, join_type="inner")
         acc_vars = acc_vars + [v for v in rel_vars if v not in acc_vars]
+
+    if values is not None:
+        vtbl, v_names = _values_table(values)
+        shared = [v for v in acc_vars if v in v_names]
+        if not shared:
+            raise ValueError(
+                f"values block binds {v_names} but shares no variable "
+                f"with the patterns' {acc_vars}"
+            )
+        acc_vars = acc_vars + [v for v in v_names if v not in acc_vars]
+        acc = _values_join(acc, vtbl, shared, acc_vars)
 
     required_vars = list(acc_vars)
     for group in minus:
@@ -298,6 +421,8 @@ def _local_bgp(tbl: pa.Table, patterns, optional=(), minus=(), sources=None):
 
     for rel, shared in opt_relations:
         acc = acc.join(rel, keys=shared, join_type="left outer")
+    if filters:
+        acc = _make_filters(filters, set(acc_vars))(acc)
     return acc.select(acc_vars), acc_vars
 
 
@@ -312,6 +437,8 @@ def bgp_match(
     patterns,
     optional=(),
     minus=(),
+    values=None,
+    filters=(),
     num_partitions: int = 32,
     broadcast_limit: int = BROADCAST_LIMIT,
 ) -> ray.data.Dataset:
@@ -333,6 +460,19 @@ def bgp_match(
     with the required set is refused — under SPARQL semantics it would
     remove nothing, which is never what the query meant.
 
+    ``values`` is a SPARQL VALUES block ``((?vars...), [rows...])``: an
+    inline binding relation inner-joined into the group right after the
+    required fold (so MINUS and OPTIONAL see the restricted set) — the
+    parameterized-query hook (seed lists, id batches). It must share
+    >=1 variable with the required patterns; fresh variables are
+    carried as extra columns. The table is a driver literal, so the
+    distributed arm joins it per batch — never a shuffle.
+
+    ``filters`` is a SPARQL FILTER conjunction applied to the final
+    bindings (group-level semantics — after OPTIONAL, so a filter can
+    null-test an optional variable out of the result); see
+    ``_make_filters`` for the spec grammar and null semantics.
+
     Dual-path: up to ``broadcast_limit`` distinct triples the fold runs
     driver-local (module docstring); beyond, the distributed join fold."""
     if not patterns:
@@ -347,6 +487,7 @@ def bgp_match(
             acc, _ = _local_bgp(
                 _collect_triples(edges), patterns,
                 optional=optional, minus=minus,
+                values=values, filters=filters,
             )
             return ray.data.from_arrow(acc)
         except _LocalOverflow as exc:
@@ -388,6 +529,24 @@ def bgp_match(
         ).materialize()
         n_acc = acc.count()
         acc_vars = acc_vars + new_vars
+
+    if values is not None:
+        vtbl, v_names = _values_table(values)
+        shared = [v for v in acc_vars if v in v_names]
+        if not shared:
+            raise ValueError(
+                f"values block binds {v_names} but shares no variable "
+                f"with the patterns' {acc_vars}"
+            )
+        out_cols = acc_vars + [v for v in v_names if v not in acc_vars]
+        if n_acc:
+            acc = acc.map_batches(
+                lambda t, _v=vtbl, _s=tuple(shared), _o=tuple(out_cols):
+                    _values_join(t, _v, list(_s), list(_o)),
+                batch_format="pyarrow",
+            ).materialize()
+            n_acc = acc.count()
+        acc_vars = out_cols
 
     required_vars = list(acc_vars)
 
@@ -462,6 +621,10 @@ def bgp_match(
         opt_relations.append((pat, rel, shared, fresh))
         acc_vars = acc_vars + fresh
 
+    # validate filters eagerly (parity with the local arm's errors),
+    # even when the binding set is already empty
+    apply_filters = _make_filters(filters, set(acc_vars)) if filters else None
+
     if n_acc == 0:
         # an empty join result carries no schema; pin the contract columns
         return _empty_result(acc_vars)
@@ -488,10 +651,13 @@ def bgp_match(
             on=tuple(shared),
         ).materialize()
     # joins can reorder columns; pin first-appearance variable order
-    return acc.map_batches(
-        lambda t, _cols=tuple(acc_vars): t.select(list(_cols)),
-        batch_format="pyarrow",
-    )
+    # (group-level FILTER rides the same final pass — one vectorized
+    # mask per batch, never a shuffle)
+    def _finish(t: pa.Table, _cols=tuple(acc_vars)) -> pa.Table:
+        t = t.select(list(_cols))
+        return apply_filters(t) if apply_filters is not None else t
+
+    return acc.map_batches(_finish, batch_format="pyarrow")
 
 
 def _check_emit(emit, bound) -> None:
@@ -519,6 +685,8 @@ def construct(
     patterns,
     emit,
     optional=(),
+    values=None,
+    filters=(),
     only_new: bool = True,
     num_partitions: int = 32,
     broadcast_limit: int = BROADCAST_LIMIT,
@@ -526,8 +694,9 @@ def construct(
     """SPARQL CONSTRUCT / Datalog rule head: match ``patterns`` (and
     ``optional``), then emit one (subject, predicate, object) triple per
     binding from the ``emit`` template — each slot a ``?var`` or a
-    constant. Bindings with a null emitted term are skipped (the SPARQL
-    CONSTRUCT rule for incomplete triples). Output triples are distinct;
+    constant. ``values`` / ``filters`` restrict the match exactly as in
+    ``bgp_match``. Bindings with a null emitted term are skipped (the
+    SPARQL CONSTRUCT rule for incomplete triples). Output triples are distinct;
     with ``only_new`` the existing edge set is anti-joined away so the
     result is the INFERENCE DELTA, ready to union into the graph.
 
@@ -542,7 +711,10 @@ def construct(
     if edges.count() <= broadcast_limit:
         try:
             tbl = _collect_triples(edges)
-            bindings, bound_vars = _local_bgp(tbl, patterns, optional=optional)
+            bindings, bound_vars = _local_bgp(
+                tbl, patterns, optional=optional,
+                values=values, filters=filters,
+            )
             _check_emit(emit, set(bound_vars))
             out = _emit_project(bindings, emit)
             if only_new:
@@ -557,7 +729,7 @@ def construct(
             broadcast_limit = 0
 
     bindings = bgp_match(
-        edges, patterns, optional=optional,
+        edges, patterns, optional=optional, values=values, filters=filters,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
     _check_emit(emit, set(bindings.schema().names))
@@ -635,6 +807,10 @@ def _local_fixpoint(
                 raise ValueError(f"emit must be (s, p, o), got {emit!r}")
             patterns = rule["patterns"]
             optional = rule.get("optional", ())
+            values = rule.get("values")
+            filters = rule.get("filters", ())
+            # filters and values keep rules monotone (they select a fixed
+            # subset of each binding set), so semi-naive stays sound
             plain = not optional and all(
                 _pattern_spec(p)[0] is None for p in patterns
             )
@@ -650,7 +826,8 @@ def _local_fixpoint(
                         for j in range(len(patterns))
                     ]
                     bindings, bound_vars = _local_bgp(
-                        graph, patterns, sources=srcs
+                        graph, patterns, sources=srcs,
+                        values=values, filters=filters,
                     )
                     _check_emit(emit, set(bound_vars))
                     parts.append(_emit_project(bindings, emit))
@@ -659,7 +836,8 @@ def _local_fixpoint(
                     out = out.group_by(list(_SLOTS)).aggregate([])
             else:
                 bindings, bound_vars = _local_bgp(
-                    graph, patterns, optional=optional
+                    graph, patterns, optional=optional,
+                    values=values, filters=filters,
                 )
                 _check_emit(emit, set(bound_vars))
                 out = _emit_project(bindings, emit)
@@ -694,7 +872,8 @@ def infer_fixpoint(
     local_triple_cap: int = 8_000_000,
 ) -> ray.data.Dataset:
     """Datalog-style saturation: apply every rule (a ``construct``
-    spec: {'patterns': [...], 'emit': (s, p, o), 'optional': [...]})
+    spec: {'patterns': [...], 'emit': (s, p, o), 'optional': [...],
+    'values': ..., 'filters': [...]})
     against the CURRENT graph — asserted plus everything inferred so
     far — until a full round adds no fresh triple. Returns the distinct
     INFERRED delta (input triples are never re-emitted).
@@ -743,6 +922,8 @@ def infer_fixpoint(
                 rule["patterns"],
                 rule["emit"],
                 optional=rule.get("optional", ()),
+                values=rule.get("values"),
+                filters=rule.get("filters", ()),
                 only_new=True,
                 num_partitions=num_partitions,
                 broadcast_limit=per_rule_limit,

@@ -430,6 +430,123 @@ def test_bgp_dual_path_contract_parity(ray_session):
             bgp_match(ds, broadcast_limit=0, **case)
 
 
+def test_bgp_filters_match_bruteforce(ray_session):
+    patterns = [("?x", "p", "?y"), ("?y", "q", "?z")]
+    ref, var_order = _ref_bgp(_PARITY_TRIPLES, patterns)
+    cases = [
+        ([("!=", "?x", "?z")], lambda x, y, z: x != z),
+        ([("<", "?x", "?y")], lambda x, y, z: x < y),
+        ([("==", "?z", "a")], lambda x, y, z: z == "a"),
+        ([(">=", "?y", "b"), ("!=", "?x", "?z")],
+         lambda x, y, z: y >= "b" and x != z),
+        ([("prefix", "?x", "a")], lambda x, y, z: x.startswith("a")),
+        ([("contains", "?y", "c")], lambda x, y, z: "c" in y),
+        ([("regex", "?z", "^[ab]$")], lambda x, y, z: z in ("a", "b")),
+    ]
+    ds = _ds(_PARITY_TRIPLES)
+    for filters, pred in cases:
+        want = sorted(r for r in ref if pred(*r))
+        for limit in (2_000_000, 0):
+            got = bgp_match(
+                ds, patterns, filters=filters, broadcast_limit=limit
+            )
+            assert _rows(got, var_order) == want, (filters, limit)
+
+
+def test_bgp_filter_null_optional_semantics(ray_session):
+    # SPARQL error-is-false: a filter over an unmatched OPTIONAL
+    # variable drops the row on both plan arms
+    triples = [("a", "p", "b"), ("b", "q", "c"), ("d", "p", "e")]
+    ds = _ds(triples)
+    spec = dict(
+        patterns=[("?x", "p", "?y")], optional=[("?y", "q", "?z")],
+    )
+    for limit in (2_000_000, 0):
+        keep = bgp_match(
+            ds, filters=[("==", "?z", "c")], broadcast_limit=limit, **spec
+        )
+        assert _rows(keep, ["x", "y", "z"]) == [("a", "b", "c")], limit
+        none = bgp_match(
+            ds, filters=[("!=", "?z", "c")], broadcast_limit=limit, **spec
+        )
+        assert _rows(none, ["x", "y", "z"]) == [], limit
+
+
+def test_bgp_values_matches_bruteforce(ray_session):
+    patterns = [("?x", "p", "?y")]
+    ref, var_order = _ref_bgp(_PARITY_TRIPLES, patterns)
+    ds = _ds(_PARITY_TRIPLES)
+    # seed restriction (shared var only), incl. a seed matching nothing
+    seeds = (("?x",), [("a",), ("d",), ("zz",)])
+    want = sorted(r for r in ref if r[0] in ("a", "d", "zz"))
+    for limit in (2_000_000, 0):
+        got = bgp_match(ds, patterns, values=seeds, broadcast_limit=limit)
+        assert _rows(got, var_order) == want, limit
+    # fresh variable rides along as an extra column; duplicate rows in
+    # the block collapse (set semantics)
+    tagged = (("?x", "?tag"), [("a", "t1"), ("b", "t2"), ("a", "t1")])
+    want_tagged = sorted(
+        r + ("t1" if r[0] == "a" else "t2",)
+        for r in ref if r[0] in ("a", "b")
+    )
+    for limit in (2_000_000, 0):
+        got = bgp_match(ds, patterns, values=tagged, broadcast_limit=limit)
+        assert _rows(got, var_order + ["tag"]) == want_tagged, limit
+
+
+def test_bgp_filter_values_contracts(ray_session):
+    ds = _ds(_PARITY_TRIPLES)
+    failing = [
+        dict(patterns=[("?x", "p", "?y")], filters=[("!=", "?x", "?u")]),
+        dict(patterns=[("?x", "p", "?y")], filters=[("!=", "?u", "a")]),
+        dict(patterns=[("?x", "p", "?y")], filters=[("!=", "x", "a")]),
+        dict(patterns=[("?x", "p", "?y")], filters=[("between", "?x", "a")]),
+        dict(patterns=[("?x", "p", "?y")], filters=[("contains", "?x", "?y")]),
+        dict(patterns=[("?x", "p", "?y")], values=(("?u",), [("a",)])),
+        dict(patterns=[("?x", "p", "?y")], values=(("x",), [("a",)])),
+        dict(patterns=[("?x", "p", "?y")], values=(("?x", "?x"), [("a", "b")])),
+        dict(patterns=[("?x", "p", "?y")], values=(("?x",), [("a", "b")])),
+        dict(patterns=[("?x", "p", "?y")], values=(("?x",), [(None,)])),
+    ]
+    for case in failing:
+        for limit in (2_000_000, 0):
+            with pytest.raises(ValueError):
+                bgp_match(ds, broadcast_limit=limit, **case)
+
+
+def test_construct_and_fixpoint_filters_values(ray_session):
+    from kgray.bgp import construct, infer_fixpoint
+
+    ds = _ds(_PARITY_TRIPLES)
+    spec = dict(
+        patterns=[("?a", "p", "?b"), ("?b", "q", "?c")],
+        emit=("?a", "r", "?c"),
+        filters=[("!=", "?a", "?c")],
+        values=(("?a",), [("a",), ("b",), ("c",), ("d",)]),
+        only_new=False,
+    )
+    names = ["subject", "predicate", "object"]
+    local = construct(ds, **spec)
+    dist = construct(ds, broadcast_limit=0, **spec)
+    rows = _rows(local, names)
+    assert rows == _rows(dist, names)
+    assert rows and all(s != o and p == "r" for s, p, o in rows)
+
+    # a filtered recursive rule stays sound under semi-naive evaluation:
+    # the irreflexive ancestor program on both arms
+    rules = [
+        {"patterns": [("?x", "p", "?y")], "emit": ("?x", "anc", "?y"),
+         "filters": [("!=", "?x", "?y")]},
+        {"patterns": [("?x", "p", "?y"), ("?y", "anc", "?z")],
+         "emit": ("?x", "anc", "?z"), "filters": [("!=", "?x", "?z")]},
+    ]
+    local = infer_fixpoint(ds, rules)
+    dist = infer_fixpoint(ds, rules, broadcast_limit=0)
+    rows = _rows(local, names)
+    assert rows == _rows(dist, names)
+    assert rows and all(s != o for s, _, o in rows)
+
+
 def test_construct_and_fixpoint_dual_path_parity(ray_session):
     from kgray.bgp import construct, infer_fixpoint
 
