@@ -1213,6 +1213,23 @@ def q_bgp_seeded(sf_dir: str):
     )
 
 
+def q_treats_rollup(sf_dir: str):
+    """Zero-or-more property path + GROUP BY: treatment counts rolled up
+    the part_of hierarchy INCLUDING each node itself (``part_of*`` =
+    closure plus the SPARQL zero-length path over all graph terms) —
+    the ontology-rollup aggregate every KG browser shows next to a term."""
+    edges = _kg_edge_table(sf_dir)
+    bind = bgp.bgp_match(
+        edges,
+        [("?a", "biolink:treats", "?b"), ("?b", "biolink:part_of*", "?c")],
+    )
+    out = relational.grouped_agg(bind, keys=["c"], count_alias="n_treats")
+    return _table(
+        out,
+        schema=pa.schema([("c", pa.string()), ("n_treats", pa.int64())]),
+    )
+
+
 def q_datalog_ancestors(sf_dir: str):
     """Datalog saturation (bgp.infer_fixpoint) of the classic ancestor
     program — anc(x,y) :- part_of(x,y); anc(x,z) :- part_of(x,y),
@@ -4284,6 +4301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_optional": q_bgp_optional,
         "bgp_filtered": q_bgp_filtered,
         "bgp_seeded": q_bgp_seeded,
+        "treats_rollup": q_treats_rollup,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -5957,6 +5975,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "treats_rollup": f"""
+            WITH RECURSIVE e AS ({kg_edges}),
+            rel AS (
+              SELECT subject AS part, object AS whole FROM e
+              WHERE predicate = 'biolink:part_of'
+            ),
+            tc AS (
+              SELECT part, whole FROM rel
+              UNION
+              SELECT tc.part, rel.whole FROM tc JOIN rel ON tc.whole = rel.part
+            ),
+            -- NOTE: inside WITH RECURSIVE, DuckDB gives a CTE whose body
+            -- is a top-level UNION recursive-append semantics (no dedup)
+            -- even without self-reference — dedup must be explicit here
+            terms AS (
+              SELECT DISTINCT t FROM (
+                SELECT subject AS t FROM e UNION ALL SELECT object FROM e
+              )
+            ),
+            star AS (
+              SELECT DISTINCT part, whole FROM (
+                SELECT part, whole FROM tc
+                UNION ALL SELECT t AS part, t AS whole FROM terms
+              )
+            )
+            SELECT s.whole AS c, COUNT(*) AS n_treats
+            FROM e t JOIN star s ON s.part = t.object
+            WHERE t.predicate = 'biolink:treats'
+            GROUP BY s.whole
         """,
         "part_of_closure": f"""
             WITH RECURSIVE rel AS (

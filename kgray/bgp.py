@@ -75,16 +75,17 @@ def _is_var(term: str) -> bool:
 def _pattern_spec(pattern):
     """One triple pattern -> (path_expr | None, slots, terms).
 
-    A constant predicate containing ``+``/``|``/``^`` is a SPARQL
-    property path: the pattern matches over the 2-column path relation
-    (see ``_path_relation``) instead of the raw 3-slot triple stream."""
+    A constant predicate containing ``+``/``|``/``^``/``*``/``?`` is a
+    SPARQL property path: the pattern matches over the 2-column path
+    relation (see ``_path_relation``) instead of the raw 3-slot triple
+    stream."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p_term = pattern[1]
     if (
         not _is_var(p_term)
         and isinstance(p_term, str)
-        and any(c in p_term for c in "+|^")
+        and any(c in p_term for c in "+|^*?")
     ):
         return p_term, ("subject", "object"), (pattern[0], pattern[2])
     return None, _SLOTS, pattern
@@ -230,22 +231,27 @@ def _values_join(t: pa.Table, vtbl: pa.Table, shared, out_cols) -> pa.Table:
 
 
 def _parse_path(expr: str):
-    """``alt ::= pred | ^pred``, ``expr ::= alt ('|' alt)* ['+']`` ->
-    (closure: bool, [(pred, s_col, o_col), ...])."""
-    closure = expr.endswith("+")
-    body = expr[:-1] if closure else expr
+    """``alt ::= pred | ^pred``, ``expr ::= alt ('|' alt)* [mod]`` with
+    ``mod`` one of ``+`` (one-or-more: transitive closure), ``*``
+    (zero-or-more: closure plus the zero-length path) or ``?``
+    (zero-or-one) -> (modifier | None, [(pred, s_col, o_col), ...]).
+    The zero-length path pairs every TERM OF THE GRAPH (any subject or
+    object, regardless of predicate) with itself — the SPARQL
+    ZeroLengthPath relation."""
+    modifier = expr[-1] if expr and expr[-1] in "+*?" else None
+    body = expr[:-1] if modifier else expr
     alts = []
     for alt in body.split("|"):
         inverse = alt.startswith("^")
         pred = alt[1:] if inverse else alt
-        if not pred or any(c in pred for c in "+|^"):
+        if not pred or any(c in pred for c in "+|^*?"):
             raise ValueError(
                 f"unsupported property path {expr!r} — grammar is "
-                "pred | ^pred, '|'-alternation, one trailing '+'"
+                "pred | ^pred, '|'-alternation, one trailing '+'/'*'/'?'"
             )
         s_col, o_col = ("object", "subject") if inverse else ("subject", "object")
         alts.append((pred, s_col, o_col))
-    return closure, alts
+    return modifier, alts
 
 
 def _pattern_relation(
@@ -268,10 +274,12 @@ def _path_relation(
     """SPARQL property-path subset -> (subject, object) relation
     (distributed arm). Inverse swaps the endpoints; a trailing ``+``
     takes the transitive closure of the UNION relation (so ``(p|^p)+``
-    is undirected reachability). Each alternative is one filtered
-    projection of the edge stream; closure rides
-    ``graphalgo.transitive_closure``'s dual-path plan."""
-    closure, alts = _parse_path(expr)
+    is undirected reachability); ``*``/``?`` add the zero-length path
+    (one identity pair per distinct graph term — a per-batch unique
+    projection of the edge stream, deduped by the closing distinct).
+    Each alternative is one filtered projection of the edge stream;
+    closure rides ``graphalgo.transitive_closure``'s dual-path plan."""
+    modifier, alts = _parse_path(expr)
     parts = [
         edges.select_columns(list(_SLOTS)).map_batches(
             lambda t, _p=pred, _s=s_col, _o=o_col: pa.table(
@@ -282,12 +290,23 @@ def _path_relation(
         for pred, s_col, o_col in alts
     ]
     base = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-    if closure:
+    if modifier in ("+", "*"):
         from .graphalgo import transitive_closure
 
-        return transitive_closure(
+        base = transitive_closure(
             base, src="subject", dst="object", num_partitions=num_partitions
         )
+    if modifier in ("*", "?"):
+        from .graphalgo import _distinct_pairs
+
+        ident = edges.select_columns(list(_SLOTS)).map_batches(
+            _identity_pairs, batch_format="pyarrow"
+        )
+        return _distinct_pairs(
+            base.union(ident), "subject", "object", num_partitions
+        )
+    if modifier == "+":
+        return base
     if len(parts) > 1:
         # (s,p1,o) and (s,p2,o) both existing would double the (s,o)
         # binding — alternation must stay a SET like every other relation
@@ -297,11 +316,21 @@ def _path_relation(
     return base
 
 
+def _identity_pairs(t: pa.Table) -> pa.Table:
+    """One (n, n) zero-length-path pair per distinct term in the batch."""
+    def col(name):
+        arr = pc.cast(_chunked_str(t[name]), pa.string())
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    terms = pc.unique(pa.concat_arrays([col("subject"), col("object")]))
+    return pa.table({"subject": terms, "object": terms})
+
+
 def _local_path_relation(tbl: pa.Table, expr: str) -> pa.Table:
     """Local arm of ``_path_relation``: same grammar, Arrow kernels on
     the collected triple table; closure rides
     ``graphalgo._closure_local`` (numpy semi-naive)."""
-    closure, alts = _parse_path(expr)
+    modifier, alts = _parse_path(expr)
     parts = []
     for pred, s_col, o_col in alts:
         flt = tbl.filter(
@@ -311,7 +340,7 @@ def _local_path_relation(tbl: pa.Table, expr: str) -> pa.Table:
             pa.table({"subject": flt[s_col], "object": flt[o_col]})
         )
     base = pa.concat_tables(parts).combine_chunks()
-    if closure:
+    if modifier in ("+", "*"):
         from .graphalgo import _closure_local
 
         out = _closure_local(
@@ -319,7 +348,18 @@ def _local_path_relation(tbl: pa.Table, expr: str) -> pa.Table:
         )
         if out is None:
             raise _LocalOverflow(f"property path {expr!r} closure")
-        return out
+        base = out
+    if modifier in ("*", "?"):
+        ident = _identity_pairs(
+            pa.table({"subject": tbl["subject"], "object": tbl["object"]})
+        )
+        return (
+            pa.concat_tables([base.select(["subject", "object"]), ident])
+            .group_by(["subject", "object"])
+            .aggregate([])
+        )
+    if modifier == "+":
+        return base
     if len(alts) > 1:
         base = base.group_by(["subject", "object"]).aggregate([])
     return base

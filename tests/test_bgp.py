@@ -294,8 +294,8 @@ def test_bgp_minus_contract(ray_session):
 
 def _path_pairs(triples, expr):
     """Brute-force property-path relation."""
-    closure = expr.endswith("+")
-    body = expr[:-1] if closure else expr
+    mod = expr[-1] if expr and expr[-1] in "+*?" else None
+    body = expr[:-1] if mod else expr
     pairs = set()
     for alt in body.split("|"):
         inv = alt.startswith("^")
@@ -303,12 +303,15 @@ def _path_pairs(triples, expr):
         for s, p, o in triples:
             if p == pred:
                 pairs.add((o, s) if inv else (s, o))
-    if closure:
+    if mod in ("+", "*"):
         while True:
             new = {(a, d) for a, b in pairs for c, d in pairs if b == c}
             if new <= pairs:
-                return pairs
+                break
             pairs |= new
+    if mod in ("*", "?"):
+        terms = {s for s, _, _ in triples} | {o for _, _, o in triples}
+        pairs |= {(t, t) for t in terms}
     return pairs
 
 
@@ -316,7 +319,7 @@ def _path_pairs(triples, expr):
 @given(triples_strategy)
 def test_bgp_path_grammar_matches_bruteforce(ray_session, triples):
     for expr in ("^p", "p|q", "^p|q", "(never)|p".replace("(never)", "zz"),
-                 "p|^p", "p|^p+"):
+                 "p|^p", "p|^p+", "p*", "p?", "^p*", "p|q?", "zz*"):
         # note: 'p|^p+' parses as closure OVER the union (grammar: one
         # trailing +), i.e. undirected reachability for p
         want = _path_pairs(triples, expr)
@@ -328,7 +331,7 @@ def test_bgp_path_grammar_matches_bruteforce(ray_session, triples):
 
 def test_bgp_path_grammar_errors(ray_session):
     ds = _ds([("a", "p", "b")])
-    for bad in ("p++", "p|", "^", "|p", "p|^"):
+    for bad in ("p++", "p|", "^", "|p", "p|^", "p*?", "p+*", "*", "p?|q"):
         with pytest.raises(ValueError, match="unsupported property path"):
             bgp_match(ds, [("?x", bad, "?y")])
 
@@ -398,6 +401,8 @@ def test_bgp_dual_path_parity(ray_session):
         dict(patterns=[("?x", "p", "?y")],
              minus=[[("?y", "q", "?z")], [("?x", "q", "?w"), ("?w", "p", "?v")]]),
         dict(patterns=[("?x", "p+", "?y"), ("?y", "q", "?z")]),
+        dict(patterns=[("?x", "p*", "?y"), ("?y", "q", "?z")]),
+        dict(patterns=[("?x", "q?", "?y")]),
         dict(patterns=[("?x", "p|^q", "?y")]),
         dict(patterns=[("?n", "p|^p+", "?n")]),
         dict(patterns=[("?x", "zz", "?y")],            # empty required side
