@@ -312,6 +312,51 @@ def q_schema_census(sf_dir: str):
     consumer audits). Reuses the flagship stages verbatim: deduped
     `build_edges`, `build_nodes` for classes, broadcast class tag, then
     one small class-keyed grouped sum (25x6x25 keys max)."""
+    return _census_table(sf_dir)
+
+
+def q_shape_violations(sf_dir: str, max_share_ppm: int = 10_000):
+    """SHACL-lite domain/range audit: (subject_class, predicate,
+    object_class) triple-types that carry < ``max_share_ppm`` (default
+    1%) of their predicate's distinct edges — the rare type combinations
+    a schema validator flags as suspected extraction errors. Rides the
+    distributed census (the heavy pass); the flag step is a vectorized
+    window over the class-bounded census table (<= |classes|^2 x
+    |predicates| rows), integer-exact so the SQL mirror hash-matches."""
+    census = _census_table(sf_dir)
+    n = pc.cast(_chunk(census["n_edges"]), pa.int64())
+    # per-predicate totals via a tiny group-by, re-attached by index
+    totals = (
+        pa.table({"predicate": census["predicate"], "n": n})
+        .group_by(["predicate"])
+        .aggregate([("n", "sum")])
+    )
+    tmap = dict(
+        zip(totals["predicate"].to_pylist(), totals["n_sum"].to_pylist())
+    )
+    pred_edges = pa.array(
+        [tmap[p] for p in census["predicate"].to_pylist()], pa.int64()
+    )
+    flagged = pc.less(
+        pc.multiply(n, pa.scalar(1_000_000, pa.int64())),
+        pc.multiply(pred_edges, pa.scalar(max_share_ppm, pa.int64())),
+    )
+    out = pa.table(
+        {
+            "subject_class": census["subject_class"],
+            "predicate": census["predicate"],
+            "object_class": census["object_class"],
+            "n_edges": n,
+            "pred_edges": pred_edges,
+            "share_ppm": pc.divide(
+                pc.multiply(n, pa.scalar(1_000_000, pa.int64())), pred_edges
+            ),
+        }
+    ).filter(flagged)
+    return _table(out)
+
+
+def _census_table(sf_dir: str) -> pa.Table:
     from kgray.materialize import (
         build_edges,
         build_nodes,
@@ -4333,6 +4378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_timeline": q_entity_timeline,
         "conv_kg_stats": q_conv_kg_stats,
         "schema_census": q_schema_census,
+        "shape_violations": q_shape_violations,
         "graphsage_sample": q_graphsage_sample,
         "metapath_counts": q_metapath_counts,
         "link_pred_features": q_link_pred_features,
@@ -5024,6 +5070,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_edges,
                    CAST(SUM(nm) AS BIGINT) AS n_mentions
             FROM e, consts GROUP BY 1, 2, 3
+        """,
+        "shape_violations": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            e AS (
+              SELECT (s - s % 2) AS si, p, (o - o % 2) AS oi,
+                     COUNT(*) AS nm
+              FROM linked GROUP BY 1, 2, 3
+            ),
+            census AS (
+              SELECT substr(cats[CAST(si % 25 AS INT) + 1], 9)
+                       AS subject_class,
+                     preds[CAST(p AS INT) + 1] AS predicate,
+                     substr(cats[CAST(oi % 25 AS INT) + 1], 9)
+                       AS object_class,
+                     COUNT(*) AS n_edges
+              FROM e, consts GROUP BY 1, 2, 3
+            ),
+            w AS (
+              SELECT subject_class, predicate, object_class, n_edges,
+                     CAST(SUM(n_edges) OVER (PARTITION BY predicate)
+                          AS BIGINT) AS pred_edges
+              FROM census
+            )
+            SELECT subject_class, predicate, object_class,
+                   CAST(n_edges AS BIGINT) AS n_edges, pred_edges,
+                   CAST((n_edges * 1000000) // pred_edges AS BIGINT)
+                     AS share_ppm
+            FROM w
+            WHERE n_edges * 1000000 < pred_edges * 10000
         """,
         "q1_pricing": q1,
         "dup_name_audit": """
