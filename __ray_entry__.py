@@ -1258,6 +1258,31 @@ def q_bgp_seeded(sf_dir: str):
     )
 
 
+def q_bgp_union_shapes(sf_dir: str):
+    """SPARQL UNION of two differently-shaped branches: treats edges
+    WITH their target's part_of parent (3 variables) unioned with bare
+    causes edges (2 variables, parent null-filled) — the 'union of
+    shapes' disjunction alternation can't express. Set-deduped across
+    branches (nulls group as equal, exactly SQL UNION)."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_union(
+        edges,
+        [
+            dict(patterns=[
+                ("?a", "biolink:treats", "?b"),
+                ("?b", "biolink:part_of", "?c"),
+            ]),
+            dict(patterns=[("?a", "biolink:causes", "?b")]),
+        ],
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
+    )
+
+
 def q_treats_rollup(sf_dir: str):
     """Zero-or-more property path + GROUP BY: treatment counts rolled up
     the part_of hierarchy INCLUDING each node itself (``part_of*`` =
@@ -4347,6 +4372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_filtered": q_bgp_filtered,
         "bgp_seeded": q_bgp_seeded,
         "treats_rollup": q_treats_rollup,
+        "bgp_union_shapes": q_bgp_union_shapes,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -6050,6 +6076,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "bgp_union_shapes": f"""
+            WITH e AS ({kg_edges})
+            SELECT e1.subject AS a, e1.object AS b, e2.object AS c
+            FROM e e1
+            JOIN e e2 ON e2.subject = e1.object
+            WHERE e1.predicate = 'biolink:treats'
+              AND e2.predicate = 'biolink:part_of'
+            UNION
+            SELECT subject AS a, object AS b, CAST(NULL AS VARCHAR) AS c
+            FROM e WHERE predicate = 'biolink:causes'
         """,
         "treats_rollup": f"""
             WITH RECURSIVE e AS ({kg_edges}),

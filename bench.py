@@ -114,7 +114,7 @@ def run_bench() -> dict:
             "part_of_closure", "inferred_treats", "name_match_pairs",
             "treats_ancestors", "leaf_treatments", "part_of_connected",
             "datalog_ancestors", "bgp_filtered", "bgp_seeded",
-            "treats_rollup", "shape_violations",
+            "treats_rollup", "shape_violations", "bgp_union_shapes",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

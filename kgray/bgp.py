@@ -700,6 +700,72 @@ def bgp_match(
     return acc.map_batches(_finish, batch_format="pyarrow")
 
 
+def bgp_union(
+    edges: ray.data.Dataset,
+    branches,
+    num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
+) -> ray.data.Dataset:
+    """SPARQL UNION: evaluate each branch (a dict of ``bgp_match``
+    kwargs — patterns / optional / minus / values / filters) against the
+    same triple set and set-union the binding relations. Branches may
+    bind DIFFERENT variable sets (the common 'union of shapes' query);
+    missing variables are null-filled, and the result schema is the
+    first-appearance order across branches. Distinct-set semantics with
+    nulls grouping as equal — exactly SQL UNION, so the mirror is a
+    plain UNION of SELECTs with NULL placeholders.
+
+    Each branch rides ``bgp_match``'s own dual-path plan; the only
+    union-level exchange is the closing distinct, which is skipped when
+    there is a single branch (already a set)."""
+    if not branches:
+        raise ValueError("need at least one branch")
+    edges = edges.materialize()  # scanned by every branch
+    outs = []
+    all_vars: list[str] = []
+    for branch in branches:
+        out = bgp_match(
+            edges, num_partitions=num_partitions,
+            broadcast_limit=broadcast_limit, **branch,
+        )
+        names = list(out.schema().names)
+        outs.append((out, names))
+        all_vars.extend(v for v in names if v not in all_vars)
+    if len(outs) == 1:
+        return outs[0][0]
+
+    def widen(t: pa.Table, have, cols) -> pa.Table:
+        return pa.table(
+            {
+                v: (
+                    pc.cast(_chunked_str(t[v]), pa.string())
+                    if v in have else pa.nulls(t.num_rows, pa.string())
+                )
+                for v in cols
+            }
+        )
+
+    widened = [
+        out.map_batches(
+            lambda t, _h=tuple(names), _c=tuple(all_vars): widen(
+                t, set(_h), list(_c)
+            ),
+            batch_format="pyarrow",
+        )
+        for out, names in outs
+    ]
+    merged = widened[0].union(*widened[1:])
+    from .relational import hash_bucketed_groupby
+
+    return hash_bucketed_groupby(
+        merged, list(all_vars), lambda df: df.drop_duplicates(),
+        num_buckets=num_partitions,
+    ).map_batches(
+        lambda t, _c=tuple(all_vars): t.select(list(_c)),
+        batch_format="pyarrow",
+    )
+
+
 def _check_emit(emit, bound) -> None:
     missing = [t[1:] for t in emit if _is_var(t) and t[1:] not in bound]
     if missing:

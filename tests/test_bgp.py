@@ -519,6 +519,43 @@ def test_bgp_filter_values_contracts(ray_session):
                 bgp_match(ds, broadcast_limit=limit, **case)
 
 
+def test_bgp_union_matches_bruteforce(ray_session):
+    from kgray.bgp import bgp_union
+
+    branches = [
+        dict(patterns=[("?x", "p", "?y"), ("?y", "q", "?z")]),
+        dict(patterns=[("?x", "q", "?y")],
+             filters=[("!=", "?x", "?y")]),
+    ]
+    ref1, vars1 = _ref_bgp(_PARITY_TRIPLES, branches[0]["patterns"])
+    ref2, vars2 = _ref_bgp(_PARITY_TRIPLES, branches[1]["patterns"])
+    all_vars = vars1 + [v for v in vars2 if v not in vars1]
+    want = set(ref1) | {(x, y, None) for x, y in ref2 if x != y}
+    ds = _ds(_PARITY_TRIPLES)
+    for limit in (2_000_000, 0):
+        out = bgp_union(ds, branches, broadcast_limit=limit)
+        assert list(out.schema().names) == all_vars, limit
+        got = [tuple(r[v] for v in all_vars) for r in out.take_all()]
+        assert set(got) == want and len(got) == len(want), limit
+
+    # overlapping branches dedup to the alternation relation
+    overlap = [
+        dict(patterns=[("?x", "p", "?y")]),
+        dict(patterns=[("?x", "p|q", "?y")]),
+    ]
+    want_overlap = _path_pairs(_PARITY_TRIPLES, "p|q")
+    for limit in (2_000_000, 0):
+        out = bgp_union(ds, overlap, broadcast_limit=limit)
+        got = _rows(out, ["x", "y"])
+        assert set(got) == want_overlap and len(got) == len(want_overlap)
+
+    # single branch passes through; empty branch list refused
+    single = bgp_union(ds, [dict(patterns=[("?x", "p", "?y")])])
+    assert set(_rows(single, ["x", "y"])) == _path_pairs(_PARITY_TRIPLES, "p")
+    with pytest.raises(ValueError):
+        bgp_union(ds, [])
+
+
 def test_construct_and_fixpoint_filters_values(ray_session):
     from kgray.bgp import construct, infer_fixpoint
 
