@@ -1283,6 +1283,22 @@ def q_bgp_union_shapes(sf_dir: str):
     )
 
 
+def q_causes_with_treats(sf_dir: str):
+    """SPARQL FILTER EXISTS (semi-join pattern group): causes edges
+    whose subject ALSO treats something — the dual-role entities a
+    pharmacovigilance audit reviews first. The positive counterpart of
+    `leaf_treatments`' MINUS."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges,
+        [("?a", "biolink:causes", "?b")],
+        exists=[[("?a", "biolink:treats", "?c")]],
+    )
+    return _table(
+        out, schema=pa.schema([("a", pa.string()), ("b", pa.string())])
+    )
+
+
 def q_treats_rollup(sf_dir: str):
     """Zero-or-more property path + GROUP BY: treatment counts rolled up
     the part_of hierarchy INCLUDING each node itself (``part_of*`` =
@@ -4373,6 +4389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_seeded": q_bgp_seeded,
         "treats_rollup": q_treats_rollup,
         "bgp_union_shapes": q_bgp_union_shapes,
+        "causes_with_treats": q_causes_with_treats,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -6076,6 +6093,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "causes_with_treats": f"""
+            WITH e AS ({kg_edges})
+            SELECT c.subject AS a, c.object AS b
+            FROM e c
+            WHERE c.predicate = 'biolink:causes'
+              AND EXISTS (
+                SELECT 1 FROM e t
+                WHERE t.predicate = 'biolink:treats'
+                  AND t.subject = c.subject
+              )
         """,
         "bgp_union_shapes": f"""
             WITH e AS ({kg_edges})

@@ -387,7 +387,7 @@ def _collect_triples(edges: ray.data.Dataset) -> pa.Table:
 
 
 def _local_bgp(
-    tbl: pa.Table, patterns, optional=(), minus=(), sources=None,
+    tbl: pa.Table, patterns, optional=(), minus=(), exists=(), sources=None,
     values=None, filters=(),
 ):
     """Driver-local BGP fold: acero hash joins over pattern relations.
@@ -422,6 +422,16 @@ def _local_bgp(
         acc = _values_join(acc, vtbl, shared, acc_vars)
 
     required_vars = list(acc_vars)
+    for group in exists:
+        sub, sub_vars = _local_bgp(tbl, group)
+        shared = [v for v in required_vars if v in sub_vars]
+        if not shared:
+            raise ValueError(
+                f"exists group {group!r} shares no variable with the "
+                f"required bindings {required_vars} — an uncorrelated "
+                "EXISTS is a constant; test it separately"
+            )
+        acc = acc.join(sub.select(shared), keys=shared, join_type="left semi")
     for group in minus:
         sub, sub_vars = _local_bgp(tbl, group)
         shared = [v for v in required_vars if v in sub_vars]
@@ -477,6 +487,7 @@ def bgp_match(
     patterns,
     optional=(),
     minus=(),
+    exists=(),
     values=None,
     filters=(),
     num_partitions: int = 32,
@@ -499,6 +510,11 @@ def bgp_match(
     an anti-join on the shared variables). A group sharing no variable
     with the required set is refused — under SPARQL semantics it would
     remove nothing, which is never what the query meant.
+
+    ``exists`` is the positive counterpart (SPARQL FILTER EXISTS,
+    restricted to required-variable correlation): required bindings
+    compatible with >=1 group binding on their shared variables are
+    KEPT (a semi-join). An uncorrelated group is refused the same way.
 
     ``values`` is a SPARQL VALUES block ``((?vars...), [rows...])``: an
     inline binding relation inner-joined into the group right after the
@@ -526,7 +542,7 @@ def bgp_match(
         try:
             acc, _ = _local_bgp(
                 _collect_triples(edges), patterns,
-                optional=optional, minus=minus,
+                optional=optional, minus=minus, exists=exists,
                 values=values, filters=filters,
             )
             return ray.data.from_arrow(acc)
@@ -595,6 +611,45 @@ def bgp_match(
             *[pc.cast(t[c], pa.string()) for c in cols], "\x1f"
         ) if len(cols) > 1 else pc.cast(t[cols[0]], pa.string())
         return t.append_column(out_col, key)
+
+    for group in exists:
+        sub = bgp_match(
+            edges, group,
+            num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        )
+        shared = [v for v in required_vars if v in sub.schema().names]
+        if not shared:
+            raise ValueError(
+                f"exists group {group!r} shares no variable with the "
+                f"required bindings {required_vars} — an uncorrelated "
+                "EXISTS is a constant; test it separately"
+            )
+        if n_acc == 0:
+            continue
+        sub = sub.materialize()
+        if sub.count() == 0:
+            n_acc = 0
+            continue
+        from .relational import semi_join
+
+        # reserved right-key name (see the MINUS arm note)
+        sub_keys = sub.map_batches(
+            lambda t, _s=tuple(shared): _pack_vars(
+                t, list(_s), "__exists_key"
+            ).select(["__exists_key"]),
+            batch_format="pyarrow",
+        )
+        keyed = acc.map_batches(
+            lambda t, _s=tuple(shared): _pack_vars(t, list(_s), "bind_key"),
+            batch_format="pyarrow",
+        )
+        acc = semi_join(
+            keyed, sub_keys, "bind_key", "__exists_key",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.drop_columns(["bind_key"]), batch_format="pyarrow"
+        ).materialize()
+        n_acc = acc.count()
 
     for group in minus:
         sub = bgp_match(
@@ -791,6 +846,8 @@ def construct(
     patterns,
     emit,
     optional=(),
+    minus=(),
+    exists=(),
     values=None,
     filters=(),
     only_new: bool = True,
@@ -818,7 +875,7 @@ def construct(
         try:
             tbl = _collect_triples(edges)
             bindings, bound_vars = _local_bgp(
-                tbl, patterns, optional=optional,
+                tbl, patterns, optional=optional, minus=minus, exists=exists,
                 values=values, filters=filters,
             )
             _check_emit(emit, set(bound_vars))
@@ -835,7 +892,8 @@ def construct(
             broadcast_limit = 0
 
     bindings = bgp_match(
-        edges, patterns, optional=optional, values=values, filters=filters,
+        edges, patterns, optional=optional, minus=minus, exists=exists,
+        values=values, filters=filters,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
     _check_emit(emit, set(bindings.schema().names))
@@ -913,11 +971,15 @@ def _local_fixpoint(
                 raise ValueError(f"emit must be (s, p, o), got {emit!r}")
             patterns = rule["patterns"]
             optional = rule.get("optional", ())
+            exists_g = rule.get("exists", ())
             values = rule.get("values")
             filters = rule.get("filters", ())
             # filters and values keep rules monotone (they select a fixed
-            # subset of each binding set), so semi-naive stays sound
-            plain = not optional and all(
+            # subset of each binding set), so semi-naive stays sound.
+            # EXISTS is monotone too, but a GROWING graph can newly
+            # witness an OLD binding with no fresh required atom — so an
+            # exists rule (like optional) must re-match the whole graph
+            plain = not optional and not exists_g and all(
                 _pattern_spec(p)[0] is None for p in patterns
             )
             if plain and delta is not graph:
@@ -942,7 +1004,7 @@ def _local_fixpoint(
                     out = out.group_by(list(_SLOTS)).aggregate([])
             else:
                 bindings, bound_vars = _local_bgp(
-                    graph, patterns, optional=optional,
+                    graph, patterns, optional=optional, exists=exists_g,
                     values=values, filters=filters,
                 )
                 _check_emit(emit, set(bound_vars))
@@ -979,7 +1041,8 @@ def infer_fixpoint(
 ) -> ray.data.Dataset:
     """Datalog-style saturation: apply every rule (a ``construct``
     spec: {'patterns': [...], 'emit': (s, p, o), 'optional': [...],
-    'values': ..., 'filters': [...]})
+    'exists': [...], 'values': ..., 'filters': [...]}; 'minus' is
+    refused — negation is non-monotone, stratify it outside the loop)
     against the CURRENT graph — asserted plus everything inferred so
     far — until a full round adds no fresh triple. Returns the distinct
     INFERRED delta (input triples are never re-emitted).
@@ -1001,6 +1064,14 @@ def infer_fixpoint(
     other."""
     if not rules:
         raise ValueError("need at least one rule")
+    for rule in rules:
+        if rule.get("minus"):
+            raise ValueError(
+                "infer_fixpoint: a MINUS group makes the program "
+                "non-monotone (a later round could invalidate an earlier "
+                "derivation) — stratify the negation OUTSIDE the fixpoint "
+                "(run infer_fixpoint, then construct with minus)"
+            )
     graph = edges.select_columns(list(_SLOTS)).materialize()
     per_rule_limit = broadcast_limit
     if graph.count() <= broadcast_limit:
@@ -1028,6 +1099,7 @@ def infer_fixpoint(
                 rule["patterns"],
                 rule["emit"],
                 optional=rule.get("optional", ()),
+                exists=rule.get("exists", ()),
                 values=rule.get("values"),
                 filters=rule.get("filters", ()),
                 only_new=True,

@@ -519,6 +519,60 @@ def test_bgp_filter_values_contracts(ray_session):
                 bgp_match(ds, broadcast_limit=limit, **case)
 
 
+def test_bgp_exists_matches_bruteforce(ray_session):
+    patterns = [("?x", "p", "?y")]
+    ref, var_order = _ref_bgp(_PARITY_TRIPLES, patterns)
+    witnesses = {s for s, p, o in _PARITY_TRIPLES if p == "q"}
+    want = sorted(r for r in ref if r[1] in witnesses)
+    ds = _ds(_PARITY_TRIPLES)
+    for limit in (2_000_000, 0):
+        out = bgp_match(
+            ds, patterns, exists=[[("?y", "q", "?z")]],
+            broadcast_limit=limit,
+        )
+        assert _rows(out, var_order) == want, limit
+        # uncorrelated exists group refused
+        with pytest.raises(ValueError, match="exists group"):
+            bgp_match(
+                ds, patterns, exists=[[("?u", "q", "?v")]],
+                broadcast_limit=limit,
+            )
+        # exists group matching nothing empties the result
+        none = bgp_match(
+            ds, patterns, exists=[[("?y", "zz", "?z")]],
+            broadcast_limit=limit,
+        )
+        assert _rows(none, var_order) == [], limit
+
+
+def test_fixpoint_exists_sees_derived_witnesses(ray_session):
+    from kgray.bgp import infer_fixpoint
+
+    # rule 2's EXISTS witness is only derived by rule 1 — the
+    # conservative (non-semi-naive) re-match must still find it
+    triples = [("a", "p", "b"), ("b", "r", "c")]
+    rules = [
+        {"patterns": [("?x", "r", "?y")], "emit": ("?x", "q", "?y")},
+        {"patterns": [("?x", "p", "?y")],
+         "exists": [[("?y", "q", "?z")]],
+         "emit": ("?x", "s", "?y")},
+    ]
+    names = ["subject", "predicate", "object"]
+    for limit in (2_000_000, 0):
+        out = infer_fixpoint(_ds(triples), rules, broadcast_limit=limit)
+        got = set(_rows(out, names))
+        assert ("a", "s", "b") in got, limit
+        assert got == {("b", "q", "c"), ("a", "s", "b")}, limit
+    # negation inside the loop is refused
+    with pytest.raises(ValueError, match="non-monotone"):
+        infer_fixpoint(
+            _ds(triples),
+            [{"patterns": [("?x", "p", "?y")],
+              "minus": [[("?y", "r", "?z")]],
+              "emit": ("?x", "s", "?y")}],
+        )
+
+
 def test_bgp_union_matches_bruteforce(ray_session):
     from kgray.bgp import bgp_union
 
