@@ -2136,6 +2136,20 @@ def q_triangle_count(sf_dir: str):
     return _table(graphalgo.triangle_count(_canonical_int_edges(sf_dir)))
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient (integer ppm) over the
+    canonical KG's simple undirected projection — the standard
+    graph-cohesion profile next to `degree_histogram` / `k_core`.
+    Degree-<2 nodes excluded (undefined denominator)."""
+    return _table(
+        graphalgo.clustering_coefficients(_canonical_int_edges(sf_dir)),
+        schema=pa.schema(
+            [("node", pa.int64()), ("degree", pa.int64()),
+             ("n_tri", pa.int64()), ("coeff_ppm", pa.int64())]
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling + corpus term stats
 # ---------------------------------------------------------------------------
@@ -4390,6 +4404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "treats_rollup": q_treats_rollup,
         "bgp_union_shapes": q_bgp_union_shapes,
         "causes_with_treats": q_causes_with_treats,
+        "clustering_coeff": q_clustering_coeff,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -6006,6 +6021,39 @@ def oracle_sql() -> dict[str, str]:
             ),
             deg AS (SELECT v, COUNT(*) AS degree FROM degrows GROUP BY 1)
             SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
+        """,
+        "clustering_coeff": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            ue AS (
+              SELECT DISTINCT LEAST(s - s % 2, o - o % 2) AS a,
+                              GREATEST(s - s % 2, o - o % 2) AS b
+              FROM linked WHERE (s - s % 2) <> (o - o % 2)
+            ),
+            deg AS (
+              SELECT v AS node, COUNT(*) AS degree FROM (
+                SELECT a AS v FROM ue UNION ALL SELECT b FROM ue
+              ) GROUP BY v
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ue e1
+              JOIN ue e2 ON e1.b = e2.a
+              JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tn AS (
+              SELECT v AS node, COUNT(*) AS n_tri FROM (
+                SELECT x AS v FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY v
+            )
+            SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+                   CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST((2 * COALESCE(tn.n_tri, 0) * 1000000)
+                        // (d.degree * (d.degree - 1)) AS BIGINT)
+                     AS coeff_ppm
+            FROM deg d LEFT JOIN tn ON tn.node = d.node
+            WHERE d.degree >= 2
         """,
         "triangle_count": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

@@ -943,6 +943,196 @@ def triangle_count(
     return pa.table({"n_triangles": pa.array([n], type=pa.int64())})
 
 
+def clustering_coefficients(
+    edges_ds: ray.data.Dataset, src: str = "src", dst: str = "dst",
+    num_partitions: int = 16,
+    broadcast_limit: int = 5_000_000,
+    wedge_cap: int = 200_000_000,
+) -> ray.data.Dataset:
+    """Per-node local clustering coefficient over the simple undirected
+    projection: coeff(v) = 2 * triangles_at(v) / (deg(v) * (deg(v)-1)),
+    emitted as INTEGER ppm (floor) so the SQL mirror hash-matches.
+    Degree-<2 nodes (undefined denominator) are excluded.
+
+    Dual-path (the engine-wide size-routing discipline): a distinct
+    undirected edge set under ``broadcast_limit`` whose wedge count
+    (computed EXACTLY from endpoint multiplicities before any join)
+    stays under ``wedge_cap`` runs driver-local — one acero wedge join
+    + an int64 ``is_in`` closure + numpy unique counts — because the
+    distributed plan's five exchanges dwarf dimension-sized graphs.
+    Past either cap: ``triangle_count``'s wedge enumeration (ordered
+    edges joined on the middle node, (a, c) legs closed by a semi-join)
+    carrying all three corners; per-node triangle and degree counts are
+    per-batch numpy partials folded by ONE bucketed shuffle each; the
+    final coeff is a node-keyed left join (triangle nodes are a subset
+    of degree->=2 nodes) — node-bounded, never corpus-bounded. The two
+    arms are parity-tested (tests/test_graphalgo.py)."""
+    e = undirected_distinct_edges(edges_ds, src, dst).materialize()
+    n_e = e.count()
+    if n_e <= broadcast_limit:
+        batches = list(e.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+        tbl = (
+            pa.concat_tables(batches).combine_chunks()
+            if batches else pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        )
+        a = pc.cast(_chunked(tbl["a"]), pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(_chunked(tbl["b"]), pa.int64()).to_numpy(zero_copy_only=False)
+        # exact wedge count: rows pair up wherever some edge's b equals
+        # another edge's a — sum of multiplicity products per shared node
+        bv, bc = np.unique(b, return_counts=True)
+        av, ac = np.unique(a, return_counts=True)
+        pos = np.searchsorted(av, bv)
+        pos_ok = (pos < len(av)) & (av[np.clip(pos, 0, max(len(av) - 1, 0))] == bv)
+        n_wedges = int(np.sum(bc[pos_ok] * ac[pos[pos_ok]])) if len(av) else 0
+        if n_wedges <= wedge_cap:
+            return ray.data.from_arrow(_clustering_local(tbl, a, b))
+        logger.warning(
+            "clustering_coefficients: %d wedges exceed wedge_cap=%d; "
+            "using the distributed plan", n_wedges, wedge_cap,
+        )
+    num_partitions = _clamp_partitions(num_partitions, n_e)
+
+    wedges = e.join(
+        e.map_batches(
+            lambda t: pa.table({"b2": t["a"], "c": t["b"]}), batch_format="pyarrow"
+        ),
+        join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("b2",),
+    )
+    from .relational import grouped_agg, semi_join
+
+    closed = semi_join(
+        wedges.map_batches(
+            lambda t: pa.table(
+                {"a": t["a"], "b": t["b"], "c": t["c"],
+                 "k": _pair_key(t["a"], t["c"])}
+            ),
+            batch_format="pyarrow",
+        ),
+        e.map_batches(
+            lambda t: pa.table({"k": _pair_key(t["a"], t["b"])}), batch_format="pyarrow"
+        ),
+        on="k",
+    )
+
+    def tri_part(t: pa.Table) -> pa.Table:
+        corners = np.concatenate(
+            [
+                pc.cast(_chunked(t[c]), pa.int64()).to_numpy(zero_copy_only=False)
+                for c in ("a", "b", "c")
+            ]
+        )
+        v, n = np.unique(corners, return_counts=True)
+        return pa.table(
+            {"node": pa.array(v, pa.int64()),
+             "n_tri": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    tri = grouped_agg(
+        closed.map_batches(tri_part, batch_format="pyarrow"),
+        keys=["node"], sums={"n_tri": "n_tri"},
+    )
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        ends = np.concatenate(
+            [
+                pc.cast(_chunked(t[c]), pa.int64()).to_numpy(zero_copy_only=False)
+                for c in ("a", "b")
+            ]
+        )
+        v, n = np.unique(ends, return_counts=True)
+        return pa.table(
+            {"node": pa.array(v, pa.int64()),
+             "degree": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    deg = grouped_agg(
+        e.map_batches(deg_part, batch_format="pyarrow"),
+        keys=["node"], sums={"degree": "degree"},
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.cast(_chunked(t["degree"]), pa.int64()), 2)
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    tri = tri.materialize()
+    joined = (
+        deg if tri.count() == 0
+        else deg.join(
+            tri, join_type="left_outer",
+            num_partitions=_clamp_partitions(num_partitions, deg.count()),
+            on=("node",),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(_chunked(t["degree"]), pa.int64())
+        n = (
+            pc.fill_null(pc.cast(_chunked(t["n_tri"]), pa.int64()), 0)
+            if "n_tri" in t.column_names
+            else pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+        )
+        denom = pc.multiply(d, pc.subtract(d, pa.scalar(1, pa.int64())))
+        coeff = pc.divide(
+            pc.multiply(n, pa.scalar(2_000_000, pa.int64())), denom
+        )
+        return pa.table(
+            {"node": t["node"], "degree": d, "n_tri": n, "coeff_ppm": coeff}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _clustering_local(tbl: pa.Table, a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Driver-local arm of ``clustering_coefficients``: one acero wedge
+    join, an int64 ``is_in`` closure, numpy unique counts."""
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "n_tri": pa.array([], pa.int64()),
+            "coeff_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if len(a) == 0:
+        return empty
+    ends, deg_all = np.unique(np.concatenate([a, b]), return_counts=True)
+    keep = deg_all >= 2
+    nodes, deg = ends[keep], deg_all[keep].astype(np.int64)
+    if len(nodes) == 0:
+        return empty
+    wedges = tbl.join(
+        pa.table({"b": tbl["a"], "c": tbl["b"]}), keys=["b"], join_type="inner"
+    )
+    closed = wedges.filter(
+        pc.is_in(
+            _pair_key(wedges["a"], wedges["c"]),
+            value_set=_pair_key(tbl["a"], tbl["b"]),
+        )
+    )
+    corners = np.concatenate(
+        [
+            pc.cast(_chunked(closed[c]), pa.int64()).to_numpy(zero_copy_only=False)
+            for c in ("a", "b", "c")
+        ]
+    )
+    tri_v, tri_n = np.unique(corners, return_counts=True)
+    n_tri = np.zeros(len(nodes), dtype=np.int64)
+    # every triangle corner has degree >= 2, so tri_v is a subset of nodes
+    n_tri[np.searchsorted(nodes, tri_v)] = tri_n.astype(np.int64)
+    coeff = (2 * n_tri * 1_000_000) // (deg * (deg - 1))
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), pa.int64()),
+            "degree": pa.array(deg, pa.int64()),
+            "n_tri": pa.array(n_tri, pa.int64()),
+            "coeff_ppm": pa.array(coeff, pa.int64()),
+        }
+    )
+
+
 def _pair_key(a, b) -> pa.Array:
     """(a, b) -> single int64 join key: a * 2^31 + b (node ids must fit
     31 bits; assert upstream for the test corpora)."""

@@ -173,6 +173,56 @@ class TestDegreesTriangles:
         out = graphalgo.triangle_count(_edges_ds(edges, 2))
         assert out["n_triangles"].to_pylist() == [2]
 
+    def test_clustering_coefficients_known_graph(self):
+        # triangle 1-2-3 plus pendant 3-4: coeff(1)=coeff(2)=1,
+        # coeff(3)=1/3; node 4 (degree 1) excluded
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1)]  # dup direction
+        out = graphalgo.clustering_coefficients(_edges_ds(edges, 2))
+        rows = {r["node"]: r for r in out.take_all()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["coeff_ppm"] == 1_000_000 and rows[1]["n_tri"] == 1
+        assert rows[2]["coeff_ppm"] == 1_000_000 and rows[2]["degree"] == 2
+        assert rows[3]["coeff_ppm"] == 333_333 and rows[3]["degree"] == 3
+
+    def test_clustering_coefficients_matches_bruteforce(self):
+        rng = np.random.RandomState(7)
+        edges = list({(int(a), int(b))
+                      for a, b in zip(rng.randint(0, 25, 140),
+                                      rng.randint(0, 25, 140))})
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for v, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2:
+                continue
+            t = sum(
+                1 for x in nbrs for y in nbrs
+                if x < y and (min(x, y), max(x, y)) in und
+            )
+            want[v] = (d, t, (2 * t * 1_000_000) // (d * (d - 1)))
+        # both plan arms must match the brute force (and each other)
+        for limit in (5_000_000, 0):
+            out = graphalgo.clustering_coefficients(
+                _edges_ds(edges, 3), broadcast_limit=limit
+            )
+            got = {
+                r["node"]: (r["degree"], r["n_tri"], r["coeff_ppm"])
+                for r in out.take_all()
+            }
+            assert got == want, limit
+
+    def test_clustering_coefficients_triangle_free(self):
+        # star graph: plenty of degree->=2 nodes, zero triangles
+        edges = [(0, i) for i in range(1, 6)]
+        out = graphalgo.clustering_coefficients(_edges_ds(edges, 2))
+        rows = out.take_all()
+        assert {r["node"] for r in rows} == {0}
+        assert rows[0]["n_tri"] == 0 and rows[0]["coeff_ppm"] == 0
+
 
 def test_pagerank_counts_path_bit_identical_to_stream(ray_session):
     """The single-pass multiplicity fast path must reproduce the
