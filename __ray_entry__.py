@@ -1299,6 +1299,17 @@ def q_causes_with_treats(sf_dir: str):
     )
 
 
+def q_non_partof_pairs(sf_dir: str):
+    """SPARQL negated property set: distinct node pairs connected by
+    ANY predicate except part_of — the cross-hierarchy relation map
+    (what's left of the KG once the taxonomy backbone is removed)."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(edges, [("?x", "!biolink:part_of", "?y")])
+    return _table(
+        out, schema=pa.schema([("x", pa.string()), ("y", pa.string())])
+    )
+
+
 def q_treats_rollup(sf_dir: str):
     """Zero-or-more property path + GROUP BY: treatment counts rolled up
     the part_of hierarchy INCLUDING each node itself (``part_of*`` =
@@ -4405,6 +4416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_union_shapes": q_bgp_union_shapes,
         "causes_with_treats": q_causes_with_treats,
         "clustering_coeff": q_clustering_coeff,
+        "non_partof_pairs": q_non_partof_pairs,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -6141,6 +6153,11 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "non_partof_pairs": f"""
+            WITH e AS ({kg_edges})
+            SELECT DISTINCT subject AS x, object AS y FROM e
+            WHERE predicate <> 'biolink:part_of'
         """,
         "causes_with_treats": f"""
             WITH e AS ({kg_edges})

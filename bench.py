@@ -115,7 +115,7 @@ def run_bench() -> dict:
             "treats_ancestors", "leaf_treatments", "part_of_connected",
             "datalog_ancestors", "bgp_filtered", "bgp_seeded",
             "treats_rollup", "shape_violations", "bgp_union_shapes",
-            "causes_with_treats", "clustering_coeff",
+            "causes_with_treats", "clustering_coeff", "non_partof_pairs",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

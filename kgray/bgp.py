@@ -75,17 +75,17 @@ def _is_var(term: str) -> bool:
 def _pattern_spec(pattern):
     """One triple pattern -> (path_expr | None, slots, terms).
 
-    A constant predicate containing ``+``/``|``/``^``/``*``/``?`` is a
-    SPARQL property path: the pattern matches over the 2-column path
-    relation (see ``_path_relation``) instead of the raw 3-slot triple
-    stream."""
+    A constant predicate containing ``+``/``|``/``^``/``*``/``?`` or
+    starting with ``!`` is a SPARQL property path: the pattern matches
+    over the 2-column path relation (see ``_path_relation``) instead of
+    the raw 3-slot triple stream."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p_term = pattern[1]
     if (
         not _is_var(p_term)
         and isinstance(p_term, str)
-        and any(c in p_term for c in "+|^*?")
+        and (p_term.startswith("!") or any(c in p_term for c in "+|^*?"))
     ):
         return p_term, ("subject", "object"), (pattern[0], pattern[2])
     return None, _SLOTS, pattern
@@ -237,17 +237,33 @@ def _parse_path(expr: str):
     (zero-or-one) -> (modifier | None, [(pred, s_col, o_col), ...]).
     The zero-length path pairs every TERM OF THE GRAPH (any subject or
     object, regardless of predicate) with itself — the SPARQL
-    ZeroLengthPath relation."""
+    ZeroLengthPath relation.
+
+    A leading ``!`` is a SPARQL negated property set over the WHOLE
+    alternation: ``!p1|p2`` matches any triple whose predicate is in
+    NEITHER set member (forward direction only; no inverse members, no
+    trailing modifier) -> ('!', [(pred, 'subject', 'object'), ...])."""
+    if expr.startswith("!"):
+        preds = expr[1:].split("|")
+        if not all(preds) or any(
+            c in p for p in preds for c in "+|^*?!"
+        ):
+            raise ValueError(
+                f"unsupported negated property set {expr!r} — grammar is "
+                "!pred or !p1|p2 (forward only, no modifiers)"
+            )
+        return "!", [(p, "subject", "object") for p in preds]
     modifier = expr[-1] if expr and expr[-1] in "+*?" else None
     body = expr[:-1] if modifier else expr
     alts = []
     for alt in body.split("|"):
         inverse = alt.startswith("^")
         pred = alt[1:] if inverse else alt
-        if not pred or any(c in pred for c in "+|^*?"):
+        if not pred or any(c in pred for c in "+|^*?!"):
             raise ValueError(
                 f"unsupported property path {expr!r} — grammar is "
-                "pred | ^pred, '|'-alternation, one trailing '+'/'*'/'?'"
+                "pred | ^pred, '|'-alternation, one trailing '+'/'*'/'?', "
+                "or a leading '!' negated set"
             )
         s_col, o_col = ("object", "subject") if inverse else ("subject", "object")
         alts.append((pred, s_col, o_col))
@@ -280,6 +296,19 @@ def _path_relation(
     Each alternative is one filtered projection of the edge stream;
     closure rides ``graphalgo.transitive_closure``'s dual-path plan."""
     modifier, alts = _parse_path(expr)
+    if modifier == "!":
+        from .graphalgo import _distinct_pairs
+
+        preds = tuple(p for p, _, _ in alts)
+        kept = edges.select_columns(list(_SLOTS)).map_batches(
+            lambda t, _p=preds: pa.table(
+                {"subject": t["subject"], "object": t["object"]}
+            ).filter(_not_in_mask(t["predicate"], _p)),
+            batch_format="pyarrow",
+        )
+        # different surviving predicates can repeat an (s, o) pair —
+        # negated sets stay a SET like alternation
+        return _distinct_pairs(kept, "subject", "object", num_partitions)
     parts = [
         edges.select_columns(list(_SLOTS)).map_batches(
             lambda t, _p=pred, _s=s_col, _o=o_col: pa.table(
@@ -316,6 +345,17 @@ def _path_relation(
     return base
 
 
+def _not_in_mask(pred_col, preds) -> pa.Array:
+    """predicate NOT IN ``preds`` (nulls dropped), for negated sets."""
+    m = pc.invert(
+        pc.is_in(
+            _chunked_str(pred_col),
+            value_set=pa.array(list(preds), pa.string()),
+        )
+    )
+    return pc.fill_null(m, False)
+
+
 def _identity_pairs(t: pa.Table) -> pa.Table:
     """One (n, n) zero-length-path pair per distinct term in the batch."""
     def col(name):
@@ -331,6 +371,11 @@ def _local_path_relation(tbl: pa.Table, expr: str) -> pa.Table:
     the collected triple table; closure rides
     ``graphalgo._closure_local`` (numpy semi-naive)."""
     modifier, alts = _parse_path(expr)
+    if modifier == "!":
+        kept = pa.table(
+            {"subject": tbl["subject"], "object": tbl["object"]}
+        ).filter(_not_in_mask(tbl["predicate"], [p for p, _, _ in alts]))
+        return kept.group_by(["subject", "object"]).aggregate([])
     parts = []
     for pred, s_col, o_col in alts:
         flt = tbl.filter(

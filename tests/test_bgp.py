@@ -294,6 +294,9 @@ def test_bgp_minus_contract(ray_session):
 
 def _path_pairs(triples, expr):
     """Brute-force property-path relation."""
+    if expr.startswith("!"):
+        excl = set(expr[1:].split("|"))
+        return {(s, o) for s, p, o in triples if p not in excl}
     mod = expr[-1] if expr and expr[-1] in "+*?" else None
     body = expr[:-1] if mod else expr
     pairs = set()
@@ -319,7 +322,8 @@ def _path_pairs(triples, expr):
 @given(triples_strategy)
 def test_bgp_path_grammar_matches_bruteforce(ray_session, triples):
     for expr in ("^p", "p|q", "^p|q", "(never)|p".replace("(never)", "zz"),
-                 "p|^p", "p|^p+", "p*", "p?", "^p*", "p|q?", "zz*"):
+                 "p|^p", "p|^p+", "p*", "p?", "^p*", "p|q?", "zz*",
+                 "!p", "!q", "!p|q", "!zz"):
         # note: 'p|^p+' parses as closure OVER the union (grammar: one
         # trailing +), i.e. undirected reachability for p
         want = _path_pairs(triples, expr)
@@ -331,8 +335,9 @@ def test_bgp_path_grammar_matches_bruteforce(ray_session, triples):
 
 def test_bgp_path_grammar_errors(ray_session):
     ds = _ds([("a", "p", "b")])
-    for bad in ("p++", "p|", "^", "|p", "p|^", "p*?", "p+*", "*", "p?|q"):
-        with pytest.raises(ValueError, match="unsupported property path"):
+    for bad in ("p++", "p|", "^", "|p", "p|^", "p*?", "p+*", "*", "p?|q",
+                "!", "!p+", "!^p", "!p|", "p|!q"):
+        with pytest.raises(ValueError, match="unsupported (property path|negated property set)"):
             bgp_match(ds, [("?x", bad, "?y")])
 
 
@@ -403,6 +408,7 @@ def test_bgp_dual_path_parity(ray_session):
         dict(patterns=[("?x", "p+", "?y"), ("?y", "q", "?z")]),
         dict(patterns=[("?x", "p*", "?y"), ("?y", "q", "?z")]),
         dict(patterns=[("?x", "q?", "?y")]),
+        dict(patterns=[("?x", "!q", "?y")]),
         dict(patterns=[("?x", "p|^q", "?y")]),
         dict(patterns=[("?n", "p|^p+", "?n")]),
         dict(patterns=[("?x", "zz", "?y")],            # empty required side
