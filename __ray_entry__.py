@@ -400,6 +400,41 @@ def _census_table(sf_dir: str) -> pa.Table:
     )
 
 
+def q_kg_growth(sf_dir: str):
+    """KG growth curve over conversation progression: per predicate,
+    how many canonical edges are FIRST evidenced at each turn index,
+    with the cumulative count — 'how much of the final graph do the
+    first k turns already pin down', the extraction-yield curve a
+    pipeline owner watches. Plan: one triple-keyed min-turn aggregate
+    (associative partials ride the shuffle), then a (predicate, turn)
+    count — bounded by predicates x turns — and a driver-local cumsum
+    over that tiny table."""
+    canonical, _ = _canonical_triples(sf_dir)
+    triples = canonical.map_batches(
+        lambda t: pa.table(
+            {
+                "subject": _chunk(t["subject_id"]),
+                "predicate": _chunk(t["predicate"]),
+                "object": _chunk(t["object_id"]),
+                "turn_idx": pc.cast(_chunk(t["turn_idx"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    firsts = relational.grouped_agg(
+        triples, keys=["subject", "predicate", "object"],
+        mins={"first_turn": "turn_idx"},
+    )
+    per_turn = relational.grouped_agg(
+        firsts, keys=["predicate", "first_turn"], count_alias="n_new"
+    )
+    df = _table(per_turn).to_pandas().sort_values(
+        ["predicate", "first_turn"]
+    )
+    df["cum_edges"] = df.groupby("predicate")["n_new"].cumsum()
+    return _ints64(pa.Table.from_pandas(df, preserve_index=False))
+
+
 def q_entity_timeline(sf_dir: str):
     """KG entity activity profile: per canonical entity, mention counts
     split by role (subject / object), distinct supporting conversations,
@@ -4417,6 +4452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "causes_with_treats": q_causes_with_treats,
         "clustering_coeff": q_clustering_coeff,
         "non_partof_pairs": q_non_partof_pairs,
+        "kg_growth": q_kg_growth,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -5094,6 +5130,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS last_turn
             FROM linked, consts
             GROUP BY 1, 2, 3
+        """,
+        "kg_growth": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            firsts AS (
+              SELECT preds[CAST(p AS INT)+1] AS predicate,
+                     (s - s % 2) AS si, (o - o % 2) AS oi,
+                     CAST(MIN(turn_idx) AS BIGINT) AS first_turn
+              FROM linked, consts GROUP BY 1, 2, 3
+            ),
+            per_turn AS (
+              SELECT predicate, first_turn, COUNT(*) AS n_new
+              FROM firsts GROUP BY 1, 2
+            )
+            SELECT predicate, first_turn,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(SUM(n_new) OVER (
+                     PARTITION BY predicate ORDER BY first_turn
+                   ) AS BIGINT) AS cum_edges
+            FROM per_turn
         """,
         "entity_timeline": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},
