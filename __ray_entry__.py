@@ -1334,6 +1334,22 @@ def q_causes_with_treats(sf_dir: str):
     )
 
 
+def q_multi_treated(sf_dir: str):
+    """SPARQL GROUP BY + HAVING (bgp.bgp_count): targets with at least
+    two distinct treating entities — the 'well-corroborated treatment
+    target' shortlist. Counting rides one bucketed partial-count
+    shuffle; HAVING is a vectorized mask on the group-bounded result."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_count(
+        edges, [("?a", "biolink:treats", "?b")],
+        group_by=["?b"], alias="n_treaters", min_count=2,
+    )
+    return _table(
+        out,
+        schema=pa.schema([("b", pa.string()), ("n_treaters", pa.int64())]),
+    )
+
+
 def q_non_partof_pairs(sf_dir: str):
     """SPARQL negated property set: distinct node pairs connected by
     ANY predicate except part_of — the cross-hierarchy relation map
@@ -4453,6 +4469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q_clustering_coeff,
         "non_partof_pairs": q_non_partof_pairs,
         "kg_growth": q_kg_growth,
+        "multi_treated": q_multi_treated,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -6208,6 +6225,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "multi_treated": f"""
+            WITH e AS ({kg_edges})
+            SELECT object AS b, COUNT(*) AS n_treaters FROM e
+            WHERE predicate = 'biolink:treats'
+            GROUP BY 1 HAVING COUNT(*) >= 2
         """,
         "non_partof_pairs": f"""
             WITH e AS ({kg_edges})

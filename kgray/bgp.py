@@ -866,6 +866,54 @@ def bgp_union(
     )
 
 
+def bgp_count(
+    edges: ray.data.Dataset,
+    patterns,
+    group_by,
+    alias: str = "n",
+    min_count: int = 1,
+    num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL ``SELECT ?g (COUNT(*) AS ?n) ... GROUP BY ?g HAVING
+    (?n >= k)``: match the group (full ``bgp_match`` kwargs — optional /
+    minus / exists / values / filters), then count bindings per
+    ``group_by`` variable tuple, keeping groups with at least
+    ``min_count``. Counting rides ``relational.grouped_agg`` (per-batch
+    partials, ONE bucketed shuffle); HAVING is a vectorized mask on the
+    group-bounded result. COUNT(*) over set-semantic bindings equals
+    SPARQL's COUNT(DISTINCT full binding) — the SQL mirror is a plain
+    GROUP BY over the same join chain."""
+    group_by = [g[1:] if _is_var(g) else g for g in group_by]
+    if not group_by:
+        raise ValueError("need at least one group_by variable")
+    bindings = bgp_match(
+        edges, patterns, num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit, **match_kwargs,
+    )
+    missing = [g for g in group_by if g not in bindings.schema().names]
+    if missing:
+        raise ValueError(
+            f"group_by uses unbound variables {missing} — "
+            f"bound: {bindings.schema().names}"
+        )
+    from .relational import grouped_agg
+
+    counted = grouped_agg(bindings, keys=list(group_by), count_alias=alias)
+    if min_count <= 1:
+        return counted
+    return counted.map_batches(
+        lambda t, _a=alias, _k=min_count: t.filter(
+            pc.greater_equal(
+                pc.cast(_chunked_str(t[_a]), pa.int64()),
+                pa.scalar(_k, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _check_emit(emit, bound) -> None:
     missing = [t[1:] for t in emit if _is_var(t) and t[1:] not in bound]
     if missing:

@@ -579,6 +579,39 @@ def test_fixpoint_exists_sees_derived_witnesses(ray_session):
         )
 
 
+def test_bgp_count_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    from kgray.bgp import bgp_count
+
+    patterns = [("?x", "p", "?y")]
+    ref, _ = _ref_bgp(_PARITY_TRIPLES, patterns)
+    cnt = Counter(x for x, y in ref)
+    ds = _ds(_PARITY_TRIPLES)
+    for limit in (2_000_000, 0):
+        out = bgp_count(
+            ds, patterns, group_by=["?x"], broadcast_limit=limit
+        )
+        assert {r["x"]: r["n"] for r in out.take_all()} == dict(cnt), limit
+        having = bgp_count(
+            ds, patterns, group_by=["?x"], min_count=2,
+            broadcast_limit=limit,
+        )
+        assert {r["x"]: r["n"] for r in having.take_all()} == {
+            k: v for k, v in cnt.items() if v >= 2
+        }, limit
+    # match kwargs pass through (filters here)
+    flt = bgp_count(
+        ds, patterns, group_by=["?x"], filters=[("!=", "?x", "?y")]
+    )
+    want = Counter(x for x, y in ref if x != y)
+    assert {r["x"]: r["n"] for r in flt.take_all()} == dict(want)
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_count(ds, patterns, group_by=["?z"])
+    with pytest.raises(ValueError, match="group_by"):
+        bgp_count(ds, patterns, group_by=[])
+
+
 def test_bgp_union_matches_bruteforce(ray_session):
     from kgray.bgp import bgp_union
 
