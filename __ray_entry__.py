@@ -1334,6 +1334,22 @@ def q_causes_with_treats(sf_dir: str):
     )
 
 
+def q_ask_treats_chain(sf_dir: str):
+    """SPARQL ASK (boolean query form): does any treats->causes->part_of
+    3-hop chain exist in the KG? Returns one {result} row (1/0) —
+    the cheap existence probe run before launching the full SELECT."""
+    edges = _kg_edge_table(sf_dir)
+    hit = bgp.bgp_ask(
+        edges,
+        [
+            ("?a", "biolink:treats", "?b"),
+            ("?b", "biolink:causes", "?c"),
+            ("?c", "biolink:part_of", "?d"),
+        ],
+    )
+    return pa.table({"result": pa.array([int(hit)], pa.int64())})
+
+
 def q_multi_treated(sf_dir: str):
     """SPARQL GROUP BY + HAVING (bgp.bgp_count): targets with at least
     two distinct treating entities — the 'well-corroborated treatment
@@ -4470,6 +4486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "non_partof_pairs": q_non_partof_pairs,
         "kg_growth": q_kg_growth,
         "multi_treated": q_multi_treated,
+        "ask_treats_chain": q_ask_treats_chain,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -6225,6 +6242,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "ask_treats_chain": f"""
+            WITH e AS ({kg_edges})
+            SELECT CAST(EXISTS (
+              SELECT 1 FROM e e1
+              JOIN e e2 ON e2.subject = e1.object
+              JOIN e e3 ON e3.subject = e2.object
+              WHERE e1.predicate = 'biolink:treats'
+                AND e2.predicate = 'biolink:causes'
+                AND e3.predicate = 'biolink:part_of'
+            ) AS BIGINT) AS result
         """,
         "multi_treated": f"""
             WITH e AS ({kg_edges})

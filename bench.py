@@ -116,7 +116,7 @@ def run_bench() -> dict:
             "datalog_ancestors", "bgp_filtered", "bgp_seeded",
             "treats_rollup", "shape_violations", "bgp_union_shapes",
             "causes_with_treats", "clustering_coeff", "non_partof_pairs",
-            "kg_growth", "multi_treated",
+            "kg_growth", "multi_treated", "ask_treats_chain",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -800,6 +800,26 @@ def bgp_match(
     return acc.map_batches(_finish, batch_format="pyarrow")
 
 
+def bgp_ask(
+    edges: ray.data.Dataset,
+    patterns,
+    num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    **match_kwargs,
+) -> bool:
+    """SPARQL ASK: does at least one binding satisfy the group?
+    Evaluates ``bgp_match`` (all kwargs pass through) and tests
+    non-emptiness via ``limit(1)`` — only one block of the final
+    relation is ever pulled. The join fold itself still materializes
+    intermediates (every join is a pipeline breaker regardless), so ASK
+    costs one fold, never a full-result collection."""
+    out = bgp_match(
+        edges, patterns, num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit, **match_kwargs,
+    )
+    return out.limit(1).count() > 0
+
+
 def bgp_union(
     edges: ray.data.Dataset,
     branches,

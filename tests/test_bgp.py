@@ -579,6 +579,25 @@ def test_fixpoint_exists_sees_derived_witnesses(ray_session):
         )
 
 
+def test_bgp_ask(ray_session):
+    from kgray.bgp import bgp_ask
+
+    ds = _ds(_PARITY_TRIPLES)
+    for limit in (2_000_000, 0):
+        assert bgp_ask(
+            ds, [("?x", "p", "?y"), ("?y", "q", "?z")],
+            broadcast_limit=limit,
+        ) is True
+        assert bgp_ask(
+            ds, [("?x", "zz", "?y")], broadcast_limit=limit
+        ) is False
+        # kwargs pass through: a filter can flip the answer
+        assert bgp_ask(
+            ds, [("?x", "p", "?y")], filters=[("==", "?x", "nope")],
+            broadcast_limit=limit,
+        ) is False
+
+
 def test_bgp_count_matches_bruteforce(ray_session):
     from collections import Counter
 
