@@ -1350,6 +1350,20 @@ def q_ask_treats_chain(sf_dir: str):
     return pa.table({"result": pa.array([int(hit)], pa.int64())})
 
 
+def q_describe_entity(sf_dir: str, iri: str = "RAW:0"):
+    """SPARQL DESCRIBE: every canonical triple the resource touches
+    (subject or object side) — the triple-form companion of the
+    `neighborhood` aggregate; one vectorized filter pass, no shuffle."""
+    edges = _kg_edge_table(sf_dir)
+    return _table(
+        bgp.bgp_describe(edges, iri),
+        schema=pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()),
+             ("object", pa.string())]
+        ),
+    )
+
+
 def q_multi_treated(sf_dir: str):
     """SPARQL GROUP BY + HAVING (bgp.bgp_count): targets with at least
     two distinct treating entities — the 'well-corroborated treatment
@@ -4487,6 +4501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_growth": q_kg_growth,
         "multi_treated": q_multi_treated,
         "ask_treats_chain": q_ask_treats_chain,
+        "describe_entity": q_describe_entity,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -6242,6 +6257,11 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "describe_entity": f"""
+            WITH e AS ({kg_edges})
+            SELECT subject, predicate, object FROM e
+            WHERE subject = 'RAW:0' OR object = 'RAW:0'
         """,
         "ask_treats_chain": f"""
             WITH e AS ({kg_edges})

@@ -820,6 +820,23 @@ def bgp_ask(
     return out.limit(1).count() > 0
 
 
+def bgp_describe(
+    edges: ray.data.Dataset, iri: str,
+) -> ray.data.Dataset:
+    """SPARQL DESCRIBE (concise-bounded subset): every triple the
+    resource participates in, as subject or object — one vectorized
+    filter pass over the edge stream, no shuffle, no materialization."""
+    return edges.select_columns(list(_SLOTS)).map_batches(
+        lambda t, _i=iri: t.filter(
+            pc.or_(
+                pc.fill_null(pc.equal(t["subject"], _i), False),
+                pc.fill_null(pc.equal(t["object"], _i), False),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def bgp_union(
     edges: ray.data.Dataset,
     branches,

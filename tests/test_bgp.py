@@ -598,6 +598,19 @@ def test_bgp_ask(ray_session):
         ) is False
 
 
+def test_bgp_describe(ray_session):
+    from kgray.bgp import bgp_describe
+
+    ds = _ds(_PARITY_TRIPLES)
+    out = bgp_describe(ds, "a")
+    got = {
+        (r["subject"], r["predicate"], r["object"]) for r in out.take_all()
+    }
+    want = {t for t in _PARITY_TRIPLES if t[0] == "a" or t[2] == "a"}
+    assert got == want
+    assert bgp_describe(ds, "nope").take_all() == []
+
+
 def test_bgp_count_matches_bruteforce(ray_session):
     from collections import Counter
 
