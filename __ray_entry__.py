@@ -400,6 +400,59 @@ def _census_table(sf_dir: str) -> pa.Table:
     )
 
 
+def q_incremental_inference(sf_dir: str, cutoff: int = 4):
+    """Incremental rule evaluation (bgp.construct_delta): split the
+    canonical KG at a first-evidence-turn cutoff into OLD and DELTA
+    triple sets, then emit only the treats-up-hierarchy inferences the
+    delta ENABLES — each rule variant reads the delta at one atom and
+    the full graph elsewhere, so the cost scales with the delta, not a
+    full re-derivation. The materialized-view-maintenance shape a
+    streaming KG pipeline runs per arriving transcript batch."""
+    canonical, _ = _canonical_triples(sf_dir)
+    triples = canonical.map_batches(
+        lambda t: pa.table(
+            {
+                "subject": _chunk(t["subject_id"]),
+                "predicate": _chunk(t["predicate"]),
+                "object": _chunk(t["object_id"]),
+                "turn_idx": pc.cast(_chunk(t["turn_idx"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    firsts = relational.grouped_agg(
+        triples, keys=["subject", "predicate", "object"],
+        mins={"first_turn": "turn_idx"},
+    ).materialize()
+
+    def split(t: pa.Table, keep_old: bool) -> pa.Table:
+        ft = pc.cast(_chunk(t["first_turn"]), pa.int64())
+        mask = (
+            pc.less_equal(ft, cutoff) if keep_old
+            else pc.greater(ft, cutoff)
+        )
+        return t.select(["subject", "predicate", "object"]).filter(mask)
+
+    old = firsts.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow"
+    )
+    delta = firsts.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow"
+    )
+    out = bgp.construct_delta(
+        old, delta,
+        [("?a", "biolink:treats", "?b"), ("?b", "biolink:part_of", "?c")],
+        ("?a", "biolink:treats", "?c"),
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()),
+             ("object", pa.string())]
+        ),
+    )
+
+
 def q_kg_growth(sf_dir: str):
     """KG growth curve over conversation progression: per predicate,
     how many canonical edges are FIRST evidenced at each turn index,
@@ -4502,6 +4555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_treated": q_multi_treated,
         "ask_treats_chain": q_ask_treats_chain,
         "describe_entity": q_describe_entity,
+        "incremental_inference": q_incremental_inference,
         "part_of_closure": q_part_of_closure,
         "inferred_treats": q_inferred_treats,
         "name_match_pairs": q_name_match_pairs,
@@ -5179,6 +5233,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS last_turn
             FROM linked, consts
             GROUP BY 1, 2, 3
+        """,
+        "incremental_inference": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            firsts AS (
+              SELECT 'RAW:'||(s - s % 2) AS subject,
+                     preds[CAST(p AS INT)+1] AS predicate,
+                     'RAW:'||(o - o % 2) AS object,
+                     MIN(turn_idx) AS ft
+              FROM linked, consts GROUP BY 1, 2, 3
+            ),
+            delta AS (
+              SELECT subject, predicate, object FROM firsts WHERE ft > 4
+            ),
+            g AS (SELECT subject, predicate, object FROM firsts),
+            inf AS (
+              SELECT DISTINCT e1.subject AS subject,
+                     'biolink:treats' AS predicate,
+                     e2.object AS object
+              FROM g e1 JOIN g e2 ON e2.subject = e1.object
+              WHERE e1.predicate = 'biolink:treats'
+                AND e2.predicate = 'biolink:part_of'
+                AND (EXISTS (
+                       SELECT 1 FROM delta d
+                       WHERE d.subject = e1.subject
+                         AND d.predicate = e1.predicate
+                         AND d.object = e1.object)
+                  OR EXISTS (
+                       SELECT 1 FROM delta d
+                       WHERE d.subject = e2.subject
+                         AND d.predicate = e2.predicate
+                         AND d.object = e2.object))
+            )
+            SELECT subject, predicate, object FROM inf
+            WHERE NOT EXISTS (
+              SELECT 1 FROM g
+              WHERE g.subject = inf.subject
+                AND g.predicate = inf.predicate
+                AND g.object = inf.object
+            )
         """,
         "kg_growth": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

@@ -117,7 +117,7 @@ def run_bench() -> dict:
             "treats_rollup", "shape_violations", "bgp_union_shapes",
             "causes_with_treats", "clustering_coeff", "non_partof_pairs",
             "kg_growth", "multi_treated", "ask_treats_chain",
-            "describe_entity",
+            "describe_entity", "incremental_inference",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

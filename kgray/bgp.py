@@ -535,6 +535,7 @@ def bgp_match(
     exists=(),
     values=None,
     filters=(),
+    sources=None,
     num_partitions: int = 32,
     broadcast_limit: int = BROADCAST_LIMIT,
 ) -> ray.data.Dataset:
@@ -574,21 +575,50 @@ def bgp_match(
     null-test an optional variable out of the result); see
     ``_make_filters`` for the spec grammar and null semantics.
 
+    ``sources`` (the incremental-evaluation hook, see
+    ``construct_delta``) optionally overrides the triple Dataset per
+    REQUIRED pattern: a sequence as long as ``patterns`` of None (read
+    ``edges``) or a Dataset. Only plain patterns may be overridden — a
+    property path's closure must see one coherent graph. OPTIONAL /
+    MINUS / EXISTS groups always read ``edges``.
+
     Dual-path: up to ``broadcast_limit`` distinct triples the fold runs
     driver-local (module docstring); beyond, the distributed join fold."""
     if not patterns:
         raise ValueError("need at least one pattern")
+    if sources is not None:
+        if len(sources) != len(patterns):
+            raise ValueError(
+                f"sources has {len(sources)} entries for "
+                f"{len(patterns)} patterns"
+            )
+        for pat, src_ds in zip(patterns, sources):
+            if src_ds is not None and _pattern_spec(pat)[0] is not None:
+                raise ValueError(
+                    f"pattern {pat!r} is a property path — a source "
+                    "override would evaluate its closure over a partial "
+                    "graph; restructure the query"
+                )
 
     # every pattern (and every MINUS group) scans `edges`; pin the blocks
     # once so an upstream compute chain (extract -> link -> canonicalize)
     # executes once, not once per pattern
     edges = edges.materialize()
-    if edges.count() <= broadcast_limit:
+    src_ds = list(sources) if sources is not None else [None] * len(patterns)
+    src_ds = [s.materialize() if s is not None else None for s in src_ds]
+    total = edges.count() + sum(s.count() for s in src_ds if s is not None)
+    if total <= broadcast_limit:
         try:
             acc, _ = _local_bgp(
                 _collect_triples(edges), patterns,
                 optional=optional, minus=minus, exists=exists,
                 values=values, filters=filters,
+                sources=(
+                    None if sources is None else [
+                        _collect_triples(s) if s is not None else None
+                        for s in src_ds
+                    ]
+                ),
             )
             return ray.data.from_arrow(acc)
         except _LocalOverflow as exc:
@@ -597,11 +627,17 @@ def bgp_match(
                 "falling back to the distributed fold", exc,
             )
 
-    acc, acc_vars = _pattern_relation(edges, patterns[0], num_partitions)
+    acc, acc_vars = _pattern_relation(
+        src_ds[0] if src_ds[0] is not None else edges,
+        patterns[0], num_partitions,
+    )
     acc = acc.materialize()
     n_acc = acc.count()
-    for pat in patterns[1:]:
-        rel, rel_vars = _pattern_relation(edges, pat, num_partitions)
+    for idx, pat in enumerate(patterns[1:], start=1):
+        rel, rel_vars = _pattern_relation(
+            src_ds[idx] if src_ds[idx] is not None else edges,
+            pat, num_partitions,
+        )
         shared = [v for v in acc_vars if v in rel_vars]
         if not shared:
             raise ValueError(
@@ -980,6 +1016,7 @@ def construct(
     exists=(),
     values=None,
     filters=(),
+    sources=None,
     only_new: bool = True,
     num_partitions: int = 32,
     broadcast_limit: int = BROADCAST_LIMIT,
@@ -1001,7 +1038,8 @@ def construct(
     if len(emit) != 3:
         raise ValueError(f"emit must be (s, p, o), got {emit!r}")
     edges = edges.materialize()  # scanned by the match AND the anti-join
-    if edges.count() <= broadcast_limit:
+    no_src = sources is None or all(s is None for s in sources)
+    if no_src and edges.count() <= broadcast_limit:
         try:
             tbl = _collect_triples(edges)
             bindings, bound_vars = _local_bgp(
@@ -1023,7 +1061,7 @@ def construct(
 
     bindings = bgp_match(
         edges, patterns, optional=optional, minus=minus, exists=exists,
-        values=values, filters=filters,
+        values=values, filters=filters, sources=sources,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
     _check_emit(emit, set(bindings.schema().names))
@@ -1031,6 +1069,26 @@ def construct(
     triples = bindings.map_batches(
         lambda t: _emit_project(t, emit), batch_format="pyarrow"
     )
+    return _distinct_then_new(triples, edges, only_new, num_partitions)
+
+
+def _pack_triple_key(t: pa.Table, out_col: str) -> pa.Table:
+    key = pc.binary_join_element_wise(
+        pc.cast(_chunked_str(t["subject"]), pa.string()),
+        pc.cast(_chunked_str(t["predicate"]), pa.string()),
+        pc.cast(_chunked_str(t["object"]), pa.string()),
+        "\x1f",
+    )
+    return t.append_column(out_col, key)
+
+
+def _distinct_then_new(
+    triples: ray.data.Dataset, edges: ray.data.Dataset,
+    only_new: bool, num_partitions: int,
+) -> ray.data.Dataset:
+    """construct's closing stages: distinct the emitted triple stream
+    (ONE bucketed shuffle) and, with ``only_new``, anti-join away the
+    asserted edge set."""
     from .relational import anti_join, hash_bucketed_groupby
 
     distinct = hash_bucketed_groupby(
@@ -1040,22 +1098,15 @@ def construct(
     if not only_new:
         return distinct
 
-    def pack(t: pa.Table, out_col: str) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(_chunked_str(t["subject"]), pa.string()),
-            pc.cast(_chunked_str(t["predicate"]), pa.string()),
-            pc.cast(_chunked_str(t["object"]), pa.string()),
-            "\x1f",
-        )
-        return t.append_column(out_col, key)
-
     keyed = distinct.map_batches(
-        lambda t: pack(t, "triple_key"), batch_format="pyarrow"
+        lambda t: _pack_triple_key(t, "triple_key"), batch_format="pyarrow"
     )
     # reserved right-key name: a colliding right_on breaks the
     # marker-join arm of anti_join past its broadcast limit
     existing = edges.select_columns(list(_SLOTS)).map_batches(
-        lambda t: pack(t, "__existing_key").select(["__existing_key"]),
+        lambda t: _pack_triple_key(t, "__existing_key").select(
+            ["__existing_key"]
+        ),
         batch_format="pyarrow",
     )
     fresh = anti_join(
@@ -1065,6 +1116,58 @@ def construct(
     return fresh.map_batches(
         lambda t: t.select(list(_SLOTS)), batch_format="pyarrow"
     )
+
+
+def construct_delta(
+    edges: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    patterns,
+    emit,
+    only_new: bool = True,
+    num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
+) -> ray.data.Dataset:
+    """Incremental CONSTRUCT (materialized-view maintenance): the
+    triples derivable from ``edges`` ∪ ``delta`` using >= 1 delta atom —
+    exactly the inferences a newly-arrived triple batch enables, without
+    re-deriving anything the old graph already supported. The k-atom
+    rule runs as k variants, variant i reading the delta at atom i and
+    the FULL (old ∪ delta) graph elsewhere — the semi-naive
+    delta-restriction as a public operator (cost scales with
+    |delta| x k folds, not with the old graph re-derivation).
+    Multi-delta derivations appear in several variants and collapse in
+    the closing distinct; with ``only_new`` the result is anti-joined
+    against old ∪ delta. ``delta`` must be distinct triples NOT present
+    in ``edges`` (the ``update_graph`` CDC contract). Callers
+    maintaining an inference store should additionally anti-join
+    against it: a delta-enabled derivation can coincide with an
+    inference the old graph also supported.
+
+    Identity: bindings(old ∪ delta) = bindings(old) ∪ (the k variant
+    binding sets) — tested in tests/test_bgp.py. Plain patterns only
+    (a property path's closure can't be delta-restricted; bgp_match
+    raises)."""
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    delta = delta.select_columns(list(_SLOTS)).materialize()
+    graph = (
+        edges.select_columns(list(_SLOTS)).union(delta).materialize()
+    )
+    variants = []
+    for i in range(len(patterns)):
+        srcs = [delta if j == i else None for j in range(len(patterns))]
+        bindings = bgp_match(
+            graph, patterns, sources=srcs,
+            num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        )
+        _check_emit(emit, set(bindings.schema().names))
+        variants.append(
+            bindings.map_batches(
+                lambda t: _emit_project(t, emit), batch_format="pyarrow"
+            )
+        )
+    out = variants[0] if len(variants) == 1 else variants[0].union(*variants[1:])
+    return _distinct_then_new(out, graph, only_new, num_partitions)
 
 
 def _chunked_str(arr):

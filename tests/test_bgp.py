@@ -714,6 +714,45 @@ def test_construct_and_fixpoint_filters_values(ray_session):
     assert rows and all(s != o for s, _, o in rows)
 
 
+def test_construct_delta_matches_full_eval(ray_session):
+    from kgray.bgp import construct, construct_delta
+
+    old = [("a", "p", "b"), ("b", "q", "c"), ("c", "p", "d")]
+    delta = [("d", "q", "e"), ("x", "p", "y")]
+    patterns = [("?u", "p", "?v"), ("?v", "q", "?w")]
+    emit = ("?u", "r", "?w")
+    names = ["subject", "predicate", "object"]
+    for limit in (2_000_000, 0):
+        full = construct(
+            _ds(old + delta), patterns, emit, only_new=False,
+            broadcast_limit=limit,
+        )
+        old_only = construct(
+            _ds(old), patterns, emit, only_new=False, broadcast_limit=limit
+        )
+        inc = construct_delta(
+            _ds(old), _ds(delta), patterns, emit, only_new=False,
+            broadcast_limit=limit,
+        )
+        inc_rows = set(_rows(inc, names))
+        # maintenance identity: full = old-only ∪ delta-enabled
+        assert set(_rows(full, names)) == set(
+            _rows(old_only, names)
+        ) | inc_rows, limit
+        # the delta enables (c, r, e) via p(c,d) ⋈ q(d,e)
+        assert ("c", "r", "e") in inc_rows, limit
+        # a purely-old derivation is NOT re-derived
+        assert ("a", "r", "c") not in inc_rows, limit
+    # property-path atoms can't be delta-restricted
+    with pytest.raises(ValueError, match="property path"):
+        construct_delta(
+            _ds(old), _ds(delta), [("?u", "p+", "?v")], ("?u", "r", "?v")
+        )
+    # sources arity contract on bgp_match
+    with pytest.raises(ValueError, match="sources"):
+        bgp_match(_ds(old), patterns, sources=[None])
+
+
 def test_construct_and_fixpoint_dual_path_parity(ray_session):
     from kgray.bgp import construct, infer_fixpoint
 
