@@ -1287,14 +1287,17 @@ def infer_fixpoint(
     the local attempt is abandoned (loudly) for the distributed loop,
     the ``transitive_closure`` discipline.
 
-    The distributed loop is the NAIVE evaluation strategy: each round
-    re-matches every rule against the whole graph, so rounds cost full
-    BGP folds and the round count is the derivation depth. For single
-    linear rules (ancestor/reachability shapes) prefer a ``pred+``
-    property path or ``transitive_closure`` — their semi-naive/doubling
-    plans do the same work without re-derivation. ``infer_fixpoint`` is
-    the general fallback for MULTI-rule programs whose rules feed each
-    other."""
+    The distributed loop is SEMI-NAIVE for plain rules (no property
+    paths, no optional, no exists): past round 1 each k-atom rule runs
+    as k delta-restricted ``bgp_match`` variants (the ``sources`` hook
+    ``construct_delta`` also uses), so a round's cost scales with the
+    round delta, not a whole-graph re-derivation; non-plain rules
+    conservatively re-match the full graph (a growing graph can newly
+    witness an old binding). For single linear rules
+    (ancestor/reachability shapes) a ``pred+`` property path or
+    ``transitive_closure`` is still cheaper — their doubling plans
+    collapse the round count. ``infer_fixpoint`` is the general form
+    for MULTI-rule programs whose rules feed each other."""
     if not rules:
         raise ValueError("need at least one rule")
     for rule in rules:
@@ -1324,29 +1327,76 @@ def infer_fixpoint(
         # per-round construct on the distributed plan too
         per_rule_limit = 0
     inferred: "ray.data.Dataset | None" = None
+    delta: "ray.data.Dataset | None" = None  # None = round 1 (all new)
     for _ in range(max_rounds):
-        fresh_any = False
+        round_fresh: list[ray.data.Dataset] = []
         for rule in rules:
-            fresh = construct(
-                graph,
-                rule["patterns"],
-                rule["emit"],
-                optional=rule.get("optional", ()),
-                exists=rule.get("exists", ()),
-                values=rule.get("values"),
-                filters=rule.get("filters", ()),
-                only_new=True,
-                num_partitions=num_partitions,
-                broadcast_limit=per_rule_limit,
-            ).materialize()
+            patterns = rule["patterns"]
+            emit = rule["emit"]
+            plain = (
+                not rule.get("optional")
+                and not rule.get("exists")
+                and all(_pattern_spec(p)[0] is None for p in patterns)
+            )
+            if plain and delta is not None:
+                # SEMI-NAIVE round (the _local_fixpoint plan,
+                # distributed): one variant per atom reads the round
+                # delta — a provable superset of "added since this rule
+                # last ran" — the rest the full graph; over-derivation
+                # collapses in the distinct + anti-join
+                cur = (
+                    delta if not round_fresh
+                    else delta.union(*round_fresh).materialize()
+                )
+                variants = []
+                for i in range(len(patterns)):
+                    srcs = [
+                        cur if j == i else None
+                        for j in range(len(patterns))
+                    ]
+                    bindings = bgp_match(
+                        graph, patterns,
+                        values=rule.get("values"),
+                        filters=rule.get("filters", ()),
+                        sources=srcs,
+                        num_partitions=num_partitions,
+                        broadcast_limit=per_rule_limit,
+                    )
+                    _check_emit(emit, set(bindings.schema().names))
+                    variants.append(
+                        bindings.map_batches(
+                            lambda t, _e=emit: _emit_project(t, _e),
+                            batch_format="pyarrow",
+                        )
+                    )
+                out = (
+                    variants[0] if len(variants) == 1
+                    else variants[0].union(*variants[1:])
+                )
+                fresh = _distinct_then_new(
+                    out, graph, True, num_partitions
+                ).materialize()
+            else:
+                fresh = construct(
+                    graph,
+                    patterns,
+                    emit,
+                    optional=rule.get("optional", ()),
+                    exists=rule.get("exists", ()),
+                    values=rule.get("values"),
+                    filters=rule.get("filters", ()),
+                    only_new=True,
+                    num_partitions=num_partitions,
+                    broadcast_limit=per_rule_limit,
+                ).materialize()
             if fresh.count():
-                fresh_any = True
+                round_fresh.append(fresh)
                 graph = graph.union(fresh).materialize()
                 inferred = (
                     fresh if inferred is None
                     else inferred.union(fresh).materialize()
                 )
-        if not fresh_any:
+        if not round_fresh:
             if inferred is None:
                 return ray.data.from_arrow(
                     pa.table(
@@ -1354,4 +1404,8 @@ def infer_fixpoint(
                     )
                 )
             return inferred
+        delta = (
+            round_fresh[0] if len(round_fresh) == 1
+            else round_fresh[0].union(*round_fresh[1:]).materialize()
+        )
     raise RuntimeError(f"infer_fixpoint: no fixpoint in {max_rounds} rounds")
