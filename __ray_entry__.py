@@ -1537,6 +1537,57 @@ def q_treats_ancestors(sf_dir: str):
     )
 
 
+def q_sparql_select_topk(sf_dir: str):
+    """SPARQL SELECT solution modifiers end-to-end (bgp.bgp_select):
+    ORDER BY + LIMIT + OFFSET over a 2-hop BGP, with the
+    selectivity-greedy join-order pre-pass on (``reorder=True``). The
+    LIMIT path is a distributed top-k — every block keeps its local
+    first ``limit+offset`` rows and only block-count x k survivors
+    reach the driver merge; the global sort never runs. ORDER BY spans
+    every projected column, so the kept slice is a total order and the
+    oracle cut is deterministic."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_select(
+        edges,
+        [("?a", "biolink:treats", "?b"), ("?b", "biolink:part_of", "?c")],
+        order_by=[("?c", "asc"), ("?a", "asc"), ("?b", "asc")],
+        limit=25,
+        offset=5,
+        reorder=True,
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
+    )
+
+
+def q_sparql_bind_expr(sf_dir: str):
+    """SPARQL BIND computed columns (bgp.bgp_select): treats edges with
+    the part_of parent attached where present, rendered as one
+    ``a->parent`` label via CONCAT/COALESCE (unmatched OPTIONAL ->
+    'ROOT') plus a STRLEN feature, then DISTINCT after the narrowing
+    projection. All expressions are vectorized Arrow kernels per batch
+    — BIND never shuffles."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_select(
+        edges,
+        [("?a", "biolink:treats", "?b")],
+        optional=[("?b", "biolink:part_of", "?c")],
+        bind=[
+            ("?pair", ("concat", "?a", "->", ("coalesce", "?c", "ROOT"))),
+            ("?alen", ("strlen", "?a")),
+        ],
+        project=["?pair", "?alen"],
+        distinct=True,
+    )
+    return _table(
+        out,
+        schema=pa.schema([("pair", pa.string()), ("alen", pa.string())]),
+    )
+
+
 def q_name_match_pairs(sf_dir: str):
     """Entity-resolution candidates over the canonical node catalog:
     char-bigram Jaccard >= 0.7 on normalized names (link.fuzzy_name_pairs
@@ -4561,6 +4612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_match_pairs": q_name_match_pairs,
         "treats_ancestors": q_treats_ancestors,
         "leaf_treatments": q_leaf_treatments,
+        "sparql_select_topk": q_sparql_select_topk,
+        "sparql_bind_expr": q_sparql_bind_expr,
         "part_of_connected": q_part_of_connected,
         "datalog_ancestors": q_datalog_ancestors,
         "distinct_labels": q_distinct_labels,
@@ -6512,6 +6565,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.subject AS a, t.object AS b, tc.whole AS c
             FROM e t JOIN tc ON tc.part = t.object
             WHERE t.predicate = 'biolink:treats'
+        """,
+        "sparql_select_topk": f"""
+            WITH e AS ({kg_edges})
+            SELECT e1.subject AS a, e1.object AS b, e2.object AS c
+            FROM e e1
+            JOIN e e2 ON e2.subject = e1.object
+            WHERE e1.predicate = 'biolink:treats'
+              AND e2.predicate = 'biolink:part_of'
+            ORDER BY c, a, b LIMIT 25 OFFSET 5
+        """,
+        "sparql_bind_expr": f"""
+            WITH e AS ({kg_edges})
+            SELECT DISTINCT
+              e1.subject || '->' || COALESCE(e2.object, 'ROOT') AS pair,
+              CAST(LENGTH(e1.subject) AS VARCHAR) AS alen
+            FROM e e1
+            LEFT JOIN e e2 ON e2.subject = e1.object
+                          AND e2.predicate = 'biolink:part_of'
+            WHERE e1.predicate = 'biolink:treats'
         """,
         "name_match_pairs": f"""
             WITH nrm AS (

@@ -527,6 +527,114 @@ def _empty_result(var_names) -> ray.data.Dataset:
     )
 
 
+def _pattern_var_names(pattern) -> list:
+    """Variables one pattern binds, first-appearance order, no ``?``."""
+    _, slots, terms = _pattern_spec(pattern)
+    out: list[str] = []
+    for t in terms:
+        if _is_var(t) and t[1:] not in out:
+            out.append(t[1:])
+    return out
+
+
+def _estimate_pattern_counts(edges, patterns, src_ds) -> list:
+    """Per-pattern selectivity estimates for the join-order pre-pass —
+    ONE streaming scan of the (already materialized) triple blocks
+    evaluates every plain pattern's constant/repeated-variable mask at
+    once, so the cost is a single map stage emitting one tiny count
+    vector per block, never a per-pattern relation materialization.
+
+    Estimates, not truths: a plain pattern's relation row count IS its
+    mask count (projection preserves rows), a source-overridden pattern
+    is bounded by its override's count, and a property path is charged
+    the full edge count (closure modifiers ``+``/``*``/``?`` x4 — their
+    relation EXPANDS the edge set, so they should fold late unless the
+    alternatives are provably tiny, which a scan cannot see)."""
+    n_edges = edges.count()
+    est: list[float] = [0.0] * len(patterns)
+    specs = []  # (pattern index, const slots, repeated-var slot pairs)
+    for i, pat in enumerate(patterns):
+        path_expr, slots, terms = _pattern_spec(pat)
+        if src_ds[i] is not None:
+            est[i] = float(src_ds[i].count())
+        elif path_expr is not None:
+            modifier, _ = _parse_path(path_expr)
+            est[i] = (
+                float(n_edges) * (4.0 if modifier in ("+", "*", "?") else 1.0)
+                + 1.0
+            )
+        else:
+            consts = [
+                (slot, t) for slot, t in zip(slots, terms) if not _is_var(t)
+            ]
+            var_slots: dict[str, list] = {}
+            for slot, t in zip(slots, terms):
+                if _is_var(t):
+                    var_slots.setdefault(t[1:], []).append(slot)
+            rep = [
+                (vs[0], extra)
+                for vs in var_slots.values() for extra in vs[1:]
+            ]
+            specs.append((i, consts, rep))
+    if not specs:
+        return est
+
+    def count_block(t: pa.Table) -> pa.Table:
+        idxs, ns = [], []
+        for i, consts, rep in specs:
+            mask = None
+            for slot, value in consts:
+                m = pc.equal(t[slot], pa.scalar(value, pa.string()))
+                mask = m if mask is None else pc.and_(mask, m)
+            for a, b in rep:
+                m = pc.equal(t[a], t[b])
+                mask = m if mask is None else pc.and_(mask, m)
+            idxs.append(i)
+            if mask is None:
+                ns.append(t.num_rows)
+            else:
+                ns.append(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+        return pa.table(
+            {"i": pa.array(idxs, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    # driver fold is bounded: num_blocks x num_patterns small ints
+    for row in edges.select_columns(list(_SLOTS)).map_batches(
+        count_block, batch_format="pyarrow"
+    ).take_all():
+        est[row["i"]] += row["n"]
+    return est
+
+
+def _greedy_pattern_order(edges, patterns, src_ds):
+    """Selectivity-greedy join order: start from the smallest estimated
+    pattern relation, then repeatedly fold in the smallest remaining
+    pattern that shares a variable with the bound set (ties break on
+    original position, so the choice is deterministic). Returns the
+    permutation as a list of original indices, or None when the greedy
+    order is the original order (no-op) or the pattern graph is
+    disconnected (keep the user's order; the fold raises its usual
+    cartesian-product error)."""
+    n = len(patterns)
+    pvars = [set(_pattern_var_names(p)) for p in patterns]
+    est = _estimate_pattern_counts(edges, patterns, src_ds)
+    start = min(range(n), key=lambda i: (est[i], i))
+    chosen = [start]
+    bound = set(pvars[start])
+    remaining = set(range(n)) - {start}
+    while remaining:
+        cands = [i for i in remaining if pvars[i] & bound]
+        if not cands:
+            return None
+        nxt = min(cands, key=lambda i: (est[i], i))
+        chosen.append(nxt)
+        bound |= pvars[nxt]
+        remaining.discard(nxt)
+    if chosen == list(range(n)):
+        return None
+    return chosen
+
+
 def bgp_match(
     edges: ray.data.Dataset,
     patterns,
@@ -538,10 +646,24 @@ def bgp_match(
     sources=None,
     num_partitions: int = 32,
     broadcast_limit: int = BROADCAST_LIMIT,
+    reorder: bool = False,
 ) -> ray.data.Dataset:
     """Match a conjunction of triple ``patterns`` against a distinct
     (subject, predicate, object) Dataset; returns one row per variable
     binding (columns = variables in first-appearance order).
+
+    ``reorder=True`` turns on the selectivity-greedy join-order
+    pre-pass (``_greedy_pattern_order``): one extra streaming scan
+    estimates every plain pattern's match count, and the fold starts
+    from the smallest relation, always joining in the smallest
+    connected remainder — the classic conjunctive-query heuristic that
+    keeps intermediates near the final result size instead of near the
+    largest pattern. Inner joins commute, so the binding SET is
+    identical either way (parity-tested), and the output keeps the
+    ORIGINAL first-appearance column order regardless of the fold
+    order. Off by default: plans stay byte-stable for callers that
+    hand-ordered their patterns, and the semi-naive ``sources`` loop
+    already puts the delta atom first on purpose.
 
     ``optional`` patterns follow SPARQL OPTIONAL semantics restricted to
     the well-designed case: each left-joins onto the required bindings
@@ -606,6 +728,25 @@ def bgp_match(
     edges = edges.materialize()
     src_ds = list(sources) if sources is not None else [None] * len(patterns)
     src_ds = [s.materialize() if s is not None else None for s in src_ds]
+
+    col_order = None  # original first-appearance order, pinned pre-reorder
+    if reorder and len(patterns) > 1:
+        perm = _greedy_pattern_order(edges, patterns, src_ds)
+        if perm is not None:
+            orig: list[str] = []
+            for pat in patterns:
+                for v in _pattern_var_names(pat):
+                    if v not in orig:
+                        orig.append(v)
+            patterns = [patterns[i] for i in perm]
+            src_ds = [src_ds[i] for i in perm]
+            col_order = orig
+
+    def _pin_order(var_list):
+        if col_order is None:
+            return list(var_list)
+        return col_order + [v for v in var_list if v not in col_order]
+
     total = edges.count() + sum(s.count() for s in src_ds if s is not None)
     if total <= broadcast_limit:
         try:
@@ -620,6 +761,8 @@ def bgp_match(
                     ]
                 ),
             )
+            if col_order is not None:
+                acc = acc.select(_pin_order(acc.column_names))
             return ray.data.from_arrow(acc)
         except _LocalOverflow as exc:
             logger.warning(
@@ -803,7 +946,7 @@ def bgp_match(
 
     if n_acc == 0:
         # an empty join result carries no schema; pin the contract columns
-        return _empty_result(acc_vars)
+        return _empty_result(_pin_order(acc_vars))
 
     for pat, rel, shared, fresh in opt_relations:
         rel = rel.materialize()
@@ -829,7 +972,7 @@ def bgp_match(
     # joins can reorder columns; pin first-appearance variable order
     # (group-level FILTER rides the same final pass — one vectorized
     # mask per batch, never a shuffle)
-    def _finish(t: pa.Table, _cols=tuple(acc_vars)) -> pa.Table:
+    def _finish(t: pa.Table, _cols=tuple(_pin_order(acc_vars))) -> pa.Table:
         t = t.select(list(_cols))
         return apply_filters(t) if apply_filters is not None else t
 
@@ -937,6 +1080,244 @@ def bgp_union(
         lambda t, _c=tuple(all_vars): t.select(list(_c)),
         batch_format="pyarrow",
     )
+
+
+_BIND_OPS = ("concat", "upper", "lower", "strlen", "substr", "replace",
+             "coalesce")
+
+
+def _compile_bind_expr(expr, bound):
+    """One BIND expression -> (pa.Table -> string Array). Grammar
+    (recursive — any term below may itself be an expression tuple):
+
+    - ``"?var"``                      a bound variable (string column)
+    - any other str                   a constant literal
+    - ``("concat", t, t, ...)``       SPARQL CONCAT / SQL ``||`` — null
+                                      if ANY argument is null
+    - ``("upper", t)`` ``("lower", t)``
+    - ``("strlen", t)``               decimal string (mirror:
+                                      ``CAST(LENGTH(x) AS VARCHAR)``)
+    - ``("substr", t, start[, len])`` SPARQL SUBSTR, 1-based start
+    - ``("replace", t, pat, rep)``    regex replace (RE2 subset)
+    - ``("coalesce", t, t, ...)``     first non-null
+
+    Everything is a string in and a string out — the binding relation's
+    only type — so the SQL mirror is mechanical. Validation is eager."""
+    if isinstance(expr, str):
+        if _is_var(expr):
+            if expr[1:] not in bound:
+                raise ValueError(f"bind expression uses unbound {expr!r}")
+            name = expr[1:]
+            return lambda t, _n=name: pc.cast(_chunked_str(t[_n]), pa.string())
+        return lambda t, _c=expr: pa.array([_c] * t.num_rows, pa.string())
+    if not isinstance(expr, tuple) or not expr:
+        raise ValueError(f"bind expression must be a ?var, str or tuple, "
+                         f"got {expr!r}")
+    op, *args = expr
+    if op not in _BIND_OPS:
+        raise ValueError(f"unsupported bind op {op!r} — one of {_BIND_OPS}")
+    if op in ("concat", "coalesce"):
+        if len(args) < 2:
+            raise ValueError(f"{op} needs >=2 arguments, got {expr!r}")
+        subs = [_compile_bind_expr(a, bound) for a in args]
+        if op == "concat":
+            return lambda t, _s=tuple(subs): pc.binary_join_element_wise(
+                *[f(t) for f in _s], ""
+            )
+        return lambda t, _s=tuple(subs): pc.coalesce(*[f(t) for f in _s])
+    if op in ("upper", "lower"):
+        if len(args) != 1:
+            raise ValueError(f"{op} takes exactly 1 argument, got {expr!r}")
+        sub = _compile_bind_expr(args[0], bound)
+        fn = pc.utf8_upper if op == "upper" else pc.utf8_lower
+        return lambda t, _f=fn, _s=sub: _f(_s(t))
+    if op == "strlen":
+        if len(args) != 1:
+            raise ValueError(f"strlen takes exactly 1 argument, got {expr!r}")
+        sub = _compile_bind_expr(args[0], bound)
+        return lambda t, _s=sub: pc.cast(pc.utf8_length(_s(t)), pa.string())
+    if op == "substr":
+        if len(args) not in (2, 3) or not isinstance(args[1], int):
+            raise ValueError(
+                f"substr is (expr, start[, length]) with int bounds, "
+                f"got {expr!r}"
+            )
+        start = args[1]
+        if start < 1:
+            raise ValueError(f"substr start is 1-based (SPARQL), got {start}")
+        length = args[2] if len(args) == 3 else None
+        if length is not None and (not isinstance(length, int) or length < 0):
+            raise ValueError(f"substr length must be a non-negative int, "
+                             f"got {expr!r}")
+        sub = _compile_bind_expr(args[0], bound)
+        stop = None if length is None else start - 1 + length
+        return lambda t, _s=sub, _a=start - 1, _b=stop: (
+            pc.utf8_slice_codeunits(_s(t), _a)
+            if _b is None else pc.utf8_slice_codeunits(_s(t), _a, _b)
+        )
+    # replace
+    if len(args) != 3 or not isinstance(args[1], str) or not isinstance(
+        args[2], str
+    ):
+        raise ValueError(
+            f"replace is (expr, pattern, replacement) with constant "
+            f"strings, got {expr!r}"
+        )
+    sub = _compile_bind_expr(args[0], bound)
+    return lambda t, _s=sub, _p=args[1], _r=args[2]: pc.replace_substring_regex(
+        _s(t), pattern=_p, replacement=_r
+    )
+
+
+def _make_bind(bind, bound):
+    """``bind`` = sequence of ``("?new", expr)`` -> one vectorized
+    (pa.Table -> pa.Table) appending every computed column. Sequential
+    SPARQL BIND scope: each target must be FRESH, and later expressions
+    may reference earlier targets. Returns (apply, new names)."""
+    names = list(bound)
+    compiled = []
+    for item in bind:
+        if len(item) != 2 or not _is_var(item[0]):
+            raise ValueError(f"bind entry must be ('?new', expr), got {item!r}")
+        target = item[0][1:]
+        if target in names:
+            raise ValueError(
+                f"bind target {item[0]!r} is already bound — BIND never "
+                "rebinds (project it away first)"
+            )
+        compiled.append((target, _compile_bind_expr(item[1], set(names))))
+        names.append(target)
+
+    def apply(t: pa.Table) -> pa.Table:
+        for target, fn in compiled:
+            t = t.append_column(target, fn(t))
+        return t
+
+    return apply, [n for n in names if n not in bound]
+
+
+def bgp_select(
+    edges: ray.data.Dataset,
+    patterns,
+    project=None,
+    bind=(),
+    distinct: bool = False,
+    order_by=(),
+    limit=None,
+    offset: int = 0,
+    num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL SELECT over a BGP group: ``bgp_match`` (all kwargs pass
+    through — optional / minus / exists / values / filters / reorder)
+    followed by the solution modifiers, applied in SPARQL's order:
+
+    1. ``bind``    — sequence of ``("?new", expr)`` computed columns
+       (grammar in ``_compile_bind_expr``), evaluated per batch, never
+       a shuffle; later modifiers may reference the computed names.
+    2. ``project`` — ``["?a", "?new", ...]``; default every column.
+    3. ``distinct``— set semantics AFTER projection (bgp_match bindings
+       are already a set, but a narrowing projection can collapse rows);
+       one bucketed-shuffle distinct, skipped when projection provably
+       can't duplicate (all variables kept, no distinct requested).
+    4. ``order_by``— ``[("?v", "asc"|"desc"), ...]`` lexicographic
+       (string bindings; DuckDB VARCHAR collation agrees), nulls LAST
+       in both directions (Arrow ``at_end`` = DuckDB default).
+    5. ``limit`` / ``offset`` — with ``order_by``, a DISTRIBUTED top-k:
+       every block keeps its local first ``limit+offset`` rows (one
+       vectorized sort per block), and only ``num_blocks x k`` survivors
+       reach the driver for the final merge — the global sort is never
+       run. Without ``order_by``, ``limit`` is Ray's streaming
+       ``Dataset.limit`` (any k rows — SPARQL allows it; the mirror
+       must pin an order) and ``offset`` is refused as meaningless.
+
+    Determinism contract for oracle mirrors: make ``order_by`` a total
+    order over the projected row set (e.g. order by every projected
+    column) — otherwise the kept slice is tie-arbitrary on both sides."""
+    out = bgp_match(
+        edges, patterns, num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit, **match_kwargs,
+    )
+    cols = list(out.schema().names)
+    if bind:
+        apply_bind, fresh = _make_bind(bind, cols)
+        out = out.map_batches(apply_bind, batch_format="pyarrow")
+        cols = cols + fresh
+    if project is not None:
+        keep = []
+        for term in project:
+            name = term[1:] if _is_var(term) else term
+            if name not in cols:
+                raise ValueError(
+                    f"project term {term!r} is not bound — have {cols}"
+                )
+            if name in keep:
+                raise ValueError(f"project repeats {term!r}")
+            keep.append(name)
+        out = out.map_batches(
+            lambda t, _k=tuple(keep): t.select(list(_k)),
+            batch_format="pyarrow",
+        )
+        cols = keep
+    if distinct:
+        from .relational import hash_bucketed_groupby
+
+        out = hash_bucketed_groupby(
+            out, list(cols), lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions,
+        ).map_batches(
+            lambda t, _c=tuple(cols): t.select(list(_c)),
+            batch_format="pyarrow",
+        )
+
+    sort_keys = []
+    for term, direction in order_by:
+        name = term[1:] if _is_var(term) else term
+        if name not in cols:
+            raise ValueError(
+                f"order_by term {term!r} is not bound — have {cols}"
+            )
+        if direction not in ("asc", "desc"):
+            raise ValueError(
+                f"order_by direction must be 'asc'|'desc', got {direction!r}"
+            )
+        sort_keys.append(
+            (name, "ascending" if direction == "asc" else "descending")
+        )
+    if limit is not None and (not isinstance(limit, int) or limit < 0):
+        raise ValueError(f"limit must be a non-negative int, got {limit!r}")
+    if offset and limit is None:
+        raise ValueError("offset needs limit (an unbounded OFFSET would "
+                         "still sort and ship everything)")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+
+    if not sort_keys:
+        return out.limit(limit) if limit is not None else out
+    if limit is None:
+        return out.sort(
+            [k for k, _ in sort_keys],
+            descending=[d == "descending" for _, d in sort_keys],
+        )
+
+    k = limit + offset
+
+    def block_topk(t: pa.Table, _keys=tuple(sort_keys), _k=k) -> pa.Table:
+        if t.num_rows <= _k:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=list(_keys), null_placement="at_end"
+        )
+        return t.take(idx.slice(0, _k))
+
+    # survivors are bounded by num_blocks x k — a driver fold by design
+    rows = out.map_batches(block_topk, batch_format="pyarrow").take_all()
+    tbl = pa.table(
+        {c: pa.array([r[c] for r in rows], pa.string()) for c in cols}
+    )
+    idx = pc.sort_indices(tbl, sort_keys=sort_keys, null_placement="at_end")
+    return ray.data.from_arrow(tbl.take(idx.slice(offset, limit)))
 
 
 def bgp_count(

@@ -776,3 +776,164 @@ def test_construct_and_fixpoint_dual_path_parity(ray_session):
     local = infer_fixpoint(ds, rules)
     dist = infer_fixpoint(ds, rules, broadcast_limit=0)
     assert _rows(local, names) == _rows(dist, names)
+
+
+# ---------------------------------------------------------------------------
+# reorder (selectivity-greedy join order) + bgp_select solution modifiers
+# ---------------------------------------------------------------------------
+
+def test_bgp_reorder_parity(ray_session):
+    """Inner joins commute: reorder=True must return the identical
+    binding SET, in the identical column order, on BOTH plan arms —
+    including with values/optional/minus/exists riding along."""
+    cases = [
+        dict(patterns=[("?x", "p", "?y"), ("?y", "q", "?z")]),
+        # constant-predicate pattern last: greedy should pull it first
+        dict(patterns=[("?x", "?r", "?y"), ("?y", "q", "c")]),
+        dict(patterns=[("?x", "p", "?y"), ("?y", "q", "?z"),
+                       ("?z", "p", "?w")]),
+        dict(patterns=[("?x", "p+", "?y"), ("?y", "q", "?z")]),
+        dict(patterns=[("?x", "p", "?y"), ("?y", "q", "?z")],
+             optional=[("?z", "p", "?w")],
+             minus=[[("?x", "q", "?u")]],
+             filters=[("!=", "?x", "?z")]),
+        dict(patterns=[("?x", "p", "?y"), ("?y", "q", "?z")],
+             values=(("?x",), [("a",), ("b",), ("zz",)])),
+    ]
+    ds = _ds(_PARITY_TRIPLES)
+    for case in cases:
+        base = bgp_match(ds, **case)
+        names = list(base.schema().names)
+        for kwargs in (dict(), dict(broadcast_limit=0)):
+            re = bgp_match(ds, reorder=True, **kwargs, **case)
+            assert list(re.schema().names) == names, (case, kwargs)
+            assert _rows(re, names) == _rows(base, names), (case, kwargs)
+
+
+def test_bgp_reorder_disconnected_still_raises(ray_session):
+    ds = _ds(_PARITY_TRIPLES)
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(
+            ds, [("?x", "p", "?y"), ("?u", "q", "?v")], reorder=True
+        )
+
+
+def test_greedy_order_prefers_selective_pattern(ray_session):
+    from kgray.bgp import _greedy_pattern_order
+
+    ds = _ds(_PARITY_TRIPLES)
+    # ?y q c matches exactly 1 triple; the open scan matches all 10:
+    # greedy must start from the constant pattern (index 1)
+    patterns = [("?x", "?r", "?y"), ("?y", "q", "c")]
+    order = _greedy_pattern_order(ds.materialize(), patterns, [None, None])
+    assert order == [1, 0]
+    # already-optimal user order is a no-op
+    assert _greedy_pattern_order(
+        ds.materialize(), list(reversed(patterns)), [None, None]
+    ) is None
+
+
+def test_bgp_select_matches_duckdb(ray_session):
+    import duckdb
+
+    from kgray.bgp import bgp_select
+
+    tbl = pa.table(
+        {
+            "subject": [s for s, _, _ in _PARITY_TRIPLES],
+            "predicate": [p for _, p, _ in _PARITY_TRIPLES],
+            "object": [o for _, _, o in _PARITY_TRIPLES],
+        }
+    )
+    ds = _ds(_PARITY_TRIPLES)
+    out = bgp_select(
+        ds,
+        [("?x", "p", "?y"), ("?y", "q", "?z")],
+        bind=[("?tag", ("concat", "?x", "-", ("upper", "?z"))),
+              ("?ln", ("strlen", ("concat", "?x", "?y")))],
+        project=["?tag", "?ln"],
+        distinct=True,
+        order_by=[("?tag", "desc"), ("?ln", "asc")],
+        limit=4,
+        offset=1,
+        reorder=True,
+    )
+    got = [(r["tag"], r["ln"]) for r in out.take_all()]
+    con = duckdb.connect()
+    con.register("e", tbl)
+    want = con.execute(
+        """
+        SELECT DISTINCT e1.subject || '-' || UPPER(e2.object) AS tag,
+               CAST(LENGTH(e1.subject || e1.object) AS VARCHAR) AS ln
+        FROM e e1 JOIN e e2 ON e2.subject = e1.object
+        WHERE e1.predicate = 'p' AND e2.predicate = 'q'
+        ORDER BY tag DESC, ln ASC LIMIT 4 OFFSET 1
+        """
+    ).fetchall()
+    assert got == want
+    con.close()
+
+
+def test_bgp_select_topk_matches_full_sort(ray_session):
+    """The distributed per-block top-k must equal sort-everything-then-
+    slice for every (limit, offset) cut, including past-the-end."""
+    from kgray.bgp import bgp_select
+
+    ds = _ds(_PARITY_TRIPLES)
+    full = bgp_select(
+        ds, [("?x", "?r", "?y")], order_by=[("?x", "asc"), ("?y", "desc"),
+                                            ("?r", "asc")],
+    ).take_all()
+    rows = [(r["x"], r["r"], r["y"]) for r in full]
+    for limit, offset in [(3, 0), (5, 2), (100, 0), (2, 9), (4, 100), (0, 0)]:
+        out = bgp_select(
+            ds, [("?x", "?r", "?y")],
+            order_by=[("?x", "asc"), ("?y", "desc"), ("?r", "asc")],
+            limit=limit, offset=offset,
+        ).take_all()
+        assert [(r["x"], r["r"], r["y"]) for r in out] == rows[
+            offset:offset + limit
+        ], (limit, offset)
+
+
+def test_bgp_select_bind_null_semantics(ray_session):
+    """concat over an unmatched OPTIONAL variable nulls the row's value
+    (SQL || semantics); coalesce patches it — both per SPARQL/DuckDB."""
+    from kgray.bgp import bgp_select
+
+    ds = _ds(_PARITY_TRIPLES)
+    out = bgp_select(
+        ds,
+        [("?x", "p", "?y")],
+        optional=[("?y", "q", "?z")],
+        bind=[("?joined", ("concat", "?x", "/", "?z")),
+              ("?safe", ("coalesce", "?z", "none"))],
+    )
+    rows = {(r["x"], r["y"]): (r["joined"], r["safe"]) for r in out.take_all()}
+    assert rows[("a", "b")] == ("a/c", "c")      # b -q-> c exists
+    assert rows[("c", "d")] == ("c/b", "b")      # d -q-> b exists
+    assert rows[("e", "e")] == (None, "none")    # no e -q-> ? triple
+
+
+def test_bgp_select_contracts(ray_session):
+    from kgray.bgp import bgp_select
+
+    ds = _ds(_PARITY_TRIPLES)
+    pats = [("?x", "p", "?y")]
+    for bad in [
+        dict(bind=[("?x", ("upper", "?y"))]),            # rebind
+        dict(bind=[("?n", ("nope", "?x"))]),             # unknown op
+        dict(bind=[("?n", ("upper", "?zz"))]),           # unbound var
+        dict(bind=[("?n", ("substr", "?x", 0))]),        # 0-based start
+        dict(bind=[("?n", ("substr", "?x", 1, -1))]),    # negative length
+        dict(bind=[("?n", ("concat", "?x"))]),           # arity
+        dict(bind=[("?n", ("replace", "?x", 1, "y"))]),  # non-str pattern
+        dict(project=["?zz"]),                           # unknown project
+        dict(project=["?x", "?x"]),                      # repeated project
+        dict(order_by=[("?zz", "asc")]),                 # unknown order key
+        dict(order_by=[("?x", "up")]),                   # bad direction
+        dict(limit=-1),                                  # negative limit
+        dict(offset=3),                                  # offset sans limit
+    ]:
+        with pytest.raises(ValueError):
+            bgp_select(ds, pats, **bad)
