@@ -1537,6 +1537,22 @@ def q_treats_ancestors(sf_dir: str):
     )
 
 
+def q_sparql_seq_path(sf_dir: str):
+    """SPARQL sequence property path (p1/p2): targets' part_of parents
+    reached THROUGH a treats edge — ``?a biolink:treats/biolink:part_of
+    ?c`` composes the two step relations with one midpoint hash join
+    and re-distincts (multiple treated intermediates collapse), exactly
+    the SPARQL PathSequence set semantics. Alternation stays outermost
+    (``a|b/c`` = a | (b/c)), matching the SPARQL grammar."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_match(
+        edges, [("?a", "biolink:treats/biolink:part_of", "?c")]
+    )
+    return _table(
+        out, schema=pa.schema([("a", pa.string()), ("c", pa.string())])
+    )
+
+
 def q_sparql_select_topk(sf_dir: str):
     """SPARQL SELECT solution modifiers end-to-end (bgp.bgp_select):
     ORDER BY + LIMIT + OFFSET over a 2-hop BGP, with the
@@ -4612,6 +4628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_match_pairs": q_name_match_pairs,
         "treats_ancestors": q_treats_ancestors,
         "leaf_treatments": q_leaf_treatments,
+        "sparql_seq_path": q_sparql_seq_path,
         "sparql_select_topk": q_sparql_select_topk,
         "sparql_bind_expr": q_sparql_bind_expr,
         "part_of_connected": q_part_of_connected,
@@ -6565,6 +6582,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.subject AS a, t.object AS b, tc.whole AS c
             FROM e t JOIN tc ON tc.part = t.object
             WHERE t.predicate = 'biolink:treats'
+        """,
+        "sparql_seq_path": f"""
+            WITH e AS ({kg_edges})
+            SELECT DISTINCT e1.subject AS a, e2.object AS c
+            FROM e e1
+            JOIN e e2 ON e2.subject = e1.object
+            WHERE e1.predicate = 'biolink:treats'
+              AND e2.predicate = 'biolink:part_of'
         """,
         "sparql_select_topk": f"""
             WITH e AS ({kg_edges})

@@ -75,17 +75,21 @@ def _is_var(term: str) -> bool:
 def _pattern_spec(pattern):
     """One triple pattern -> (path_expr | None, slots, terms).
 
-    A constant predicate containing ``+``/``|``/``^``/``*``/``?`` or
-    starting with ``!`` is a SPARQL property path: the pattern matches
-    over the 2-column path relation (see ``_path_relation``) instead of
-    the raw 3-slot triple stream."""
+    A constant predicate containing ``+``/``|``/``^``/``*``/``?``/``/``
+    or starting with ``!`` is a SPARQL property path: the pattern
+    matches over the 2-column path relation (see ``_path_relation``)
+    instead of the raw 3-slot triple stream. Caveat: ``/`` marking a
+    sequence means a raw http IRI can't be a constant predicate here —
+    this store keys predicates by CURIE (`Kuzu:29-34` vocabulary);
+    match an IRI-valued predicate with a ``?var`` plus an equality
+    FILTER instead."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p_term = pattern[1]
     if (
         not _is_var(p_term)
         and isinstance(p_term, str)
-        and (p_term.startswith("!") or any(c in p_term for c in "+|^*?"))
+        and (p_term.startswith("!") or any(c in p_term for c in "+|^*?/"))
     ):
         return p_term, ("subject", "object"), (pattern[0], pattern[2])
     return None, _SLOTS, pattern
@@ -231,42 +235,59 @@ def _values_join(t: pa.Table, vtbl: pa.Table, shared, out_cols) -> pa.Table:
 
 
 def _parse_path(expr: str):
-    """``alt ::= pred | ^pred``, ``expr ::= alt ('|' alt)* [mod]`` with
-    ``mod`` one of ``+`` (one-or-more: transitive closure), ``*``
-    (zero-or-more: closure plus the zero-length path) or ``?``
-    (zero-or-one) -> (modifier | None, [(pred, s_col, o_col), ...]).
-    The zero-length path pairs every TERM OF THE GRAPH (any subject or
-    object, regardless of predicate) with itself — the SPARQL
-    ZeroLengthPath relation.
+    """Property-path grammar (SPARQL subset, '|' outermost like the
+    SPARQL PathAlternative production)::
+
+        expr ::= seq ('|' seq)* [mod]     mod in '+' '*' '?'
+        seq  ::= step ('/' step)*         SPARQL PathSequence
+        step ::= pred | ^pred
+
+    -> ``(modifier | None, [[(pred, s_col, o_col), ...], ...])`` — a
+    list of ALTERNATIVES, each a list of SEQUENCE STEPS (one step for
+    the plain-alternation queries). So ``a|b/c`` is a | (b/c), matching
+    SPARQL precedence. ``mod``: ``+`` one-or-more (transitive closure),
+    ``*`` zero-or-more (closure plus the zero-length path), ``?``
+    zero-or-one; it scopes over the WHOLE alternation — the one
+    documented deviation from SPARQL, which would need parentheses to
+    say that. The zero-length path pairs every TERM OF THE GRAPH (any
+    subject or object, regardless of predicate) with itself — the
+    SPARQL ZeroLengthPath relation.
 
     A leading ``!`` is a SPARQL negated property set over the WHOLE
     alternation: ``!p1|p2`` matches any triple whose predicate is in
     NEITHER set member (forward direction only; no inverse members, no
-    trailing modifier) -> ('!', [(pred, 'subject', 'object'), ...])."""
+    sequences, no trailing modifier) ->
+    ``('!', [[(pred, 'subject', 'object')], ...])``."""
     if expr.startswith("!"):
         preds = expr[1:].split("|")
         if not all(preds) or any(
-            c in p for p in preds for c in "+|^*?!"
+            c in p for p in preds for c in "+|^*?!/"
         ):
             raise ValueError(
                 f"unsupported negated property set {expr!r} — grammar is "
-                "!pred or !p1|p2 (forward only, no modifiers)"
+                "!pred or !p1|p2 (forward only, no modifiers, no sequences)"
             )
-        return "!", [(p, "subject", "object") for p in preds]
+        return "!", [[(p, "subject", "object")] for p in preds]
     modifier = expr[-1] if expr and expr[-1] in "+*?" else None
     body = expr[:-1] if modifier else expr
     alts = []
     for alt in body.split("|"):
-        inverse = alt.startswith("^")
-        pred = alt[1:] if inverse else alt
-        if not pred or any(c in pred for c in "+|^*?!"):
-            raise ValueError(
-                f"unsupported property path {expr!r} — grammar is "
-                "pred | ^pred, '|'-alternation, one trailing '+'/'*'/'?', "
-                "or a leading '!' negated set"
+        steps = []
+        for step in alt.split("/"):
+            inverse = step.startswith("^")
+            pred = step[1:] if inverse else step
+            if not pred or any(c in pred for c in "+|^*?!/"):
+                raise ValueError(
+                    f"unsupported property path {expr!r} — grammar is "
+                    "step ::= pred | ^pred, '/'-sequences, "
+                    "'|'-alternation over sequences, one trailing "
+                    "'+'/'*'/'?', or a leading '!' negated set"
+                )
+            s_col, o_col = (
+                ("object", "subject") if inverse else ("subject", "object")
             )
-        s_col, o_col = ("object", "subject") if inverse else ("subject", "object")
-        alts.append((pred, s_col, o_col))
+            steps.append((pred, s_col, o_col))
+        alts.append(steps)
     return modifier, alts
 
 
@@ -299,7 +320,7 @@ def _path_relation(
     if modifier == "!":
         from .graphalgo import _distinct_pairs
 
-        preds = tuple(p for p, _, _ in alts)
+        preds = tuple(p for [(p, _, _)] in alts)
         kept = edges.select_columns(list(_SLOTS)).map_batches(
             lambda t, _p=preds: pa.table(
                 {"subject": t["subject"], "object": t["object"]}
@@ -309,15 +330,56 @@ def _path_relation(
         # different surviving predicates can repeat an (s, o) pair —
         # negated sets stay a SET like alternation
         return _distinct_pairs(kept, "subject", "object", num_partitions)
-    parts = [
-        edges.select_columns(list(_SLOTS)).map_batches(
+
+    def step_rel(pred, s_col, o_col):
+        return edges.select_columns(list(_SLOTS)).map_batches(
             lambda t, _p=pred, _s=s_col, _o=o_col: pa.table(
                 {"subject": t[_s], "object": t[_o]}
             ).filter(pc.fill_null(pc.equal(t["predicate"], _p), False)),
             batch_format="pyarrow",
         )
-        for pred, s_col, o_col in alts
-    ]
+
+    parts = []
+    for steps in alts:
+        rel = step_rel(*steps[0])
+        for nxt in steps[1:]:
+            # sequence composition: rel(s, m) x step(m, o) -> (s, o) —
+            # one hash join on the midpoint; multiple midpoints repeat
+            # a pair, so the result re-distincts to stay a SET. Both
+            # sides materialize first: a join is an all-to-all breaker
+            # anyway, and the counts short-circuit the empty case
+            # (acero breaks on schema-less empty blocks).
+            from .graphalgo import _distinct_pairs
+
+            left = rel.map_batches(
+                lambda t: pa.table(
+                    {"subject": t["subject"], "__mid": t["object"]}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            right = step_rel(*nxt).map_batches(
+                lambda t: pa.table(
+                    {"__mid": t["subject"], "object": t["object"]}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            if left.count() == 0 or right.count() == 0:
+                rel = _empty_result(["subject", "object"])
+                break
+            rel = _distinct_pairs(
+                left.join(
+                    right, join_type="inner",
+                    num_partitions=join_partitions(
+                        num_partitions, max(left.count(), right.count())
+                    ),
+                    on=("__mid",),
+                ).map_batches(
+                    lambda t: t.select(["subject", "object"]),
+                    batch_format="pyarrow",
+                ),
+                "subject", "object", num_partitions,
+            )
+        parts.append(rel)
     base = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     if modifier in ("+", "*"):
         from .graphalgo import transitive_closure
@@ -374,16 +436,31 @@ def _local_path_relation(tbl: pa.Table, expr: str) -> pa.Table:
     if modifier == "!":
         kept = pa.table(
             {"subject": tbl["subject"], "object": tbl["object"]}
-        ).filter(_not_in_mask(tbl["predicate"], [p for p, _, _ in alts]))
+        ).filter(_not_in_mask(tbl["predicate"], [p for [(p, _, _)] in alts]))
         return kept.group_by(["subject", "object"]).aggregate([])
-    parts = []
-    for pred, s_col, o_col in alts:
+
+    def step_tbl(pred, s_col, o_col) -> pa.Table:
         flt = tbl.filter(
             pc.fill_null(pc.equal(tbl["predicate"], pred), False)
         )
-        parts.append(
-            pa.table({"subject": flt[s_col], "object": flt[o_col]})
-        )
+        return pa.table({"subject": flt[s_col], "object": flt[o_col]})
+
+    parts = []
+    for steps in alts:
+        rel = step_tbl(*steps[0])
+        for nxt in steps[1:]:
+            # midpoint hash join + distinct (sequence composition)
+            rel = (
+                rel.rename_columns(["subject", "__mid"])
+                .join(
+                    step_tbl(*nxt).rename_columns(["__mid", "object"]),
+                    keys=["__mid"], join_type="inner",
+                )
+                .select(["subject", "object"])
+                .group_by(["subject", "object"])
+                .aggregate([])
+            )
+        parts.append(rel)
     base = pa.concat_tables(parts).combine_chunks()
     if modifier in ("+", "*"):
         from .graphalgo import _closure_local

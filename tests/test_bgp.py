@@ -937,3 +937,82 @@ def test_bgp_select_contracts(ray_session):
     ]:
         with pytest.raises(ValueError):
             bgp_select(ds, pats, **bad)
+
+
+# ---------------------------------------------------------------------------
+# sequence property paths (p1/p2)
+# ---------------------------------------------------------------------------
+
+def _brute_seq(triples, seqs):
+    """Alternation-of-sequences reference: compose each sequence left to
+    right over the triple set, union the alternatives."""
+    out = set()
+    for seq in seqs:
+        rel = None
+        for pred, inv in seq:
+            step = {
+                (o, s) if inv else (s, o)
+                for s, p, o in triples if p == pred
+            }
+            rel = step if rel is None else {
+                (s, o2) for s, m in rel for m2, o2 in step if m == m2
+            }
+        out |= rel
+    return out
+
+
+def test_bgp_sequence_paths_match_bruteforce(ray_session):
+    cases = {
+        "p/q": [[("p", False), ("q", False)]],
+        "p/q/p": [[("p", False), ("q", False), ("p", False)]],
+        "^p/q": [[("p", True), ("q", False)]],
+        # SPARQL precedence: alternation OUTERMOST -> p | (q/p)
+        "p|q/p": [[("p", False)], [("q", False), ("p", False)]],
+        "p/q|q/p": [[("p", False), ("q", False)],
+                    [("q", False), ("p", False)]],
+    }
+    ds = _ds(_PARITY_TRIPLES)
+    for expr, seqs in cases.items():
+        want = sorted(_brute_seq(_PARITY_TRIPLES, seqs))
+        for bl in (2_000_000, 0):
+            got = sorted(
+                (r["x"], r["y"])
+                for r in bgp_match(
+                    ds, [("?x", expr, "?y")], broadcast_limit=bl
+                ).take_all()
+            )
+            assert got == want, (expr, bl)
+
+
+def test_bgp_sequence_closure_and_empty_step(ray_session):
+    def closure(pairs):
+        out, changed = set(pairs), True
+        while changed:
+            new = {(a, d) for a, b in out for c, d in pairs if b == c} - out
+            changed = bool(new)
+            out |= new
+        return out
+
+    ds = _ds(_PARITY_TRIPLES)
+    want = sorted(
+        closure(_brute_seq(_PARITY_TRIPLES, [[("p", False), ("q", False)]]))
+    )
+    for bl in (2_000_000, 0):
+        got = sorted(
+            (r["x"], r["y"])
+            for r in bgp_match(
+                ds, [("?x", "p/q+", "?y")], broadcast_limit=bl
+            ).take_all()
+        )
+        assert got == want, bl
+        # a dead middle step empties the whole sequence, not just a join
+        assert bgp_match(
+            ds, [("?x", "p/zz/q", "?y")], broadcast_limit=bl
+        ).take_all() == []
+
+
+def test_bgp_sequence_grammar_errors(ray_session):
+    ds = _ds(_PARITY_TRIPLES)
+    for bad in ("p//q", "p/", "/p", "!p/q"):
+        with pytest.raises(ValueError):
+            bgp_match(ds, [("?x", bad, "?y")])
