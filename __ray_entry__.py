@@ -1604,6 +1604,40 @@ def q_sparql_bind_expr(sf_dir: str):
     )
 
 
+def q_sparql_groupby_agg(sf_dir: str):
+    """SPARQL GROUP BY with the full aggregate set (bgp.bgp_agg): per
+    treatment source, COUNT(*), COUNT(DISTINCT parent), lexicographic
+    MIN/MAX of the treated targets, and a deterministic GROUP_CONCAT
+    (DISTINCT, sorted, ','-joined) of the part_of parents, then
+    HAVING n >= 2. Plan: count/min/max fuse into ONE pre-aggregated
+    shuffle (per-batch Arrow partials); each DISTINCT aggregate adds
+    one de-duplicated (group, value) exchange; the group-bounded
+    pieces hash-join on the group key and HAVING applies as a
+    vectorized mask."""
+    edges = _kg_edge_table(sf_dir)
+    out = bgp.bgp_agg(
+        edges,
+        [("?a", "biolink:treats", "?b"), ("?b", "biolink:part_of", "?c")],
+        group_by=["?a"],
+        aggs={
+            "n": ("count", None),
+            "n_parents": ("count_distinct", "?c"),
+            "first_b": ("min", "?b"),
+            "last_b": ("max", "?b"),
+            "parents": ("group_concat", "?c"),
+        },
+        having=[(">=", "n", 2)],
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("a", pa.string()), ("n", pa.int64()),
+             ("n_parents", pa.int64()), ("first_b", pa.string()),
+             ("last_b", pa.string()), ("parents", pa.string())]
+        ),
+    )
+
+
 def q_name_match_pairs(sf_dir: str):
     """Entity-resolution candidates over the canonical node catalog:
     char-bigram Jaccard >= 0.7 on normalized names (link.fuzzy_name_pairs
@@ -4631,6 +4665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_seq_path": q_sparql_seq_path,
         "sparql_select_topk": q_sparql_select_topk,
         "sparql_bind_expr": q_sparql_bind_expr,
+        "sparql_groupby_agg": q_sparql_groupby_agg,
         "part_of_connected": q_part_of_connected,
         "datalog_ancestors": q_datalog_ancestors,
         "distinct_labels": q_distinct_labels,
@@ -6609,6 +6644,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e e2 ON e2.subject = e1.object
                           AND e2.predicate = 'biolink:part_of'
             WHERE e1.predicate = 'biolink:treats'
+        """,
+        "sparql_groupby_agg": f"""
+            WITH e AS ({kg_edges})
+            SELECT e1.subject AS a,
+                   COUNT(*) AS n,
+                   COUNT(DISTINCT e2.object) AS n_parents,
+                   MIN(e1.object) AS first_b,
+                   MAX(e1.object) AS last_b,
+                   string_agg(DISTINCT e2.object, ',' ORDER BY e2.object)
+                     AS parents
+            FROM e e1
+            JOIN e e2 ON e2.subject = e1.object
+                     AND e2.predicate = 'biolink:part_of'
+            WHERE e1.predicate = 'biolink:treats'
+            GROUP BY e1.subject
+            HAVING COUNT(*) >= 2
         """,
         "name_match_pairs": f"""
             WITH nrm AS (

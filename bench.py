@@ -118,6 +118,8 @@ def run_bench() -> dict:
             "causes_with_treats", "clustering_coeff", "non_partof_pairs",
             "kg_growth", "multi_treated", "ask_treats_chain",
             "describe_entity", "incremental_inference",
+            "sparql_seq_path", "sparql_select_topk", "sparql_bind_expr",
+            "sparql_groupby_agg",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

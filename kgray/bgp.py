@@ -1445,6 +1445,191 @@ def bgp_count(
     )
 
 
+_BGP_AGG_OPS = ("count", "count_distinct", "min", "max", "group_concat")
+
+
+def bgp_agg(
+    edges: ray.data.Dataset,
+    patterns,
+    group_by,
+    aggs,
+    having=(),
+    num_partitions: int = 32,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    **match_kwargs,
+) -> ray.data.Dataset:
+    """SPARQL GROUP BY with the full aggregate set over string bindings:
+    ``aggs`` maps output name -> ``(op, "?var")`` with ``op`` one of
+
+    - ``count``          COUNT(*) (var ignored, pass ``None``)
+    - ``count_distinct`` COUNT(DISTINCT ?v)
+    - ``min`` / ``max``  lexicographic (bindings are strings; DuckDB
+                         VARCHAR collation agrees)
+    - ``group_concat``   GROUP_CONCAT(DISTINCT ?v ORDER BY ?v) with a
+                         ``,`` separator — DISTINCT + sorted is forced
+                         so the result is deterministic under any
+                         partitioning (mirror: ``string_agg(DISTINCT v,
+                         ',' ORDER BY v)``)
+
+    Plan: count/min/max fuse into ONE pre-aggregated shuffle
+    (``relational.grouped_agg`` partials); each ``count_distinct`` /
+    ``group_concat`` variable adds one distinct-pair exchange (the
+    (group, v) projection de-duplicates per batch before it moves).
+    The group-bounded pieces then hash-join on the group keys.
+
+    ``having`` is a conjunction of ``(op, name, value)`` over the
+    AGGREGATED columns (count columns compare as int64, the rest as
+    strings), applied as a vectorized mask — SQL HAVING semantics."""
+    group_by = [g[1:] if _is_var(g) else g for g in group_by]
+    if not group_by:
+        raise ValueError("need at least one group_by variable")
+    if not aggs:
+        raise ValueError("need at least one aggregate")
+    bindings = bgp_match(
+        edges, patterns, num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit, **match_kwargs,
+    )
+    bound = list(bindings.schema().names)
+    missing = [g for g in group_by if g not in bound]
+    if missing:
+        raise ValueError(
+            f"group_by uses unbound variables {missing} — bound: {bound}"
+        )
+    plain: dict[str, tuple] = {}
+    per_var: list[tuple] = []
+    out_names = list(group_by)
+    for out, spec in aggs.items():
+        if out in out_names:
+            raise ValueError(f"aggregate output {out!r} collides")
+        if len(spec) != 2 or spec[0] not in _BGP_AGG_OPS:
+            raise ValueError(
+                f"aggregate {out!r} must be (op, '?var') with op in "
+                f"{_BGP_AGG_OPS}, got {spec!r}"
+            )
+        op, var = spec
+        if op == "count":
+            plain[out] = (op, None)
+        else:
+            if not _is_var(var) or var[1:] not in bound:
+                raise ValueError(f"aggregate {out!r} uses unbound {var!r}")
+            if var[1:] in group_by and op in ("count_distinct", "group_concat"):
+                raise ValueError(
+                    f"aggregate {out!r} over a group key is constant — "
+                    "drop it"
+                )
+            if op in ("min", "max"):
+                plain[out] = (op, var[1:])
+            else:
+                per_var.append((out, op, var[1:]))
+        out_names.append(out)
+
+    from .relational import grouped_agg, hash_bucketed_groupby
+
+    pieces = []
+    if plain:
+        mins = {o: v for o, (op, v) in plain.items() if op == "min"}
+        maxs = {o: v for o, (op, v) in plain.items() if op == "max"}
+        count_alias = next(
+            (o for o, (op, _) in plain.items() if op == "count"), None
+        )
+        pieces.append(
+            grouped_agg(
+                bindings, keys=list(group_by), mins=mins, maxs=maxs,
+                count_alias=count_alias,
+            )
+        )
+    for out, op, var in per_var:
+        proj = bindings.map_batches(
+            lambda t, _k=tuple(group_by), _v=var: pa.table(
+                {**{k: t[k] for k in _k}, _v: t[_v]}
+            ).group_by(list(_k) + [_v]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        if op == "count_distinct":
+            def cd_bucket(df, _k=list(group_by), _v=var, _o=out):
+                import pandas as _pd
+
+                dd = df.drop_duplicates(_k + [_v])
+                g = dd.groupby(_k, sort=False, as_index=False).agg(
+                    **{_o: (_v, "size")}
+                )
+                return g
+            pieces.append(
+                hash_bucketed_groupby(
+                    proj, list(group_by), cd_bucket,
+                    num_buckets=num_partitions,
+                )
+            )
+        else:  # group_concat
+            def gc_bucket(df, _k=list(group_by), _v=var, _o=out):
+                dd = df.drop_duplicates(_k + [_v]).sort_values(
+                    _k + [_v], kind="mergesort"
+                )
+                g = dd.groupby(_k, sort=False, as_index=False).agg(
+                    **{_o: (_v, ",".join)}
+                )
+                return g
+            pieces.append(
+                hash_bucketed_groupby(
+                    proj, list(group_by), gc_bucket,
+                    num_buckets=num_partitions,
+                )
+            )
+
+    acc = pieces[0].materialize()
+    for piece in pieces[1:]:
+        if acc.count() == 0:
+            break
+        acc = acc.join(
+            piece.materialize(), join_type="inner",
+            num_partitions=join_partitions(num_partitions, acc.count()),
+            on=tuple(group_by),
+        ).materialize()
+
+    if acc.count() == 0:
+        empty = {
+            g: pa.array([], pa.string()) for g in group_by
+        }
+        for out, spec in aggs.items():
+            empty[out] = pa.array(
+                [], pa.int64() if spec[0] in ("count", "count_distinct")
+                else pa.string()
+            )
+        return ray.data.from_arrow(pa.table(empty))
+
+    for h in having:
+        if len(h) != 3 or h[1] not in out_names:
+            raise ValueError(
+                f"having must be (op, name, value) over {out_names}, "
+                f"got {h!r}"
+            )
+        if h[0] not in _FILTER_OPS:
+            raise ValueError(
+                f"unsupported having op {h[0]!r} — one of "
+                f"{sorted(_FILTER_OPS)}"
+            )
+
+    def finish(t: pa.Table, _cols=tuple(out_names), _hav=tuple(having)):
+        t = t.select(list(_cols))
+        mask = None
+        for op, name, value in _hav:
+            col = t[name]
+            if pa.types.is_integer(col.type):
+                m = _FILTER_OPS[op](
+                    pc.cast(_chunked_str(col), pa.int64()),
+                    pa.scalar(int(value), pa.int64()),
+                )
+            else:
+                m = _FILTER_OPS[op](
+                    pc.cast(_chunked_str(col), pa.string()),
+                    pa.scalar(str(value), pa.string()),
+                )
+            mask = m if mask is None else pc.and_(mask, m)
+        return t if mask is None else t.filter(pc.fill_null(mask, False))
+
+    return acc.map_batches(finish, batch_format="pyarrow")
+
+
 def _check_emit(emit, bound) -> None:
     missing = [t[1:] for t in emit if _is_var(t) and t[1:] not in bound]
     if missing:

@@ -1016,3 +1016,85 @@ def test_bgp_sequence_grammar_errors(ray_session):
     for bad in ("p//q", "p/", "/p", "!p/q"):
         with pytest.raises(ValueError):
             bgp_match(ds, [("?x", bad, "?y")])
+
+
+def test_bgp_agg_matches_bruteforce(ray_session):
+    from collections import defaultdict
+
+    from kgray.bgp import bgp_agg
+
+    patterns = [("?x", "p", "?y"), ("?y", "q", "?z")]
+    ref, _ = _ref_bgp(_PARITY_TRIPLES, patterns)
+    by_x = defaultdict(list)
+    for x, y, z in ref:
+        by_x[x].append((y, z))
+    want = {
+        x: (
+            len(rows),
+            len({z for _, z in rows}),
+            min(y for y, _ in rows),
+            max(y for y, _ in rows),
+            ",".join(sorted({z for _, z in rows})),
+        )
+        for x, rows in by_x.items()
+    }
+    ds = _ds(_PARITY_TRIPLES)
+    aggs = {
+        "n": ("count", None),
+        "nz": ("count_distinct", "?z"),
+        "ymin": ("min", "?y"),
+        "ymax": ("max", "?y"),
+        "zs": ("group_concat", "?z"),
+    }
+    for limit in (2_000_000, 0):
+        out = bgp_agg(
+            ds, patterns, group_by=["?x"], aggs=aggs,
+            broadcast_limit=limit,
+        )
+        got = {
+            r["x"]: (r["n"], r["nz"], r["ymin"], r["ymax"], r["zs"])
+            for r in out.take_all()
+        }
+        assert got == want, limit
+        # column order is group keys then agg-declaration order
+        assert out.schema().names == ["x", "n", "nz", "ymin", "ymax", "zs"]
+    # HAVING over a count column (int compare) and a string column
+    hav = bgp_agg(
+        ds, patterns, group_by=["?x"], aggs=aggs,
+        having=[(">=", "n", 2), ("<=", "ymin", "c")],
+    )
+    got = {r["x"] for r in hav.take_all()}
+    assert got == {
+        x for x, v in want.items() if v[0] >= 2 and v[2] <= "c"
+    }
+    # per-var-only aggregate set (no fused grouped_agg piece)
+    only_cd = bgp_agg(
+        ds, patterns, group_by=["?x"], aggs={"nz": ("count_distinct", "?z")}
+    )
+    assert {r["x"]: r["nz"] for r in only_cd.take_all()} == {
+        x: v[1] for x, v in want.items()
+    }
+    # empty result keeps the declared schema
+    empty = bgp_agg(
+        ds, [("?x", "nope", "?y")], group_by=["?x"],
+        aggs={"n": ("count", None), "ys": ("group_concat", "?y")},
+    )
+    assert empty.take_all() == []
+    assert empty.schema().names == ["x", "n", "ys"]
+    # contract errors
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_agg(ds, patterns, group_by=["?w"], aggs={"n": ("count", None)})
+    with pytest.raises(ValueError, match="group_by"):
+        bgp_agg(ds, patterns, group_by=[], aggs={"n": ("count", None)})
+    with pytest.raises(ValueError, match="aggregate"):
+        bgp_agg(ds, patterns, group_by=["?x"], aggs={})
+    with pytest.raises(ValueError, match="constant"):
+        bgp_agg(
+            ds, patterns, group_by=["?x"],
+            aggs={"bad": ("count_distinct", "?x")},
+        )
+    with pytest.raises(ValueError, match="having"):
+        bgp_agg(
+            ds, patterns, group_by=["?x"],
+            aggs={"n": ("count", None)}, having=[(">=", "nope", 1)],
+        )
