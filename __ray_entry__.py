@@ -1638,6 +1638,35 @@ def q_sparql_groupby_agg(sf_dir: str):
     )
 
 
+def q_sparql_subquery_avg(sf_dir: str):
+    """SPARQL 1.1 subquery: an inner ``SELECT ?b (COUNT(*) AS ?n) ...
+    GROUP BY ?b`` feeds an outer FILTER against the scalar average of
+    the inner solution — targets treated more often than the mean
+    treated target. The inner aggregate is one bucketed partial-count
+    shuffle (group-bounded: one row per distinct target); the scalar
+    (SUM(n), COUNT(*)) reduces streaming to the driver as two int64s;
+    the outer filter is the exact integer compare ``n * n_groups >
+    sum_n`` (no float mean), vectorized per batch."""
+    edges = _kg_edge_table(sf_dir)
+    counts = bgp.bgp_count(
+        edges, [("?a", "biolink:treats", "?b")], group_by=["?b"], alias="n"
+    ).materialize()
+    sum_n = counts.sum("n")
+    n_groups = counts.count()
+
+    def above(t: pa.Table, _s=sum_n, _g=n_groups) -> pa.Table:
+        n = t["n"].combine_chunks()
+        return t.filter(
+            pc.greater(pc.multiply(n, pa.scalar(_g, pa.int64())),
+                       pa.scalar(_s, pa.int64()))
+        )
+
+    return _table(
+        counts.map_batches(above, batch_format="pyarrow"),
+        schema=pa.schema([("b", pa.string()), ("n", pa.int64())]),
+    )
+
+
 def q_name_match_pairs(sf_dir: str):
     """Entity-resolution candidates over the canonical node catalog:
     char-bigram Jaccard >= 0.7 on normalized names (link.fuzzy_name_pairs
@@ -4666,6 +4695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_select_topk": q_sparql_select_topk,
         "sparql_bind_expr": q_sparql_bind_expr,
         "sparql_groupby_agg": q_sparql_groupby_agg,
+        "sparql_subquery_avg": q_sparql_subquery_avg,
         "part_of_connected": q_part_of_connected,
         "datalog_ancestors": q_datalog_ancestors,
         "distinct_labels": q_distinct_labels,
@@ -6660,6 +6690,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE e1.predicate = 'biolink:treats'
             GROUP BY e1.subject
             HAVING COUNT(*) >= 2
+        """,
+        "sparql_subquery_avg": f"""
+            WITH e AS ({kg_edges}),
+            cnt AS (
+              SELECT object AS b, COUNT(*) AS n
+              FROM e WHERE predicate = 'biolink:treats'
+              GROUP BY object
+            )
+            SELECT b, n FROM cnt
+            WHERE n * (SELECT COUNT(*) FROM cnt) > (SELECT SUM(n) FROM cnt)
         """,
         "name_match_pairs": f"""
             WITH nrm AS (
