@@ -2330,6 +2330,26 @@ def q_random_walks(sf_dir: str):
     )
 
 
+def q_node2vec_walks(sf_dir: str):
+    """node2vec biased walk corpus over the canonical KG
+    (graphalgo.node2vec_walks): 3-step second-order walks with integer
+    weight classes back=1 / triangle=4 / far=2 (homophily-leaning p/q
+    bias), hash-resolved through the cumulative-weight ladder — no RNG,
+    so the corpus is reproducible at any parallelism and the DuckDB
+    mirror replays the exact draw. Dual-path (broadcast CSR /
+    per-step joins), parity-tested in tests/test_graphalgo.py."""
+    return _table(
+        graphalgo.node2vec_walks(
+            _canonical_int_edges(sf_dir), walk_len=3,
+            back_w=1, common_w=4, far_w=2,
+        ),
+        schema=pa.schema(
+            [("walk_id", pa.int64()), ("step", pa.int64()),
+             ("node", pa.int64())]
+        ),
+    )
+
+
 def q_skipgram_pairs(sf_dir: str):
     """(center, context) training pairs within a forward window of 2 over
     the deterministic walk corpus — the skip-gram extraction step of
@@ -4696,6 +4716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_bind_expr": q_sparql_bind_expr,
         "sparql_groupby_agg": q_sparql_groupby_agg,
         "sparql_subquery_avg": q_sparql_subquery_avg,
+        "node2vec_walks": q_node2vec_walks,
         "part_of_connected": q_part_of_connected,
         "datalog_ancestors": q_datalog_ancestors,
         "distinct_labels": q_distinct_labels,
@@ -4947,6 +4968,70 @@ def _walks_cte() -> str:
               UNION ALL SELECT walk_id, 1, node FROM w1
               UNION ALL SELECT walk_id, 2, node FROM w2
               UNION ALL SELECT walk_id, 3, node FROM w3
+            )
+    """
+
+
+def _node2vec_cte(bw: int = 1, cw: int = 4, fw: int = 2) -> str:
+    """Shared CTE chain (after _SQL_PREFIX + _SQL_LINKED): deterministic
+    3-step node2vec walks -> n2walks(walk_id, step, node). Mirrors
+    kgray/graphalgo.py::node2vec_walks exactly: step 1 is the uniform
+    first-order hash pick; steps 2-3 resolve the second-order hash
+    against the per-walk cumulative ladder of integer weight classes
+    (back / triangle / far over the dst-sorted neighbors)."""
+
+    def biased_step(prev_cte: str, step: int) -> str:
+        return f"""
+            c{step} AS (
+              SELECT w.walk_id, w.prev, w.node AS cur, a.dst,
+                     CASE WHEN a.dst = w.prev THEN {bw}
+                          WHEN EXISTS (SELECT 1 FROM e x
+                                       WHERE x.src = w.prev
+                                         AND x.dst = a.dst) THEN {cw}
+                          ELSE {fw} END AS wgt
+              FROM {prev_cte} w JOIN e a ON a.src = w.node
+            ),
+            p{step} AS (
+              SELECT walk_id, prev, cur, dst, wgt,
+                     SUM(wgt) OVER (PARTITION BY walk_id ORDER BY dst)
+                       AS cum,
+                     SUM(wgt) OVER (PARTITION BY walk_id) AS tot
+              FROM c{step}
+            ),
+            n{step} AS (
+              SELECT walk_id, cur AS prev, dst AS node
+              FROM p{step}
+              WHERE ((prev * 2246822519 + cur * 2654435761
+                      + {step} * 2654435769) % 4294967296) % tot
+                    BETWEEN cum - wgt AND cum - 1
+            )"""
+
+    return f"""
+            e AS (
+              SELECT DISTINCT (s - s % 2) AS src, (o - o % 2) AS dst
+              FROM linked
+            ),
+            adj AS (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY src) AS deg
+              FROM e
+            ),
+            n0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e),
+            n1 AS (
+              SELECT w.walk_id, w.node AS prev, a.dst AS node
+              FROM n0 w JOIN adj a ON a.src = w.node
+               AND a.rn = ((w.node * 2654435761 + 1 * 2654435769)
+                           % 4294967296) % a.deg
+            ),
+            {biased_step('n1', 2).strip()},
+            {biased_step('n2', 3).strip()},
+            n2walks AS (
+              SELECT walk_id, 0 AS step, node FROM n0
+              UNION ALL SELECT walk_id, 1, node FROM n1
+              UNION ALL SELECT walk_id, 2, node FROM n2
+              UNION ALL SELECT walk_id, 3, node FROM n3
             )
     """
 
@@ -6346,6 +6431,11 @@ def oracle_sql() -> dict[str, str]:
             {_SQL_LINKED.strip()},
             {_walks_cte().strip()}
             SELECT walk_id, step, node FROM walks
+        """,
+        "node2vec_walks": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            {_node2vec_cte().strip()}
+            SELECT walk_id, step, node FROM n2walks
         """,
         "skipgram_pairs": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

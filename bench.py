@@ -119,7 +119,7 @@ def run_bench() -> dict:
             "kg_growth", "multi_treated", "ask_treats_chain",
             "describe_entity", "incremental_inference",
             "sparql_seq_path", "sparql_select_topk", "sparql_bind_expr",
-            "sparql_groupby_agg", "sparql_subquery_avg",
+            "sparql_groupby_agg", "sparql_subquery_avg", "node2vec_walks",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -1714,6 +1714,347 @@ def _random_walks_joined(
     return out
 
 
+_PREV_MIX = 2246822519  # third odd Weyl constant: mixes the prev node
+
+
+def _node2vec_step_hash(
+    prev: np.ndarray, cur: np.ndarray, step: int
+) -> np.ndarray:
+    """Second-order walk hash — depends on (prev, cur, step) so the
+    biased pick is reproducible at any parallelism and mirrorable in
+    SQL (small-int node ids; arbitrary int64 ids stay deterministic
+    engine-side but wrap differently than the 64-bit SQL mirror, same
+    caveat as ``_walk_step_hash``). Shared by the broadcast-CSR and
+    joined paths so they are bit-identical."""
+    from .sampling import KNUTH, MOD32
+
+    return (
+        prev.astype(np.int64) * np.int64(_PREV_MIX)
+        + cur.astype(np.int64) * np.int64(KNUTH)
+        + np.int64(step) * np.int64(_STEP_MIX)
+    ) % np.int64(MOD32)
+
+
+def node2vec_walks(
+    edges: ray.data.Dataset,
+    walk_len: int = 3,
+    back_w: int = 1,
+    common_w: int = 4,
+    far_w: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    adjacency_broadcast_limit: int = 50_000_000,
+) -> ray.data.Dataset:
+    """node2vec-style SECOND-ORDER biased walk corpus (Grover &
+    Leskovec 2016), DETERMINISTIC: the in/out bias 1/p, 1, 1/q becomes
+    integer weight classes over the dst-sorted neighbors of the current
+    node — ``back_w`` when the neighbor IS the previous node, ``common_w``
+    when it is also a neighbor of the previous node (distance 1, a
+    triangle), ``far_w`` otherwise — and the "random" draw is
+    ``h(prev, cur, step) mod sum(weights)`` resolved through the
+    cumulative weight ladder (a hash replaces the RNG, exactly like
+    ``random_walks``). Step 1 has no prev and picks uniformly with the
+    first-order hash, so ``back_w == common_w == far_w`` degenerates to
+    an unbiased DeepWalk-style corpus (drawn with the second-order
+    hash, so not bit-identical to ``random_walks``).
+
+    Dual path: under ``adjacency_broadcast_limit`` distinct edges the
+    CSR adjacency (plus a packed (src,dst) key array for the
+    triangle-membership test) broadcasts once via ``ray.put`` and every
+    step is pure vectorized numpy (searchsorted + cumsum ladder, zero
+    shuffles). Beyond it ``_node2vec_joined`` runs the identical
+    recurrence as per-step distributed joins: one frontier->adjacency
+    fan-out join, one (prev, dst) edge-membership left join, and one
+    walk-keyed bucketed pick — peak state is one candidate row per
+    (live walk, neighbor), never driver-resident. Parity-tested
+    bit-for-bit (tests/test_graphalgo.py).
+
+    Emits (walk_id = start node, step 0..walk_len, node); dead ends
+    stop a walk early.
+    """
+    import ray as _ray
+
+    from .relational import hash_bucketed_groupby
+
+    for name, w in (("back_w", back_w), ("common_w", common_w),
+                    ("far_w", far_w)):
+        if not isinstance(w, int) or w < 1:
+            raise ValueError(f"{name} must be an integer >= 1, got {w!r}")
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        return t.select([src_col, dst_col]).group_by(
+            [src_col, dst_col]
+        ).aggregate([])
+
+    distinct = hash_bucketed_groupby(
+        edges.map_batches(dedup_batch, batch_format="pyarrow"),
+        [src_col, dst_col],
+        lambda df: df.drop_duplicates(),
+        num_buckets=32,
+    ).materialize()
+    if distinct.count() > adjacency_broadcast_limit:
+        return _node2vec_joined(
+            distinct, walk_len, back_w, common_w, far_w, src_col, dst_col
+        )
+
+    srcs_l, dsts_l = [], []
+    for b in distinct.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        srcs_l.append(_chunked(b[src_col]).to_numpy(zero_copy_only=False))
+        dsts_l.append(_chunked(b[dst_col]).to_numpy(zero_copy_only=False))
+    srcs = np.concatenate(srcs_l).astype(np.int64, copy=False)
+    dsts = np.concatenate(dsts_l).astype(np.int64, copy=False)
+    order = np.lexsort((dsts, srcs))
+    srcs, dsts = srcs[order], dsts[order]
+    uniq, first = np.unique(srcs, return_index=True)
+    counts = np.diff(np.append(first, len(srcs)))
+    # dense-index packed (src, dst) keys for the vectorized triangle
+    # membership test: allv maps node id -> [0, V), pack stays sorted
+    # because (srcs, dsts) is lexsorted and the map is monotone
+    allv = np.unique(np.concatenate([srcs, dsts]))
+    v_n = np.int64(len(allv))
+    pack = (
+        np.searchsorted(allv, srcs).astype(np.int64) * v_n
+        + np.searchsorted(allv, dsts).astype(np.int64)
+    )
+    ref = _ray.put(
+        (uniq, first.astype(np.int64), counts.astype(np.int64), dsts,
+         allv, v_n, pack)
+    )
+    bw, cw, fw = np.int64(back_w), np.int64(common_w), np.int64(far_w)
+
+    def walk(df) -> pa.Table:
+        u, st, cn, ds_, av, vn, pk = _ray.get(ref)
+        start = np.unique(df[src_col].to_numpy(np.int64))
+        parts = [(start, np.zeros(len(start), dtype=np.int64), start)]
+        # step 1: uniform first-order pick (no prev yet)
+        pos = np.searchsorted(u, start)
+        posc = np.clip(pos, 0, max(len(u) - 1, 0))
+        has = (pos < len(u)) & (u[posc] == start)
+        prev, wid = start[has], start[has]
+        h = _walk_step_hash(prev, 1)
+        idx = st[posc[has]] + (h % np.maximum(cn[posc[has]], 1))
+        cur = ds_[np.clip(idx, 0, max(len(ds_) - 1, 0))]
+        if len(cur):
+            parts.append((wid, np.ones(len(wid), dtype=np.int64), cur))
+        for step in range(2, walk_len + 1):
+            if not len(cur):
+                break
+            pos = np.searchsorted(u, cur)
+            posc = np.clip(pos, 0, max(len(u) - 1, 0))
+            has = (pos < len(u)) & (u[posc] == cur)
+            if not has.any():
+                break
+            cur_a, prev_a, wid_a = cur[has], prev[has], wid[has]
+            seg_start, cnt = st[posc[has]], cn[posc[has]]
+            rep = np.repeat(np.arange(len(cur_a)), cnt)
+            seg_first = np.cumsum(cnt) - cnt
+            intra = np.arange(int(cnt.sum())) - np.repeat(seg_first, cnt)
+            nbr = ds_[seg_start[rep] + intra]
+            prev_rep = prev_a[rep]
+            q = (
+                np.searchsorted(av, prev_rep).astype(np.int64) * vn
+                + np.searchsorted(av, nbr).astype(np.int64)
+            )
+            loc = np.clip(np.searchsorted(pk, q), 0, len(pk) - 1)
+            member = pk[loc] == q
+            wt = np.where(
+                nbr == prev_rep, bw, np.where(member, cw, fw)
+            ).astype(np.int64)
+            cum = np.cumsum(wt)
+            seg_base = (cum - wt)[seg_first]
+            tot = np.add.reduceat(wt, seg_first)
+            r = _node2vec_step_hash(prev_a, cur_a, step) % tot
+            chosen = np.searchsorted(cum, seg_base + r, side="right")
+            prev, cur, wid = cur_a, nbr[chosen], wid_a
+            parts.append((wid, np.full(len(wid), step, dtype=np.int64), cur))
+        return pa.table(
+            {
+                "walk_id": pa.array(np.concatenate([p[0] for p in parts])),
+                "step": pa.array(np.concatenate([p[1] for p in parts])),
+                "node": pa.array(np.concatenate([p[2] for p in parts])),
+            }
+        )
+
+    starts_ds = hash_bucketed_groupby(
+        edges.map_batches(
+            lambda t: pa.table({src_col: _chunked(t[src_col])}),
+            batch_format="pyarrow",
+        ),
+        [src_col],
+        lambda df: df.drop_duplicates(),
+        num_buckets=32,
+    )
+    return starts_ds.map_batches(walk, batch_format="pandas")
+
+
+def _node2vec_joined(
+    distinct: ray.data.Dataset,
+    walk_len: int,
+    back_w: int,
+    common_w: int,
+    far_w: int,
+    src_col: str,
+    dst_col: str,
+) -> ray.data.Dataset:
+    """Beyond-broadcast node2vec plan. Per step >= 2: (1) the frontier
+    (walk_id, prev, cur) fan-out joins the adjacency on cur; (2) one
+    (prev, dst) left join against the distinct edge set flags the
+    triangle class; (3) a walk-keyed bucketed shuffle sorts each walk's
+    candidates by dst and resolves the cumulative-weight ladder with
+    the same reduceat kernel as the CSR path. Step 1 reuses the
+    first-order transition-table trick (pick depends only on (node,
+    step) when there is no prev). The partitioning assumption is the
+    standard one: one walk's candidate set (outdeg of one node) fits a
+    task — hub nodes bound it by max outdeg, not corpus size."""
+    from .relational import hash_bucketed_groupby, shuffle_join
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([src_col, dst_col], kind="mergesort")
+        grp = df.groupby(src_col, sort=False)
+        return pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(np.int64),
+                "dst": df[dst_col].to_numpy(np.int64),
+                "rank": grp.cumcount().to_numpy(np.int64),
+                "outdeg": grp[dst_col].transform("size").to_numpy(np.int64),
+            }
+        )
+
+    adj = hash_bucketed_groupby(
+        distinct, [src_col], rank_group, num_buckets=64
+    ).materialize()
+    mem = adj.map_batches(
+        lambda t: pa.table(
+            {
+                "__ms": _chunked(t["src"]),
+                "__md": _chunked(t["dst"]),
+                "__is_edge": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def starts_batch(t: pa.Table) -> pa.Table:
+        s = _chunked(t["src"])
+        return pa.table(
+            {"walk_id": s,
+             "step": pa.array(np.zeros(len(s), dtype=np.int64)),
+             "node": s}
+        )
+
+    state0 = adj.map_batches(
+        lambda t: t.filter(pc.equal(_chunked(t["rank"]), 0)).select(["src"]),
+        batch_format="pyarrow",
+    ).map_batches(starts_batch, batch_format="pyarrow").materialize()
+    emitted = [state0]
+
+    # step 1: first-order transition table (rank == h(src, 1) % outdeg)
+    def pick1(t: pa.Table) -> pa.Table:
+        s = _chunked(t["src"]).to_numpy(zero_copy_only=False)
+        r = _chunked(t["rank"]).to_numpy(zero_copy_only=False)
+        d = _chunked(t["outdeg"]).to_numpy(zero_copy_only=False)
+        keep = (_walk_step_hash(s, 1) % d) == r
+        return pa.table(
+            {"src": pa.array(s[keep]),
+             "__next": _chunked(t["dst"]).filter(pa.array(keep))}
+        )
+
+    frontier = shuffle_join(
+        state0.map_batches(
+            lambda t: pa.table(
+                {"walk_id": _chunked(t["walk_id"]),
+                 "cur": _chunked(t["node"])}
+            ),
+            batch_format="pyarrow",
+        ),
+        adj.map_batches(pick1, batch_format="pyarrow"),
+        on=("cur",), right_on=("src",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"walk_id": _chunked(t["walk_id"]),
+             "prev": _chunked(t["cur"]),
+             "cur": _chunked(t["__next"])}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if frontier.count():
+        emitted.append(
+            frontier.map_batches(
+                lambda t: pa.table(
+                    {"walk_id": _chunked(t["walk_id"]),
+                     "step": pa.array(np.ones(len(t), dtype=np.int64)),
+                     "node": _chunked(t["cur"])}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    bw, cw, fw = np.int64(back_w), np.int64(common_w), np.int64(far_w)
+    for step in range(2, walk_len + 1):
+        if frontier.count() == 0:
+            break
+        cand = shuffle_join(
+            frontier, adj.map_batches(
+                lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+            ),
+            on=("cur",), right_on=("src",),
+        )
+        flagged = shuffle_join(
+            cand, mem, on=("prev", "dst"), right_on=("__ms", "__md"),
+            how="left_outer",
+        )
+
+        def pick_bucket(df: pd.DataFrame, _step=step) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {"walk_id": pd.Series([], dtype="int64"),
+                     "prev": pd.Series([], dtype="int64"),
+                     "cur": pd.Series([], dtype="int64")}
+                )
+            df = df.sort_values(["walk_id", "dst"], kind="mergesort")
+            wid = df["walk_id"].to_numpy(np.int64)
+            prev = df["prev"].to_numpy(np.int64)
+            cur = df["cur"].to_numpy(np.int64)
+            nbr = df["dst"].to_numpy(np.int64)
+            is_edge = df["__is_edge"].notna().to_numpy()
+            seg_first = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+            wt = np.where(
+                nbr == prev, bw, np.where(is_edge, cw, fw)
+            ).astype(np.int64)
+            cum = np.cumsum(wt)
+            seg_base = (cum - wt)[seg_first]
+            tot = np.add.reduceat(wt, seg_first)
+            r = _node2vec_step_hash(
+                prev[seg_first], cur[seg_first], _step
+            ) % tot
+            chosen = np.searchsorted(cum, seg_base + r, side="right")
+            return pd.DataFrame(
+                {"walk_id": wid[seg_first], "prev": cur[seg_first],
+                 "cur": nbr[chosen]}
+            )
+
+        frontier = hash_bucketed_groupby(
+            flagged, ["walk_id"], pick_bucket, num_buckets=64
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        emitted.append(
+            frontier.map_batches(
+                lambda t, _s=step: pa.table(
+                    {"walk_id": _chunked(t["walk_id"]),
+                     "step": pa.array(np.full(len(t), _s, dtype=np.int64)),
+                     "node": _chunked(t["cur"])}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.union(e)
+    return out
+
+
 def neighbor_fanout_sample(
     edges_ds: ray.data.Dataset,
     seeds,

@@ -605,3 +605,86 @@ def test_transitive_closure_cycle_and_chain(ray_session):
         for r in graphalgo.transitive_closure(ds, local_pair_cap=3).take_all()
     }
     assert got == want
+
+
+def _ref_node2vec(edge_list, walk_len, bw, cw, fw):
+    """Pure-Python second-order reference: sorted distinct adjacency,
+    hash-resolved cumulative-weight ladder."""
+    from kgray.graphalgo import _STEP_MIX, _PREV_MIX
+    from kgray.sampling import KNUTH, MOD32
+
+    eset = set(edge_list)
+    adj = {}
+    for s, d in eset:
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(ds_) for s, ds_ in adj.items()}
+    walks = []
+    for start in sorted(adj):
+        walks.append((start, 0, start))
+        nbrs = adj[start]
+        cur = nbrs[((start * KNUTH + 1 * _STEP_MIX) % MOD32) % len(nbrs)]
+        prev = start
+        walks.append((start, 1, cur))
+        for step in range(2, walk_len + 1):
+            if cur not in adj:
+                break
+            nbrs = adj[cur]
+            wts = [
+                bw if n == prev else (cw if (prev, n) in eset else fw)
+                for n in nbrs
+            ]
+            r = (
+                (prev * _PREV_MIX + cur * KNUTH + step * _STEP_MIX) % MOD32
+            ) % sum(wts)
+            acc = 0
+            for n, w in zip(nbrs, wts):
+                acc += w
+                if acc > r:
+                    nxt = n
+                    break
+            prev, cur = cur, nxt
+            walks.append((start, step, cur))
+    return sorted(walks)
+
+
+def test_node2vec_walks_match_reference(ray_session):
+    """Broadcast-CSR node2vec vs the pure-Python ladder on a random
+    multigraph with dead ends and duplicate edges; the joined path
+    (forced via adjacency_broadcast_limit=0) must match bit-for-bit."""
+    rng = np.random.RandomState(23)
+    n_edges = 500
+    src = rng.randint(0, 40, n_edges)
+    dst = rng.randint(0, 70, n_edges)  # ids 40..69 are dead ends
+    src = np.concatenate([src, src[:150]])  # planted duplicates
+    dst = np.concatenate([dst, dst[:150]])
+    t = pa.table(
+        {"src": pa.array(src, type=pa.int64()),
+         "dst": pa.array(dst, type=pa.int64())}
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    edge_list = list(zip(src.tolist(), dst.tolist()))
+
+    for bw, cw, fw in ((1, 4, 2), (3, 1, 1), (1, 1, 1)):
+        want = _ref_node2vec(edge_list, 4, bw, cw, fw)
+        got = sorted(
+            (r["walk_id"], r["step"], r["node"])
+            for r in graphalgo.node2vec_walks(
+                ds, walk_len=4, back_w=bw, common_w=cw, far_w=fw
+            ).take_all()
+        )
+        assert got == want, (bw, cw, fw)
+
+    joined = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in graphalgo.node2vec_walks(
+            ds, walk_len=4, back_w=1, common_w=4, far_w=2,
+            adjacency_broadcast_limit=0,
+        ).take_all()
+    )
+    assert joined == _ref_node2vec(edge_list, 4, 1, 4, 2)
+    # the bias is real: a different weight profile changes the corpus
+    assert _ref_node2vec(edge_list, 4, 1, 4, 2) != _ref_node2vec(
+        edge_list, 4, 3, 1, 1
+    )
+    with pytest.raises(ValueError, match="back_w"):
+        graphalgo.node2vec_walks(ds, back_w=0)
