@@ -1525,6 +1525,10 @@ def bgp_agg(
 
     from .relational import grouped_agg, hash_bucketed_groupby
 
+    # each aggregate piece is an independent consumer of the bindings —
+    # materialize once so the BGP join doesn't re-execute per piece
+    if (1 if plain else 0) + len(per_var) > 1:
+        bindings = bindings.materialize()
     pieces = []
     if plain:
         mins = {o: v for o, (op, v) in plain.items() if op == "min"}
