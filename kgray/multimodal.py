@@ -13,7 +13,10 @@ Decode is a CODEC CHAIN, resolved once per actor in ``__init__``:
    filter reconstruction) — REAL decode of standard 8-bit
    grey/RGB/RGBA non-interlaced PNGs with no external dependency;
 3. the engine's own KGRW raw-RGB format;
-4. otherwise: the deterministic fake path when constructed with
+4. the built-in uncompressed-BMP (8/24/32-bit BITMAPINFOHEADER) and
+   binary-PNM (P5 grey / P6 RGB, 8-bit) decoders — REAL decode, pure
+   struct + numpy;
+5. otherwise: the deterministic fake path when constructed with
    ``fake=True``, else ``NotImplementedError`` naming the supported
    formats.
 
@@ -193,11 +196,71 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BMP (BITMAPINFOHEADER+, 8-bit palette-index / 24-bit
+    BGR / 32-bit BGRA) -> uint8 (h, w[, ch]) array, RGB channel order.
+    Rows are 4-byte aligned and stored bottom-up unless height < 0."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * bpp // 8 + 3) & ~3
+    rows = np.frombuffer(
+        payload, np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    if bpp == 8:
+        img = rows[:, :w]
+    elif bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    else:
+        img = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0, 3]]
+    return np.ascontiguousarray(img[::-1] if bottom_up else img)
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PNM (P5 grey / P6 RGB, maxval <= 255) -> uint8 (h, w[, 3])
+    array. Header is whitespace-separated tokens with # comments."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    toks, i = [], 2
+    while len(toks) < 3 and i < len(payload):
+        if payload[i : i + 1].isspace():
+            i += 1
+        elif payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+    if len(toks) < 3:
+        raise ValueError("truncated PNM header")
+    w, h, maxv = toks
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    if maxv > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PNM (maxval={maxv})")
+    ch = 1 if magic == b"P5" else 3
+    arr = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=i)
+    return arr.reshape((h, w) if ch == 1 else (h, w, ch)).copy()
+
+
 class DecodeStub:
     """Actor stage: decode binary payloads into (width, height, n_frames).
 
     Codec chain resolved once at actor init (module docstring): PIL when
-    importable, the built-in PNG decoder, the KGRW raw format; payloads
+    importable, the built-in PNG / BMP / PNM decoders, the KGRW raw
+    format; payloads
     none of those recognise fall to the deterministic fake path when
     ``fake=True``, else raise ``NotImplementedError`` — video/audio
     genuinely need ffmpeg-class codecs.
@@ -220,6 +283,18 @@ class DecodeStub:
         if p[:4] == _RAW_MAGIC:
             img = decode_raw_image(p)
             return img.shape[1], img.shape[0], 1
+        if p[:2] == b"BM":
+            try:
+                img = decode_bmp(p)
+                return img.shape[1], img.shape[0], 1
+            except ValueError:
+                pass  # odd BMP variants fall to PIL / the fake path
+        if p[:2] in (b"P5", b"P6"):
+            try:
+                img = decode_pnm(p)
+                return img.shape[1], img.shape[0], 1
+            except ValueError:
+                pass
         if self._pil is not None:
             import io
 
@@ -240,7 +315,8 @@ class DecodeStub:
             if got is None:
                 if not self.fake:
                     raise NotImplementedError(
-                        "no codec for payload (supported here: PNG, KGRW"
+                        "no codec for payload (supported here: PNG, BMP, "
+                        "PNM, KGRW"
                         + (", PIL formats" if self._pil is not None else "")
                         + "); PCM WAV decodes via audio_features, video "
                         "and compressed audio need ffmpeg-class codecs — "

@@ -786,3 +786,88 @@ def test_semdedup_planted_and_parallelism_invariant(ray_session):
     assert len(verdict) == 60
     singles = [v for v, (c, k) in verdict.items() if c == v]
     assert all(verdict[v][1] == 1 for v in singles)
+
+
+def _make_bmp(img: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Minimal uncompressed BITMAPINFOHEADER encoder for the test:
+    uint8 (h, w) -> 8-bit (palette omitted from use, still emitted),
+    (h, w, 3) RGB -> 24-bit BGR, (h, w, 4) RGBA -> 32-bit BGRA."""
+    import struct as _st
+
+    if img.ndim == 2:
+        bpp, px = 8, img[:, :, None]
+    elif img.shape[2] == 3:
+        bpp, px = 24, img[:, :, ::-1]
+    else:
+        bpp, px = 32, img[:, :, [2, 1, 0, 3]]
+    h, w = img.shape[:2]
+    stride = (w * bpp // 8 + 3) & ~3
+    palette = b"".join(
+        _st.pack("<BBBB", i, i, i, 0) for i in range(256)
+    ) if bpp == 8 else b""
+    data_off = 14 + 40 + len(palette)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * bpp // 8] = px.reshape(h, -1)
+    if bottom_up:
+        rows = rows[::-1]
+    raster = rows.tobytes()
+    return (
+        b"BM"
+        + _st.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+        + _st.pack(
+            "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, bpp, 0,
+            len(raster), 2835, 2835, 256 if bpp == 8 else 0, 0,
+        )
+        + palette
+        + raster
+    )
+
+
+def test_bmp_codec_all_layouts():
+    rng = np.random.RandomState(41)
+    for shape in ((7, 5), (7, 5, 3), (7, 5, 4)):
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for bottom_up in (True, False):
+            back = multimodal.decode_bmp(_make_bmp(img, bottom_up))
+            assert np.array_equal(back, img), (shape, bottom_up)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"nonsense")
+    rle = bytearray(_make_bmp(np.zeros((4, 4), np.uint8)))
+    rle[30] = 1  # compression = BI_RLE8
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(bytes(rle))
+
+
+def test_pnm_codec_p5_p6():
+    rng = np.random.RandomState(42)
+    grey = rng.randint(0, 256, size=(6, 9)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 9, 3)).astype(np.uint8)
+    p5 = b"P5\n# a comment\n9 6\n255\n" + grey.tobytes()
+    p6 = b"P6 9\n# mid-header comment\n6 255\n" + rgb.tobytes()
+    assert np.array_equal(multimodal.decode_pnm(p5), grey)
+    assert np.array_equal(multimodal.decode_pnm(p6), rgb)
+    with pytest.raises(ValueError):
+        multimodal.decode_pnm(b"P4\n1 1\n\x00")  # bitmap PBM unsupported
+    with pytest.raises(ValueError):
+        multimodal.decode_pnm(b"P5\n2 2\n65535\n" + b"\x00" * 8)  # 16-bit
+
+
+def test_decode_stub_handles_bmp_and_pnm(ray_session):
+    """DecodeStub reports REAL dimensions for BMP and PNM payloads
+    without fake mode, through the actor-pool stage."""
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, size=(11, 17, 3)).astype(np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "kind": pa.array(["image", "image"]),
+            "payload": pa.array(
+                [_make_bmp(img), b"P6\n17 11\n255\n" + img.tobytes()],
+                pa.binary(),
+            ),
+        }
+    )
+    out = multimodal.decode_media(ray.data.from_arrow(t), fake=False).take_all()
+    assert [(r["width"], r["height"], r["n_frames"]) for r in out] == [
+        (17, 11, 1), (17, 11, 1)
+    ]
