@@ -1479,7 +1479,15 @@ def bgp_agg(
 
     ``having`` is a conjunction of ``(op, name, value)`` over the
     AGGREGATED columns (count columns compare as int64, the rest as
-    strings), applied as a vectorized mask — SQL HAVING semantics."""
+    strings), applied as a vectorized mask — SQL HAVING semantics.
+
+    Scale note: GROUP_CONCAT's output row is proportional to the
+    group's distinct-value count — that is the operator's semantics,
+    not a plan artifact. One giant group lands in one bucket task;
+    pre-filter or cap the value domain upstream if a group's distinct
+    set can outgrow a worker heap (the count/min/max/count_distinct
+    aggregates have no such row-size hazard — their partials and
+    outputs are O(1) per group)."""
     group_by = [g[1:] if _is_var(g) else g for g in group_by]
     if not group_by:
         raise ValueError("need at least one group_by variable")
