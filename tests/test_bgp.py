@@ -1098,3 +1098,40 @@ def test_bgp_agg_matches_bruteforce(ray_session):
             ds, patterns, group_by=["?x"],
             aggs={"n": ("count", None)}, having=[(">=", "nope", 1)],
         )
+
+
+@settings(max_examples=12, deadline=None)
+@given(triples=triples_strategy)
+def test_bgp_agg_property(ray_session, triples):
+    """bgp_agg vs a brute-force aggregator on random triple sets: the
+    fused count/min/max piece and both per-variable DISTINCT exchanges
+    must agree with the nested-loop reference on every group."""
+    from collections import defaultdict
+
+    from kgray.bgp import bgp_agg
+
+    patterns = [("?x", "p", "?y")]
+    ref, _ = _ref_bgp(triples, patterns)
+    by_x = defaultdict(list)
+    for x, y in ref:
+        by_x[x].append(y)
+    want = {
+        x: (len(ys), len(set(ys)), min(ys), max(ys),
+            ",".join(sorted(set(ys))))
+        for x, ys in by_x.items()
+    }
+    out = bgp_agg(
+        _ds(triples), patterns, group_by=["?x"],
+        aggs={
+            "n": ("count", None),
+            "ny": ("count_distinct", "?y"),
+            "ymin": ("min", "?y"),
+            "ymax": ("max", "?y"),
+            "ys": ("group_concat", "?y"),
+        },
+    )
+    got = {
+        r["x"]: (r["n"], r["ny"], r["ymin"], r["ymax"], r["ys"])
+        for r in out.take_all()
+    }
+    assert got == want
