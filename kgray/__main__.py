@@ -13,6 +13,10 @@ Stage map (reference -> kgray):
   tables       CREATE_TABLES  _schema.json + Kuzu DDL + Cypher cast map
   compact      (maintenance) fold delta-appended small files per partition
   release      training-corpus release: clean -> leak-free split -> hive
+  query        SPARQL-subset BGP SELECT over a built graph's edge
+               partitions (the A7 runbook-query analog: the reference's
+               users run Cypher against the loaded DB; kgray users run
+               this against the Parquet layout without any DB load)
   all          the full checkpointed pipeline (resumable; default)
 
 Every stage is resumable: rerunning skips work whose manifest fingerprint
@@ -42,8 +46,33 @@ def main(argv=None) -> int:
     p.add_argument(
         "--type", default="all",
         choices=["all", "convert", "create_lus", "bin", "tables", "compact",
-                 "release"],
+                 "release", "query"],
         help="pipeline stage to run (reference --type selector)",
+    )
+    p.add_argument(
+        "--bgp", default=None,
+        help='query: JSON pattern list, e.g. \'[["?a","biolink:treats",'
+             '"?b"],["?b","biolink:part_of*","?c"]]\' (property-path '
+             "grammar allowed in the predicate slot)",
+    )
+    p.add_argument(
+        "--filters", default=None,
+        help='query: JSON FILTER list, e.g. \'[["contains","?a","MONDO"]]\'',
+    )
+    p.add_argument(
+        "--order-by", default=None,
+        help='query: JSON ORDER BY list, e.g. \'[["?a","asc"]]\'',
+    )
+    p.add_argument("--query-limit", type=int, default=None,
+                   help="query: LIMIT (with --order-by: distributed top-k)")
+    p.add_argument("--query-distinct", action="store_true",
+                   help="query: DISTINCT after projection")
+    p.add_argument("--project", default=None,
+                   help='query: JSON projection, e.g. \'["?a","?c"]\'')
+    p.add_argument(
+        "--query-out", default=None,
+        help="query: write the result as Parquet here instead of "
+             "printing rows as JSON lines (print caps at 100 rows)",
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", default="/tmp/kgray_out")
@@ -130,6 +159,59 @@ def main(argv=None) -> int:
                 os.path.join(ck, "node_class_lookup.parquet"),
             )
         print(json.dumps({"checkpoints": ck}))
+
+    if args.type == "query":
+        from .bgp import bgp_select
+
+        if not args.bgp:
+            p.error("--type=query requires --bgp")
+        patterns = [tuple(t) for t in json.loads(args.bgp)]
+
+        # the P2 layout stores `predicate` as a URL-quoted hive dir name
+        # ('biolink%3Atreats', materialize.py:344) and Ray's hive read
+        # returns it verbatim — decode per batch through the (tiny)
+        # dictionary, not per row
+        from urllib.parse import unquote
+
+        import pyarrow.compute as pc
+
+        def _decode_predicate(t: pa.Table) -> pa.Table:
+            col = t["predicate"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = pc.dictionary_encode(col)
+            dec = pa.DictionaryArray.from_arrays(
+                enc.indices,
+                pa.array([unquote(v.as_py()) for v in enc.dictionary],
+                         pa.string()),
+            ).cast(pa.string())
+            return t.set_column(
+                t.schema.get_field_index("predicate"), "predicate", dec
+            )
+
+        edges = rd.read_parquet(
+            os.path.join(args.out, "edges"),
+            columns=["subject", "predicate", "object"],
+        ).map_batches(_decode_predicate, batch_format="pyarrow")
+        res = bgp_select(
+            edges, patterns,
+            project=json.loads(args.project) if args.project else None,
+            distinct=args.query_distinct,
+            order_by=[tuple(o) for o in json.loads(args.order_by)]
+            if args.order_by else (),
+            limit=args.query_limit,
+            filters=[tuple(f) for f in json.loads(args.filters)]
+            if args.filters else (),
+            reorder=len(patterns) > 1,
+        )
+        if args.query_out:
+            res.write_parquet(args.query_out)
+            print(json.dumps(
+                {"rows": res.count(), "out": args.query_out}
+            ))
+        else:
+            for r in res.take(min(args.query_limit or 100, 100)):
+                print(json.dumps(r, sort_keys=True))
 
     if args.type == "compact":
         from .pipeline import compact_graph

@@ -68,6 +68,32 @@ def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
     assert reports[1]["partitions_compacted"] == 0
     assert pq.ParquetDataset(os.path.join(out, "edges")).read().num_rows == n_edges
 
+    # stage 6: query -> SPARQL-subset BGP SELECT straight off the built
+    # layout (incl. decoding the URL-quoted hive `predicate` values)
+    assert main([
+        "--type=query", f"--out={out}",
+        "--bgp",
+        '[["?a","biolink:treats","?b"],["?b","biolink:part_of","?c"]]',
+        "--order-by", '[["?a","asc"],["?b","asc"],["?c","asc"]]',
+        "--query-limit", "8",
+    ]) == 0
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert 0 < len(rows) <= 8
+    t = pq.ParquetDataset(os.path.join(out, "edges")).read()
+    triples = list(zip(
+        t.column("subject").to_pylist(), t.column("predicate").to_pylist(),
+        t.column("object").to_pylist(),
+    ))
+    treats = {(s, o) for s, p, o in triples if p == "biolink:treats"}
+    partof = {(s, o) for s, p, o in triples if p == "biolink:part_of"}
+    for r in rows:
+        assert (r["a"], r["b"]) in treats and (r["b"], r["c"]) in partof
+    assert rows == sorted(rows, key=lambda r: (r["a"], r["b"], r["c"]))
+
 
 def test_ddl_codegen_type_table():
     import pyarrow as pa
