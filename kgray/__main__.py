@@ -74,6 +74,22 @@ def main(argv=None) -> int:
         help="query: write the result as Parquet here instead of "
              "printing rows as JSON lines (print caps at 100 rows)",
     )
+    p.add_argument(
+        "--group-by", default=None,
+        help='query: JSON GROUP BY variables, e.g. \'["?a"]\' — switches '
+             "the stage to bgp_agg (aggregate mode)",
+    )
+    p.add_argument(
+        "--aggs", default=None,
+        help='query: JSON aggregate map for --group-by, e.g. '
+             '\'{"n":["count",null],"ys":["group_concat","?y"]}\' (ops: '
+             "count, count_distinct, min, max, group_concat)",
+    )
+    p.add_argument(
+        "--having", default=None,
+        help='query: JSON HAVING conjunction over aggregate columns, '
+             'e.g. \'[[">=","n",2]]\'',
+    )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", default="/tmp/kgray_out")
     p.add_argument("--repeat", type=int, default=1)
@@ -193,17 +209,33 @@ def main(argv=None) -> int:
             os.path.join(args.out, "edges"),
             columns=["subject", "predicate", "object"],
         ).map_batches(_decode_predicate, batch_format="pyarrow")
-        res = bgp_select(
-            edges, patterns,
-            project=json.loads(args.project) if args.project else None,
-            distinct=args.query_distinct,
-            order_by=[tuple(o) for o in json.loads(args.order_by)]
-            if args.order_by else (),
-            limit=args.query_limit,
-            filters=[tuple(f) for f in json.loads(args.filters)]
-            if args.filters else (),
-            reorder=len(patterns) > 1,
-        )
+        filters = ([tuple(f) for f in json.loads(args.filters)]
+                   if args.filters else ())
+        if args.group_by:
+            from .bgp import bgp_agg
+
+            if not args.aggs:
+                p.error("--group-by requires --aggs")
+            res = bgp_agg(
+                edges, patterns,
+                group_by=json.loads(args.group_by),
+                aggs={k: tuple(v) for k, v in json.loads(args.aggs).items()},
+                having=[tuple(h) for h in json.loads(args.having)]
+                if args.having else (),
+                filters=filters,
+                reorder=len(patterns) > 1,
+            )
+        else:
+            res = bgp_select(
+                edges, patterns,
+                project=json.loads(args.project) if args.project else None,
+                distinct=args.query_distinct,
+                order_by=[tuple(o) for o in json.loads(args.order_by)]
+                if args.order_by else (),
+                limit=args.query_limit,
+                filters=filters,
+                reorder=len(patterns) > 1,
+            )
         if args.query_out:
             res.write_parquet(args.query_out)
             print(json.dumps(

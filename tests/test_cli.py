@@ -94,6 +94,34 @@ def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
         assert (r["a"], r["b"]) in treats and (r["b"], r["c"]) in partof
     assert rows == sorted(rows, key=lambda r: (r["a"], r["b"], r["c"]))
 
+    # aggregate mode: GROUP BY + full aggregate set + HAVING, checked
+    # against the same pq-read ground truth
+    assert main([
+        "--type=query", f"--out={out}",
+        "--bgp",
+        '[["?a","biolink:treats","?b"],["?b","biolink:part_of","?c"]]',
+        "--group-by", '["?a"]',
+        "--aggs", '{"n":["count",null],"parents":["group_concat","?c"]}',
+        "--having", '[[">=","n",3]]',
+    ]) == 0
+    agg_rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for s, b in treats:
+        for b2, c in partof:
+            if b2 == b:
+                groups[s].append(c)
+    want = {
+        a: (len(cs), ",".join(sorted(set(cs))))
+        for a, cs in groups.items() if len(cs) >= 3
+    }
+    assert {r["a"]: (r["n"], r["parents"]) for r in agg_rows} == want
+
 
 def test_ddl_codegen_type_table():
     import pyarrow as pa
