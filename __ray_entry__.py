@@ -2330,6 +2330,28 @@ def q_random_walks(sf_dir: str):
     )
 
 
+_N2V_CORPUS_CACHE: dict = {}
+
+
+def _node2vec_corpus(sf_dir: str):
+    """The biased walk corpus, MATERIALIZED once per (sf_dir, Ray
+    session) and shared by node2vec_walks / node2vec_skipgram (the
+    `_walk_corpus` discipline — build once, consume many times)."""
+    import ray as _ray
+
+    sess = _ray.get_runtime_context().gcs_address if _ray.is_initialized() else None
+    key = (sf_dir, sess)
+    ds = _N2V_CORPUS_CACHE.get(key)
+    if ds is None:
+        ds = graphalgo.node2vec_walks(
+            _canonical_int_edges(sf_dir), walk_len=3,
+            back_w=1, common_w=4, far_w=2,
+        ).materialize()
+        _N2V_CORPUS_CACHE.clear()
+        _N2V_CORPUS_CACHE[key] = ds
+    return ds
+
+
 def q_node2vec_walks(sf_dir: str):
     """node2vec biased walk corpus over the canonical KG
     (graphalgo.node2vec_walks): 3-step second-order walks with integer
@@ -2339,13 +2361,43 @@ def q_node2vec_walks(sf_dir: str):
     mirror replays the exact draw. Dual-path (broadcast CSR /
     per-step joins), parity-tested in tests/test_graphalgo.py."""
     return _table(
-        graphalgo.node2vec_walks(
-            _canonical_int_edges(sf_dir), walk_len=3,
-            back_w=1, common_w=4, far_w=2,
-        ),
+        _node2vec_corpus(sf_dir),
         schema=pa.schema(
             [("walk_id", pa.int64()), ("step", pa.int64()),
              ("node", pa.int64())]
+        ),
+    )
+
+
+def q_node2vec_skipgram(sf_dir: str):
+    """node2vec's training half: (center, context) skip-gram pairs
+    within a forward window of 2 over the BIASED walk corpus — what an
+    SGNS embedding trainer consumes. Shares the materialized corpus
+    with `node2vec_walks`; one walk-keyed bucketed self-merge (walks
+    are 4 rows, so each bucket's join is tiny and vectorized)."""
+    import pandas as pd
+
+    from kgray.relational import hash_bucketed_groupby
+
+    walks = _node2vec_corpus(sf_dir)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="walk_id", suffixes=("_a", "_b"))
+        m = m[(m["step_b"] - m["step_a"]).between(1, 2)]
+        return pd.DataFrame(
+            {
+                "walk_id": m["walk_id"].to_numpy(np.int64),
+                "center": m["node_a"].to_numpy(np.int64),
+                "context": m["node_b"].to_numpy(np.int64),
+                "offset": (m["step_b"] - m["step_a"]).to_numpy(np.int64),
+            }
+        )
+
+    return _table(
+        hash_bucketed_groupby(walks, ["walk_id"], pairs, num_buckets=16),
+        schema=pa.schema(
+            [("walk_id", pa.int64()), ("center", pa.int64()),
+             ("context", pa.int64()), ("offset", pa.int64())]
         ),
     )
 
@@ -4717,6 +4769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_groupby_agg": q_sparql_groupby_agg,
         "sparql_subquery_avg": q_sparql_subquery_avg,
         "node2vec_walks": q_node2vec_walks,
+        "node2vec_skipgram": q_node2vec_skipgram,
         "part_of_connected": q_part_of_connected,
         "datalog_ancestors": q_datalog_ancestors,
         "distinct_labels": q_distinct_labels,
@@ -6436,6 +6489,15 @@ def oracle_sql() -> dict[str, str]:
             {_SQL_LINKED.strip()},
             {_node2vec_cte().strip()}
             SELECT walk_id, step, node FROM n2walks
+        """,
+        "node2vec_skipgram": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            {_node2vec_cte().strip()}
+            SELECT a.walk_id, a.node AS center, b.node AS context,
+                   b.step - a.step AS "offset"
+            FROM n2walks a JOIN n2walks b
+              ON a.walk_id = b.walk_id
+             AND b.step - a.step BETWEEN 1 AND 2
         """,
         "skipgram_pairs": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

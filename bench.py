@@ -120,6 +120,7 @@ def run_bench() -> dict:
             "describe_entity", "incremental_inference",
             "sparql_seq_path", "sparql_select_topk", "sparql_bind_expr",
             "sparql_groupby_agg", "sparql_subquery_avg", "node2vec_walks",
+            "node2vec_skipgram",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
