@@ -216,6 +216,12 @@ def main(argv=None) -> int:
 
             if not args.aggs:
                 p.error("--group-by requires --aggs")
+            if args.project or args.query_distinct:
+                p.error(
+                    "--project/--query-distinct do not apply to "
+                    "--group-by aggregates — name the outputs in "
+                    "--aggs instead (group rows are already distinct)"
+                )
             res = bgp_agg(
                 edges, patterns,
                 group_by=json.loads(args.group_by),
@@ -225,6 +231,24 @@ def main(argv=None) -> int:
                 filters=filters,
                 reorder=len(patterns) > 1,
             )
+            # ORDER BY / LIMIT apply after GROUP BY, SQL-style: keys
+            # name aggregate outputs or group columns ('?'-prefix ok)
+            if args.order_by:
+                spec = [tuple(o) for o in json.loads(args.order_by)]
+                cols = set(res.schema().names)
+                keys, desc = [], []
+                for col, direction in spec:
+                    col = col[1:] if col.startswith("?") else col
+                    if col not in cols:
+                        p.error(
+                            f"--order-by column {col!r} not in "
+                            f"aggregate output {sorted(cols)}"
+                        )
+                    keys.append(col)
+                    desc.append(direction == "desc")
+                res = res.sort(key=keys, descending=desc)
+            if args.query_limit:
+                res = res.limit(args.query_limit)
         else:
             res = bgp_select(
                 edges, patterns,

@@ -78,20 +78,29 @@ def _pattern_spec(pattern):
     A constant predicate containing ``+``/``|``/``^``/``*``/``?``/``/``
     or starting with ``!`` is a SPARQL property path: the pattern
     matches over the 2-column path relation (see ``_path_relation``)
-    instead of the raw 3-slot triple stream. Caveat: ``/`` marking a
-    sequence means a raw http IRI can't be a constant predicate here —
-    this store keys predicates by CURIE (`Kuzu:29-34` vocabulary);
-    match an IRI-valued predicate with a ``?var`` plus an equality
-    FILTER instead."""
+    instead of the raw 3-slot triple stream. ``/`` marking a sequence
+    would otherwise swallow raw http IRIs, so SPARQL's angle-bracket
+    escape is honored: ``<http://...>`` is always a constant predicate
+    (brackets stripped, never path-parsed), and a bare term that mixes
+    ``://`` with path separators raises with that advice instead of
+    silently mis-parsing. This store keys predicates by CURIE
+    (`Kuzu:29-34` vocabulary), so bracket escapes are only needed for
+    full-IRI predicates."""
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p_term = pattern[1]
-    if (
-        not _is_var(p_term)
-        and isinstance(p_term, str)
-        and (p_term.startswith("!") or any(c in p_term for c in "+|^*?/"))
-    ):
-        return p_term, ("subject", "object"), (pattern[0], pattern[2])
+    if not _is_var(p_term) and isinstance(p_term, str):
+        if len(p_term) > 1 and p_term[0] == "<" and p_term[-1] == ">":
+            # SPARQL IRI escape: constant predicate, never a path
+            return None, _SLOTS, (pattern[0], p_term[1:-1], pattern[2])
+        if p_term.startswith("!") or any(c in p_term for c in "+|^*?/"):
+            if "://" in p_term:
+                raise ValueError(
+                    f"predicate {p_term!r} looks like a full IRI but "
+                    "contains property-path separators — wrap it in "
+                    "<...> to use it as a constant predicate"
+                )
+            return p_term, ("subject", "object"), (pattern[0], pattern[2])
     return None, _SLOTS, pattern
 
 
@@ -1531,6 +1540,20 @@ def bgp_agg(
                 per_var.append((out, op, var[1:]))
         out_names.append(out)
 
+    # validate HAVING up front — a malformed spec is a contract error
+    # and must raise whether or not the group set turns out empty
+    for h in having:
+        if len(h) != 3 or h[1] not in out_names:
+            raise ValueError(
+                f"having must be (op, name, value) over {out_names}, "
+                f"got {h!r}"
+            )
+        if h[0] not in _FILTER_OPS:
+            raise ValueError(
+                f"unsupported having op {h[0]!r} — one of "
+                f"{sorted(_FILTER_OPS)}"
+            )
+
     from .relational import grouped_agg, hash_bucketed_groupby
 
     # each aggregate piece is an independent consumer of the bindings —
@@ -1559,11 +1582,12 @@ def bgp_agg(
         )
         if op == "count_distinct":
             def cd_bucket(df, _k=list(group_by), _v=var, _o=out):
-                import pandas as _pd
-
+                # SQL COUNT(DISTINCT x) ignores NULLs: count only the
+                # non-null distinct values but KEEP the group (a group
+                # whose values are all NULL yields 0, not a dropped row)
                 dd = df.drop_duplicates(_k + [_v])
                 g = dd.groupby(_k, sort=False, as_index=False).agg(
-                    **{_o: (_v, "size")}
+                    **{_o: (_v, lambda s: int(s.notna().sum()))}
                 )
                 return g
             pieces.append(
@@ -1574,11 +1598,15 @@ def bgp_agg(
             )
         else:  # group_concat
             def gc_bucket(df, _k=list(group_by), _v=var, _o=out):
+                # SQL string_agg ignores NULLs: join only non-null
+                # values; a group whose values are all NULL yields ''
+                # (kept, not dropped — GROUP BY groups exist whenever
+                # the group has rows, whatever the aggregated value)
                 dd = df.drop_duplicates(_k + [_v]).sort_values(
                     _k + [_v], kind="mergesort"
                 )
                 g = dd.groupby(_k, sort=False, as_index=False).agg(
-                    **{_o: (_v, ",".join)}
+                    **{_o: (_v, lambda s: ",".join(s.dropna()))}
                 )
                 return g
             pieces.append(
@@ -1608,18 +1636,6 @@ def bgp_agg(
                 else pa.string()
             )
         return ray.data.from_arrow(pa.table(empty))
-
-    for h in having:
-        if len(h) != 3 or h[1] not in out_names:
-            raise ValueError(
-                f"having must be (op, name, value) over {out_names}, "
-                f"got {h!r}"
-            )
-        if h[0] not in _FILTER_OPS:
-            raise ValueError(
-                f"unsupported having op {h[0]!r} — one of "
-                f"{sorted(_FILTER_OPS)}"
-            )
 
     def finish(t: pa.Table, _cols=tuple(out_names), _hav=tuple(having)):
         t = t.select(list(_cols))

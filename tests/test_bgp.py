@@ -1135,3 +1135,76 @@ def test_bgp_agg_property(ray_session, triples):
         for r in out.take_all()
     }
     assert got == want
+
+
+def test_bgp_agg_distinct_null_semantics(ray_session):
+    """DISTINCT aggregates over an OPTIONAL-bound variable follow SQL
+    NULL rules: COUNT(DISTINCT) ignores NULLs (0 for all-NULL groups,
+    group kept), string_agg joins only non-null values ('' for
+    all-NULL groups) — matching the DuckDB oracle mirror."""
+    from kgray.bgp import bgp_agg
+
+    triples = [
+        ("a", "p", "b"), ("a", "p", "c"),
+        ("b", "q", "x"), ("b", "q", "y"),
+        ("d", "p", "e"),  # e has no q edge -> ?z NULL for group d
+    ]
+    for limit in (2_000_000, 0):
+        out = bgp_agg(
+            _ds(triples), [("?s", "p", "?o")],
+            optional=[("?o", "q", "?z")],
+            group_by=["?s"],
+            aggs={
+                "n": ("count", None),
+                "nz": ("count_distinct", "?z"),
+                "zs": ("group_concat", "?z"),
+            },
+            broadcast_limit=limit,
+        )
+        got = {r["s"]: (r["n"], r["nz"], r["zs"]) for r in out.take_all()}
+        # group a: (a,b,x),(a,b,y),(a,c,NULL) -> 3 rows, 2 distinct z
+        # group d: (d,e,NULL) -> kept with 0 / ''
+        assert got == {"a": (3, 2, "x,y"), "d": (1, 0, "")}, limit
+
+
+def test_bgp_agg_having_validated_on_empty(ray_session):
+    """A malformed HAVING raises even when the group set is empty —
+    contract errors must not depend on the data."""
+    from kgray.bgp import bgp_agg
+
+    ds = _ds([("a", "p", "b")])
+    with pytest.raises(ValueError, match="having"):
+        bgp_agg(
+            ds, [("?x", "nope", "?y")], group_by=["?x"],
+            aggs={"n": ("count", None)}, having=[(">=", "bogus", 1)],
+        )
+    with pytest.raises(ValueError, match="having op"):
+        bgp_agg(
+            ds, [("?x", "nope", "?y")], group_by=["?x"],
+            aggs={"n": ("count", None)}, having=[("~=", "n", 1)],
+        )
+
+
+def test_bgp_iri_predicate_escape(ray_session):
+    """<...>-wrapped predicates are constants (never path-parsed), and
+    a bare IRI mixing :// with path separators raises with advice
+    instead of silently mis-parsing as a sequence path."""
+    triples = [
+        ("a", "http://ex.org/vocab/p", "b"),
+        ("b", "http://ex.org/vocab/p", "c"),
+        ("a", "q", "c"),
+    ]
+    ds = _ds(triples)
+    out = bgp_match(ds, [("?x", "<http://ex.org/vocab/p>", "?y")])
+    got = {(r["x"], r["y"]) for r in out.take_all()}
+    assert got == {("a", "b"), ("b", "c")}
+    # joins across an escaped-IRI pattern and a CURIE pattern
+    out2 = bgp_match(
+        ds,
+        [("?x", "<http://ex.org/vocab/p>", "?y"), ("?x", "q", "?z")],
+    )
+    assert {(r["x"], r["y"], r["z"]) for r in out2.take_all()} == {
+        ("a", "b", "c")
+    }
+    with pytest.raises(ValueError, match="wrap it in"):
+        bgp_match(ds, [("?x", "http://ex.org/vocab/p", "?y")])

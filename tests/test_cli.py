@@ -122,6 +122,39 @@ def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
     }
     assert {r["a"]: (r["n"], r["parents"]) for r in agg_rows} == want
 
+    # aggregate mode honors --order-by/--query-limit (SQL ORDER BY /
+    # LIMIT after GROUP BY) instead of silently ignoring them
+    assert main([
+        "--type=query", f"--out={out}",
+        "--bgp", '[["?a","biolink:treats","?b"]]',
+        "--group-by", '["?a"]',
+        "--aggs", '{"n":["count",null]}',
+        "--order-by", '[["n","desc"],["?a","asc"]]',
+        "--query-limit", "3",
+    ]) == 0
+    top = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    treat_counts = defaultdict(int)
+    for s, _b in treats:
+        treat_counts[s] += 1
+    want_top = sorted(
+        treat_counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:3]
+    assert [(r["a"], r["n"]) for r in top] == want_top
+    # inapplicable modifiers with --group-by error instead of no-op
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main([
+            "--type=query", f"--out={out}",
+            "--bgp", '[["?a","biolink:treats","?b"]]',
+            "--group-by", '["?a"]', "--aggs", '{"n":["count",null]}',
+            "--project", '["?a"]',
+        ])
+
 
 def test_ddl_codegen_type_table():
     import pyarrow as pa
