@@ -2272,7 +2272,11 @@ def link_pred_features(
     dst: str = "dst",
     num_partitions: int = 16,
     num_buckets: int = 32,
-) -> ray.data.Dataset:
+    max_middle_degree: "int | None" = None,
+    hot_middle_degree: int = 4096,
+    hot_chunk: int = 2048,
+    return_audit: bool = False,
+):
     """Per-pair link-prediction features over the simple undirected
     projection: common-neighbor count, preferential attachment
     (deg(u)*deg(v)), integer Jaccard
@@ -2288,6 +2292,30 @@ def link_pred_features(
     node-bounded adjacency BEFORE the join (never a second pass over the
     quadratic wedge stream); endpoint degrees ride a size-routed lookup
     join (broadcast under the node budget, hash join beyond).
+
+    Hot-middle skew: one celebrity middle of degree d implies d^2 wedge
+    rows, and a hash join lands ALL of them in one partition's task.
+    Two defenses, composable:
+
+    - middles with degree > ``hot_middle_degree`` leave the hash join
+      for a chunked path — their sorted neighbor array is staged in the
+      object store once (``ray.put``) and upper-triangle C x C blocks
+      of the pair matrix are emitted by independent tasks, so per-task
+      output is <= ``hot_chunk``^2 rows no matter how hot the hub.
+      Exact: same partials, same downstream sum.
+    - ``max_middle_degree`` (the standard CN/RA practice) SKIPS middles
+      above it entirely — the quadratic work itself is the problem at
+      Zipf scale, not just its placement. Skips are audited (middle
+      count + exact wedge count skipped); pass ``return_audit=True``
+      to get ``(dataset, audit_dict)``. With a cap, cn/ra undercount
+      pairs whose only witnesses are capped hubs and endpoint degrees
+      stay TRUE degrees (pref_attach/jaccard denominators unchanged) —
+      mirror the cap in any oracle as a ``deg(middle) <= cap`` filter.
+
+    Driver memory note: hot-middle detection reads only the filtered
+    degree table; the staged adjacency is bounded by sum-of-hot-degrees
+    (with a cap: <= n_hot * max_middle_degree), each hub one int64
+    array in the object store, never concatenated on the driver heap.
     """
     from .relational import broadcast_lookup_join, hash_bucketed_groupby
 
@@ -2318,6 +2346,33 @@ def link_pred_features(
         num_buckets,
     ).materialize()
 
+    # exact hot/capped-middle detection off the (node-bounded, already
+    # materialized) degree table — only rows over the threshold leave
+    # the cluster, a hub-count-bounded pull
+    audit = {"capped_middles": 0, "capped_wedges": 0,
+             "hot_chunked_middles": 0, "hot_chunk_tasks": 0}
+    thresh = hot_middle_degree
+    if max_middle_degree is not None:
+        thresh = min(thresh, max_middle_degree)
+    hot_rows = deg.map_batches(
+        lambda t, _th=thresh: t.filter(
+            pc.greater(pc.cast(_chunked(t["d"]), pa.int64()), _th)
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    capped_mids: set = set()
+    hot_mids: list = []
+    for r in hot_rows:
+        node_, d_ = int(r["node"]), int(r["d"])
+        if max_middle_degree is not None and d_ > max_middle_degree:
+            capped_mids.add(node_)
+            audit["capped_middles"] += 1
+            audit["capped_wedges"] += d_ * (d_ - 1) // 2
+        else:
+            hot_mids.append((node_, d_))
+    audit["hot_chunked_middles"] = len(hot_mids)
+    excluded = capped_mids | {m for m, _ in hot_mids}
+
     # middle-node degree rides the node-bounded adjacency into the join,
     # so each wedge row already carries deg(middle) for the RA index
     adj_d = broadcast_lookup_join(
@@ -2326,8 +2381,25 @@ def link_pred_features(
             batch_format="pyarrow",
         ), "v", "node", ["dmid"],
     )
+    if excluded:
+        excl = pa.array(sorted(excluded), pa.int64())
+
+        def drop_hot(t: pa.Table, _col: str, _ex=excl) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(pc.cast(_chunked(t[_col]), pa.int64()),
+                                   value_set=_ex))
+            )
+
+        adj_d = adj_d.map_batches(
+            lambda t, _f=drop_hot: _f(t, "v"), batch_format="pyarrow"
+        )
+        adj_right = adj.map_batches(
+            lambda t, _f=drop_hot: _f(t, "v"), batch_format="pyarrow"
+        )
+    else:
+        adj_right = adj
     wedges = adj_d.join(
-        adj.map_batches(
+        adj_right.map_batches(
             lambda t: pa.table({"v2": _chunked(t["v"]), "w2": _chunked(t["w"])}),
             batch_format="pyarrow",
         ),
@@ -2350,8 +2422,78 @@ def link_pred_features(
             [(["u"], "count"), (["ra"], "sum")]
         ).rename_columns(["u", "v", "cn", "ra"])
 
+    partials = wedges.map_batches(pair_partial, batch_format="pyarrow")
+
+    if hot_mids:
+        # stage each hot hub's sorted neighbor array in the object store
+        # ONCE; block-decompose its pair matrix so no task emits more
+        # than hot_chunk^2 rows (upper-triangle blocks only)
+        hot_set = pa.array(sorted(m for m, _ in hot_mids), pa.int64())
+        hot_adj = adj.map_batches(
+            lambda t, _hs=hot_set: t.filter(
+                pc.is_in(pc.cast(_chunked(t["v"]), pa.int64()), value_set=_hs)
+            ),
+            batch_format="pyarrow",
+        )
+        neigh: dict = {m: [] for m, _ in hot_mids}
+        mids_sorted = np.asarray(sorted(neigh), np.int64)
+        for b in hot_adj.iter_batches(batch_format="pyarrow"):
+            vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ww = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(vv, kind="stable")
+            vv, ww = vv[order], ww[order]
+            lo_b = np.searchsorted(vv, mids_sorted, side="left")
+            hi_b = np.searchsorted(vv, mids_sorted, side="right")
+            for mi, m in enumerate(mids_sorted):
+                if hi_b[mi] > lo_b[mi]:
+                    neigh[int(m)].append(ww[lo_b[mi]: hi_b[mi]])
+        refs, specs = {}, []
+        for m, d_ in hot_mids:
+            w_sorted = np.sort(np.concatenate(neigh[m])) if neigh[m] else np.empty(0, np.int64)
+            refs[m] = ray.put(w_sorted)
+            n_ = len(w_sorted)
+            ra_term = 1_000_000 // max(d_, 1)
+            blocks = range(0, n_, hot_chunk)
+            for i in blocks:
+                for j in range(i, n_, hot_chunk):
+                    specs.append({"mid": m, "i": i, "j": j, "ra": ra_term})
+        audit["hot_chunk_tasks"] = len(specs)
+
+        def emit_block(batch: "dict", _refs=refs, _c=hot_chunk) -> pa.Table:
+            us, vs, ras = [], [], []
+            for mid, i, j, ra_t in zip(
+                batch["mid"], batch["i"], batch["j"], batch["ra"]
+            ):
+                w_all = ray.get(_refs[int(mid)])
+                left = w_all[int(i): int(i) + _c]
+                right = w_all[int(j): int(j) + _c]
+                u = np.repeat(left, len(right))
+                v = np.tile(right, len(left))
+                if i == j:
+                    keep = u < v
+                    u, v = u[keep], v[keep]
+                us.append(u)
+                vs.append(v)
+                ras.append(np.full(len(u), int(ra_t), np.int64))
+            if not us:
+                return pa.table({
+                    "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                    "cn": pa.array([], pa.int64()), "ra": pa.array([], pa.int64()),
+                })
+            uu = np.concatenate(us)
+            return pa.table({
+                "u": pa.array(uu), "v": pa.array(np.concatenate(vs)),
+                "cn": pa.array(np.ones(len(uu), np.int64)),
+                "ra": pa.array(np.concatenate(ras)),
+            })
+
+        hot_partials = ray.data.from_items(specs).map_batches(
+            emit_block, batch_format="numpy", batch_size=1,
+        )
+        partials = partials.union(hot_partials)
+
     cn = hash_bucketed_groupby(
-        wedges.map_batches(pair_partial, batch_format="pyarrow"), ["u", "v"],
+        partials, ["u", "v"],
         lambda df: df.groupby(["u", "v"], sort=False, as_index=False)[
             ["cn", "ra"]
         ].sum(),
@@ -2385,7 +2527,8 @@ def link_pred_features(
             }
         )
 
-    return with_deg.map_batches(finish, batch_format="pyarrow")
+    out = with_deg.map_batches(finish, batch_format="pyarrow")
+    return (out, audit) if return_audit else out
 
 
 def _distinct_pairs(ds: ray.data.Dataset, a: str, b: str,

@@ -464,6 +464,100 @@ class TestLinkPredFeatures:
             (1, 3): (2, 4, 1_000_000, 1_000_000),
         }
 
+    @staticmethod
+    def _ref(edges, cap=None):
+        """Brute-force CN/PA/Jaccard/RA; ``cap`` mirrors
+        max_middle_degree by skipping middles with degree > cap."""
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        deg = {v: len(ws) for v, ws in adj.items()}
+        cn, ra = defaultdict(int), defaultdict(int)
+        for m, ws in adj.items():
+            if cap is not None and deg[m] > cap:
+                continue
+            ws = sorted(ws)
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    p = (ws[i], ws[j])
+                    cn[p] += 1
+                    ra[p] += 1_000_000 // deg[m]
+        return {
+            p: (
+                c, deg[p[0]] * deg[p[1]],
+                1_000_000 * c // (deg[p[0]] + deg[p[1]] - c), ra[p],
+            )
+            for p, c in cn.items()
+        }
+
+    @staticmethod
+    def _got(out):
+        return {
+            (r["u"], r["v"]): (
+                r["cn"], r["pref_attach"], r["jaccard_ppm"], r["ra_ppm"]
+            )
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+
+    def _hub_graph(self):
+        # hub 1000 wired to 0..99 (degree 100) + a chord mesh over 0..29
+        # so pairs draw contributions from BOTH the hub and cold middles
+        edges = [(1000, i) for i in range(100)]
+        edges += [(i, (i + 1) % 30) for i in range(30)]
+        edges += [(i, (i + 7) % 30) for i in range(0, 30, 3)]
+        return edges
+
+    def test_hot_middle_chunked_parity(self):
+        """A hub over hot_middle_degree leaves the hash join for the
+        block-chunked path — bit-identical features, per-task output
+        bounded by hot_chunk^2, block count matches the upper-triangle
+        arithmetic."""
+        edges = self._hub_graph()
+        want = self._ref(edges)
+        cold = graphalgo.link_pred_features(_edges_ds(edges))
+        assert self._got(cold) == want
+        hot, audit = graphalgo.link_pred_features(
+            _edges_ds(edges), hot_middle_degree=16, hot_chunk=8,
+            return_audit=True,
+        )
+        assert self._got(hot) == want
+        assert audit["capped_middles"] == 0
+        assert audit["hot_chunked_middles"] == 1
+        b = -(-100 // 8)  # ceil(deg/chunk) blocks per side
+        assert audit["hot_chunk_tasks"] == b * (b + 1) // 2
+
+    def test_max_middle_degree_cap_audited(self):
+        """Middles over the cap are skipped exactly like the mirrored
+        deg(middle) <= cap oracle filter, with the skipped wedge count
+        audited; endpoint degrees stay TRUE degrees."""
+        edges = self._hub_graph()
+        out, audit = graphalgo.link_pred_features(
+            _edges_ds(edges), max_middle_degree=50, return_audit=True,
+        )
+        assert self._got(out) == self._ref(edges, cap=50)
+        assert audit["capped_middles"] == 1
+        assert audit["capped_wedges"] == 100 * 99 // 2
+        assert audit["hot_chunked_middles"] == 0
+
+    def test_planted_10k_hub_completes_bounded(self):
+        """A 10k-degree celebrity middle: with a cap the quadratic
+        wedge set (~5e7 pairs) is never materialized anywhere — the
+        run completes immediately and reports exactly what it skipped."""
+        edges = [(99_999, i) for i in range(10_000)]
+        edges += [(0, 1), (1, 2), (2, 0)]  # a cold triangle survives
+        out, audit = graphalgo.link_pred_features(
+            _edges_ds(edges), max_middle_degree=1000, return_audit=True,
+        )
+        got = self._got(out)
+        assert got == self._ref(edges, cap=1000)
+        assert audit["capped_middles"] == 1
+        assert audit["capped_wedges"] == 10_000 * 9_999 // 2
+
 
 def test_sssp_khop_hand_checked_and_join_parity(ray_session):
     """Bounded Bellman-Ford: a heavy direct edge must lose to a lighter
