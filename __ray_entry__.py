@@ -1823,6 +1823,27 @@ def q_png_media_features(sf_dir: str):
     )
 
 
+def q_jpeg_media_features(sf_dir: str):
+    """REAL baseline-JPEG decode with no external codec: deterministic
+    grayscale block-constant JFIF images (every third with restart
+    markers) decoded by the engine's pure-numpy T.81 baseline decoder
+    (canonical-Huffman entropy decode, byte unstuffing, dequant,
+    vectorized IDCT), then the same resize/channel-sum pixel kernels as
+    the PNG/KGRW paths; hash-checked — block-constant inputs make the
+    DC round-trip closed-form (`_jpeg_media_sql` recomputes every
+    decoded pixel as clamp(3*round_even((v-128)/3)+128) at quality 34's
+    q00=24), with rounding margins measured in
+    tests/test_dedup_similarity.py::test_jpeg_closed_form_margins."""
+    ds = rd.from_arrow(multimodal.synthetic_jpeg_media_table(48))
+    out = multimodal.raw_image_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "width", "height", "resized_w", "resized_h",
+             "r_sum", "g_sum", "b_sum"]
+        )
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> fake-decode actor pool
     -> feature extraction; deterministic synthetic media corpus."""
@@ -4890,6 +4911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actual pixel work without decoding anything itself
         "raw_media_features": q_raw_media_features,
         "png_media_features": q_png_media_features,
+        "jpeg_media_features": q_jpeg_media_features,
         # REAL decode + DSP, bin-aligned-tone oracle: SQL re-derives the
         # quantized samples and computes RMS/ZC/peak itself (margins
         # measured in _wav_audio_sql)
@@ -5120,6 +5142,53 @@ def _media_features_sql(prefix: str) -> str:
                    CAST(s.w * gs.sy AS BIGINT) AS g_sum,
                    CAST((s.i % 256) * s.w * s.h AS BIGINT) AS b_sum
             FROM s JOIN rs ON rs.i = s.i JOIN gs ON gs.i = s.i
+        """
+
+
+def _jpeg_media_sql() -> str:
+    """Closed-form mirror of the REAL baseline-JPEG decode: the corpus
+    is 8x8-block-constant grayscale (multimodal.synthetic_jpeg_media_table),
+    so every AC coefficient is exactly 0 and the decoded pixel is the
+    DC quantization round-trip clamp(3*round_even((v-128)/3)+128)
+    (quality 34 => luminance q00 = 24 = 8*3; numpy banker's rounding =
+    DuckDB round_even). Both float rounding steps sit >= 1/6 from any
+    tie vs ~1e-13 DCT float error — measured, not assumed, in
+    tests/test_dedup_similarity.py::test_jpeg_closed_form_margins. Each
+    block contributes 64 * recon to the channel sums; grayscale decode
+    normalizes to RGB by replication, so r=g=b. Sizes are multiples of
+    8 (no padding) and no resize ratio lands on .5 (same ROUND-parity
+    argument as _media_features_sql)."""
+    return """
+            WITH s AS (
+              SELECT CAST(t.i AS BIGINT) AS i,
+                     CAST(8 * (2 + (t.i * 3) % 6) AS BIGINT) AS w,
+                     CAST(8 * (2 + (t.i * 5) % 6) AS BIGINT) AS h
+              FROM UNNEST(generate_series(0, 47)) t(i)
+            ), blocks AS (
+              SELECT s.i, s.w, s.h,
+                     CAST((37 * s.i + 17 * bx.bx + 29 * by.by) % 256
+                          AS BIGINT) AS v
+              FROM s,
+                   UNNEST(generate_series(0, s.w // 8 - 1)) bx(bx),
+                   UNNEST(generate_series(0, s.h // 8 - 1)) by(by)
+            ), recon AS (
+              SELECT i, w, h,
+                     GREATEST(0, LEAST(255,
+                       CAST(3 * round_even((v - 128) / 3.0, 0) AS BIGINT)
+                       + 128)) AS rv
+              FROM blocks
+            ), sums AS (
+              SELECT i, w, h, CAST(64 * SUM(rv) AS BIGINT) AS total
+              FROM recon GROUP BY 1, 2, 3
+            )
+            SELECT format('j{:04d}', i) AS media_id,
+                   w AS width, h AS height,
+                   CAST(ROUND(w * 64.0 / GREATEST(w, h)) AS BIGINT)
+                     AS resized_w,
+                   CAST(ROUND(h * 64.0 / GREATEST(w, h)) AS BIGINT)
+                     AS resized_h,
+                   total AS r_sum, total AS g_sum, total AS b_sum
+            FROM sums
         """
 
 
@@ -5910,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(k=5, rounds=6),
         "raw_media_features": _media_features_sql("r"),
         "png_media_features": _media_features_sql("p"),
+        "jpeg_media_features": _jpeg_media_sql(),
         "wav_audio_features": _wav_audio_sql(),
         "embedding_dedup": _embedding_dedup_sql(
             threshold=0.4, n_bands=32, band_bits=8, dim=64

@@ -12,11 +12,17 @@ Decode is a CODEC CHAIN, resolved once per actor in ``__init__``:
 2. the built-in pure-stdlib PNG decoder below (zlib inflate + full
    filter reconstruction) — REAL decode of standard 8-bit
    grey/RGB/RGBA non-interlaced PNGs with no external dependency;
-3. the engine's own KGRW raw-RGB format;
-4. the built-in uncompressed-BMP (8/24/32-bit BITMAPINFOHEADER) and
+3. the built-in pure-numpy baseline JPEG codec (``decode_jpeg`` /
+   ``encode_jpeg``) — REAL decode of ITU-T T.81 baseline sequential
+   JFIF: canonical-Huffman entropy decode with byte unstuffing and
+   restart markers, dequant + vectorized IDCT, 4:4:4/4:2:2/4:2:0
+   chroma upsampling, JFIF YCbCr->RGB. Progressive (SOF2) and
+   arithmetic-coded JPEG raise ``NotImplementedError``;
+4. the engine's own KGRW raw-RGB format;
+5. the built-in uncompressed-BMP (8/24/32-bit BITMAPINFOHEADER) and
    binary-PNM (P5 grey / P6 RGB, 8-bit) decoders — REAL decode, pure
    struct + numpy;
-5. otherwise: the deterministic fake path when constructed with
+6. otherwise: the deterministic fake path when constructed with
    ``fake=True``, else ``NotImplementedError`` naming the supported
    formats.
 
@@ -280,6 +286,14 @@ class DecodeStub:
                 return im.width, im.height, getattr(im, "n_frames", 1)
             img = decode_png(p)
             return img.shape[1], img.shape[0], 1
+        if p[:2] == b"\xff\xd8":
+            if self._pil is not None:
+                import io
+
+                im = self._pil.open(io.BytesIO(p))
+                return im.width, im.height, getattr(im, "n_frames", 1)
+            img = decode_jpeg(p)
+            return img.shape[1], img.shape[0], 1
         if p[:4] == _RAW_MAGIC:
             img = decode_raw_image(p)
             return img.shape[1], img.shape[0], 1
@@ -315,8 +329,8 @@ class DecodeStub:
             if got is None:
                 if not self.fake:
                     raise NotImplementedError(
-                        "no codec for payload (supported here: PNG, BMP, "
-                        "PNM, KGRW"
+                        "no codec for payload (supported here: PNG, "
+                        "baseline JPEG, BMP, PNM, KGRW"
                         + (", PIL formats" if self._pil is not None else "")
                         + "); PCM WAV decodes via audio_features, video "
                         "and compressed audio need ffmpeg-class codecs — "
@@ -467,9 +481,10 @@ def decode_raw_image(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Codec chain for still images: PNG (built-in decoder) or KGRW ->
-    (h, w, 3) uint8. Grey/alpha PNGs normalize to RGB (alpha dropped,
-    grey replicated) so downstream kernels see one layout."""
+    """Codec chain for still images: PNG, baseline JPEG (both built-in
+    decoders) or KGRW -> (h, w, 3) uint8. Grey/alpha images normalize
+    to RGB (alpha dropped, grey replicated) so downstream kernels see
+    one layout."""
     if payload[:8] == _PNG_SIG:
         img = decode_png(payload)
         if img.ndim == 2:
@@ -478,6 +493,11 @@ def decode_image(payload: bytes) -> np.ndarray:
             img = np.repeat(img[:, :, :1], 3, axis=2)
         elif img.shape[2] == 4:  # RGBA
             img = img[:, :, :3]
+        return np.ascontiguousarray(img)
+    if payload[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
         return np.ascontiguousarray(img)
     return decode_raw_image(payload)
 
@@ -718,6 +738,626 @@ def synthetic_wav_media_table(n: int = 32) -> pa.Table:
             "kind": pa.array(["audio"] * n),
             "payload": pa.array(payloads, type=pa.binary()),
             "mime": pa.array(["audio/wav"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+# ---------------------------------------------------------------------------
+# Built-in baseline JPEG codec (ITU-T T.81 baseline sequential DCT, JFIF) —
+# pure numpy + stdlib. Decoder: SOF0/SOF1, grayscale or YCbCr with sampling
+# factors up to 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte unstuffing,
+# canonical-Huffman entropy decode, dequant + vectorized IDCT, nearest
+# chroma upsampling, JFIF YCbCr->RGB. Encoder: grayscale / 4:4:4 / 4:2:0
+# with the Annex K quantization + Huffman tables and the libjpeg quality
+# scaling. Progressive (SOF2), arithmetic coding and 12-bit precision stay
+# NotImplementedError — the honest remainder of the stub family.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_JPEG_Q_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II basis: C[u, x] = s(u) cos((2x+1)u pi/16);
+    forward F = C f C^T, inverse f = C^T F C."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    c = np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= np.sqrt(0.5)
+    return c * 0.5
+
+
+_JPEG_C = _jpeg_dct_matrix()
+
+
+def jpeg_quant_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: scale = 5000//Q below 50 else 200-2Q;
+    q = clip((base*scale + 50)//100, 1, 255). Integer math throughout so
+    an oracle can recompute any entry exactly."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_encode_table(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """JFIF color transform, float then banker's round, clipped uint8
+    planes stacked on axis 2."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=2)), 0, 255)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _jpeg_block_coeffs(plane: np.ndarray, qt: np.ndarray):
+    """Float plane (already level-shifted) padded to 8 x 8 tiles ->
+    (n_blocks_y, n_blocks_x, 64) quantized int32 coefficients in NATURAL
+    order — one vectorized einsum for every block at once."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    tiles = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ux,nmxy,vy->nmuv", _JPEG_C, tiles, _JPEG_C)
+    q = np.round(f / qt.reshape(8, 8).astype(np.float64))
+    return q.astype(np.int32).reshape(by, bx, 64)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75,
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
+
+    Annex K quantization (quality-scaled, `jpeg_quant_table`) + Huffman
+    tables; grayscale is one non-interleaved-equivalent scan, color is
+    interleaved YCbCr at 4:4:4 (``subsample="444"``) or 4:2:0
+    (``"420"``, chroma = banker's-rounded 2 x 2 box mean).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (predictor reset + byte alignment, T.81 semantics)."""
+    assert arr.dtype == np.uint8
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qt0 = jpeg_quant_table(_JPEG_Q_LUM, quality)
+    qt1 = jpeg_quant_table(_JPEG_Q_CHR, quality)
+    if gray:
+        comps = [(1, 1, 0, arr.astype(np.float64) - 128.0)]
+        hmax = vmax = 1
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        if subsample == "444":
+            hmax = vmax = 1
+            planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+            sf = [(1, 1), (1, 1), (1, 1)]
+        elif subsample == "420":
+            hmax = vmax = 2
+            ph, pw = -h % 2, -w % 2
+            full = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            sub = np.round(
+                (full[0::2, 0::2] + full[1::2, 0::2]
+                 + full[0::2, 1::2] + full[1::2, 1::2]) / 4.0
+            )
+            planes = [ycc[:, :, 0], sub[:, :, 1], sub[:, :, 2]]
+            sf = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsample must be '444' or '420'")
+        comps = [
+            (sf[i][0], sf[i][1], 0 if i == 0 else 1, planes[i] - 128.0)
+            for i in range(3)
+        ]
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    blocks = []
+    for hi, vi, _tq, plane in comps:
+        cb = _jpeg_block_coeffs(plane, qt0 if _tq == 0 else qt1)
+        # pad block grid to full MCU coverage (replicate edge blocks)
+        need_y, need_x = mcuy * vi, mcux * hi
+        gy, gx = cb.shape[:2]
+        if gy < need_y:
+            cb = np.concatenate(
+                [cb, np.repeat(cb[-1:], need_y - gy, axis=0)], axis=0
+            )
+        if gx < need_x:
+            cb = np.concatenate(
+                [cb, np.repeat(cb[:, -1:], need_x - gx, axis=1)], axis=1
+            )
+        blocks.append(cb)
+
+    dc_tabs = [
+        _huff_encode_table(*_JPEG_DC_LUM), _huff_encode_table(*_JPEG_DC_CHR)
+    ]
+    ac_tabs = [
+        _huff_encode_table(*_JPEG_AC_LUM), _huff_encode_table(*_JPEG_AC_CHR)
+    ]
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.flush()  # byte-align, 1-padded
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + ((mcu_idx // restart_interval - 1) % 8)]
+                )
+                pred = [0] * len(comps)
+            mcu_idx += 1
+            for ci, (hi, vi, tq, _plane) in enumerate(comps):
+                td = 0 if ci == 0 else 1
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = blocks[ci][my * vi + by, mx * hi + bx][_JPEG_ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        cat = _jpeg_category(diff)
+                        code, ln = dc_tabs[td][cat]
+                        bw.write(code, ln)
+                        if cat:
+                            bits = diff if diff >= 0 else diff + (1 << cat) - 1
+                            bw.write(bits, cat)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_tabs[td][0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            cat = _jpeg_category(v)
+                            code, ln = ac_tabs[td][(run << 4) | cat]
+                            bw.write(code, ln)
+                            bits = v if v >= 0 else v + (1 << cat) - 1
+                            bw.write(bits, cat)
+                            run = 0
+                        if last < 63:
+                            code, ln = ac_tabs[td][0x00]
+                            bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, qt in ((0, qt0),) if gray else ((0, qt0), (1, qt1)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(x) for x in qt[_JPEG_ZIGZAG])
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hi, vi, tq, _p) in enumerate(comps):
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, tq)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    specs = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
+    if not gray:
+        specs += [(0x01, _JPEG_DC_CHR), (0x11, _JPEG_AC_CHR)]
+    for tc, (bits, vals) in specs:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        td = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (td << 4) | td])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: byte-unstuffs 0xFF00 lazily, stops
+    at any real marker (caller handles RSTn segmentation)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:
+                raise ValueError("jpeg: hit marker inside entropy segment")
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        self.acc = 0
+        self.nbits = 0
+
+
+def _huff_decode_table(bits, vals):
+    """Canonical Huffman decode state per T.81 F.2.2.3:
+    (mincode, maxcode, valptr, huffval) indexed by code length 1..16."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            maxcode[ln] = code - 1
+        else:
+            maxcode[ln] = -1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _huff_decode(br: _BitReader, tab) -> int:
+    mincode, maxcode, valptr, vals = tab
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if maxcode[ln] >= 0 and code <= maxcode[ln]:
+            return vals[valptr[ln] + code - mincode[ln]]
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w) uint8 grayscale or (h, w, 3) uint8
+    RGB. Supports SOF0/SOF1 (8-bit), sampling factors up to 2 per axis
+    (4:4:4 / 4:2:2 / 4:2:0 and transposes), restart intervals, stuffed
+    bytes, multiple DQT/DHT segments. Progressive (SOF2) and arithmetic
+    coding (SOF9+) raise NotImplementedError — that is the honest edge
+    of this container's codec chain."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (may hold several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                o += 1
+                if pq:
+                    vals = np.frombuffer(body[o:o + 128], ">u2").astype(np.int64)
+                    o += 128
+                else:
+                    vals = np.frombuffer(body[o:o + 64], np.uint8).astype(np.int64)
+                    o += 64
+                nat = np.zeros(64, np.int64)
+                nat[_JPEG_ZIGZAG] = vals
+                qt[tq] = nat
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq_ = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) unsupported — baseline sequential only"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1:o + 17])
+                cnt = sum(bits)
+                vals = list(body[o + 17:o + 17 + cnt])
+                o += 17 + cnt
+                tab = _huff_decode_table(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = tab
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si:3 + 2 * si]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            fh, fw, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            order = []
+            for cs, td, ta in scan:
+                for cid, hi, vi, tq_ in comps:
+                    if cid == cs:
+                        order.append((cid, hi, vi, tq_, td, ta))
+                        break
+                else:
+                    raise ValueError("jpeg: scan names unknown component")
+            coeff = {
+                cid: np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
+                for cid, hi, vi, _tq, _td, _ta in order
+            }
+            br = _BitReader(payload, pos)
+            pred = {cid: 0 for cid, *_ in order}
+            mcu = 0
+            total = mcux * mcuy
+            while mcu < total:
+                if restart and mcu and mcu % restart == 0:
+                    br.align()
+                    if (payload[br.pos] == 0xFF
+                            and 0xD0 <= payload[br.pos + 1] <= 0xD7):
+                        br.pos += 2
+                        pred = {cid: 0 for cid, *_ in order}
+                    else:
+                        raise ValueError("jpeg: expected restart marker")
+                my, mx = divmod(mcu, mcux)
+                for cid, hi, vi, _tq, td, ta in order:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = np.zeros(64, np.int32)
+                            cat = _huff_decode(br, huff_dc[td])
+                            diff = _extend(br.receive(cat), cat) if cat else 0
+                            pred[cid] += diff
+                            zz[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                sym = _huff_decode(br, huff_ac[ta])
+                                if sym == 0x00:
+                                    break
+                                if sym == 0xF0:
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                size = sym & 15
+                                if k > 63:
+                                    raise ValueError("jpeg: AC index overflow")
+                                zz[k] = _extend(br.receive(size), size)
+                                k += 1
+                            coeff[cid][my * vi + by, mx * hi + bx] = zz
+                mcu += 1
+            planes = {}
+            for cid, hi, vi, tq_, _td, _ta in order:
+                cz = coeff[cid]
+                nat = np.zeros_like(cz)
+                nat[:, :, _JPEG_ZIGZAG] = cz
+                gy, gx = nat.shape[:2]
+                f = (nat.reshape(gy, gx, 8, 8)
+                     * qt[tq_].reshape(8, 8)).astype(np.float64)
+                px = np.einsum("ux,nmuv,vy->nmxy", _JPEG_C, f, _JPEG_C)
+                plane = px.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+                plane = np.clip(np.round(plane + 128.0), 0, 255)
+                # nearest upsample to the luma grid, then crop
+                ry, rx = vmax // vi, hmax // hi
+                if ry > 1:
+                    plane = np.repeat(plane, ry, axis=0)
+                if rx > 1:
+                    plane = np.repeat(plane, rx, axis=1)
+                planes[cid] = plane[:fh, :fw]
+            if len(order) == 1:
+                return planes[order[0][0]].astype(np.uint8)
+            if len(order) == 3:
+                ids = [o[0] for o in order]
+                return _ycbcr_to_rgb(
+                    planes[ids[0]], planes[ids[1]], planes[ids[2]]
+                )
+            raise NotImplementedError(
+                f"jpeg: {len(order)}-component scans unsupported"
+            )
+        # APPn / COM / others: skipped via seglen
+    raise ValueError("jpeg: no SOS marker found")
+
+
+def synthetic_jpeg_media_table(n: int = 48) -> pa.Table:
+    """Deterministic REAL-JPEG corpus: grayscale images built from 8 x 8
+    constant blocks with value ``(37i + 17bx + 29by) % 256``, encoded as
+    baseline JFIF at quality 34 (every third image with a restart
+    interval, exercising RSTn handling).
+
+    Block-constant inputs make baseline JPEG CLOSED-FORM: all AC
+    coefficients are exactly 0 and the DC round-trip reduces to
+    ``clamp(3 * round_even((v - 128) / 3) + 128)`` (quality 34 =>
+    luminance q00 = 24 = 8 * 3), so a SQL oracle can recompute every
+    decoded pixel — and both float rounding steps sit >= 1/6 away from
+    any tie (vs ~1e-13 DCT float error), measured in
+    tests/test_dedup_similarity.py. Sizes are multiples of 8, so no
+    padding ambiguity either."""
+    payloads = []
+    for i in range(n):
+        w, h = 8 * (2 + (i * 3) % 6), 8 * (2 + (i * 5) % 6)
+        by, bx = np.mgrid[0: h // 8, 0: w // 8]
+        v = (37 * i + 17 * bx + 29 * by) % 256
+        img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        payloads.append(
+            encode_jpeg(img, quality=34,
+                        restart_interval=2 if i % 3 == 0 else 0)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array([f"j{i:04d}" for i in range(n)]),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/jpeg"] * n),
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )

@@ -766,6 +766,144 @@ def test_png_media_pipeline_matches_raw(ray_session):
         assert r["n_frames"] == 1
 
 
+def test_jpeg_closed_form_margins():
+    """The jpeg_media_features oracle rests on two measured claims:
+    (1) block-constant inputs decode to clamp(3*round((v-128)/3)+128)
+    at quality 34, pixel-exact through the real codec; (2) both float
+    rounding steps sit far from .5 ties (so numpy's DCT float error of
+    ~1e-13 can never flip a round), making DuckDB round_even a faithful
+    mirror."""
+    q00 = int(multimodal.jpeg_quant_table(multimodal._JPEG_Q_LUM, 34)[0])
+    assert q00 == 24  # the 3-per-step closed form depends on this
+    # margin of (v-128)/3 to the nearest .5 boundary over all v
+    v = np.arange(256, dtype=np.float64)
+    frac = np.abs(((v - 128) / 3.0) % 1.0 - 0.5)
+    assert frac.min() > 0.16  # 1/6 ~ 0.1667, >> 1e-13 DCT error
+    # reconstruction 3k+128 is integral -> second round margin is 0.5
+    for i in (0, 1, 2, 3, 7):  # spot-check full codec vs closed form
+        w, h = 8 * (2 + (i * 3) % 6), 8 * (2 + (i * 5) % 6)
+        by, bx = np.mgrid[0: h // 8, 0: w // 8]
+        vv = (37 * i + 17 * bx + 29 * by) % 256
+        img = np.kron(vv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        dec = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(img, quality=34,
+                                   restart_interval=2 if i % 3 == 0 else 0)
+        )
+        exp = np.clip(
+            3 * np.round((vv - 128) / 3.0).astype(np.int64) + 128, 0, 255
+        )
+        assert np.array_equal(
+            dec.astype(np.int64), np.kron(exp, np.ones((8, 8), np.int64))
+        ), i
+
+
+def test_jpeg_ac_coefficient_roundtrip():
+    """The AC entropy path (run-lengths, ZRL for 16+ zero runs, EOB,
+    negative coefficients across size categories) decodes exactly: the
+    image is synthesized FROM known quantized coefficients, the test
+    verifies the forward DCT re-quantizes to those coefficients with
+    safe margins, so the decoder must recover the synthesized pixels
+    bit-for-bit."""
+    qt = multimodal.jpeg_quant_table(multimodal._JPEG_Q_LUM, 90).astype(
+        np.float64
+    ).reshape(8, 8)
+    C = multimodal._JPEG_C
+    coeffs = np.zeros((8, 8), np.float64)
+    coeffs[0, 0] = 11
+    coeffs[0, 1] = -7          # size-3 negative, run 0
+    coeffs[1, 0] = 5
+    coeffs[3, 2] = -2          # mid-zigzag after a zero run
+    coeffs[7, 6] = 1           # forces a >16 zero run -> ZRL symbol
+    px = C.T @ (coeffs * qt) @ C + 128.0
+    img = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    # precondition: the rounded pixels re-quantize to exactly `coeffs`
+    f = C @ (img.astype(np.float64) - 128.0) @ C.T
+    q = f / qt
+    assert np.array_equal(np.round(q), coeffs)
+    margins = np.abs((q % 1.0) - 0.5)
+    assert margins.min() > 0.05  # no tie ambiguity in requantization
+    dec = multimodal.decode_jpeg(multimodal.encode_jpeg(img, quality=90))
+    # decode = round(idct(coeffs*qt))+128 clamped == img by construction
+    assert np.array_equal(dec, img)
+
+
+def test_jpeg_color_subsampling_closed_form():
+    """Color JPEG: one constant color per 16x16 MCU makes 4:4:4 and
+    4:2:0 identical and closed-form (YCbCr round -> per-channel DC
+    round-trip with the luma/chroma tables -> RGB round/clamp); the
+    codec must match the independently-computed expectation for both
+    subsampling modes."""
+    q = 34
+    qlum = float(multimodal.jpeg_quant_table(multimodal._JPEG_Q_LUM, q)[0])
+    qchr = float(multimodal.jpeg_quant_table(multimodal._JPEG_Q_CHR, q)[0])
+
+    def dc_rt(v, q00):
+        k = np.round(8.0 * (v - 128.0) / q00)
+        return np.clip(np.round(k * q00 / 8.0) + 128.0, 0, 255)
+
+    colors = np.array(
+        [[[10, 200, 60], [255, 0, 128]], [[90, 90, 90], [30, 140, 250]]],
+        dtype=np.float64,
+    )
+    rgb = np.kron(colors, np.ones((16, 16, 1))).astype(np.uint8)
+    r, g, b = colors[..., 0], colors[..., 1], colors[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+    cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+    ry, rcb, rcr = dc_rt(y, qlum), dc_rt(cb, qchr), dc_rt(cr, qchr)
+    exp = np.kron(
+        np.stack(
+            [
+                np.clip(np.round(ry + 1.402 * (rcr - 128)), 0, 255),
+                np.clip(np.round(ry - 0.344136 * (rcb - 128)
+                                 - 0.714136 * (rcr - 128)), 0, 255),
+                np.clip(np.round(ry + 1.772 * (rcb - 128)), 0, 255),
+            ],
+            axis=2,
+        ),
+        np.ones((16, 16, 1)),
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        dec = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(rgb, quality=q, subsample=sub)
+        )
+        assert np.array_equal(dec, exp), sub
+
+
+def test_jpeg_contract_errors():
+    """Non-baseline JPEG raises the honest stub (NotImplementedError),
+    garbage raises ValueError, and DecodeStub reports real dimensions
+    for JPEG payloads without fake mode."""
+    import pytest
+
+    img = np.full((8, 8), 100, np.uint8)
+    jpg = bytearray(multimodal.encode_jpeg(img, quality=75))
+    sof = jpg.find(b"\xff\xc0")
+    jpg[sof + 1] = 0xC2  # rebrand the frame as progressive
+    with pytest.raises(NotImplementedError, match="progressive"):
+        multimodal.decode_jpeg(bytes(jpg))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_jpeg(b"\x00\x01rubbish")
+    stub = multimodal.DecodeStub(fake=False)
+    out = stub(
+        pa.table(
+            {
+                "media_id": ["x"],
+                "kind": ["image"],
+                "payload": pa.array(
+                    [multimodal.encode_jpeg(
+                        np.zeros((12, 20), np.uint8), quality=50
+                    )],
+                    pa.binary(),
+                ),
+                "mime": ["image/jpeg"],
+                "n_bytes": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    assert out["width"][0].as_py() == 20 and out["height"][0].as_py() == 12
+
+
 def test_semdedup_planted_and_parallelism_invariant(ray_session):
     """SemDeDup: the same-magnitude planted near-dup (0, 50) must land in
     one component with the smaller id as survivor, and the full verdict
