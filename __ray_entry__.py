@@ -931,8 +931,11 @@ def q_windowed_distinct_users(sf_dir: str):
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog sketch form of distinct_users_per_type: bounded-size
     mergeable register partials instead of shuffling every distinct pair
-    (the 100-TB path). Estimates, so rows-only — accuracy vs the exact
-    operator is asserted in tests/test_relational.py."""
+    (the 100-TB path). Hash-checked — the murmur3-fmix64 hash is pure
+    shift/xor/multiply-mod-2^64 and the harmonic sum an exact scaled
+    integer, so the SQL oracle rebuilds every register and reproduces
+    the estimate bit-for-bit; accuracy vs the exact operator is
+    additionally asserted in tests/test_relational.py."""
     from kgray.sketch import hll_distinct_per_group
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
@@ -7757,6 +7760,63 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT doc_id, source, n_chars FROM c WHERE cum <= 10000
+        """,
+        "approx_distinct_users": """
+            -- full register-level HLL mirror (precision 12, q=52): the
+            -- murmur3 fmix64 hash is pure HUGEINT shift/xor/multiply
+            -- mod 2^64, length(bin(w))-1 is an exact floor(log2), and
+            -- the harmonic sum is the same scaled integer the engine
+            -- folds — both sides divide the same two numbers
+            WITH m1 AS (
+              SELECT event_type, CAST(user_id AS HUGEINT) AS x
+              FROM events
+            ), m2 AS (
+              SELECT event_type, xor(x, x >> 33) AS x FROM m1
+            ), m3 AS (
+              -- (x * C1) mod 2^64 without INT128 overflow: C1 split as
+              -- hi*2^32 + lo, x*lo < 2^96 and (x mod 2^32)*hi < 2^64
+              SELECT event_type,
+                     (x * 3981806797
+                      + (((x % 4294967296) * 4283543511) % 4294967296)
+                        * 4294967296) % 18446744073709551616 AS x
+              FROM m2
+            ), m4 AS (
+              SELECT event_type, xor(x, x >> 33) AS x FROM m3
+            ), m5 AS (
+              SELECT event_type,
+                     (x * 444984403
+                      + (((x % 4294967296) * 3301882366) % 4294967296)
+                        * 4294967296) % 18446744073709551616 AS x
+              FROM m4
+            ), hh AS (
+              SELECT event_type, xor(x, x >> 33) AS h FROM m5
+            ), rr AS (
+              SELECT event_type, CAST(h >> 52 AS BIGINT) AS reg,
+                     CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                          ELSE 52 - (length(bin(h % 4503599627370496)) - 1)
+                     END AS rank
+              FROM hh
+            ), regs AS (
+              SELECT event_type, reg, MAX(rank) AS r
+              FROM rr GROUP BY 1, 2
+            ), agg AS (
+              SELECT event_type, COUNT(*) AS nnz,
+                     SUM(CAST(1 AS HUGEINT) << (53 - r))
+                       + (4096 - COUNT(*)) * CAST(9007199254740992 AS HUGEINT)
+                       AS s_int
+              FROM regs GROUP BY 1
+            ), est AS (
+              SELECT event_type, 4096 - nnz AS zeros,
+                     (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+                       * 9007199254740992 / s_int AS e
+              FROM agg
+            )
+            SELECT event_type,
+                   CAST(FLOOR(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                                   THEN 4096 * LN(4096.0 / zeros)
+                                   ELSE e END + 0.5) AS BIGINT)
+                     AS approx_distinct
+            FROM est
         """,
         "cms_user_counts": """
             WITH muls AS (

@@ -12,12 +12,19 @@ Classic HLL (Flajolet et al. 2007): value -> 64-bit hash; the top
 remainder (+1) is the register's candidate rank; registers take the MAX
 rank seen (associative and idempotent -> partials merge exactly); estimate
 ``alpha_m * m^2 / sum(2^-reg)`` with the standard small-range correction.
-Fixed hash seed (pandas siphash) -> deterministic across runs, workers and
-block layouts.
 
-Everything is vectorized: hashing is one ``pd.util.hash_array`` pass,
-ranks come from a ``log2`` trick, and the per-batch register fold is a
-pandas groupby-max over (group, register) pairs.
+The hash for integer keys is the murmur3 ``fmix64`` finalizer (public
+domain, Appleby) — pure shift/xor/multiply-mod-2^64, so an integer-SQL
+oracle replicates the registers BIT-FOR-BIT (DuckDB HUGEINT xor/>> and
+product % 2^64; ``length(bin(w)) - 1`` is an exact floor(log2)). The
+harmonic sum is kept as an exact scaled integer (every term
+``2^(q+1-rank)``), so both engines divide the same two numbers and the
+estimate is reproducible to the last bit. Non-integer keys fall back to
+``pd.util.hash_array`` (deterministic, but siphash — not SQL-mirrorable).
+
+Everything is vectorized: hashing is one numpy pass, ranks come from a
+``log2`` trick, and the per-batch register fold is a pandas groupby-max
+over (group, register) pairs.
 """
 
 from __future__ import annotations
@@ -27,6 +34,23 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
+
+
+# murmur3 fmix64 finalizer constants (public domain; Appleby 2011)
+_MIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64 over uint64 — shift/xor/multiply mod 2^64 only,
+    replicable verbatim in HUGEINT SQL."""
+    x = x.astype(np.uint64)
+    x = x ^ (x >> np.uint64(33))
+    x = x * _MIX_C1
+    x = x ^ (x >> np.uint64(33))
+    x = x * _MIX_C2
+    x = x ^ (x >> np.uint64(33))
+    return x
 
 
 def _alpha(m: int) -> float:
@@ -71,8 +95,14 @@ def hll_partials(
     df: pd.DataFrame, group_col: str, value_col: str, precision: int
 ) -> pd.DataFrame:
     """Per-batch combiner: (group, register, max rank) rows — at most
-    ``2^precision`` rows per group per batch, whatever the cardinality."""
-    h = pd.util.hash_array(df[value_col].to_numpy()).astype(np.uint64)
+    ``2^precision`` rows per group per batch, whatever the cardinality.
+    Integer keys hash via the SQL-mirrorable ``mix64``; anything else
+    falls back to pandas' siphash (deterministic, rows-only oracle)."""
+    vals = df[value_col].to_numpy()
+    if np.issubdtype(vals.dtype, np.integer):
+        h = mix64(vals)
+    else:
+        h = pd.util.hash_array(vals).astype(np.uint64)
     reg, rank = _ranks(h, precision)
     part = pd.DataFrame({group_col: df[group_col], "_reg": reg, "_rank": rank})
     return part.groupby([group_col, "_reg"], sort=False, as_index=False).agg(
@@ -86,17 +116,23 @@ def hll_estimate(sub: pd.DataFrame, group_col: str, precision: int) -> pd.DataFr
     merged = sub.groupby([group_col, "_reg"], sort=False, as_index=False).agg(
         _rank=("_rank", "max")
     )
+    q = 64 - precision
+    scale = 1 << (q + 1)
     out_groups, out_est = [], []
     for g, grp in merged.groupby(group_col, sort=False):
         ranks = grp["_rank"].to_numpy()
         nnz = len(ranks)
-        s = (m - nnz) + np.sum(np.exp2(-ranks.astype(np.float64)))
-        e = _alpha(m) * m * m / s
         zeros = m - nnz
+        # exact integer harmonic sum scaled by 2^(q+1): each register
+        # contributes 2^(q+1-rank) (rank <= q+1 -> shift >= 0), empty
+        # registers 2^(q+1) each — both engines then divide the SAME
+        # two numbers, so the float estimate is bit-reproducible
+        s_int = zeros * scale + sum(1 << (q + 1 - int(r)) for r in ranks)
+        e = _alpha(m) * m * m * scale / s_int
         if e <= 2.5 * m and zeros > 0:
             e = m * np.log(m / zeros)
         out_groups.append(g)
-        out_est.append(int(round(e)))
+        out_est.append(int(np.floor(e + 0.5)))  # half-up: FLOOR(e+0.5) in SQL
     return pd.DataFrame({group_col: out_groups, "approx_distinct": out_est})
 
 
