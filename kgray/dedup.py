@@ -20,6 +20,8 @@ affected pair flagged ``truncated`` — cut, but never silently.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -27,6 +29,8 @@ import pyarrow.compute as pc
 
 import ray.data
 from .util import join_partitions, stateful_task_batches
+
+logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
 _RNG_SEED = 24601  # fixed engine seed — deterministic across runs/workers
@@ -1169,7 +1173,9 @@ def semdedup(
     offset: int = 16_000_000,
     num_buckets: int = 64,
     max_cluster: int = 65_536,
-) -> ray.data.Dataset:
+    on_oversize: str = "split",
+    return_audit: bool = False,
+):
     """SemDeDup (Abbas et al. 2023, "Semantic deduplication"): k-means-
     cluster the embedding space, compare pairs ONLY within a cluster —
     the all-pairs n^2 cosine scan becomes sum(n_c^2), the trick that makes
@@ -1187,9 +1193,24 @@ def semdedup(
     Scale plan: one training pass (k x d partials), one tag pass that
     ships (id, cluster, packed unit vector) through a cluster-keyed
     bucketed shuffle — vectors ride as fixed-size binary, and only
-    same-cluster rows ever meet in a task. A cluster larger than
-    ``max_cluster`` raises with a pointer to a larger ``n_clusters``
-    (the within-cluster matmul is that task's heap bound)."""
+    same-cluster rows ever meet in a task.
+
+    A cluster larger than ``max_cluster`` (the within-cluster matmul is
+    that task's heap bound) DEGRADES instead of dying when
+    ``on_oversize="split"`` (default): the oversized cluster is
+    recursively bisected by deterministic sign-LSH hyperplanes
+    (``hashed_gaussian_planes`` — order-free, parallelism-invariant)
+    until every leaf fits, and pairs are emitted within leaves only —
+    Abbas et al.'s own within-cluster restriction applied one level
+    deeper, trading cross-leaf recall for a bounded task. Vectors no
+    plane can separate (e.g. exact duplicates) fall to id-ordered
+    chunks OVERLAPPED by one row, so runs of identical vectors still
+    chain into one component. ``on_oversize="raise"`` restores the old
+    loud failure. ``return_audit=True`` returns ``(dataset, audit)``
+    where audit counts oversized clusters and their rows (driver-side,
+    n_clusters-bounded). On real embedding corpora the dense cluster is
+    often the interesting one — the audit says exactly where recall was
+    traded."""
     from .graphalgo import dedup_clusters
     from .relational import hash_bucketed_groupby
     from .similarity import _int_sq_dists, _kmeans_train_int, _quantize_pack_ds
@@ -1217,26 +1238,66 @@ def semdedup(
 
     tagged = qds.map_batches(tag, batch_format="pyarrow")
 
+    if on_oversize not in ("split", "raise"):
+        raise ValueError("on_oversize must be 'split' or 'raise'")
+
+    def _emit_exact(ids, m, a_p, b_p):
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a_p.append(np.minimum(ids[ii], ids[jj]))
+        b_p.append(np.maximum(ids[ii], ids[jj]))
+
+    def _emit_split(ids, m, depth, planes, a_p, b_p):
+        """Recursive deterministic bisection of an oversized cluster;
+        every leaf matmul is <= max_cluster^2."""
+        n = len(ids)
+        if n <= max_cluster:
+            _emit_exact(ids, m, a_p, b_p)
+            return
+        for d in range(depth, planes.shape[1]):
+            side = (m @ planes[:, d]) > 0
+            if side.any() and not side.all():
+                _emit_split(ids[side], m[side], d + 1, planes, a_p, b_p)
+                _emit_split(ids[~side], m[~side], d + 1, planes, a_p, b_p)
+                return
+        # no plane separates these vectors (exact duplicates): chunk by
+        # id order, overlapping one row so identical runs stay chained
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        step = max_cluster - 1
+        for s in range(0, n, step):
+            lo = max(0, s - 1)
+            _emit_exact(ids[lo: s + step], m[lo: s + step], a_p, b_p)
+
     def cluster_pairs(df: pd.DataFrame) -> pd.DataFrame:
         a_p, b_p = [], []
+        planes = None
         for _, g in df.groupby("kcluster", sort=False):
             n = len(g)
             if n < 2:
                 continue
-            if n > max_cluster:
-                raise ValueError(
-                    f"semdedup cluster of {n} rows exceeds max_cluster="
-                    f"{max_cluster}; raise n_clusters so per-cluster "
-                    "matmuls fit a task heap"
-                )
             ids = g[id_col].to_numpy(dtype=np.int64)
             m = np.frombuffer(
                 b"".join(g["__vec"].tolist()), dtype=np.float64
             ).reshape(n, dim)
-            sims = m @ m.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            a_p.append(np.minimum(ids[ii], ids[jj]))
-            b_p.append(np.maximum(ids[ii], ids[jj]))
+            if n > max_cluster:
+                if on_oversize == "raise":
+                    raise ValueError(
+                        f"semdedup cluster of {n} rows exceeds max_cluster="
+                        f"{max_cluster}; raise n_clusters so per-cluster "
+                        "matmuls fit a task heap (or use the default "
+                        "on_oversize='split' degrade path)"
+                    )
+                if planes is None:
+                    planes = hashed_gaussian_planes(dim, 64)
+                logger.warning(
+                    "semdedup: cluster of %d rows exceeds max_cluster=%d; "
+                    "sub-splitting by sign-LSH (cross-leaf pairs traded "
+                    "for bounded tasks)", n, max_cluster,
+                )
+                _emit_split(ids, m, 0, planes, a_p, b_p)
+                continue
+            _emit_exact(ids, m, a_p, b_p)
         if not a_p:
             a_p = b_p = [np.array([], dtype=np.int64)]
         return pd.DataFrame(
@@ -1246,9 +1307,28 @@ def semdedup(
     pairs = hash_bucketed_groupby(
         tagged, ["kcluster"], cluster_pairs, num_buckets=num_buckets
     )
-    return dedup_clusters(
+    out = dedup_clusters(
         embeddings, pairs, id_col=id_col, col_a="vec_a", col_b="vec_b"
     )
+    if not return_audit:
+        return out
+    # driver-side audit: per-coarse-cluster sizes are n_clusters-bounded
+    sizes: dict = {}
+    for b in tagged.map_batches(
+        lambda t: t.group_by(["kcluster"]).aggregate([(["kcluster"], "count")])
+        .rename_columns(["kcluster", "n"]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for k, c in zip(b["kcluster"].to_pylist(), b["n"].to_pylist()):
+            sizes[k] = sizes.get(k, 0) + c
+    over = {k: c for k, c in sizes.items() if c > max_cluster}
+    audit = {
+        "oversized_clusters": len(over),
+        "oversized_rows": sum(over.values()),
+        "max_cluster": max_cluster,
+        "largest_cluster": max(sizes.values()) if sizes else 0,
+    }
+    return out, audit
 
 
 # ---------------------------------------------------------------------------

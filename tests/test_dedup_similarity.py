@@ -766,6 +766,59 @@ def test_png_media_pipeline_matches_raw(ray_session):
         assert r["n_frames"] == 1
 
 
+def test_semdedup_oversized_cluster_degrades(ray_session):
+    """A cluster over max_cluster no longer dies: sign-LSH sub-splitting
+    bounds every leaf matmul; exact duplicates (which no hyperplane can
+    separate) fall to overlapped id-chunks and still chain into ONE
+    component with the min id canonical. The audit reports exactly what
+    was oversized, on_oversize='raise' preserves the old contract, and
+    the verdicts are parallelism-invariant."""
+    import pytest
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(8)
+    # 40 EXACT duplicates (one dense semantic cluster) + 24 scattered
+    vecs = [base.copy() for _ in range(40)]
+    vecs += [rng.standard_normal(8) * (3 + i) for i in range(24)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    outs = []
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out, audit = dedup.semdedup(
+            ds, threshold=0.95, n_clusters=4, max_cluster=8,
+            return_audit=True,
+        )
+        rows = sorted(
+            (r["vec_id"], r["cluster_id"], r["is_canonical"])
+            for r in out.take_all()
+        )
+        outs.append(rows)
+        assert audit["oversized_clusters"] >= 1
+        assert audit["oversized_rows"] >= 40
+        assert audit["largest_cluster"] >= 40
+    assert outs[0] == outs[1]  # deterministic under any block layout
+    verdict = {v: (c, k) for v, c, k in outs[0]}
+    # all 40 exact duplicates: one component rooted at id 0
+    assert all(verdict[i] == (0, 0) for i in range(1, 40))
+    assert verdict[0] == (0, 1)
+    # every row is present exactly once
+    assert sorted(verdict) == list(range(len(vecs)))
+    # the old loud contract is still available
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="max_cluster"):
+        dedup.semdedup(
+            ds, threshold=0.95, n_clusters=4, max_cluster=8,
+            on_oversize="raise",
+        ).take_all()
+
+
 def test_jpeg_closed_form_margins():
     """The jpeg_media_features oracle rests on two measured claims:
     (1) block-constant inputs decode to clamp(3*round((v-128)/3)+128)
