@@ -1935,6 +1935,75 @@ def _local_fixpoint(
     raise RuntimeError(f"infer_fixpoint: no fixpoint in {max_rounds} rounds")
 
 
+def _nonplain_pred_footprint(rule) -> "set | None":
+    """The set of constant predicates a rule's NON-PLAIN parts read
+    (path-atom steps, OPTIONAL patterns, EXISTS group patterns), or
+    ``None`` when un-analyzable — a variable predicate, a negated
+    property set (reads the complement) or a ``*``/``?`` modifier
+    (its zero-length path pairs every graph TERM, so ANY new triple
+    can extend it). ``infer_fixpoint`` uses this for delta-restricted
+    rounds on mixed rules: if a round's delta contains no triple with
+    a footprint predicate, the non-plain relations are provably
+    unchanged and new derivations can only enter through the plain
+    atoms."""
+    preds: set = set()
+
+    def add_path(expr: str) -> bool:
+        try:
+            modifier, alts = _parse_path(expr)
+        except ValueError:
+            return False
+        if modifier in ("!", "*", "?"):
+            return False
+        for steps in alts:
+            for p, _s, _o in steps:
+                if _is_var(p):
+                    return False
+                preds.add(p)
+        return True
+
+    def add_pattern(p) -> bool:
+        path, _slots, terms = _pattern_spec(p)
+        if path is not None:
+            return add_path(path)
+        term = terms[1]
+        if _is_var(term):
+            return False
+        preds.add(term)
+        return True
+
+    for p in rule["patterns"]:
+        path, _, _ = _pattern_spec(p)
+        if path is not None and not add_path(path):
+            return None
+    for p in rule.get("optional", ()) or ():
+        if not add_pattern(p):
+            return None
+    for grp in rule.get("exists", ()) or ():
+        for p in grp:
+            if not add_pattern(p):
+                return None
+    return preds
+
+
+def _delta_touches(delta: ray.data.Dataset, preds: set) -> bool:
+    """True when the round delta holds >=1 triple whose predicate is in
+    ``preds`` — a delta-bounded filtered count, never a full-graph
+    pass."""
+    if not preds:
+        return False
+    vals = pa.array(sorted(preds), pa.string())
+    return (
+        delta.map_batches(
+            lambda t, _p=vals: t.filter(
+                pc.fill_null(pc.is_in(t["predicate"], value_set=_p), False)
+            ),
+            batch_format="pyarrow",
+        ).count()
+        > 0
+    )
+
+
 def infer_fixpoint(
     edges: ray.data.Dataset,
     rules,
@@ -1962,7 +2031,17 @@ def infer_fixpoint(
     paths, no optional, no exists): past round 1 each k-atom rule runs
     as k delta-restricted ``bgp_match`` variants (the ``sources`` hook
     ``construct_delta`` also uses), so a round's cost scales with the
-    round delta, not a whole-graph re-derivation; non-plain rules
+    round delta, not a whole-graph re-derivation. MIXED rules (plain
+    atoms alongside paths/OPTIONAL/EXISTS) are delta-restricted too
+    whenever it is provably complete: ``_nonplain_pred_footprint``
+    extracts the constant predicates the non-plain parts read, and a
+    round whose delta contains none of them (``_delta_touches``, a
+    delta-bounded check) can only derive new triples THROUGH the plain
+    atoms — so only those run, delta-restricted (a footprint-free
+    pure-path rule is skipped outright such rounds). Rules whose
+    non-plain parts are un-analyzable (variable predicate, negated
+    property set, ``*``/``?`` zero-length paths — the graph's term set
+    itself is the input) or whose footprint the delta touches
     conservatively re-match the full graph (a growing graph can newly
     witness an old binding). For single linear rules
     (ancestor/reachability shapes) a ``pred+`` property path or
@@ -1997,36 +2076,55 @@ def infer_fixpoint(
         # the saturated graph provably outgrows the driver — keep every
         # per-round construct on the distributed plan too
         per_rule_limit = 0
+    # per-rule static analysis: plain-atom positions, pure-plain flag,
+    # and the non-plain predicate footprint (None = un-analyzable ->
+    # conservative full re-match every round)
+    rule_meta = []
+    for rule in rules:
+        plain_idx = [
+            i for i, p in enumerate(rule["patterns"])
+            if _pattern_spec(p)[0] is None
+        ]
+        is_plain = (
+            not rule.get("optional")
+            and not rule.get("exists")
+            and len(plain_idx) == len(rule["patterns"])
+        )
+        rule_meta.append((
+            plain_idx, is_plain,
+            None if is_plain else _nonplain_pred_footprint(rule),
+        ))
+
     inferred: "ray.data.Dataset | None" = None
     delta: "ray.data.Dataset | None" = None  # None = round 1 (all new)
     for _ in range(max_rounds):
         round_fresh: list[ray.data.Dataset] = []
-        for rule in rules:
+        for rule, (plain_idx, plain, footprint) in zip(rules, rule_meta):
             patterns = rule["patterns"]
             emit = rule["emit"]
-            plain = (
-                not rule.get("optional")
-                and not rule.get("exists")
-                and all(_pattern_spec(p)[0] is None for p in patterns)
-            )
-            if plain and delta is not None:
-                # SEMI-NAIVE round (the _local_fixpoint plan,
-                # distributed): one variant per atom reads the round
-                # delta — a provable superset of "added since this rule
-                # last ran" — the rest the full graph; over-derivation
-                # collapses in the distinct + anti-join
+            cur = None
+            if delta is not None:
                 cur = (
                     delta if not round_fresh
                     else delta.union(*round_fresh).materialize()
                 )
+
+            def _delta_variants(idx_list):
+                # SEMI-NAIVE round (the _local_fixpoint plan,
+                # distributed): one variant per delta-restrictable atom
+                # reads the round delta — a provable superset of "added
+                # since this rule last ran" — the rest the full graph;
+                # over-derivation collapses in the distinct + anti-join
                 variants = []
-                for i in range(len(patterns)):
+                for i in idx_list:
                     srcs = [
                         cur if j == i else None
                         for j in range(len(patterns))
                     ]
                     bindings = bgp_match(
                         graph, patterns,
+                        optional=rule.get("optional", ()),
+                        exists=rule.get("exists", ()),
                         values=rule.get("values"),
                         filters=rule.get("filters", ()),
                         sources=srcs,
@@ -2044,9 +2142,23 @@ def infer_fixpoint(
                     variants[0] if len(variants) == 1
                     else variants[0].union(*variants[1:])
                 )
-                fresh = _distinct_then_new(
+                return _distinct_then_new(
                     out, graph, True, num_partitions
                 ).materialize()
+
+            if plain and delta is not None:
+                fresh = _delta_variants(range(len(patterns)))
+            elif (
+                not plain and delta is not None and footprint is not None
+                and not _delta_touches(cur, footprint)
+            ):
+                # the rule's non-plain relations (path steps / OPTIONAL
+                # / EXISTS predicates) are provably untouched by this
+                # round's delta, so new derivations can only enter
+                # through the plain atoms: delta-restrict those (cost
+                # scales with the delta); with NO plain atom the rule
+                # cannot derive anything new at all this round
+                fresh = _delta_variants(plain_idx) if plain_idx else None
             else:
                 fresh = construct(
                     graph,
@@ -2060,7 +2172,7 @@ def infer_fixpoint(
                     num_partitions=num_partitions,
                     broadcast_limit=per_rule_limit,
                 ).materialize()
-            if fresh.count():
+            if fresh is not None and fresh.count():
                 round_fresh.append(fresh)
                 graph = graph.union(fresh).materialize()
                 inferred = (

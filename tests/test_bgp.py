@@ -579,6 +579,64 @@ def test_fixpoint_exists_sees_derived_witnesses(ray_session):
         )
 
 
+def test_infer_fixpoint_mixed_rule_delta_restricted(ray_session, monkeypatch):
+    """Mixed rules (plain atoms alongside EXISTS / path atoms) whose
+    non-plain predicate footprint a round's delta cannot touch run
+    DELTA-RESTRICTED after round 1: the full re-match (construct) fires
+    exactly once per rule, later rounds ride the sources hook, a
+    footprint-free pure-path rule is skipped outright — and the result
+    is bit-identical to the conservative always-re-match arm."""
+    import kgray.bgp as bgp
+
+    triples = [("a", "part_of", "b"), ("b", "part_of", "c"),
+               ("c", "part_of", "d"), ("d", "part_of", "e"),
+               ("a", "flag", "ok")]
+    rules = [
+        # plain closure program (feeds itself -> several rounds)
+        {"patterns": [("?x", "part_of", "?y")], "emit": ("?x", "anc", "?y")},
+        {"patterns": [("?x", "anc", "?y"), ("?y", "anc", "?z")],
+         "emit": ("?x", "anc", "?z")},
+        # MIXED: plain atom + EXISTS over the never-derived 'flag'
+        {"patterns": [("?x", "anc", "?y")],
+         "exists": [[("?x", "flag", "?f")]],
+         "emit": ("?x", "reaches", "?y")},
+        # pure-path rule over the never-derived 'part_of' -> after
+        # round 1 it can derive nothing and is skipped entirely
+        {"patterns": [("?x", "part_of/part_of", "?y")],
+         "emit": ("?x", "grand", "?y")},
+    ]
+    chain = ["a", "b", "c", "d", "e"]
+    anc = {(chain[i], chain[j]) for i in range(5) for j in range(i + 1, 5)}
+    want = {("anc", s, o) for s, o in anc}
+    want |= {("reaches", "a", o) for o in chain[1:]}
+    want |= {("grand", chain[i], chain[i + 2]) for i in range(3)}
+
+    calls = []
+    orig_construct = bgp.construct
+
+    def spy(graph, patterns, emit, **kw):
+        calls.append(tuple(emit))
+        return orig_construct(graph, patterns, emit, **kw)
+
+    monkeypatch.setattr(bgp, "construct", spy)
+    out = bgp.infer_fixpoint(_ds(triples), rules, broadcast_limit=0)
+    got = {(r["predicate"], r["subject"], r["object"])
+           for r in out.take_all()}
+    assert got == want
+    # every rule full-matched exactly ONCE (round 1); all later rounds
+    # were delta-restricted or skipped — the cost-proportionality claim
+    assert sorted(calls) == sorted(
+        [tuple(r["emit"]) for r in rules]
+    ), calls
+
+    # parity vs the conservative arm (force every round to re-match)
+    monkeypatch.setattr(bgp, "_delta_touches", lambda *_a, **_k: True)
+    conservative = bgp.infer_fixpoint(_ds(triples), rules, broadcast_limit=0)
+    got_c = {(r["predicate"], r["subject"], r["object"])
+             for r in conservative.take_all()}
+    assert got_c == want
+
+
 def test_bgp_ask(ray_session):
     from kgray.bgp import bgp_ask
 
