@@ -1326,6 +1326,33 @@ def q_bgp_filtered(sf_dir: str):
     )
 
 
+def q_sparql_select(sf_dir: str):
+    """The SPARQL TEXT front-end (kgray/sparql.py): a full aggregate
+    query typed as SPARQL — parser compiles to the exact bgp_agg
+    structures the JSON grammar uses (round-trip-tested in
+    tests/test_sparql.py), so this hash-checks the parser end to end.
+    The reference's users type Cypher at a live DB
+    (docs/cypher-cmds-1.txt:54-97); kgray users type SPARQL."""
+    from kgray.sparql import run_sparql
+
+    edges = _kg_edge_table(sf_dir)
+    out = run_sparql(
+        edges,
+        """
+        SELECT ?a (COUNT(*) AS ?n) (GROUP_CONCAT(DISTINCT ?c) AS ?parents)
+        WHERE {
+          ?a biolink:treats ?b .
+          ?b biolink:part_of ?c .
+          FILTER(?a != ?c)
+        }
+        GROUP BY ?a
+        HAVING(?n >= 2)
+        ORDER BY DESC(?n) ?a
+        """,
+    )
+    return _table(out.map_batches(_ints64, batch_format="pyarrow"))
+
+
 def q_bgp_seeded(sf_dir: str):
     """SPARQL VALUES (parameterized query): a driver-literal seed list
     inner-joined into the group before OPTIONAL — the id-batch lookup
@@ -4771,6 +4798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_paths": q_bgp_paths,
         "bgp_optional": q_bgp_optional,
         "bgp_filtered": q_bgp_filtered,
+        "sparql_select": q_sparql_select,
         "bgp_seeded": q_bgp_seeded,
         "treats_rollup": q_treats_rollup,
         "bgp_union_shapes": q_bgp_union_shapes,
@@ -6698,6 +6726,21 @@ def oracle_sql() -> dict[str, str]:
               AND e1.subject <> e2.object
               AND e1.subject < e1.object
               AND e2.object LIKE '%1%'
+        """,
+        "sparql_select": f"""
+            WITH e AS ({kg_edges})
+            SELECT a, n, parents FROM (
+              SELECT e1.subject AS a,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     string_agg(DISTINCT e2.object, ',' ORDER BY e2.object)
+                       AS parents
+              FROM e e1
+              JOIN e e2 ON e2.subject = e1.object
+              WHERE e1.predicate = 'biolink:treats'
+                AND e2.predicate = 'biolink:part_of'
+                AND e1.subject <> e2.object
+              GROUP BY 1
+            ) WHERE n >= 2
         """,
         "bgp_seeded": f"""
             WITH e AS ({kg_edges}),

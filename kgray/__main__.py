@@ -56,6 +56,15 @@ def main(argv=None) -> int:
              "grammar allowed in the predicate slot)",
     )
     p.add_argument(
+        "--sparql", default=None,
+        help="query: a SPARQL string (SELECT/ASK/CONSTRUCT/DESCRIBE "
+             "with OPTIONAL/MINUS/FILTER [NOT] EXISTS/VALUES/BIND, "
+             "property paths, the aggregate set + GROUP BY/HAVING/"
+             "ORDER BY/LIMIT) — the text form of the --bgp JSON "
+             "grammar; mutually exclusive with --bgp and the JSON "
+             "modifier flags",
+    )
+    p.add_argument(
         "--filters", default=None,
         help='query: JSON FILTER list, e.g. \'[["contains","?a","MONDO"]]\'',
     )
@@ -179,9 +188,20 @@ def main(argv=None) -> int:
     if args.type == "query":
         from .bgp import bgp_select
 
-        if not args.bgp:
-            p.error("--type=query requires --bgp")
-        patterns = [tuple(t) for t in json.loads(args.bgp)]
+        if not args.bgp and not args.sparql:
+            p.error("--type=query requires --bgp or --sparql")
+        if args.bgp and args.sparql:
+            p.error("--bgp and --sparql are mutually exclusive")
+        if args.sparql and any((
+            args.filters, args.order_by, args.project, args.group_by,
+            args.aggs, args.having, args.query_distinct,
+        )):
+            p.error(
+                "--sparql carries its own modifiers (FILTER/ORDER BY/"
+                "GROUP BY/...) — drop the JSON modifier flags"
+            )
+        patterns = ([tuple(t) for t in json.loads(args.bgp)]
+                    if args.bgp else None)
 
         # the P2 layout stores `predicate` as a URL-quoted hive dir name
         # ('biolink%3Atreats', materialize.py:344) and Ray's hive read
@@ -211,7 +231,11 @@ def main(argv=None) -> int:
         ).map_batches(_decode_predicate, batch_format="pyarrow")
         filters = ([tuple(f) for f in json.loads(args.filters)]
                    if args.filters else ())
-        if args.group_by:
+        if args.sparql:
+            from .sparql import run_sparql
+
+            res = run_sparql(edges, args.sparql)
+        elif args.group_by:
             from .bgp import bgp_agg
 
             if not args.aggs:
@@ -260,7 +284,9 @@ def main(argv=None) -> int:
                 filters=filters,
                 reorder=len(patterns) > 1,
             )
-        if args.query_out:
+        if isinstance(res, bool):  # SPARQL ASK
+            print(json.dumps({"ask": res}))
+        elif args.query_out:
             res.write_parquet(args.query_out)
             print(json.dumps(
                 {"rows": res.count(), "out": args.query_out}

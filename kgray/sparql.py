@@ -1,0 +1,580 @@
+"""SPARQL text front-end for the BGP query layer.
+
+A small recursive-descent parser for the SPARQL subset the engine's
+``bgp`` module implements, compiling query TEXT to the exact same
+pattern structures the JSON grammar uses (``kgray/__main__.py``) — so
+``SELECT ?a WHERE { ?a biolink:treats ?b }`` and
+``--bgp '[["?a","biolink:treats","?b"]]'`` run the identical plan.
+Reference anchor: the reference's users type Cypher strings at a live
+DB (``docs/cypher-cmds-1.txt:54-97``); kgray users type SPARQL at the
+CLI (``--sparql``) or call :func:`run_sparql`.
+
+Supported grammar (keywords case-insensitive)::
+
+    query     := prologue (select | ask | construct | describe)
+    prologue  := (PREFIX name: <iri>)*          # accepted; CURIEs are
+                                                # the store's key form,
+                                                # so names stay verbatim
+    select    := SELECT [DISTINCT] (vars | '*' | items) WHERE group
+                 [GROUP BY var+] [HAVING (expr)+]
+                 [ORDER BY orditem+] [LIMIT n] [OFFSET n]
+    items     := (var | '(' agg AS var ')' | '(' bindexpr AS var ')')+
+    agg       := COUNT(*) | COUNT(DISTINCT var) | MIN(var) | MAX(var)
+               | GROUP_CONCAT([DISTINCT] var)
+    ask       := ASK group
+    construct := CONSTRUCT '{' triple '}' WHERE group
+    describe  := DESCRIBE term
+    group     := '{' (triples | OPTIONAL group | MINUS group
+                 | FILTER '(' expr ')' | FILTER [NOT] EXISTS group
+                 | VALUES valblock | BIND '(' bindexpr AS var ')')* '}'
+    triples   := term path term (',' term)* (';' path term (',' term)*)* ['.']
+    path      := ['!'] step ('|' step | '/' step)* ['+'|'*'|'?'] | var
+    step      := ['^'] (word | <iri>)
+    expr      := operand ('='|'!='|'<'|'<='|'>'|'>=') operand
+               | CONTAINS(var, str) | STRSTARTS(var, str)
+               | REGEX(var, str)
+    bindexpr  := term | CONCAT(e, ...) | UCASE(e) | LCASE(e)
+               | STRLEN(e) | SUBSTR(e, n[, n]) | REPLACE(e, s, s)
+               | COALESCE(e, ...)
+    valblock  := '(' var+ ')' '{' ('(' term+ ')')* '}' | var '{' term* '}'
+
+Deliberate subset decisions, all loud: ``a`` in predicate position is
+rdf:type sugar; FILTER NOT EXISTS compiles to the engine's MINUS group
+(identical semantics under the engine's required-variable correlation
+rule); aggregate COUNT(?v) is refused with a pointer to COUNT(*) /
+COUNT(DISTINCT ?v) (the engine's aggregate set); UNDEF in VALUES is
+refused (bindings are total rows here). Property paths reuse the
+engine's path grammar verbatim — including the documented deviation
+that a trailing modifier scopes over the whole alternation.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["parse_sparql", "run_sparql"]
+
+_TOKEN_RE = re.compile(
+    r"""\s+|\#[^\n]*
+      | (?P<iri><[^<>\s]+>)
+      | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+      | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_\-]*(?::[A-Za-z0-9_.\-]+)?)
+      | (?P<sym><=|>=|!=|[{}().,;:|/^+*?!=<>])
+    """,
+    re.X,
+)
+
+_KEYWORDS = {
+    "select", "distinct", "where", "optional", "minus", "filter", "exists",
+    "not", "values", "bind", "as", "group", "by", "having", "order", "asc",
+    "desc", "limit", "offset", "ask", "construct", "describe", "prefix",
+    "undef",
+}
+_AGG_FUNCS = {"count", "min", "max", "group_concat"}
+_BIND_FUNCS = {
+    "concat": "concat", "ucase": "upper", "lcase": "lower",
+    "strlen": "strlen", "substr": "substr", "replace": "replace",
+    "coalesce": "coalesce",
+}
+_STR_FILTERS = {"contains": "contains", "strstarts": "prefix",
+                "regex": "regex"}
+_CMP = {"=": "==", "==": "==", "!=": "!=", "<": "<", "<=": "<=",
+        ">": ">", ">=": ">="}
+
+
+class SparqlError(ValueError):
+    """Parse error with position context."""
+
+
+def _tokenize(text: str):
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlError(
+                f"cannot tokenize at offset {pos}: {text[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind is None:
+            continue  # whitespace / comment
+        val = m.group()
+        if kind == "str":
+            val = re.sub(r"\\(.)", r"\1", val[1:-1])
+        toks.append((kind, val))
+    toks.append(("eof", ""))
+    return toks
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    # -- token plumbing ---------------------------------------------------
+    def peek(self, ahead: int = 0):
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        k, v = self.peek()
+        if k == "word" and v.lower() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.kw(word):
+            raise SparqlError(f"expected {word.upper()}, got {self.peek()[1]!r}")
+
+    def sym(self, s: str) -> bool:
+        k, v = self.peek()
+        if k == "sym" and v == s:
+            self.i += 1
+            return True
+        return False
+
+    def expect_sym(self, s: str):
+        if not self.sym(s):
+            raise SparqlError(f"expected {s!r}, got {self.peek()[1]!r}")
+
+    def at_kw(self, *words) -> bool:
+        k, v = self.peek()
+        return k == "word" and v.lower() in words
+
+    # -- terms & paths ----------------------------------------------------
+    def term(self) -> str:
+        k, v = self.next()
+        if k == "var":
+            return v
+        if k == "iri":
+            return v[1:-1]  # subjects/objects store bare IRIs
+        if k in ("str", "num"):
+            return v
+        if k == "word":
+            if v.lower() in _KEYWORDS:
+                raise SparqlError(f"unexpected keyword {v!r} in term position")
+            return v
+        raise SparqlError(f"expected a term, got {v!r}")
+
+    def _path_step(self) -> str:
+        out = "^" if self.sym("^") else ""
+        k, v = self.peek()
+        if k == "iri":
+            self.i += 1
+            return out + v  # keep <...> — the engine's IRI escape
+        if k == "word" and v.lower() not in _KEYWORDS:
+            self.i += 1
+            return out + ("rdf:type" if v == "a" else v)
+        raise SparqlError(f"expected a path step, got {v!r}")
+
+    def path(self) -> str:
+        k, v = self.peek()
+        if k == "var":
+            self.i += 1
+            return v
+        neg = "!" if self.sym("!") else ""
+        expr = self._path_step()
+        while True:
+            if self.sym("|"):
+                expr += "|" + self._path_step()
+            elif self.sym("/"):
+                expr += "/" + self._path_step()
+            else:
+                break
+        for mod in ("+", "*", "?"):
+            if self.sym(mod):
+                expr += mod
+                break
+        if neg:
+            expr = neg + expr
+        # a single <iri> step with no operators: strip the escape need
+        # detection — _pattern_spec handles the <...> form directly
+        return expr
+
+    # -- group ------------------------------------------------------------
+    def group(self) -> dict:
+        spec = {"patterns": [], "optional": [], "minus": [], "exists": [],
+                "filters": [], "values": None, "bind": []}
+        self.expect_sym("{")
+        while not self.sym("}"):
+            if self.kw("optional"):
+                sub = self.group()
+                self._only_patterns(sub, "OPTIONAL")
+                spec["optional"].extend(sub["patterns"])
+            elif self.kw("minus"):
+                sub = self.group()
+                self._only_patterns(sub, "MINUS")
+                spec["minus"].append(sub["patterns"])
+            elif self.kw("filter"):
+                if self.kw("not"):
+                    self.expect_kw("exists")
+                    sub = self.group()
+                    self._only_patterns(sub, "FILTER NOT EXISTS")
+                    spec["minus"].append(sub["patterns"])
+                elif self.kw("exists"):
+                    sub = self.group()
+                    self._only_patterns(sub, "FILTER EXISTS")
+                    spec["exists"].append(sub["patterns"])
+                elif self.peek()[0] == "word" \
+                        and self.peek()[1].lower() in _STR_FILTERS:
+                    spec["filters"].append(self.filter_expr())
+                else:
+                    self.expect_sym("(")
+                    spec["filters"].append(self.filter_expr())
+                    self.expect_sym(")")
+            elif self.kw("values"):
+                if spec["values"] is not None:
+                    raise SparqlError("one VALUES block per group")
+                spec["values"] = self.values_block()
+            elif self.kw("bind"):
+                self.expect_sym("(")
+                expr = self.bind_expr()
+                self.expect_kw("as")
+                k, v = self.next()
+                if k != "var":
+                    raise SparqlError("BIND needs 'AS ?var'")
+                self.expect_sym(")")
+                spec["bind"].append((v, expr))
+            else:
+                self.triples_into(spec["patterns"])
+        return spec
+
+    @staticmethod
+    def _only_patterns(sub: dict, ctx: str):
+        extras = [k for k in ("optional", "minus", "exists", "bind")
+                  if sub[k]] + (["values"] if sub["values"] else []) \
+            + (["filters"] if sub["filters"] else [])
+        if extras:
+            raise SparqlError(
+                f"{ctx} group supports plain triples only here "
+                f"(found {extras})"
+            )
+
+    def triples_into(self, patterns: list):
+        s = self.term()
+        while True:
+            p = self.path()
+            while True:
+                o = self.term()
+                patterns.append((s, p, o))
+                if not self.sym(","):
+                    break
+            if not self.sym(";"):
+                break
+            if self.peek()[0] == "sym" and self.peek()[1] in ".}":
+                break  # trailing ';'
+        self.sym(".")
+
+    # -- filters / values / bind -----------------------------------------
+    def filter_expr(self):
+        k, v = self.peek()
+        if k == "word" and v.lower() in _STR_FILTERS:
+            fn = _STR_FILTERS[v.lower()]
+            self.i += 1
+            self.expect_sym("(")
+            var = self.term()
+            if not var.startswith("?"):
+                raise SparqlError(f"{v.upper()} needs a ?var first arg")
+            self.expect_sym(",")
+            pat = self.term()
+            self.expect_sym(")")
+            return (fn, var, pat)
+        lhs = self.term()
+        k, op = self.next()
+        if k != "sym" or op not in _CMP:
+            raise SparqlError(f"expected a comparison operator, got {op!r}")
+        rhs = self.term()
+        return (_CMP[op], lhs, rhs)
+
+    def values_block(self):
+        if self.sym("("):
+            vars_ = []
+            while not self.sym(")"):
+                k, v = self.next()
+                if k != "var":
+                    raise SparqlError("VALUES (...) lists ?vars")
+                vars_.append(v)
+            rows = []
+            self.expect_sym("{")
+            while not self.sym("}"):
+                self.expect_sym("(")
+                row = []
+                while not self.sym(")"):
+                    if self.at_kw("undef"):
+                        raise SparqlError(
+                            "UNDEF is unsupported — bindings are total rows"
+                        )
+                    row.append(self.term())
+                if len(row) != len(vars_):
+                    raise SparqlError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+            return (tuple(vars_), rows)
+        k, v = self.next()
+        if k != "var":
+            raise SparqlError("VALUES needs ?vars")
+        rows = []
+        self.expect_sym("{")
+        while not self.sym("}"):
+            if self.at_kw("undef"):
+                raise SparqlError(
+                    "UNDEF is unsupported — bindings are total rows"
+                )
+            rows.append((self.term(),))
+        return ((v,), rows)
+
+    def bind_expr(self):
+        k, v = self.peek()
+        if k == "word" and v.lower() in _BIND_FUNCS:
+            fn = _BIND_FUNCS[v.lower()]
+            self.i += 1
+            self.expect_sym("(")
+            args = []
+            while not self.sym(")"):
+                if args:
+                    self.expect_sym(",")
+                if fn == "substr" and len(args) >= 1 \
+                        and self.peek()[0] == "num":
+                    args.append(int(self.next()[1]))
+                else:
+                    args.append(self.bind_expr())
+            return tuple([fn] + args)
+        return self.term()
+
+    # -- query forms ------------------------------------------------------
+    def parse(self) -> dict:
+        prefixes = {}
+        while self.kw("prefix"):
+            k, name = self.next()
+            if k != "word":
+                raise SparqlError("PREFIX needs a name")
+            self.sym(":")  # 'name :' — the colon tokenizes separately
+            k2, v2 = self.next()
+            if k2 != "iri":
+                raise SparqlError("PREFIX needs name: <iri>")
+            prefixes[name.rstrip(":")] = v2[1:-1]
+        if self.kw("select"):
+            out = self.select()
+        elif self.kw("ask"):
+            out = {"form": "ask", **self.group()}
+        elif self.kw("construct"):
+            self.expect_sym("{")
+            emit_pats: list = []
+            self.triples_into(emit_pats)
+            if len(emit_pats) != 1:
+                raise SparqlError(
+                    "CONSTRUCT emits exactly one triple template per "
+                    "query here — run one query per template"
+                )
+            self.expect_sym("}")
+            self.expect_kw("where")
+            out = {"form": "construct", "emit": emit_pats[0], **self.group()}
+        elif self.kw("describe"):
+            out = {"form": "describe", "iri": self.term()}
+        else:
+            raise SparqlError(
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got "
+                f"{self.peek()[1]!r}"
+            )
+        out["prefixes"] = prefixes
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return out
+
+    def select(self) -> dict:
+        distinct = self.kw("distinct")
+        project: "list | None" = []
+        aggs: dict = {}
+        bind: list = []
+        if self.sym("*"):
+            project = None
+        else:
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    self.i += 1
+                    project.append(v)
+                elif k == "sym" and v == "(":
+                    self.i += 1
+                    k2, v2 = self.peek()
+                    if k2 == "word" and v2.lower() in _AGG_FUNCS:
+                        name, spec = self.agg_alias()
+                        aggs[name] = spec
+                        project.append("?" + name)
+                    else:
+                        expr = self.bind_expr()
+                        self.expect_kw("as")
+                        k3, v3 = self.next()
+                        if k3 != "var":
+                            raise SparqlError("(expr AS ?var) needed")
+                        self.expect_sym(")")
+                        bind.append((v3, expr))
+                        project.append(v3)
+                else:
+                    break
+            if not project:
+                raise SparqlError("SELECT needs ?vars, aliases or *")
+        self.kw("where")  # WHERE is optional sugar before the group
+        spec = self.group()
+        group_by: list = []
+        having: list = []
+        order_by: list = []
+        limit = offset = None
+        if self.kw("group"):
+            self.expect_kw("by")
+            while self.peek()[0] == "var":
+                group_by.append(self.next()[1])
+        if self.kw("having"):
+            while self.sym("("):
+                op, lhs, rhs = self.filter_expr()
+                self.expect_sym(")")
+                having.append((op, lhs.lstrip("?"), rhs))
+        if self.kw("order"):
+            self.expect_kw("by")
+            while True:
+                if self.at_kw("asc", "desc"):
+                    d = self.next()[1].lower()
+                    self.expect_sym("(")
+                    order_by.append((self.next()[1], d))
+                    self.expect_sym(")")
+                elif self.peek()[0] == "var":
+                    order_by.append((self.next()[1], "asc"))
+                else:
+                    break
+        if self.kw("limit"):
+            limit = int(self.next()[1])
+        if self.kw("offset"):
+            offset = int(self.next()[1])
+        spec.update(
+            form="select", distinct=distinct, project=project, aggs=aggs,
+            group_by=group_by, having=having, order_by=order_by,
+            limit=limit, offset=offset,
+        )
+        spec["bind"] = spec["bind"] + bind
+        return spec
+
+    def agg_alias(self):
+        fn = self.next()[1].lower()
+        self.expect_sym("(")
+        distinct = self.kw("distinct")
+        if self.sym("*"):
+            arg = None
+        else:
+            k, arg = self.next()
+            if k != "var":
+                raise SparqlError(f"{fn.upper()} needs ?var or *")
+        self.expect_sym(")")
+        self.expect_kw("as")
+        k, alias = self.next()
+        if k != "var":
+            raise SparqlError("aggregate needs 'AS ?name'")
+        self.expect_sym(")")
+        if fn == "count":
+            if arg is None and not distinct:
+                return alias[1:], ("count", None)
+            if distinct and arg is not None:
+                return alias[1:], ("count_distinct", arg)
+            raise SparqlError(
+                "COUNT supports COUNT(*) and COUNT(DISTINCT ?v) here — "
+                "plain COUNT(?v) differs only on OPTIONAL nulls; use "
+                "COUNT(*) over a group that binds ?v"
+            )
+        if fn in ("min", "max"):
+            if arg is None or distinct:
+                raise SparqlError(f"{fn.upper()} needs a plain ?var")
+            return alias[1:], (fn, arg)
+        # group_concat: the engine's operator is DISTINCT + sorted by
+        # construction; both spellings accepted
+        if arg is None:
+            raise SparqlError("GROUP_CONCAT needs a ?var")
+        return alias[1:], ("group_concat", arg)
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a SPARQL string into the engine's pattern structures (see
+    module docstring for the grammar). Raises :class:`SparqlError` on
+    anything outside the subset."""
+    return _Parser(text).parse()
+
+
+def run_sparql(
+    edges,
+    text: str,
+    num_partitions: int = 32,
+    broadcast_limit: "int | None" = None,
+    reorder: "bool | None" = None,
+):
+    """Parse ``text`` and run it against the (subject, predicate,
+    object) Dataset — SELECT/DESCRIBE/CONSTRUCT return a Dataset, ASK
+    a bool. ``reorder`` defaults to on for multi-pattern groups (the
+    CLI's policy)."""
+    from . import bgp
+
+    q = parse_sparql(text)
+    kw: dict = {"num_partitions": num_partitions}
+    if broadcast_limit is not None:
+        kw["broadcast_limit"] = broadcast_limit
+    match_kw = dict(
+        optional=q.get("optional", ()), minus=q.get("minus", ()),
+        exists=q.get("exists", ()), values=q.get("values"),
+        filters=q.get("filters", ()),
+    )
+    if q["form"] == "describe":
+        return bgp.bgp_describe(edges, q["iri"])
+    if q["form"] == "ask":
+        return bgp.bgp_ask(edges, q["patterns"], **match_kw, **kw)
+    use_reorder = (
+        reorder if reorder is not None else len(q["patterns"]) > 1
+    )
+    if q["form"] == "construct":
+        return bgp.construct(
+            edges, q["patterns"], q["emit"], only_new=False,
+            **match_kw, **kw,
+        )
+    if q["aggs"]:
+        if not q["group_by"]:
+            raise SparqlError(
+                "aggregates need GROUP BY (ungrouped aggregates are "
+                "unsupported here)"
+            )
+        bad = [p for p in q["project"] or []
+               if p.startswith("?") and p[1:] not in q["aggs"]
+               and p not in q["group_by"]]
+        if bad:
+            raise SparqlError(
+                f"non-aggregate SELECT items {bad} must appear in "
+                "GROUP BY"
+            )
+        if q["bind"]:
+            raise SparqlError("BIND with GROUP BY is unsupported here")
+        out = bgp.bgp_agg(
+            edges, q["patterns"], group_by=q["group_by"], aggs=q["aggs"],
+            having=q["having"], reorder=use_reorder, **match_kw, **kw,
+        )
+        if q["order_by"]:
+            cols = set(out.schema().names)
+            keys, desc = [], []
+            for col, d in q["order_by"]:
+                col = col.lstrip("?")
+                if col not in cols:
+                    raise SparqlError(
+                        f"ORDER BY {col!r} not in aggregate output "
+                        f"{sorted(cols)}"
+                    )
+                keys.append(col)
+                desc.append(d == "desc")
+            out = out.sort(key=keys, descending=desc)
+        if q["limit"]:
+            out = out.limit(q["limit"])
+        return out
+    return bgp.bgp_select(
+        edges, q["patterns"], project=q["project"], bind=q["bind"],
+        distinct=q["distinct"], order_by=q["order_by"], limit=q["limit"],
+        offset=q["offset"] or 0, reorder=use_reorder, **match_kw, **kw,
+    )

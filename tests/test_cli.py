@@ -155,6 +155,35 @@ def test_cli_staged_lifecycle(ray_session, sf_dir, tmp_path, capsys):
             "--project", '["?a"]',
         ])
 
+    # SPARQL text front-end: the same two-hop query as stage 6, typed
+    # as SPARQL, must produce the same rows
+    assert main([
+        "--type=query", f"--out={out}",
+        "--sparql",
+        "SELECT ?a ?b ?c WHERE { ?a biolink:treats ?b . "
+        "?b biolink:part_of ?c } ORDER BY ?a ?b ?c LIMIT 8",
+    ]) == 0
+    sparql_rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert sparql_rows == rows  # bit-identical to the --bgp form
+    # ASK prints a boolean
+    assert main([
+        "--type=query", f"--out={out}",
+        "--sparql", 'ASK { ?a biolink:treats ?b }',
+    ]) == 0
+    out_text = capsys.readouterr().out
+    assert '{"ask": true}' in out_text
+    # --sparql refuses JSON modifier flags
+    with pytest.raises(SystemExit):
+        main([
+            "--type=query", f"--out={out}",
+            "--sparql", "SELECT ?a WHERE { ?a biolink:treats ?b }",
+            "--project", '["?a"]',
+        ])
+
 
 def test_ddl_codegen_type_table():
     import pyarrow as pa

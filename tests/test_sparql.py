@@ -1,0 +1,197 @@
+"""SPARQL text front-end: every query form must produce bit-identical
+results to the equivalent JSON-grammar (bgp_*) call — the parser is a
+pure compiler onto those structures, never a second engine."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from kgray.bgp import bgp_agg, bgp_ask, bgp_describe, bgp_select, construct
+from kgray.sparql import SparqlError, parse_sparql, run_sparql
+
+TRIPLES = [
+    ("a", "p", "b"), ("b", "q", "c"), ("c", "p", "d"), ("d", "p", "a"),
+    ("a", "q", "d"), ("b", "p", "c"), ("e", "p", "e"), ("x", "q", "a"),
+    ("c", "q", "a"), ("d", "q", "b"),
+]
+
+
+def _ds(triples=TRIPLES):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subject": [s for s, _, _ in triples],
+                "predicate": [p for _, p, _ in triples],
+                "object": [o for _, _, o in triples],
+            }
+        )
+    ).repartition(2)
+
+
+def _rows(ds):
+    names = list(ds.schema().names)
+    return names, sorted(
+        tuple(r[v] for v in names) for r in ds.take_all()
+    )
+
+
+def test_select_roundtrip(ray_session):
+    ds = _ds()
+    got = run_sparql(ds, "SELECT ?x ?z WHERE { ?x p ?y . ?y q ?z }")
+    want = bgp_select(
+        ds, [("?x", "p", "?y"), ("?y", "q", "?z")], project=["?x", "?z"],
+        reorder=True,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_select_modifiers_roundtrip(ray_session):
+    ds = _ds()
+    text = """
+      SELECT DISTINCT ?x ?z WHERE {
+        ?x p ?y . ?y q ?z .
+        OPTIONAL { ?z p ?w }
+        FILTER(?x != ?z)
+      } ORDER BY ?x DESC(?z) LIMIT 4
+    """
+    got = run_sparql(ds, text)
+    want = bgp_select(
+        ds, [("?x", "p", "?y"), ("?y", "q", "?z")],
+        optional=[("?z", "p", "?w")], filters=[("!=", "?x", "?z")],
+        project=["?x", "?z"], distinct=True,
+        order_by=[("?x", "asc"), ("?z", "desc")], limit=4, reorder=True,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_values_and_str_filters_roundtrip(ray_session):
+    ds = _ds()
+    got = run_sparql(
+        ds,
+        'SELECT ?x ?y WHERE { ?x p ?y . VALUES ?x { "a" "b" } '
+        'FILTER STRSTARTS(?y, "b") }',
+    )
+    want = bgp_select(
+        ds, [("?x", "p", "?y")], values=(("?x",), [("a",), ("b",)]),
+        filters=[("prefix", "?y", "b")], project=["?x", "?y"],
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_property_path_and_semicolon_sugar(ray_session):
+    ds = _ds()
+    got = run_sparql(
+        ds, "SELECT ?x ?z WHERE { ?x p+ ?y ; q ?z }"
+    )
+    want = bgp_select(
+        ds, [("?x", "p+", "?y"), ("?x", "q", "?z")],
+        project=["?x", "?z"], reorder=True,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_not_exists_is_minus_and_exists(ray_session):
+    ds = _ds()
+    got = run_sparql(
+        ds, "SELECT ?x ?y WHERE { ?x p ?y . FILTER NOT EXISTS "
+            "{ ?y q ?z } }"
+    )
+    want = bgp_select(
+        ds, [("?x", "p", "?y")], minus=[[("?y", "q", "?z")]],
+        project=["?x", "?y"],
+    )
+    assert _rows(got) == _rows(want)
+    got2 = run_sparql(
+        ds, "SELECT ?x WHERE { ?x p ?y . FILTER EXISTS { ?y q ?z } }"
+    )
+    want2 = bgp_select(
+        ds, [("?x", "p", "?y")], exists=[[("?y", "q", "?z")]],
+        project=["?x"],
+    )
+    assert _rows(got2) == _rows(want2)
+
+
+def test_bind_roundtrip(ray_session):
+    ds = _ds()
+    got = run_sparql(
+        ds,
+        'SELECT ?x (CONCAT(?x, "-", ?y) AS ?xy) WHERE { ?x p ?y }',
+    )
+    want = bgp_select(
+        ds, [("?x", "p", "?y")],
+        bind=[("?xy", ("concat", "?x", "-", "?y"))],
+        project=["?x", "?xy"],
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_aggregates_roundtrip(ray_session):
+    ds = _ds()
+    text = """
+      SELECT ?x (COUNT(*) AS ?n) (GROUP_CONCAT(DISTINCT ?y) AS ?ys)
+             (MIN(?y) AS ?lo)
+      WHERE { ?x p ?y } GROUP BY ?x HAVING(?n >= 1)
+      ORDER BY DESC(?n) ?x LIMIT 3
+    """
+    got = run_sparql(ds, text)
+    want = bgp_agg(
+        ds, [("?x", "p", "?y")], group_by=["?x"],
+        aggs={"n": ("count", None), "ys": ("group_concat", "?y"),
+              "lo": ("min", "?y")},
+        having=[(">=", "n", "1")],
+    ).sort(key=["n", "x"], descending=[True, False]).limit(3)
+    assert _rows(got) == _rows(want)
+
+
+def test_ask_construct_describe_roundtrip(ray_session):
+    ds = _ds()
+    assert run_sparql(ds, "ASK { ?x p ?y . ?y q ?z }") is bgp_ask(
+        ds, [("?x", "p", "?y"), ("?y", "q", "?z")]
+    )
+    assert run_sparql(ds, "ASK { ?x zz ?y }") is False
+    got = run_sparql(
+        ds, "CONSTRUCT { ?x r ?z } WHERE { ?x p ?y . ?y q ?z }"
+    )
+    want = construct(
+        ds, [("?x", "p", "?y"), ("?y", "q", "?z")], ("?x", "r", "?z"),
+        only_new=False,
+    )
+    assert _rows(got) == _rows(want)
+    got_d = run_sparql(ds, "DESCRIBE a")
+    want_d = bgp_describe(ds, "a")
+    assert _rows(got_d) == _rows(want_d)
+
+
+def test_prefix_accepted_and_curies_verbatim(ray_session):
+    q = parse_sparql(
+        "PREFIX biolink: <https://w3id.org/biolink/vocab/>\n"
+        "SELECT ?a WHERE { ?a biolink:treats ?b }"
+    )
+    assert q["prefixes"] == {"biolink": "https://w3id.org/biolink/vocab/"}
+    assert q["patterns"] == [("?a", "biolink:treats", "?b")]
+    # 'a' predicate sugar and <iri> predicates keep the engine escape
+    q2 = parse_sparql("SELECT ?s WHERE { ?s a ?t . ?s <http://x/p> ?o }")
+    assert q2["patterns"] == [
+        ("?s", "rdf:type", "?t"), ("?s", "<http://x/p>", "?o")
+    ]
+
+
+def test_parse_errors():
+    for bad, msg in [
+        ("FROB ?x { }", "expected SELECT"),
+        ("SELECT WHERE { ?x p ?y }", "SELECT needs"),
+        ("SELECT ?x WHERE { ?x p ?y } trailing", "trailing"),
+        ("SELECT (COUNT(?v) AS ?n) WHERE { ?x p ?v } GROUP BY ?x",
+         "COUNT supports"),
+        ("SELECT ?x WHERE { ?x p ?y . VALUES ?v { UNDEF } }", "UNDEF"),
+        ("SELECT ?x WHERE { ?x p ?y . OPTIONAL { ?y q ?z . "
+         "FILTER(?z = ?x) } }", "plain triples only"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?x p ?y }", None),
+    ]:
+        if msg is None:  # parses, but run_sparql needs GROUP BY
+            with pytest.raises(SparqlError, match="GROUP BY"):
+                run_sparql(_ds([("a", "p", "b")]), bad)
+        else:
+            with pytest.raises(SparqlError, match=msg):
+                parse_sparql(bad)
