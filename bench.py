@@ -235,8 +235,102 @@ def run_scaling() -> dict:
     }
 
 
+def probe_disk_headroom(path: str, target_bytes: int,
+                        fsync_every: int = 1 << 28) -> int:
+    """Verify REAL disk headroom by writing actual random data until
+    ``target_bytes`` or ENOSPC, then deleting the probe file.
+
+    ``statvfs`` free space lies on thin-provisioned devices (the r3
+    512M-turn rerun died mid-spill with ENOSPC while df still showed
+    ~79 GB), so the only trustworthy preflight is data that actually
+    hit the platters. Random bytes defeat any transparent compression;
+    periodic fsync keeps the page cache from hiding device-level
+    failures until close."""
+    fn = os.path.join(path, ".kgray_headroom_probe")
+    buf = os.urandom(1 << 24)  # 16 MiB
+    written = 0
+    try:
+        with open(fn, "wb") as f:
+            while written < target_bytes:
+                try:
+                    f.write(buf)
+                    written += len(buf)
+                    if written % fsync_every == 0:
+                        f.flush()
+                        os.fsync(f.fileno())
+                except OSError:
+                    break
+            try:
+                f.flush()
+                os.fsync(f.fileno())
+            except OSError:
+                pass
+    finally:
+        try:
+            os.remove(fn)
+        except OSError:
+            pass
+    return written
+
+
+def run_stress() -> dict:
+    """The 4x-reference-scale stress: one flagship run at
+    KGRAY_STRESS_REPEAT x sf0.1 (default 100 => 512M turns), sized to
+    the disk the sandbox REALLY has: a write-probe verifies
+    KGRAY_STRESS_SPILL_BYTES of spill headroom first and the repeat
+    shrinks proportionally (floor 25 = the 128M baseline) when the
+    device can't take it — so the spill-absorption evidence regenerates
+    instead of dying with ENOSPC (BASELINE.md r3 table)."""
+    import ray
+
+    target_repeat = int(os.environ.get("KGRAY_STRESS_REPEAT", "100"))
+    need = int(os.environ.get("KGRAY_STRESS_SPILL_BYTES", str(24 << 30)))
+    verified = probe_disk_headroom("/tmp", need)
+    repeat = (
+        target_repeat if verified >= need
+        else max(25, target_repeat * verified // need)
+    )
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from kgray.pipeline import run_flagship
+    from kgray.transcripts import transcripts_dataset
+
+    # warm-up at repeat=1 (worker pool + page cache), untimed
+    run_flagship(SF_DIR, "/tmp/kgray_stress_warm", repeat=1, resume=False)
+    shutil.rmtree("/tmp/kgray_stress_warm", ignore_errors=True)
+    out_dir = "/tmp/kgray_stress"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_flagship(SF_DIR, out_dir, repeat=repeat, resume=False)
+    wall = time.perf_counter() - t0
+    n_turns = transcripts_dataset(SF_DIR, repeat=repeat).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = {
+        "metric": "kg_flagship_stress_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "num_cpus": NUM_CPUS,
+        "stress_repeat": repeat,
+        "target_repeat": target_repeat,
+        "preflight_needed_bytes": need,
+        "preflight_verified_bytes": verified,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / wall, 1),
+        "n_edges": res["metrics"]["stages"]["write"]["n_edges"],
+        "n_nodes": res["metrics"]["stages"]["write"]["n_nodes"],
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stress" in sys.argv:
+        print(json.dumps(run_stress()))
     else:
         print(json.dumps(run_bench()))

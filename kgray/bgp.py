@@ -62,6 +62,17 @@ _SLOTS = ("subject", "predicate", "object")
 #: (matches graphalgo.transitive_closure's broadcast_limit)
 BROADCAST_LIMIT = 2_000_000
 
+#: default for ``bgp_match(reorder=None)`` — the selectivity-greedy
+#: join-order pre-pass. MEASURED across all 23 BGP-routed queries at
+#: sf0.1 (BENCH/reorder_compare_r04.json, best-of-2 interleaved): the
+#: pre-pass pays a fixed ~0.13 s estimation scan, so 7 of 23 queries
+#: lose >5% (worst 2.0x on 0.15 s queries) while the best win is ~18%
+#: — hand-ordered committed queries have nothing for the greedy order
+#: to fix. Default stays OFF; callers with machine-generated or
+#: unknown pattern orders (the CLI, run_sparql multi-pattern policy)
+#: opt in per call.
+REORDER_DEFAULT = False
+
 
 class _LocalOverflow(Exception):
     """A local-path kernel outgrew its cap — fall back to the
@@ -732,7 +743,7 @@ def bgp_match(
     sources=None,
     num_partitions: int = 32,
     broadcast_limit: int = BROADCAST_LIMIT,
-    reorder: bool = False,
+    reorder: "bool | None" = None,
 ) -> ray.data.Dataset:
     """Match a conjunction of triple ``patterns`` against a distinct
     (subject, predicate, object) Dataset; returns one row per variable
@@ -794,6 +805,8 @@ def bgp_match(
     driver-local (module docstring); beyond, the distributed join fold."""
     if not patterns:
         raise ValueError("need at least one pattern")
+    if reorder is None:
+        reorder = REORDER_DEFAULT
     if sources is not None:
         if len(sources) != len(patterns):
             raise ValueError(
