@@ -1383,11 +1383,8 @@ def decontaminate(
             cols[id_col] = pa.array(np.repeat(ids, n))
         out = pa.table(cols)
         # per-batch distinct: shrink the exchange before it happens
-        import pandas as pd
-
-        return pa.Table.from_pandas(
-            out.to_pandas().drop_duplicates(), preserve_index=False
-        ).cast(out.schema)
+        # (pyarrow group_by keeps key dtypes — no pandas round-trip)
+        return out.group_by(out.column_names).aggregate([])
 
     doc_grams = docs.select_columns([id_col, text_col]).map_batches(
         lambda t: grams(t, with_ids=True), batch_format="pyarrow"
