@@ -1874,6 +1874,25 @@ def q_jpeg_media_features(sf_dir: str):
     )
 
 
+def q_gif_frame_features(sf_dir: str):
+    """REAL multi-frame (video-analog) decode with no external codec:
+    deterministic animated GIFs (every fourth with an interlaced first
+    frame) decoded by the engine's pure-stdlib GIF/LZW codec, the REAL
+    frame-sampling plan applied (min(4, n_frames) evenly spaced), and
+    exact channel sums over the SAMPLED frames; hash-checked — the
+    constant-color-per-frame corpus makes every decoded pixel
+    closed-form, so `_gif_media_sql` re-derives frame colors, the
+    sampling indices (i*nf//k) and the sums arithmetically."""
+    ds = rd.from_arrow(multimodal.synthetic_gif_media_table(24))
+    out = multimodal.gif_frame_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "width", "height", "n_frames", "n_sampled",
+             "r_sum", "g_sum", "b_sum"]
+        )
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> fake-decode actor pool
     -> feature extraction; deterministic synthetic media corpus."""
@@ -4943,6 +4962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_media_features": q_raw_media_features,
         "png_media_features": q_png_media_features,
         "jpeg_media_features": q_jpeg_media_features,
+        "gif_frame_features": q_gif_frame_features,
         # REAL decode + DSP, bin-aligned-tone oracle: SQL re-derives the
         # quantized samples and computes RMS/ZC/peak itself (margins
         # measured in _wav_audio_sql)
@@ -5219,6 +5239,42 @@ def _jpeg_media_sql() -> str:
                    CAST(ROUND(h * 64.0 / GREATEST(w, h)) AS BIGINT)
                      AS resized_h,
                    total AS r_sum, total AS g_sum, total AS b_sum
+            FROM sums
+        """
+
+
+def _gif_media_sql() -> str:
+    """Closed-form mirror of the GIF decode + frame sampling: clip i is
+    ``2 + i%5`` constant-color frames (palette index ``(i+3f)%8``, RGB
+    ``(32c+16, 255-32c, (64c+96)%256)``) at ``8+(i*5)%24`` x
+    ``8+(i*7)%24``; the pipeline samples ``k = min(4, nf)`` frames at
+    indices ``f = s*nf//k`` and sums channels over sampled pixels —
+    all integer arithmetic, re-derived here without decoding."""
+    return """
+            WITH s AS (
+              SELECT CAST(t.i AS BIGINT) AS i,
+                     CAST(8 + (t.i * 5) % 24 AS BIGINT) AS w,
+                     CAST(8 + (t.i * 7) % 24 AS BIGINT) AS h,
+                     CAST(2 + t.i % 5 AS BIGINT) AS nf
+              FROM UNNEST(generate_series(0, 23)) t(i)
+            ), samp AS (
+              SELECT s.i, s.w, s.h, s.nf,
+                     LEAST(4, s.nf) AS k,
+                     (sk.s * s.nf) // LEAST(4, s.nf) AS f
+              FROM s, UNNEST(generate_series(0, LEAST(4, s.nf) - 1)) sk(s)
+            ), colors AS (
+              SELECT i, w, h, nf, k, (i + 3 * f) % 8 AS c FROM samp
+            ), sums AS (
+              SELECT i, w, h, nf, k,
+                     CAST(SUM(w * h * (32 * c + 16)) AS BIGINT) AS r_sum,
+                     CAST(SUM(w * h * (255 - 32 * c)) AS BIGINT) AS g_sum,
+                     CAST(SUM(w * h * ((64 * c + 96) % 256)) AS BIGINT)
+                       AS b_sum
+              FROM colors GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT format('g{:04d}', i) AS media_id, w AS width,
+                   h AS height, nf AS n_frames, k AS n_sampled,
+                   r_sum, g_sum, b_sum
             FROM sums
         """
 
@@ -6011,6 +6067,7 @@ def oracle_sql() -> dict[str, str]:
         "raw_media_features": _media_features_sql("r"),
         "png_media_features": _media_features_sql("p"),
         "jpeg_media_features": _jpeg_media_sql(),
+        "gif_frame_features": _gif_media_sql(),
         "wav_audio_features": _wav_audio_sql(),
         "embedding_dedup": _embedding_dedup_sql(
             threshold=0.4, n_bands=32, band_bits=8, dim=64

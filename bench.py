@@ -275,20 +275,21 @@ def probe_disk_headroom(path: str, target_bytes: int,
 
 def run_stress() -> dict:
     """The 4x-reference-scale stress: one flagship run at
-    KGRAY_STRESS_REPEAT x sf0.1 (default 100 => 512M turns), sized to
-    the disk the sandbox REALLY has: a write-probe verifies
+    KGRAY_STRESS_REPEAT x sf0.1 (default 25600 => 512M turns at the
+    ~20k-turn sf0.1 corpus, the r3 convention), sized to the disk the
+    sandbox REALLY has: a write-probe verifies
     KGRAY_STRESS_SPILL_BYTES of spill headroom first and the repeat
-    shrinks proportionally (floor 25 = the 128M baseline) when the
-    device can't take it — so the spill-absorption evidence regenerates
-    instead of dying with ENOSPC (BASELINE.md r3 table)."""
+    shrinks proportionally (floor 6400 = the 128M reference scale)
+    when the device can't take it — so the spill-absorption evidence
+    regenerates instead of dying with ENOSPC (BASELINE.md r3 table)."""
     import ray
 
-    target_repeat = int(os.environ.get("KGRAY_STRESS_REPEAT", "100"))
+    target_repeat = int(os.environ.get("KGRAY_STRESS_REPEAT", "25600"))
     need = int(os.environ.get("KGRAY_STRESS_SPILL_BYTES", str(24 << 30)))
     verified = probe_disk_headroom("/tmp", need)
     repeat = (
         target_repeat if verified >= need
-        else max(25, target_repeat * verified // need)
+        else max(6400, target_repeat * verified // need)
     )
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")

@@ -294,6 +294,14 @@ class DecodeStub:
                 return im.width, im.height, getattr(im, "n_frames", 1)
             img = decode_jpeg(p)
             return img.shape[1], img.shape[0], 1
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            if self._pil is not None:
+                import io
+
+                im = self._pil.open(io.BytesIO(p))
+                return im.width, im.height, getattr(im, "n_frames", 1)
+            fr = decode_gif(p)
+            return fr.shape[2], fr.shape[1], fr.shape[0]
         if p[:4] == _RAW_MAGIC:
             img = decode_raw_image(p)
             return img.shape[1], img.shape[0], 1
@@ -1360,4 +1368,328 @@ def synthetic_jpeg_media_table(n: int = 48) -> pa.Table:
             "mime": pa.array(["image/jpeg"] * n),
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Built-in GIF codec (pure stdlib + numpy) — GIF87a/89a with global/local
+# color tables, animation frames, interlacing, and graphic-control disposal
+# methods 0/1/2. This gives the media chain a REAL multi-frame decode, so
+# the frame-sampling plan (FrameSampleStub) operates on real frames instead
+# of fake counts. Restore-to-previous disposal (3) raises — rare and the
+# honest edge. LZW is implemented from the spec (variable code width,
+# clear/end codes, 4096-entry table).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
+    """GIF LZW: concatenated sub-block payload -> index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(expect, dtype=np.uint8)
+    n_out = 0
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = end + 1
+
+    width = min_code_size + 1
+    next_code = end + 1
+    reset()
+    acc = nbits = 0
+    prev: "bytes | None" = None
+    pos = 0
+    while pos < len(data) or nbits >= width:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits  # LSB-first packing
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < next_code and code < len(table):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"gif: bad LZW code {code}")
+        k = len(entry)
+        if n_out + k > expect:
+            entry = entry[: expect - n_out]
+            k = len(entry)
+        out[n_out: n_out + k] = np.frombuffer(entry, np.uint8)
+        n_out += k
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if n_out >= expect:
+            break
+    if n_out != expect:
+        raise ValueError(f"gif: LZW produced {n_out} of {expect} pixels")
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes -> (n_frames, h, w, 3) uint8 composed frame stack.
+
+    Frames compose onto the logical screen per the graphic-control
+    disposal method (0/1 leave, 2 restore-to-background); transparency
+    keeps the underlying pixel. Interlaced images are de-interlaced."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:, :] = gct[bg]
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent = -1
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                sz = payload[pos]
+                gflags, _delay, tidx = struct.unpack(
+                    "<BHB", payload[pos + 1: pos + 5]
+                )
+                disposal = (gflags >> 2) & 7
+                transparent = tidx if gflags & 1 else -1
+                pos += 1 + sz
+                if payload[pos] != 0:
+                    raise ValueError("gif: unterminated GCE")
+                pos += 1
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "gif: restore-to-previous disposal unsupported"
+                    )
+            else:  # skip sub-blocks (comment / app / plain text)
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack(
+                "<HHHHB", payload[pos: pos + 9]
+            )
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("gif: no color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), mcs, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                deinter = np.empty_like(idx)
+                rows = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2),
+                ])
+                deinter[rows] = idx
+                idx = deinter
+            region = canvas[iy: iy + ih, ix: ix + iw]
+            rgb = ct[np.minimum(idx, len(ct) - 1)]
+            if transparent >= 0:
+                mask = (idx != transparent)[:, :, None]
+                region[:] = np.where(mask, rgb, region)
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore to background
+                canvas[iy: iy + ih, ix: ix + iw] = (
+                    gct[bg] if gct is not None else 0
+                )
+            disposal = 0
+            transparent = -1
+        else:
+            raise ValueError(f"gif: unknown block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("gif: no image data")
+    return np.stack(frames)
+
+
+def encode_gif(
+    index_frames: np.ndarray, palette: np.ndarray, interlace_first: bool = False
+) -> bytes:
+    """(n_frames, h, w) uint8 palette indices + (n, 3) palette ->
+    animated GIF89a bytes. The LZW stream uses the spec's clear-code
+    discipline (emit CLEAR whenever the table would overflow its
+    current width ceiling) with literal codes only — a valid stream any
+    decoder accepts, kept simple on purpose; pixel fidelity is exact."""
+    nf, h, w = index_frames.shape
+    n_colors = len(palette)
+    depth = max(2, (n_colors - 1).bit_length())
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fi in range(nf):
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: no disposal, 4cs
+        iflags = 0x40 if (interlace_first and fi == 0) else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        idx = index_frames[fi]
+        if iflags & 0x40:
+            rows = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            idx = idx[rows]
+        mcs = depth
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        acc = nbits = 0
+        data = bytearray()
+
+        def emit(code, w_):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += w_
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear, width)
+        next_code = end + 1
+        first = True
+        for px in idx.reshape(-1):
+            emit(int(px), width)
+            # literal-only stream: the decoder adds a table entry for
+            # every code AFTER the first since CLEAR — mirror that
+            # count and widen/CLEAR in lockstep with its table
+            if first:
+                first = False
+                continue
+            next_code += 1
+            if next_code == (1 << width):
+                if width < 12:
+                    width += 1
+                else:
+                    emit(clear, width)
+                    width = mcs + 1
+                    next_code = end + 1
+                    first = True
+        emit(end, width)
+        if nbits:
+            data.append(acc & 0xFF)
+        out += bytes([mcs])
+        for s in range(0, len(data), 255):
+            chunk = data[s: s + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synthetic_gif_media_table(n: int = 24) -> pa.Table:
+    """Deterministic animated-GIF corpus: each clip has ``2 + i % 5``
+    frames of constant palette color ``(i + 3f) % 8`` over an 8-color
+    palette with closed-form RGB ``(32c+16, 255-32c, (64c+96) % 256)``
+    — every decoded pixel of every frame is SQL-derivable. Every fourth
+    clip interlaces its first frame to exercise de-interlacing."""
+    pal = np.stack([
+        np.arange(8) * 32 + 16,
+        255 - np.arange(8) * 32,
+        (np.arange(8) * 64 + 96) % 256,
+    ], axis=1).astype(np.uint8)
+    payloads = []
+    meta = []
+    for i in range(n):
+        w_, h_ = 8 + (i * 5) % 24, 8 + (i * 7) % 24
+        nf = 2 + i % 5
+        frames = np.stack([
+            np.full((h_, w_), (i + 3 * f) % 8, dtype=np.uint8)
+            for f in range(nf)
+        ])
+        payloads.append(encode_gif(frames, pal, interlace_first=i % 4 == 0))
+        meta.append((w_, h_, nf))
+    return pa.table(
+        {
+            "media_id": pa.array([f"g{i:04d}" for i in range(n)]),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/gif"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+class GifFramePipeline:
+    """Actor stage: decode animated GIFs, run the REAL frame-sampling
+    plan (``n`` evenly-spaced frames), and emit exact integer stats of
+    the SAMPLED frames — (width, height, n_frames, sample count and
+    per-channel pixel sums over sampled frames). The video analog of
+    ``RawImagePipeline``."""
+
+    def __init__(self, n_sample: int = 4):
+        self.n_sample = n_sample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict = {k: [] for k in (
+            "width", "height", "n_frames", "n_sampled",
+            "r_sum", "g_sum", "b_sum",
+        )}
+        for p in batch["payload"].to_pylist():
+            fr = decode_gif(p)
+            nf, h, w, _ = fr.shape
+            k = min(self.n_sample, nf)
+            sel = [int(i * nf // k) for i in range(k)]
+            sub = fr[sel].astype(np.int64)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_frames"].append(nf)
+            cols["n_sampled"].append(k)
+            cols["r_sum"].append(int(sub[..., 0].sum()))
+            cols["g_sum"].append(int(sub[..., 1].sum()))
+            cols["b_sum"].append(int(sub[..., 2].sum()))
+        for name, vals in cols.items():
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        return batch
+
+
+def gif_frame_features(ds, n_sample: int = 4, batch_size: int = 64,
+                       concurrency=(1, 4)):
+    """Wire the GIF decode + frame-sample actor pool (same heap
+    discipline as the other media stages)."""
+    return ds.map_batches(
+        GifFramePipeline,
+        fn_constructor_kwargs={"n_sample": n_sample},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

@@ -819,6 +819,64 @@ def test_semdedup_oversized_cluster_degrades(ray_session):
         ).take_all()
 
 
+def test_gif_codec_roundtrip_and_frames(ray_session):
+    """The pure-stdlib GIF/LZW codec: exact pixel roundtrip (random
+    indices, 256-color table forcing code-width growth and mid-stream
+    CLEARs, interlaced first frame), real multi-frame counts through
+    DecodeStub, and the frame-sample pipeline matching a per-clip
+    numpy recomputation."""
+    pal8 = np.stack([
+        np.arange(8) * 32 + 16, 255 - np.arange(8) * 32,
+        (np.arange(8) * 64 + 96) % 256,
+    ], axis=1).astype(np.uint8)
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 8, (3, 13, 21), dtype=np.uint8)
+    for inter in (False, True):
+        dec = multimodal.decode_gif(
+            multimodal.encode_gif(frames, pal8, interlace_first=inter)
+        )
+        assert np.array_equal(dec, pal8[frames]), inter
+    pal256 = np.stack([
+        np.arange(256), 255 - np.arange(256), (np.arange(256) * 7) % 256,
+    ], axis=1).astype(np.uint8)
+    big = rng.randint(0, 256, (1, 80, 90), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_gif(multimodal.encode_gif(big, pal256)),
+        pal256[big],
+    )
+    # DecodeStub reports REAL frame counts for GIF without fake mode
+    tbl = multimodal.synthetic_gif_media_table(8)
+    stub = multimodal.DecodeStub(fake=False)
+    out = stub(tbl)
+    for i in range(8):
+        assert out["n_frames"][i].as_py() == 2 + i % 5
+        assert out["width"][i].as_py() == 8 + (i * 5) % 24
+    # pipeline stats vs an independent numpy recomputation
+    got = {
+        r["media_id"]: (r["n_frames"], r["n_sampled"],
+                        r["r_sum"], r["g_sum"], r["b_sum"])
+        for r in multimodal.gif_frame_features(
+            ray.data.from_arrow(tbl)
+        ).take_all()
+    }
+    for i in range(8):
+        w, h, nf = 8 + (i * 5) % 24, 8 + (i * 7) % 24, 2 + i % 5
+        k = min(4, nf)
+        cs = [(i + 3 * (s * nf // k)) % 8 for s in range(k)]
+        want = (
+            nf, k,
+            sum(w * h * (32 * c + 16) for c in cs),
+            sum(w * h * (255 - 32 * c) for c in cs),
+            sum(w * h * ((64 * c + 96) % 256) for c in cs),
+        )
+        assert got[f"g{i:04d}"] == want, i
+    # contract errors stay loud
+    import pytest
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"JUNK00")
+
+
 def test_jpeg_closed_form_margins():
     """The jpeg_media_features oracle rests on two measured claims:
     (1) block-constant inputs decode to clamp(3*round((v-128)/3)+128)
