@@ -203,6 +203,36 @@ class _Parser:
         spec = {"patterns": [], "optional": [], "minus": [], "exists": [],
                 "filters": [], "values": None, "bind": []}
         self.expect_sym("{")
+        # UNION form: '{' subgroup ('UNION' subgroup)+ '}' — branches
+        # are whole groups (each may carry OPTIONAL/FILTER/VALUES of
+        # its own); mixing UNION with sibling triples is refused
+        if self.peek() == ("sym", "{"):
+            branches = [self.group()]
+            while self.kw("union"):
+                branches.append(self.group())
+            self.expect_sym("}")
+            if len(branches) == 1:
+                return branches[0]
+            for b in branches:
+                if b.get("union") or b["bind"]:
+                    raise SparqlError(
+                        "nested UNION / BIND inside a UNION branch is "
+                        "unsupported"
+                    )
+            spec["union"] = [
+                {
+                    k: v for k, v in (
+                        ("patterns", b["patterns"]),
+                        ("optional", b["optional"]),
+                        ("minus", b["minus"]),
+                        ("exists", b["exists"]),
+                        ("values", b["values"]),
+                        ("filters", b["filters"]),
+                    ) if v
+                }
+                for b in branches
+            ]
+            return spec
         while not self.sym("}"):
             if self.kw("optional"):
                 sub = self.group()
@@ -250,7 +280,8 @@ class _Parser:
     def _only_patterns(sub: dict, ctx: str):
         extras = [k for k in ("optional", "minus", "exists", "bind")
                   if sub[k]] + (["values"] if sub["values"] else []) \
-            + (["filters"] if sub["filters"] else [])
+            + (["filters"] if sub["filters"] else []) \
+            + (["union"] if sub.get("union") else [])
         if extras:
             raise SparqlError(
                 f"{ctx} group supports plain triples only here "
@@ -527,6 +558,43 @@ def run_sparql(
     )
     if q["form"] == "describe":
         return bgp.bgp_describe(edges, q["iri"])
+    if q.get("union"):
+        out = bgp.bgp_union(edges, q["union"], **kw)
+        if q["form"] == "ask":
+            return out.limit(1).count() > 0
+        if q["form"] == "construct" or q.get("aggs") or q.get("bind"):
+            raise SparqlError(
+                "UNION groups support SELECT/ASK here — aggregate,"
+                " CONSTRUCT and BIND over UNION are unsupported"
+            )
+        if q["project"] is not None:
+            cols = set(out.schema().names)
+            keep = [p.lstrip("?") for p in q["project"]]
+            missing = [c for c in keep if c not in cols]
+            if missing:
+                raise SparqlError(
+                    f"projection {missing} unbound in UNION result "
+                    f"{sorted(cols)}"
+                )
+            out = out.select_columns(keep)
+            if q["distinct"] and len(keep) < len(cols):
+                from .relational import hash_bucketed_groupby
+
+                out = hash_bucketed_groupby(
+                    out, keep, lambda df: df.drop_duplicates(),
+                    num_buckets=num_partitions,
+                ).map_batches(
+                    lambda t, _k=tuple(keep): t.select(list(_k)),
+                    batch_format="pyarrow",
+                )
+        if q["order_by"]:
+            out = out.sort(
+                key=[c.lstrip("?") for c, _ in q["order_by"]],
+                descending=[d == "desc" for _, d in q["order_by"]],
+            )
+        if q["limit"]:
+            out = out.limit(q["limit"])
+        return out
     if q["form"] == "ask":
         return bgp.bgp_ask(edges, q["patterns"], **match_kw, **kw)
     use_reorder = (

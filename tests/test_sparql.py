@@ -163,6 +163,67 @@ def test_ask_construct_describe_roundtrip(ray_session):
     assert _rows(got_d) == _rows(want_d)
 
 
+def test_union_roundtrip(ray_session):
+    """{ } UNION { } compiles to bgp_union with per-branch kwargs;
+    SELECT modifiers (projection, DISTINCT, ORDER BY, LIMIT) apply on
+    the union result; ASK works; aggregates over UNION refuse."""
+    from kgray.bgp import bgp_union
+
+    ds = _ds()
+    text = """
+      SELECT ?x ?y WHERE {
+        { ?x p ?y . FILTER(?x != ?y) }
+        UNION
+        { ?x q ?y . ?y p ?z }
+      } ORDER BY ?x ?y
+    """
+    got = run_sparql(ds, text)
+    want = bgp_union(
+        ds,
+        [
+            {"patterns": [("?x", "p", "?y")],
+             "filters": [("!=", "?x", "?y")]},
+            {"patterns": [("?x", "q", "?y"), ("?y", "p", "?z")]},
+        ],
+    )
+    names = ["x", "y"]
+    got_rows = sorted(tuple(r[v] for v in names) for r in got.take_all())
+    want_rows = sorted(
+        tuple(r[v] for v in names)
+        for r in want.select_columns(names).take_all()
+    )
+    # identical multisets: same union, same (x, y) projection (branch 2
+    # binds ?z too, so duplicates per z survive without DISTINCT)
+    assert got_rows == want_rows and got_rows
+    # DISTINCT narrows exactly
+    got_d = run_sparql(
+        ds,
+        "SELECT DISTINCT ?x WHERE { { ?x p ?y } UNION { ?x q ?y } }",
+    )
+    want_d = {
+        (r["x"],)
+        for r in bgp_union(
+            ds, [{"patterns": [("?x", "p", "?y")]},
+                 {"patterns": [("?x", "q", "?y")]}]
+        ).take_all()
+    }
+    assert {(r["x"],) for r in got_d.take_all()} == want_d
+    assert got_d.count() == len(want_d)
+    # ASK over union
+    assert run_sparql(
+        ds, "ASK { { ?x zz ?y } UNION { ?x p ?y } }"
+    ) is True
+    assert run_sparql(
+        ds, "ASK { { ?x zz ?y } UNION { ?x yy ?y } }"
+    ) is False
+    with pytest.raises(SparqlError, match="UNION"):
+        run_sparql(
+            ds,
+            "SELECT (COUNT(*) AS ?n) WHERE { { ?x p ?y } UNION "
+            "{ ?x q ?y } } GROUP BY ?x",
+        )
+
+
 def test_prefix_accepted_and_curies_verbatim(ray_session):
     q = parse_sparql(
         "PREFIX biolink: <https://w3id.org/biolink/vocab/>\n"
