@@ -12,12 +12,15 @@ Decode is a CODEC CHAIN, resolved once per actor in ``__init__``:
 2. the built-in pure-stdlib PNG decoder below (zlib inflate + full
    filter reconstruction) — REAL decode of standard 8-bit
    grey/RGB/RGBA non-interlaced PNGs with no external dependency;
-3. the built-in pure-numpy baseline JPEG codec (``decode_jpeg`` /
-   ``encode_jpeg``) — REAL decode of ITU-T T.81 baseline sequential
-   JFIF: canonical-Huffman entropy decode with byte unstuffing and
-   restart markers, dequant + vectorized IDCT, 4:4:4/4:2:2/4:2:0
-   chroma upsampling, JFIF YCbCr->RGB. Progressive (SOF2) and
-   arithmetic-coded JPEG raise ``NotImplementedError``;
+3. the built-in pure-numpy JPEG codec (``decode_jpeg`` /
+   ``encode_jpeg`` / ``encode_jpeg_progressive``) — REAL decode of
+   ITU-T T.81 baseline sequential AND progressive (SOF2) JFIF:
+   canonical-Huffman entropy decode with byte unstuffing and restart
+   markers, the full spectral-selection + successive-approximation
+   scan machine (DC/AC first + refinement passes, EOB runs,
+   correction bits), dequant + vectorized IDCT, 4:4:4/4:2:2/4:2:0
+   chroma upsampling, JFIF YCbCr->RGB. Arithmetic-coded and
+   hierarchical JPEG raise ``NotImplementedError``;
 4. the engine's own KGRW raw-RGB format;
 5. the built-in uncompressed-BMP (8/24/32-bit BITMAPINFOHEADER) and
    binary-PNM (P5 grey / P6 RGB, 8-bit) decoders — REAL decode, pure
@@ -956,23 +959,19 @@ def _jpeg_block_coeffs(plane: np.ndarray, qt: np.ndarray):
     return q.astype(np.int32).reshape(by, bx, 64)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75,
-                subsample: str = "444", restart_interval: int = 0) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
-
-    Annex K quantization (quality-scaled, `jpeg_quant_table`) + Huffman
-    tables; grayscale is one non-interleaved-equivalent scan, color is
-    interleaved YCbCr at 4:4:4 (``subsample="444"``) or 4:2:0
-    (``"420"``, chroma = banker's-rounded 2 x 2 box mean).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (predictor reset + byte alignment, T.81 semantics)."""
+def _jpeg_plan(arr: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: color transform, subsampling,
+    quantized coefficient blocks padded to MCU coverage. Returns
+    (comps [(hi, vi, tq)], blocks [(gy, gx, 64) int32 zigzag-ready],
+    qt0, qt1, hmax, vmax, mcux, mcuy, h, w, gray)."""
     assert arr.dtype == np.uint8
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     qt0 = jpeg_quant_table(_JPEG_Q_LUM, quality)
     qt1 = jpeg_quant_table(_JPEG_Q_CHR, quality)
     if gray:
-        comps = [(1, 1, 0, arr.astype(np.float64) - 128.0)]
+        comps = [(1, 1, 0)]
+        planes = [arr.astype(np.float64) - 128.0]
         hmax = vmax = 1
     else:
         ycc = _rgb_to_ycbcr(arr)
@@ -992,16 +991,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
             sf = [(2, 2), (1, 1), (1, 1)]
         else:
             raise ValueError("subsample must be '444' or '420'")
-        comps = [
-            (sf[i][0], sf[i][1], 0 if i == 0 else 1, planes[i] - 128.0)
-            for i in range(3)
-        ]
+        comps = [(sf[i][0], sf[i][1], 0 if i == 0 else 1) for i in range(3)]
+        planes = [p - 128.0 for p in planes]
 
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     blocks = []
-    for hi, vi, _tq, plane in comps:
-        cb = _jpeg_block_coeffs(plane, qt0 if _tq == 0 else qt1)
+    for (hi, vi, tq), plane in zip(comps, planes):
+        cb = _jpeg_block_coeffs(plane, qt0 if tq == 0 else qt1)
         # pad block grid to full MCU coverage (replicate edge blocks)
         need_y, need_x = mcuy * vi, mcux * hi
         gy, gx = cb.shape[:2]
@@ -1014,6 +1011,40 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
                 [cb, np.repeat(cb[:, -1:], need_x - gx, axis=1)], axis=1
             )
         blocks.append(cb)
+    return comps, blocks, qt0, qt1, hmax, vmax, mcux, mcuy, h, w, gray
+
+
+def _jpeg_headers(comps, qt0, qt1, h, w, gray, sof_marker: bytes,
+                  restart_interval: int = 0) -> bytearray:
+    """SOI + APP0 + DQT + SOF (+DRI) — shared by both encoders."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, qt in ((0, qt0),) if gray else ((0, qt0), (1, qt1)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(x) for x in qt[_JPEG_ZIGZAG])
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hi, vi, tq) in enumerate(comps):
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, tq)
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75,
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
+
+    Annex K quantization (quality-scaled, `jpeg_quant_table`) + Huffman
+    tables; grayscale is one non-interleaved-equivalent scan, color is
+    interleaved YCbCr at 4:4:4 (``subsample="444"``) or 4:2:0
+    (``"420"``, chroma = banker's-rounded 2 x 2 box mean).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (predictor reset + byte alignment, T.81 semantics)."""
+    (comps, blocks, qt0, qt1, hmax, vmax, mcux, mcuy, h, w, gray
+     ) = _jpeg_plan(arr, quality, subsample)
 
     dc_tabs = [
         _huff_encode_table(*_JPEG_DC_LUM), _huff_encode_table(*_JPEG_DC_CHR)
@@ -1033,7 +1064,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
                 )
                 pred = [0] * len(comps)
             mcu_idx += 1
-            for ci, (hi, vi, tq, _plane) in enumerate(comps):
+            for ci, (hi, vi, tq) in enumerate(comps):
                 td = 0 if ci == 0 else 1
                 for by in range(vi):
                     for bx in range(hi):
@@ -1069,25 +1100,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
                             bw.write(code, ln)
     bw.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    for tid, qt in ((0, qt0),) if gray else ((0, qt0), (1, qt1)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
-            + bytes(int(x) for x in qt[_JPEG_ZIGZAG])
-    ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci, (hi, vi, tq, _p) in enumerate(comps):
-        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, tq)
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out = _jpeg_headers(comps, qt0, qt1, h, w, gray, b"\xff\xc0",
+                        restart_interval)
     specs = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
     if not gray:
         specs += [(0x01, _JPEG_DC_CHR), (0x11, _JPEG_AC_CHR)]
     for tc, (bits, vals) in specs:
         body = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    ncomp = 1 if gray else 3
     sos = bytes([ncomp])
     for ci in range(ncomp):
         td = 0 if ci == 0 else 1
@@ -1175,27 +1196,81 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
+def _jpeg_reconstruct(frame, qt, coeff, hmax, vmax):
+    """Accumulated coefficient arrays -> decoded image (dequant, one
+    vectorized IDCT over every block, nearest chroma upsample, crop,
+    YCbCr->RGB or grayscale plane)."""
+    fh, fw, comps = frame
+    planes = {}
+    for cid, hi, vi, tq_ in comps:
+        cz = coeff[cid]
+        nat = np.zeros_like(cz)
+        nat[:, :, _JPEG_ZIGZAG] = cz
+        gy, gx = nat.shape[:2]
+        f = (nat.reshape(gy, gx, 8, 8)
+             * qt[tq_].reshape(8, 8)).astype(np.float64)
+        px = np.einsum("ux,nmuv,vy->nmxy", _JPEG_C, f, _JPEG_C)
+        plane = px.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes[cid] = plane[:fh, :fw]
+    if len(comps) == 1:
+        return planes[comps[0][0]].astype(np.uint8)
+    if len(comps) == 3:
+        ids = [c[0] for c in comps]
+        return _ycbcr_to_rgb(planes[ids[0]], planes[ids[1]], planes[ids[2]])
+    raise NotImplementedError(
+        f"jpeg: {len(comps)}-component images unsupported"
+    )
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skips
+    stuffed 0xFF00 and RSTn)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 \
+                and not (0xD0 <= payload[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w) uint8 grayscale or (h, w, 3) uint8
-    RGB. Supports SOF0/SOF1 (8-bit), sampling factors up to 2 per axis
-    (4:4:4 / 4:2:2 / 4:2:0 and transposes), restart intervals, stuffed
-    bytes, multiple DQT/DHT segments. Progressive (SOF2) and arithmetic
-    coding (SOF9+) raise NotImplementedError — that is the honest edge
-    of this container's codec chain."""
+    """Baseline AND progressive JFIF bytes -> (h, w) uint8 grayscale or
+    (h, w, 3) uint8 RGB.
+
+    Sequential (SOF0/SOF1): Huffman entropy decode per F.2, restart
+    intervals, sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0).
+    Progressive (SOF2): full spectral-selection + successive-
+    approximation scan machine per T.81 G.1.2 — DC first/refine scans
+    (interleaved), per-component AC first scans with EOB-run decoding,
+    and AC refinement scans with correction-bit consumption; non-
+    interleaved scans walk the component's OWN block grid (not the MCU
+    padding). Arithmetic coding (SOF9+) and hierarchical modes raise
+    NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    progressive = False
     restart = 0
+    coeff: dict = {}
+    eobrun = 0
+    hmax = vmax = mcux = mcuy = 0
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + seglen]
@@ -1214,7 +1289,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nat = np.zeros(64, np.int64)
                 nat[_JPEG_ZIGZAG] = vals
                 qt[tq] = nat
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
@@ -1223,11 +1299,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq_ = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            coeff = {
+                cid: np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
+                for cid, hi, vi, _tq in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) unsupported — baseline sequential only"
+                f"jpeg: SOF{marker - 0xC0} (arithmetic/hierarchical/"
+                "lossless) unsupported — sequential + progressive DCT only"
             )
         elif marker == 0xC4:  # DHT (may hold several tables)
             o = 0
@@ -1241,7 +1325,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_ac if tc else huff_dc)[th] = tab
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
@@ -1249,12 +1333,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si:3 + 2 * si]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            fh, fw, comps = frame
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcux = -(-fw // (8 * hmax))
-            mcuy = -(-fh // (8 * vmax))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
             order = []
+            fh, fw, comps = frame
             for cs, td, ta in scan:
                 for cid, hi, vi, tq_ in comps:
                     if cid == cs:
@@ -1262,85 +1346,188 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         break
                 else:
                     raise ValueError("jpeg: scan names unknown component")
-            coeff = {
-                cid: np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
-                for cid, hi, vi, _tq, _td, _ta in order
-            }
-            br = _BitReader(payload, pos)
-            pred = {cid: 0 for cid, *_ in order}
-            mcu = 0
-            total = mcux * mcuy
-            while mcu < total:
-                if restart and mcu and mcu % restart == 0:
-                    br.align()
-                    if (payload[br.pos] == 0xFF
-                            and 0xD0 <= payload[br.pos + 1] <= 0xD7):
-                        br.pos += 2
-                        pred = {cid: 0 for cid, *_ in order}
-                    else:
-                        raise ValueError("jpeg: expected restart marker")
-                my, mx = divmod(mcu, mcux)
-                for cid, hi, vi, _tq, td, ta in order:
-                    for by in range(vi):
-                        for bx in range(hi):
-                            zz = np.zeros(64, np.int32)
-                            cat = _huff_decode(br, huff_dc[td])
-                            diff = _extend(br.receive(cat), cat) if cat else 0
-                            pred[cid] += diff
-                            zz[0] = pred[cid]
-                            k = 1
-                            while k < 64:
-                                sym = _huff_decode(br, huff_ac[ta])
-                                if sym == 0x00:
-                                    break
-                                if sym == 0xF0:
-                                    k += 16
-                                    continue
-                                k += sym >> 4
-                                size = sym & 15
-                                if k > 63:
-                                    raise ValueError("jpeg: AC index overflow")
-                                zz[k] = _extend(br.receive(size), size)
-                                k += 1
-                            coeff[cid][my * vi + by, mx * hi + bx] = zz
-                mcu += 1
-            planes = {}
-            for cid, hi, vi, tq_, _td, _ta in order:
-                cz = coeff[cid]
-                nat = np.zeros_like(cz)
-                nat[:, :, _JPEG_ZIGZAG] = cz
-                gy, gx = nat.shape[:2]
-                f = (nat.reshape(gy, gx, 8, 8)
-                     * qt[tq_].reshape(8, 8)).astype(np.float64)
-                px = np.einsum("ux,nmuv,vy->nmxy", _JPEG_C, f, _JPEG_C)
-                plane = px.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
-                plane = np.clip(np.round(plane + 128.0), 0, 255)
-                # nearest upsample to the luma grid, then crop
-                ry, rx = vmax // vi, hmax // hi
-                if ry > 1:
-                    plane = np.repeat(plane, ry, axis=0)
-                if rx > 1:
-                    plane = np.repeat(plane, rx, axis=1)
-                planes[cid] = plane[:fh, :fw]
-            if len(order) == 1:
-                return planes[order[0][0]].astype(np.uint8)
-            if len(order) == 3:
-                ids = [o[0] for o in order]
-                return _ycbcr_to_rgb(
-                    planes[ids[0]], planes[ids[1]], planes[ids[2]]
-                )
-            raise NotImplementedError(
-                f"jpeg: {len(order)}-component scans unsupported"
+            eobrun = 0
+            pos = _jpeg_decode_scan(
+                payload, pos, order, coeff, huff_dc, huff_ac,
+                ss, se, ah, al, restart, progressive,
+                hmax, vmax, mcux, mcuy, fh, fw,
             )
+            if not progressive:
+                return _jpeg_reconstruct(frame, qt, coeff, hmax, vmax)
         # APPn / COM / others: skipped via seglen
+    if progressive and frame is not None and coeff:
+        return _jpeg_reconstruct(frame, qt, coeff, hmax, vmax)
     raise ValueError("jpeg: no SOS marker found")
+
+
+def _jpeg_decode_scan(
+    payload, pos, order, coeff, huff_dc, huff_ac,
+    ss, se, ah, al, restart, progressive, hmax, vmax, mcux, mcuy, fh, fw,
+):
+    """Decode ONE entropy-coded scan into the coefficient arrays and
+    return the byte offset of the next marker.
+
+    Sequential: full-band interleaved MCU walk. Progressive: four scan
+    kinds per T.81 G.1.2 (DC first / DC refine, interleaved; AC first /
+    AC refine, single-component over its OWN block grid with EOB-run
+    state carried across blocks inside the scan)."""
+    br = _BitReader(payload, pos)
+    interleaved = len(order) > 1
+    pred = {cid: 0 for cid, *_ in order}
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def units():
+        """Yield per-restart-unit block lists: one MCU (interleaved /
+        sequential) or one block of the single component's OWN grid
+        (any non-interleaved progressive scan — T.81 A.2.2: no MCU
+        padding outside the component's real block coverage)."""
+        if interleaved or not progressive:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for cid, hi, vi, _tq, td, ta in order:
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blocks.append(
+                                    (cid, my * vi + by, mx * hi + bx, td, ta)
+                                )
+                    yield blocks
+        else:
+            cid, hi, vi, _tq, td, ta = order[0]
+            # own grid: ceil(ceil(fw*hi/hmax)/8) x ceil(ceil(fh*vi/vmax)/8)
+            cw = -(-fw * hi // hmax)
+            ch = -(-fh * vi // vmax)
+            bw_, bh_ = -(-cw // 8), -(-ch // 8)
+            for by in range(bh_):
+                for bx in range(bw_):
+                    yield [(cid, by, bx, td, ta)]
+
+    def _seq_ac(zz, ta):
+        k = 1
+        while k < 64:
+            sym = _huff_decode(br, huff_ac[ta])
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 15
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(br.receive(size), size)
+            k += 1
+
+    def ac_first(zz, ta):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _huff_decode(br, huff_ac[ta])
+            r, s = sym >> 4, sym & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(zz, ta):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(br, huff_ac[ta])
+                r, s = sym >> 4, sym & 15
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("jpeg: bad refinement size")
+                    val = p1 if br.read_bit() else m1
+                else:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                # advance over r zero-history coefficients, applying
+                # correction bits to every nonzero-history one passed
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    unit_no = 0
+    for blocks in units():
+        if restart and unit_no and unit_no % restart == 0:
+            br.align()
+            if (payload[br.pos] == 0xFF
+                    and 0xD0 <= payload[br.pos + 1] <= 0xD7):
+                br.pos += 2
+                pred = {cid: 0 for cid, *_ in order}
+                eobrun = 0
+            else:
+                raise ValueError("jpeg: expected restart marker")
+        unit_no += 1
+        for cid, by, bx, td, ta in blocks:
+            zz = coeff[cid][by, bx]
+            if not progressive:
+                cat = _huff_decode(br, huff_dc[td])
+                diff = _extend(br.receive(cat), cat) if cat else 0
+                pred[cid] += diff
+                zz[0] = pred[cid]
+                _seq_ac(zz, ta)
+            elif ss == 0 and ah == 0:  # DC first
+                cat = _huff_decode(br, huff_dc[td])
+                diff = _extend(br.receive(cat), cat) if cat else 0
+                pred[cid] += diff
+                zz[0] = pred[cid] << al
+            elif ss == 0:  # DC refine: one raw bit per block
+                if br.read_bit():
+                    zz[0] |= p1
+            elif ah == 0:
+                ac_first(zz, ta)
+            else:
+                ac_refine(zz, ta)
+    return _skip_to_marker(payload, br.pos)
+
 
 
 def synthetic_jpeg_media_table(n: int = 48) -> pa.Table:
     """Deterministic REAL-JPEG corpus: grayscale images built from 8 x 8
     constant blocks with value ``(37i + 17bx + 29by) % 256``, encoded as
-    baseline JFIF at quality 34 (every third image with a restart
-    interval, exercising RSTn handling).
+    JFIF at quality 34 — baseline (every third image with a restart
+    interval, exercising RSTn handling), and every fifth image
+    PROGRESSIVE (SOF2 successive-approximation scan chain; quantized
+    coefficients are identical, so the same closed-form oracle checks
+    both decode paths).
 
     Block-constant inputs make baseline JPEG CLOSED-FORM: all AC
     coefficients are exactly 0 and the DC round-trip reduces to
@@ -1356,10 +1543,17 @@ def synthetic_jpeg_media_table(n: int = 48) -> pa.Table:
         by, bx = np.mgrid[0: h // 8, 0: w // 8]
         v = (37 * i + 17 * bx + 29 * by) % 256
         img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
-        payloads.append(
-            encode_jpeg(img, quality=34,
-                        restart_interval=2 if i % 3 == 0 else 0)
-        )
+        if i % 5 == 2:
+            payloads.append(
+                encode_jpeg_progressive(
+                    img, quality=34, eob_cap=1 if i % 10 == 2 else 32767
+                )
+            )
+        else:
+            payloads.append(
+                encode_jpeg(img, quality=34,
+                            restart_interval=2 if i % 3 == 0 else 0)
+            )
     return pa.table(
         {
             "media_id": pa.array([f"j{i:04d}" for i in range(n)]),
@@ -1693,3 +1887,244 @@ def gif_frame_features(ds, n_sample: int = 4, batch_size: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def _flat_huff_spec(symbols):
+    """Canonical single-length Huffman spec over the USED symbol set:
+    all codes the same length l with 2^l - 1 >= U (the all-ones code
+    stays unused, as T.81 requires). Not optimal — progressive scans
+    here care about correctness, not ratio."""
+    syms = sorted(set(symbols))
+    if not syms:
+        syms = [0x00]
+    u = len(syms)
+    length = 2
+    while (1 << length) - 1 < u:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = u
+    return bits, syms
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 75, subsample: str = "444",
+    eob_cap: int = 32767,
+) -> bytes:
+    """uint8 grayscale/RGB -> PROGRESSIVE JFIF bytes (SOF2), exercising
+    the full T.81 G.1.2 scan machine: an interleaved DC first scan at
+    successive-approximation Al=1, a DC refinement scan (raw bits), a
+    per-component AC first scan (Ss=1..63, Al=1) with EOB-run coding
+    (runs up to ``eob_cap``; cap=1 degenerates to per-block EOB), and a
+    per-component AC refinement scan (Ah=1, Al=0) with correction-bit
+    buffering per the spec's encoder discipline. Quantized coefficients
+    are IDENTICAL to the baseline encoder's, so for any input
+    ``decode_jpeg(encode_jpeg_progressive(x)) ==
+    decode_jpeg(encode_jpeg(x))`` bit-for-bit — the parity the tests
+    pin. Per-scan Huffman tables are built over the used symbols
+    (``_flat_huff_spec``) and re-emitted before each scan."""
+    (comps, blocks, qt0, qt1, hmax, vmax, mcux, mcuy, h, w, gray
+     ) = _jpeg_plan(arr, quality, subsample)
+    ncomp = len(comps)
+    zz = [b[:, :, _JPEG_ZIGZAG].astype(np.int64) for b in blocks]
+    out = _jpeg_headers(comps, qt0, qt1, h, w, gray, b"\xff\xc2")
+
+    def emit_scan(scan_comps, ss, se, ah, al, events, dc_tables,
+                  ac_tables):
+        """Append DHT(s) + SOS + serialized entropy data for one scan.
+        ``events``: ('sym', cls, s, kind) / ('bits', v, n)."""
+        for cls, (bits_, vals) in dc_tables.items():
+            body = bytes([cls]) + bytes(bits_) + bytes(vals)
+            out.extend(b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body)
+        for cls, (bits_, vals) in ac_tables.items():
+            body = bytes([0x10 | cls]) + bytes(bits_) + bytes(vals)
+            out.extend(b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body)
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            cls = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (cls << 4) | cls])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        enc_dc = {c: _huff_encode_table(*t) for c, t in dc_tables.items()}
+        enc_ac = {c: _huff_encode_table(*t) for c, t in ac_tables.items()}
+        bw = _BitWriter()
+        for ev in events:
+            if ev[0] == "bits":
+                bw.write(ev[1], ev[2])
+            else:
+                _tag, cls, s, kind = ev
+                code, ln = (enc_dc if kind == "dc" else enc_ac)[cls][s]
+                bw.write(code, ln)
+        bw.flush()
+        out.extend(bw.buf)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi, _tq) in enumerate(comps):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield ci, my * vi + by, mx * hi + bx
+
+    def own_blocks(ci):
+        hi, vi, _tq = comps[ci]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield by, bx
+
+    al1 = 1  # successive-approximation split
+
+    # --- scan 1: DC first, interleaved, Al=1 ------------------------------
+    ev: list = []
+    pred = [0] * ncomp
+    dc_syms: dict = {0: [], 1: []} if ncomp > 1 else {0: []}
+    plan = list(mcu_blocks())
+    for ci, by, bx in plan:
+        cls = 0 if ci == 0 else 1
+        v = int(zz[ci][by, bx, 0]) >> al1  # arithmetic shift (T.81 DC PT)
+        diff = v - pred[ci]
+        pred[ci] = v
+        cat = _jpeg_category(diff)
+        dc_syms[cls].append(cat)
+        ev.append(("sym", cls, cat, "dc"))
+        if cat:
+            ev.append(("bits",
+                       diff if diff >= 0 else diff + (1 << cat) - 1, cat))
+    emit_scan(list(range(ncomp)), 0, 0, 0, al1, ev,
+              {c: _flat_huff_spec(s) for c, s in dc_syms.items()}, {})
+
+    # --- scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits) ---------
+    ev = [("bits", int(zz[ci][by, bx, 0]) & 1, 1) for ci, by, bx in plan]
+    emit_scan(list(range(ncomp)), 0, 0, al1, 0, ev, {}, {})
+
+    # --- per component: AC first then AC refinement -----------------------
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 else 1
+        # AC first: Ss=1 Se=63 Ah=0 Al=1, EOB runs up to eob_cap
+        ev = []
+        syms: list = []
+        eobrun = 0
+
+        def flush_eob(extra_bits=None):
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                syms.append(nb << 4)
+                ev.append(("sym", cls, nb << 4, "ac"))
+                if nb:
+                    ev.append(("bits", eobrun - (1 << nb), nb))
+                if extra_bits is not None:
+                    for b in extra_bits:
+                        ev.append(("bits", b, 1))
+                    extra_bits.clear()
+                eobrun = 0
+            elif extra_bits:
+                # corrections with no pending EOB ride the next symbol
+                pass
+
+        for by, bx in own_blocks(ci):
+            band = zz[ci][by, bx]
+            t = [
+                (1 if band[k] > 0 else -1) * (abs(int(band[k])) >> al1)
+                for k in range(64)
+            ]
+            nzs = [k for k in range(1, 64) if t[k] != 0]
+            if not nzs:
+                eobrun += 1
+                if eobrun == eob_cap:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, nzs[-1] + 1):
+                if t[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    syms.append(0xF0)
+                    ev.append(("sym", cls, 0xF0, "ac"))
+                    run -= 16
+                cat = abs(t[k]).bit_length()
+                sym = (run << 4) | cat
+                syms.append(sym)
+                ev.append(("sym", cls, sym, "ac"))
+                v = t[k]
+                ev.append(("bits",
+                           v if v >= 0 else v + (1 << cat) - 1, cat))
+                run = 0
+            if nzs[-1] < 63:
+                eobrun += 1
+                if eobrun == eob_cap:
+                    flush_eob()
+        flush_eob()
+        emit_scan([ci], 1, 63, 0, al1, ev, {}, {cls: _flat_huff_spec(syms)})
+
+        # AC refinement: Ss=1 Se=63 Ah=1 Al=0 — correction-bit buffering
+        ev = []
+        syms = []
+        eobrun = 0
+        be: list = []  # corrections buffered under the pending EOB run
+
+        def flush_eob_refine():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                syms.append(nb << 4)
+                ev.append(("sym", cls, nb << 4, "ac"))
+                if nb:
+                    ev.append(("bits", eobrun - (1 << nb), nb))
+                for b in be:
+                    ev.append(("bits", b, 1))
+                be.clear()
+                eobrun = 0
+
+        for by, bx in own_blocks(ci):
+            band = zz[ci][by, bx]
+            a = [abs(int(band[k])) for k in range(64)]  # Al=0
+            last_new = 0
+            for k in range(1, 64):
+                if a[k] == 1:
+                    last_new = k
+            r = 0
+            br_bits: list = []
+            for k in range(1, last_new + 1):
+                if a[k] == 0:
+                    r += 1
+                    continue
+                # ANY nonzero flushes pending ZRLs first (T.81 G.1.2.3 /
+                # libjpeg's `while (r > 15 && k <= EOB)`): the ZRL may
+                # carry only the correction bits of nonzeros BEFORE its
+                # 16-zero window — this coefficient's bits ride the
+                # next symbol, keeping the decoder's per-window
+                # correction consumption in sync
+                while r > 15:
+                    flush_eob_refine()
+                    syms.append(0xF0)
+                    ev.append(("sym", cls, 0xF0, "ac"))
+                    for b in br_bits:
+                        ev.append(("bits", b, 1))
+                    br_bits = []
+                    r -= 16
+                if a[k] > 1:
+                    br_bits.append(a[k] & 1)
+                    continue
+                flush_eob_refine()
+                sym = (r << 4) | 1
+                syms.append(sym)
+                ev.append(("sym", cls, sym, "ac"))
+                ev.append(("bits", 1 if band[k] > 0 else 0, 1))
+                for b in br_bits:
+                    ev.append(("bits", b, 1))
+                br_bits = []
+                r = 0
+            tail = [a[k] & 1 for k in range(last_new + 1, 64) if a[k] > 1]
+            if last_new < 63:
+                eobrun += 1
+                be.extend(br_bits + tail)
+                if eobrun == eob_cap:
+                    flush_eob_refine()
+        flush_eob_refine()
+        emit_scan([ci], 1, 63, al1, 0, ev, {}, {cls: _flat_huff_spec(syms)})
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)

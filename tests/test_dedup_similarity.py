@@ -981,17 +981,59 @@ def test_jpeg_color_subsampling_closed_form():
         assert np.array_equal(dec, exp), sub
 
 
+def test_jpeg_progressive_parity():
+    """Progressive (SOF2) decode is bit-identical to baseline decode of
+    the SAME quantized coefficients — the encoder emits the full
+    successive-approximation scan chain (interleaved DC first/refine,
+    per-component AC first with EOB runs, AC refinement with
+    correction-bit windows), so parity across random images, odd
+    sizes, 4:2:0, and every EOB-cap regime pins the whole T.81 G.1.2
+    machine."""
+    rng = np.random.RandomState(99)
+    cases = [
+        ((16, 16), "444", 34), ((33, 50, 3), "420", 75),
+        ((19, 27, 3), "444", 90), ((41, 23), "444", 50),
+        ((24, 56, 3), "420", 95),
+    ]
+    for shape, sub, q in cases:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        base = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(img, quality=q, subsample=sub)
+        )
+        for cap in (32767, 1, 4):
+            prog = multimodal.decode_jpeg(
+                multimodal.encode_jpeg_progressive(
+                    img, quality=q, subsample=sub, eob_cap=cap
+                )
+            )
+            assert np.array_equal(prog, base), (shape, sub, q, cap)
+    # the hash-checked corpus mixes baseline and progressive payloads;
+    # both must decode to the same closed form (spot-check a SOF2 one)
+    tbl = multimodal.synthetic_jpeg_media_table(13)
+    p = tbl["payload"][7].as_py()  # i=7: 7%5==2 -> progressive
+    # byte stuffing guarantees 0xFFC2 can only be the SOF2 marker
+    assert b"\xff\xc2" in p
+    img7 = multimodal.decode_jpeg(p)
+    by, bx = np.mgrid[0: img7.shape[0] // 8, 0: img7.shape[1] // 8]
+    v = (37 * 7 + 17 * bx + 29 * by) % 256
+    exp = np.clip(3 * np.round((v - 128) / 3.0).astype(np.int64) + 128,
+                  0, 255)
+    assert np.array_equal(
+        img7.astype(np.int64), np.kron(exp, np.ones((8, 8), np.int64))
+    )
+
+
 def test_jpeg_contract_errors():
-    """Non-baseline JPEG raises the honest stub (NotImplementedError),
-    garbage raises ValueError, and DecodeStub reports real dimensions
-    for JPEG payloads without fake mode."""
+    """Arithmetic-coded JPEG raises the honest stub
+    (NotImplementedError), garbage raises ValueError, and DecodeStub
+    reports real dimensions for JPEG payloads without fake mode."""
     import pytest
 
     img = np.full((8, 8), 100, np.uint8)
     jpg = bytearray(multimodal.encode_jpeg(img, quality=75))
     sof = jpg.find(b"\xff\xc0")
-    jpg[sof + 1] = 0xC2  # rebrand the frame as progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    jpg[sof + 1] = 0xC9  # rebrand the frame as arithmetic-coded
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         multimodal.decode_jpeg(bytes(jpg))
     with pytest.raises(ValueError, match="not a JPEG"):
         multimodal.decode_jpeg(b"\x00\x01rubbish")
