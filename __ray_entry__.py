@@ -1401,6 +1401,28 @@ def q_bgp_union_shapes(sf_dir: str):
     )
 
 
+def q_sparql_union(sf_dir: str):
+    """UNION through the SPARQL TEXT grammar (kgray/sparql.py): two
+    differently-shaped branches (?a treats ?b / ?x causes ?a) whose
+    widened union is narrowed back to ?a with DISTINCT — exercising
+    the parser's union-group compilation, the null-filled widening and
+    the bucketed distinct after projection, all hash-checked."""
+    from kgray.sparql import run_sparql
+
+    edges = _kg_edge_table(sf_dir)
+    out = run_sparql(
+        edges,
+        """
+        SELECT DISTINCT ?a WHERE {
+          { ?a biolink:treats ?b }
+          UNION
+          { ?x biolink:causes ?a }
+        }
+        """,
+    )
+    return _table(out, schema=pa.schema([("a", pa.string())]))
+
+
 def q_causes_with_treats(sf_dir: str):
     """SPARQL FILTER EXISTS (semi-join pattern group): causes edges
     whose subject ALSO treats something — the dual-role entities a
@@ -4818,6 +4840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_optional": q_bgp_optional,
         "bgp_filtered": q_bgp_filtered,
         "sparql_select": q_sparql_select,
+        "sparql_union": q_sparql_union,
         "bgp_seeded": q_bgp_seeded,
         "treats_rollup": q_treats_rollup,
         "bgp_union_shapes": q_bgp_union_shapes,
@@ -6848,6 +6871,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE t.predicate = 'biolink:treats'
                   AND t.subject = c.subject
               )
+        """,
+        "sparql_union": f"""
+            WITH e AS ({kg_edges})
+            SELECT DISTINCT a FROM (
+              SELECT subject AS a FROM e
+              WHERE predicate = 'biolink:treats'
+              UNION
+              SELECT object AS a FROM e
+              WHERE predicate = 'biolink:causes'
+            )
         """,
         "bgp_union_shapes": f"""
             WITH e AS ({kg_edges})

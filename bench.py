@@ -121,7 +121,7 @@ def run_bench() -> dict:
             "sparql_seq_path", "sparql_select_topk", "sparql_bind_expr",
             "sparql_groupby_agg", "sparql_subquery_avg", "node2vec_walks",
             "node2vec_skipgram", "jpeg_media_features", "gif_frame_features",
-            "sparql_select", "approx_distinct_users",
+            "sparql_select", "approx_distinct_users", "sparql_union",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
