@@ -26,7 +26,9 @@ Supported grammar (keywords case-insensitive)::
     describe  := DESCRIBE term
     group     := '{' (triples | OPTIONAL group | MINUS group
                  | FILTER '(' expr ')' | FILTER [NOT] EXISTS group
-                 | VALUES valblock | BIND '(' bindexpr AS var ')')* '}'
+                 | VALUES valblock | BIND '(' bindexpr AS var ')'
+                 | '{' SELECT ... '}')* '}'       # SPARQL 1.1 subselect
+               | '{' group (UNION group)+ '}'     # union of shapes
     triples   := term path term (',' term)* (';' path term (',' term)*)* ['.']
     path      := ['!'] step ('|' step | '/' step)* ['+'|'*'|'?'] | var
     step      := ['^'] (word | <iri>)
@@ -205,8 +207,13 @@ class _Parser:
         self.expect_sym("{")
         # UNION form: '{' subgroup ('UNION' subgroup)+ '}' — branches
         # are whole groups (each may carry OPTIONAL/FILTER/VALUES of
-        # its own); mixing UNION with sibling triples is refused
-        if self.peek() == ("sym", "{"):
+        # its own); mixing UNION with sibling triples is refused.
+        # '{ SELECT ...' is a SPARQL 1.1 subselect instead (handled in
+        # the element loop below).
+        if self.peek() == ("sym", "{") and not (
+            self.peek(1)[0] == "word"
+            and self.peek(1)[1].lower() == "select"
+        ):
             branches = [self.group()]
             while self.kw("union"):
                 branches.append(self.group())
@@ -214,10 +221,10 @@ class _Parser:
             if len(branches) == 1:
                 return branches[0]
             for b in branches:
-                if b.get("union") or b["bind"]:
+                if b.get("union") or b["bind"] or b.get("subqueries"):
                     raise SparqlError(
-                        "nested UNION / BIND inside a UNION branch is "
-                        "unsupported"
+                        "nested UNION / BIND / subselect inside a UNION "
+                        "branch is unsupported"
                     )
             spec["union"] = [
                 {
@@ -272,6 +279,14 @@ class _Parser:
                     raise SparqlError("BIND needs 'AS ?var'")
                 self.expect_sym(")")
                 spec["bind"].append((v, expr))
+            elif self.peek() == ("sym", "{"):
+                # SPARQL 1.1 subselect: '{ SELECT ... }' — evaluated
+                # independently (uncorrelated by spec) and joined in
+                self.expect_sym("{")
+                self.expect_kw("select")
+                sub = self.select()
+                self.expect_sym("}")
+                spec.setdefault("subqueries", []).append(sub)
             else:
                 self.triples_into(spec["patterns"])
         return spec
@@ -281,7 +296,8 @@ class _Parser:
         extras = [k for k in ("optional", "minus", "exists", "bind")
                   if sub[k]] + (["values"] if sub["values"] else []) \
             + (["filters"] if sub["filters"] else []) \
-            + (["union"] if sub.get("union") else [])
+            + (["union"] if sub.get("union") else []) \
+            + (["subquery"] if sub.get("subqueries") else [])
         if extras:
             raise SparqlError(
                 f"{ctx} group supports plain triples only here "
@@ -534,6 +550,14 @@ def parse_sparql(text: str) -> dict:
     return _Parser(text).parse()
 
 
+#: a SPARQL 1.1 subselect compiles to a driver-literal VALUES block
+#: (it is UNCORRELATED by spec, so bottom-up evaluation is exact); the
+#: inner solution must therefore fit the driver — this cap keeps that
+#: contract loud instead of letting a huge subquery masquerade as a
+#: broadcastable literal. Rewrite over-cap subselects as joins.
+SUBQUERY_ROW_CAP = 100_000
+
+
 def run_sparql(
     edges,
     text: str,
@@ -545,9 +569,55 @@ def run_sparql(
     object) Dataset — SELECT/DESCRIBE/CONSTRUCT return a Dataset, ASK
     a bool. ``reorder`` defaults to on for multi-pattern groups (the
     CLI's policy)."""
+    return _run_spec(
+        parse_sparql(text), edges, num_partitions, broadcast_limit, reorder
+    )
+
+
+def _run_spec(
+    q: dict,
+    edges,
+    num_partitions: int = 32,
+    broadcast_limit: "int | None" = None,
+    reorder: "bool | None" = None,
+):
     from . import bgp
 
-    q = parse_sparql(text)
+    subs = q.get("subqueries") or []
+    if subs:
+        if len(subs) > 1:
+            raise SparqlError("one subselect per group")
+        if q.get("values") is not None:
+            raise SparqlError(
+                "a subselect and a VALUES block both bind inline rows — "
+                "use one"
+            )
+        inner_q = dict(subs[0])
+        inner_q["form"] = "select"
+        inner = _run_spec(
+            inner_q, edges, num_partitions, broadcast_limit, reorder
+        )
+        rows = inner.take(SUBQUERY_ROW_CAP + 1)
+        if len(rows) > SUBQUERY_ROW_CAP:
+            raise SparqlError(
+                f"subselect exceeds SUBQUERY_ROW_CAP={SUBQUERY_ROW_CAP} "
+                "rows — its solution is a driver-literal VALUES block; "
+                "rewrite the query as a join"
+            )
+        names = list(inner.schema().names)
+        vrows = []
+        for r in rows:
+            vals = tuple(r[n] for n in names)
+            if any(v is None for v in vals):
+                raise SparqlError(
+                    "subselect produced NULL bindings (OPTIONAL inside "
+                    "the subselect?) — VALUES rows must be total"
+                )
+            # the binding relation is string-typed; aggregate outputs
+            # (int64) are carried as their decimal strings
+            vrows.append(tuple(str(v) for v in vals))
+        q = dict(q)
+        q["values"] = (tuple("?" + n for n in names), vrows)
     kw: dict = {"num_partitions": num_partitions}
     if broadcast_limit is not None:
         kw["broadcast_limit"] = broadcast_limit

@@ -224,6 +224,52 @@ def test_union_roundtrip(ray_session):
         )
 
 
+def test_subselect_roundtrip(ray_session):
+    """SPARQL 1.1 subselects: the inner SELECT (here an aggregate with
+    HAVING) evaluates independently and joins into the outer group as
+    a driver-literal VALUES block — equivalent to the hand-built
+    bgp_select with the same values relation. Aggregate outputs ride
+    as decimal strings (the binding relation's only type)."""
+    ds = _ds()
+    text = """
+      SELECT ?x ?n ?z WHERE {
+        { SELECT ?x (COUNT(*) AS ?n) WHERE { ?x p ?y }
+          GROUP BY ?x HAVING(?n >= 1) }
+        ?x q ?z .
+      } ORDER BY ?x ?z
+    """
+    got = run_sparql(ds, text)
+    # hand-derived: every subject has exactly one p-edge; q-successors
+    want = {("a", "1", "d"), ("b", "1", "c"), ("c", "1", "a"),
+            ("d", "1", "b")}
+    assert {(r["x"], r["n"], r["z"]) for r in got.take_all()} == want
+    assert got.schema().names == ["x", "n", "z"]
+    # parity with an explicit VALUES formulation
+    explicit = bgp_select(
+        ds, [("?x", "q", "?z")],
+        values=(("?x", "?n"),
+                [(s, "1") for s in ("a", "b", "c", "d", "e")]),
+        project=["?x", "?n", "?z"], order_by=[("?x", "asc"), ("?z", "asc")],
+    )
+    assert _rows(got) == _rows(explicit)
+    # contracts: one subselect per group; cap enforced; not in OPTIONAL
+    import kgray.sparql as sq
+
+    with pytest.raises(SparqlError, match="one subselect"):
+        run_sparql(ds, "SELECT ?x WHERE { { SELECT ?x WHERE { ?x p ?y } }"
+                       " { SELECT ?x WHERE { ?x q ?y } } ?x p ?w }")
+    with pytest.raises(SparqlError, match="plain triples only"):
+        parse_sparql("SELECT ?x WHERE { ?x p ?y . OPTIONAL "
+                     "{ { SELECT ?z WHERE { ?z q ?w } } ?y p ?z } }")
+    old = sq.SUBQUERY_ROW_CAP
+    sq.SUBQUERY_ROW_CAP = 2
+    try:
+        with pytest.raises(SparqlError, match="SUBQUERY_ROW_CAP"):
+            run_sparql(ds, text)
+    finally:
+        sq.SUBQUERY_ROW_CAP = old
+
+
 def test_prefix_accepted_and_curies_verbatim(ray_session):
     q = parse_sparql(
         "PREFIX biolink: <https://w3id.org/biolink/vocab/>\n"
