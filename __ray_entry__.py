@@ -1915,6 +1915,24 @@ def q_gif_frame_features(sf_dir: str):
     )
 
 
+def q_avi_frame_features(sf_dir: str):
+    """REAL video decode with no external codec: AVI/MJPEG clips (RIFF
+    container walked by the engine, every '00dc' frame decoded by the
+    built-in JPEG codec — every third clip's frames PROGRESSIVE SOF2)
+    through the general VideoFramePipeline (real frame sampling + exact
+    channel sums over sampled frames); hash-checked — the
+    block-constant-per-frame corpus composes the jpeg closed form with
+    the gif-style sampling arithmetic in `_avi_media_sql`."""
+    ds = rd.from_arrow(multimodal.synthetic_avi_media_table(16))
+    out = multimodal.video_frame_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "width", "height", "n_frames", "n_sampled",
+             "r_sum", "g_sum", "b_sum"]
+        )
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> fake-decode actor pool
     -> feature extraction; deterministic synthetic media corpus."""
@@ -4986,6 +5004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_media_features": q_png_media_features,
         "jpeg_media_features": q_jpeg_media_features,
         "gif_frame_features": q_gif_frame_features,
+        "avi_frame_features": q_avi_frame_features,
         # REAL decode + DSP, bin-aligned-tone oracle: SQL re-derives the
         # quantized samples and computes RMS/ZC/peak itself (margins
         # measured in _wav_audio_sql)
@@ -5298,6 +5317,50 @@ def _gif_media_sql() -> str:
             SELECT format('g{:04d}', i) AS media_id, w AS width,
                    h AS height, nf AS n_frames, k AS n_sampled,
                    r_sum, g_sum, b_sum
+            FROM sums
+        """
+
+
+def _avi_media_sql() -> str:
+    """Closed-form mirror of the AVI/MJPEG decode + frame sampling:
+    clip i is ``2 + i%4`` frames at ``8*(2+(i*3)%4)`` x
+    ``8*(2+(i*5)%4)``, frame f built from 8x8 constant blocks with
+    value ``(37i + 11f + 17bx + 29by) % 256``; each decoded pixel is
+    the q34 DC round-trip clamp(3*round_even((v-128)/3)+128) (grayscale
+    replicated to RGB, so r=g=b), the pipeline samples k = min(4, nf)
+    frames at ``s*nf//k`` and sums channels over sampled pixels."""
+    return """
+            WITH s AS (
+              SELECT CAST(t.i AS BIGINT) AS i,
+                     CAST(8 * (2 + (t.i * 3) % 4) AS BIGINT) AS w,
+                     CAST(8 * (2 + (t.i * 5) % 4) AS BIGINT) AS h,
+                     CAST(2 + t.i % 4 AS BIGINT) AS nf
+              FROM UNNEST(generate_series(0, 15)) t(i)
+            ), samp AS (
+              SELECT s.i, s.w, s.h, s.nf, LEAST(4, s.nf) AS k,
+                     (sk.s * s.nf) // LEAST(4, s.nf) AS f
+              FROM s, UNNEST(generate_series(0, LEAST(4, s.nf) - 1)) sk(s)
+            ), blocks AS (
+              SELECT sp.i, sp.w, sp.h, sp.nf, sp.k,
+                     CAST((37 * sp.i + 11 * sp.f + 17 * bx.bx
+                           + 29 * by.by) % 256 AS BIGINT) AS v
+              FROM samp sp,
+                   UNNEST(generate_series(0, sp.w // 8 - 1)) bx(bx),
+                   UNNEST(generate_series(0, sp.h // 8 - 1)) by(by)
+            ), recon AS (
+              SELECT i, w, h, nf, k,
+                     GREATEST(0, LEAST(255,
+                       CAST(3 * round_even((v - 128) / 3.0, 0) AS BIGINT)
+                       + 128)) AS rv
+              FROM blocks
+            ), sums AS (
+              SELECT i, w, h, nf, k,
+                     CAST(64 * SUM(rv) AS BIGINT) AS total
+              FROM recon GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT format('v{:04d}', i) AS media_id, w AS width,
+                   h AS height, nf AS n_frames, k AS n_sampled,
+                   total AS r_sum, total AS g_sum, total AS b_sum
             FROM sums
         """
 
@@ -6091,6 +6154,7 @@ def oracle_sql() -> dict[str, str]:
         "png_media_features": _media_features_sql("p"),
         "jpeg_media_features": _jpeg_media_sql(),
         "gif_frame_features": _gif_media_sql(),
+        "avi_frame_features": _avi_media_sql(),
         "wav_audio_features": _wav_audio_sql(),
         "embedding_dedup": _embedding_dedup_sql(
             threshold=0.4, n_bands=32, band_bits=8, dim=64

@@ -305,6 +305,9 @@ class DecodeStub:
                 return im.width, im.height, getattr(im, "n_frames", 1)
             fr = decode_gif(p)
             return fr.shape[2], fr.shape[1], fr.shape[0]
+        if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            fr = decode_avi_mjpeg(p)
+            return fr.shape[2], fr.shape[1], fr.shape[0]
         if p[:4] == _RAW_MAGIC:
             img = decode_raw_image(p)
             return img.shape[1], img.shape[0], 1
@@ -2128,3 +2131,179 @@ def encode_jpeg_progressive(
 
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Built-in AVI/MJPEG codec (pure stdlib + the JPEG codec above) — a REAL
+# video container+codec pair: RIFF 'AVI ' with an MJPEG 'vids' stream whose
+# '00dc' chunks are ordinary JFIF frames (the format of countless cameras
+# and capture cards). Decode walks the RIFF tree, collects the movi chunks
+# and runs each through decode_jpeg — so baseline AND progressive frames
+# both work. Inter-frame codecs (H.264 etc.) remain the honest stub.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: "list[bytes]", width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """JPEG frame payloads -> AVI bytes (RIFF hdrl/avih + strl/strh/strf
+    with 'MJPG' fourcc, LIST movi of '00dc' chunks, idx1 index)."""
+    if not frames:
+        raise ValueError("avi: need at least one frame")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_sz = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, max_sz * fps, 0, 0x10, len(frames), 0, 1,
+        max_sz, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG" + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+            max_sz, 0xFFFFFFFF, 0,
+        ) + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx, off = b"", 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """AVI/MJPEG bytes -> (n_frames, h, w, 3) uint8 stack. Walks the
+    RIFF chunk tree to LIST movi and decodes every '00dc'/'00db' chunk
+    through the built-in JPEG decoder (baseline or progressive frames);
+    grayscale frames replicate to RGB. Non-MJPEG streams raise
+    NotImplementedError naming the fourcc."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list = []
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body_start = pos + 8
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif fourcc == b"strh":
+                if payload[body_start:body_start + 4] == b"vids":
+                    handler = payload[body_start + 4:body_start + 8]
+                    if handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+                        raise NotImplementedError(
+                            f"avi: video codec {handler!r} unsupported — "
+                            "MJPEG only (inter-frame codecs need "
+                            "ffmpeg-class decoders)"
+                        )
+            elif fourcc[2:4] in (b"dc", b"db") and size:
+                img = decode_jpeg(payload[body_start:body_start + size])
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                frames.append(img)
+            pos = body_start + size + (size % 2)
+
+    walk(12, 8 + struct.unpack("<I", payload[4:8])[0])
+    if not frames:
+        raise ValueError("avi: no video frames found")
+    return np.stack(frames)
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Codec chain for multi-frame media: animated GIF or AVI/MJPEG ->
+    (n_frames, h, w, 3) uint8."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi_mjpeg(payload)
+    raise ValueError("no video codec for payload (GIF, AVI/MJPEG here)")
+
+
+def synthetic_avi_media_table(n: int = 16) -> pa.Table:
+    """Deterministic AVI/MJPEG corpus: clip i has ``2 + i % 4`` frames,
+    each an 8x8-block-constant grayscale JPEG at quality 34 with block
+    value ``(37i + 11f + 17bx + 29by) % 256`` — the jpeg_media closed
+    form extended by a frame index, so every decoded pixel of every
+    frame is SQL-derivable. Every third clip's frames are PROGRESSIVE
+    (SOF2) JPEGs: real mixed-codec video."""
+    payloads = []
+    for i in range(n):
+        w, h = 8 * (2 + (i * 3) % 4), 8 * (2 + (i * 5) % 4)
+        nf = 2 + i % 4
+        frames = []
+        for f in range(nf):
+            by, bx = np.mgrid[0: h // 8, 0: w // 8]
+            v = (37 * i + 11 * f + 17 * bx + 29 * by) % 256
+            img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+            if i % 3 == 2:
+                frames.append(encode_jpeg_progressive(img, quality=34))
+            else:
+                frames.append(encode_jpeg(img, quality=34))
+        payloads.append(encode_avi_mjpeg(frames, w, h))
+    return pa.table(
+        {
+            "media_id": pa.array([f"v{i:04d}" for i in range(n)]),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["video/x-msvideo"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+class VideoFramePipeline:
+    """Actor stage: decode GIF or AVI/MJPEG video, run the REAL
+    frame-sampling plan and emit exact integer stats of the sampled
+    frames — the general-video sibling of ``GifFramePipeline``."""
+
+    def __init__(self, n_sample: int = 4):
+        self.n_sample = n_sample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict = {k: [] for k in (
+            "width", "height", "n_frames", "n_sampled",
+            "r_sum", "g_sum", "b_sum",
+        )}
+        for p in batch["payload"].to_pylist():
+            fr = decode_video(p)
+            nf, h, w, _ = fr.shape
+            k = min(self.n_sample, nf)
+            sel = [int(i * nf // k) for i in range(k)]
+            sub = fr[sel].astype(np.int64)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_frames"].append(nf)
+            cols["n_sampled"].append(k)
+            cols["r_sum"].append(int(sub[..., 0].sum()))
+            cols["g_sum"].append(int(sub[..., 1].sum()))
+            cols["b_sum"].append(int(sub[..., 2].sum()))
+        for name, vals in cols.items():
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        return batch
+
+
+def video_frame_features(ds, n_sample: int = 4, batch_size: int = 64,
+                         concurrency=(1, 4)):
+    """Wire the general video decode + frame-sample actor pool."""
+    return ds.map_batches(
+        VideoFramePipeline,
+        fn_constructor_kwargs={"n_sample": n_sample},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -981,6 +981,61 @@ def test_jpeg_color_subsampling_closed_form():
         assert np.array_equal(dec, exp), sub
 
 
+def test_avi_mjpeg_video_roundtrip(ray_session):
+    """The AVI/MJPEG container: RIFF walk + per-frame JPEG decode must
+    reproduce exactly what decode_jpeg gives on each frame payload
+    (incl. PROGRESSIVE frames); DecodeStub reports real video
+    dimensions and frame counts; the frame-sample pipeline matches an
+    independent numpy recomputation; non-MJPEG streams refuse by
+    fourcc."""
+    import pytest
+
+    rng = np.random.RandomState(4)
+    frames = [rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+              for _ in range(3)]
+    jps = [multimodal.encode_jpeg(f, quality=90) for f in frames]
+    jps.append(multimodal.encode_jpeg_progressive(frames[0], quality=90))
+    avi = multimodal.encode_avi_mjpeg(jps, 32, 24)
+    dec = multimodal.decode_avi_mjpeg(avi)
+    exp = np.stack([multimodal.decode_jpeg(j) for j in jps])
+    assert np.array_equal(dec, exp) and dec.shape == (4, 24, 32, 3)
+    # DecodeStub: real (w, h, n_frames) for AVI without fake mode
+    tbl = multimodal.synthetic_avi_media_table(8)
+    out = multimodal.DecodeStub(fake=False)(tbl)
+    for i in range(8):
+        assert out["n_frames"][i].as_py() == 2 + i % 4
+        assert out["width"][i].as_py() == 8 * (2 + (i * 3) % 4)
+    # pipeline stats vs independent numpy recomputation
+    got = {
+        r["media_id"]: (r["n_frames"], r["n_sampled"],
+                        r["r_sum"], r["g_sum"], r["b_sum"])
+        for r in multimodal.video_frame_features(
+            ray.data.from_arrow(tbl)
+        ).take_all()
+    }
+    for i in range(8):
+        w, h, nf = 8 * (2 + (i * 3) % 4), 8 * (2 + (i * 5) % 4), 2 + i % 4
+        k = min(4, nf)
+        tot = 0
+        for s in range(k):
+            f = s * nf // k
+            by, bx = np.mgrid[0: h // 8, 0: w // 8]
+            v = (37 * i + 11 * f + 17 * bx + 29 * by) % 256
+            rv = np.clip(
+                3 * np.round((v - 128) / 3.0).astype(np.int64) + 128, 0, 255
+            )
+            tot += int(64 * rv.sum())
+        assert got[f"v{i:04d}"] == (nf, k, tot, tot, tot), i
+    # contract: a foreign video codec refuses by fourcc
+    bad = bytearray(avi)
+    idx = bad.find(b"vidsMJPG")
+    bad[idx + 4: idx + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        multimodal.decode_avi_mjpeg(bytes(bad))
+    with pytest.raises(ValueError, match="not an AVI"):
+        multimodal.decode_avi_mjpeg(b"RIFFxxxxWAVE")
+
+
 def test_jpeg_progressive_parity():
     """Progressive (SOF2) decode is bit-identical to baseline decode of
     the SAME quantized coefficients — the encoder emits the full
