@@ -1875,6 +1875,25 @@ def q_png_media_features(sf_dir: str):
     )
 
 
+def q_g711_audio_features(sf_dir: str):
+    """REAL compressed-telephony-audio decode: G.711 mu-law/A-law WAV
+    clips (8-bit companded, the codec of phone systems everywhere)
+    expanded by the engine's exact CCITT integer arithmetic, then the
+    same numpy DSP as wav_audio_features; hash-checked — the corpus's
+    companded BYTES are formula-generated, so `_g711_audio_sql`
+    re-derives every expanded sample with integer SQL and recomputes
+    RMS/ZC/peak itself (FFT columns excluded — arbitrary waveforms have
+    no closed-form dominant bin)."""
+    ds = rd.from_arrow(multimodal.synthetic_g711_media_table(32))
+    out = multimodal.audio_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "sample_rate", "n_samples", "n_channels",
+             "duration_ms", "rms_milli", "zero_crossings", "peak"]
+        )
+    )
+
+
 def q_jpeg_media_features(sf_dir: str):
     """REAL baseline-JPEG decode with no external codec: deterministic
     grayscale block-constant JFIF images (every third with restart
@@ -5005,6 +5024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_media_features": q_jpeg_media_features,
         "gif_frame_features": q_gif_frame_features,
         "avi_frame_features": q_avi_frame_features,
+        "g711_audio_features": q_g711_audio_features,
         # REAL decode + DSP, bin-aligned-tone oracle: SQL re-derives the
         # quantized samples and computes RMS/ZC/peak itself (margins
         # measured in _wav_audio_sql)
@@ -5318,6 +5338,83 @@ def _gif_media_sql() -> str:
                    h AS height, nf AS n_frames, k AS n_sampled,
                    r_sum, g_sum, b_sum
             FROM sums
+        """
+
+
+def _g711_audio_sql() -> str:
+    """Integer-SQL mirror of the G.711 expansion + DSP: companded byte
+    b(i,t) from the corpus formula; mu-law sample = +-(((u%16)*8+132)
+    << ((u//16)%8)) - 132 with u = 255-b (CCITT arithmetic); A-law via
+    the xor-0x55 segment form. RMS uses the exact integer sum of
+    squared channel-sums (mix = sv/nc), so both engines feed SQRT the
+    same rational; the .5-distance of every 1000*rms is asserted in
+    tests (min margin measured, not assumed). ZC via LAG over the
+    nonzero mix signs."""
+    return """
+            WITH s AS (
+              SELECT CAST(t.i AS BIGINT) AS i
+              FROM UNNEST(generate_series(0, 31)) t(i)
+            ), samp AS (
+              SELECT s.i, tt.t,
+                     CASE WHEN s.i % 2 = 0
+                          THEN (7 * s.i + 13 * tt.t) % 256
+                          ELSE (11 * s.i + 17 * tt.t) % 256 END AS b0
+              FROM s, UNNEST(generate_series(0, 1023)) tt(t)
+            ), chans AS (
+              SELECT i, t, b0 AS b FROM samp
+              UNION ALL
+              SELECT i, t, (b0 + 1) % 256 AS b FROM samp WHERE i % 4 = 0
+            ), lin AS (
+              SELECT i, t,
+                CASE WHEN i % 2 = 0 THEN
+                  CASE WHEN (255 - b) >= 128
+                    THEN 132 - (((255 - b) % 16) * 8 + 132)
+                         * (1 << (((255 - b) // 16) % 8))
+                    ELSE (((255 - b) % 16) * 8 + 132)
+                         * (1 << (((255 - b) // 16) % 8)) - 132 END
+                ELSE
+                  CASE WHEN xor(b, 85) >= 128 THEN
+                    CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                      THEN (xor(b, 85) % 16) * 16 + 8
+                      ELSE ((xor(b, 85) % 16) * 16 + 264)
+                           * (1 << (((xor(b, 85) // 16) % 8) - 1)) END
+                  ELSE
+                    -(CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                        THEN (xor(b, 85) % 16) * 16 + 8
+                        ELSE ((xor(b, 85) % 16) * 16 + 264)
+                             * (1 << (((xor(b, 85) // 16) % 8) - 1)) END)
+                  END
+                END AS v
+              FROM chans
+            ), mix AS (
+              SELECT i, t, SUM(v) AS sv, COUNT(*) AS nc
+              FROM lin GROUP BY 1, 2
+            ), agg AS (
+              SELECT i, SUM(CAST(sv AS DOUBLE) * sv) AS ss, MAX(nc) AS nc
+              FROM mix GROUP BY 1
+            ), pk AS (
+              SELECT i, MAX(ABS(v)) AS peak FROM lin GROUP BY 1
+            ), nzs AS (
+              SELECT i, t, CASE WHEN sv > 0 THEN 1 ELSE -1 END AS sg
+              FROM mix WHERE sv <> 0
+            ), zc AS (
+              SELECT i, SUM(CASE WHEN sg <> prev THEN 1 ELSE 0 END) AS z
+              FROM (SELECT i, sg,
+                           LAG(sg) OVER (PARTITION BY i ORDER BY t) AS prev
+                    FROM nzs)
+              WHERE prev IS NOT NULL GROUP BY 1
+            )
+            SELECT format('t{:04d}', agg.i) AS media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(1024 AS BIGINT) AS n_samples,
+                   CAST(agg.nc AS BIGINT) AS n_channels,
+                   CAST(128 AS BIGINT) AS duration_ms,
+                   CAST(ROUND(1000 * SQRT(agg.ss / (agg.nc * agg.nc)
+                                          / 1024)) AS BIGINT) AS rms_milli,
+                   CAST(COALESCE(zc.z, 0) AS BIGINT) AS zero_crossings,
+                   CAST(pk.peak AS BIGINT) AS peak
+            FROM agg JOIN pk ON pk.i = agg.i
+            LEFT JOIN zc ON zc.i = agg.i
         """
 
 
@@ -6155,6 +6252,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_media_features": _jpeg_media_sql(),
         "gif_frame_features": _gif_media_sql(),
         "avi_frame_features": _avi_media_sql(),
+        "g711_audio_features": _g711_audio_sql(),
         "wav_audio_features": _wav_audio_sql(),
         "embedding_dedup": _embedding_dedup_sql(
             threshold=0.4, n_bands=32, band_bits=8, dim=64

@@ -649,16 +649,38 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return _WAV_RIFF + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM16 WAV bytes -> ((n, channels) int16 array, sample_rate).
+def mulaw_expand(b: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear sample (classic CCITT reference
+    arithmetic, public domain g711.c): pure integer shifts, so a SQL
+    oracle reproduces every sample exactly."""
+    u = (~b.astype(np.int64)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
 
-    Walks the RIFF chunk list (tolerating extra chunks like LIST/fact);
-    raises ValueError on non-RIFF input or non-PCM16 encodings.
+
+def alaw_expand(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte -> linear sample (CCITT reference arithmetic):
+    sign bit SET is positive, per the spec's even-bit inversion."""
+    a = b.astype(np.int64) ^ 0x55
+    m = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, m + 8, (m + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n, channels) int16 array, sample_rate).
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST/fact).
+    Codecs: 1 = PCM16; 6 = G.711 A-law; 7 = G.711 mu-law (8-bit
+    companded telephony audio, expanded via the exact CCITT integer
+    arithmetic). Anything else raises ValueError naming the codec.
     """
     if payload[:4] != _WAV_RIFF or payload[8:12] != _WAV_WAVE:
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
-    rate = ch = bits = None
+    rate = ch = bits = codec = None
     data = None
     while pos + 8 <= end:
         tag = payload[pos:pos + 4]
@@ -666,18 +688,24 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
             codec, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if codec != 1 or bits != 16:
+            if not ((codec == 1 and bits == 16)
+                    or (codec in (6, 7) and bits == 8)):
                 raise ValueError(
                     f"unsupported WAV encoding (codec={codec}, bits={bits}); "
-                    "only PCM16 decodes here"
+                    "PCM16 and 8-bit G.711 A-law/mu-law decode here "
+                    "(compressed codecs like MP3/AAC need ffmpeg)"
                 )
         elif tag == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    arr = np.frombuffer(data, dtype="<i2")
-    return arr.reshape(-1, ch).astype(np.int16), int(rate)
+    if codec == 1:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        arr = mulaw_expand(raw) if codec == 7 else alaw_expand(raw)
+    return arr.reshape(-1, ch), int(rate)
 
 
 class AudioFeaturePipeline:
@@ -2306,4 +2334,52 @@ def video_frame_features(ds, n_sample: int = 4, batch_size: int = 64,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def encode_wav_g711(companded: np.ndarray, rate: int, law: str) -> bytes:
+    """uint8 companded samples, (n,) mono or (n, ch) -> G.711 WAV bytes
+    (codec 7 = mu-law, 6 = A-law; 8 bits per sample)."""
+    if companded.ndim == 1:
+        companded = companded[:, None]
+    assert companded.dtype == np.uint8
+    n, ch = companded.shape
+    codec = {"mulaw": 7, "alaw": 6}[law]
+    data = np.ascontiguousarray(companded).tobytes()
+    fmt = struct.pack("<HHIIHH", codec, ch, rate, rate * ch, ch, 8)
+    body = (
+        _WAV_WAVE
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def synthetic_g711_media_table(n: int = 32) -> pa.Table:
+    """Deterministic G.711 telephony-audio corpus: companded BYTES come
+    straight from the formula ``(7i + 13t) % 256`` (mu-law clips) or
+    ``(11i + 17t) % 256`` (A-law clips, alternating), 1024 samples at
+    8 kHz — so the expansion arithmetic, not a lossy compress step, is
+    what the oracle re-derives. Every fourth clip is stereo (the second
+    channel offset by +1 before the modulus)."""
+    payloads = []
+    rate, ns = 8000, 1024
+    t = np.arange(ns, dtype=np.int64)
+    for i in range(n):
+        law = "mulaw" if i % 2 == 0 else "alaw"
+        base = (7 * i + 13 * t) % 256 if law == "mulaw" \
+            else (11 * i + 17 * t) % 256
+        if i % 4 == 0:
+            comp = np.stack([base, (base + 1) % 256], axis=1)
+        else:
+            comp = base[:, None]
+        payloads.append(encode_wav_g711(comp.astype(np.uint8), rate, law))
+    return pa.table(
+        {
+            "media_id": pa.array([f"t{i:04d}" for i in range(n)]),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/basic"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
     )

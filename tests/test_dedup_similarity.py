@@ -981,6 +981,57 @@ def test_jpeg_color_subsampling_closed_form():
         assert np.array_equal(dec, exp), sub
 
 
+def test_g711_expansion_tables_and_margins(ray_session):
+    """G.711 expansion matches the canonical CCITT values (mu-law 0x80
+    -> +32124, 0x00 -> -32124, 0xFF/0x7F -> 0; A-law 0xAA -> +32256,
+    0x55 -> -8), full companding lattice is symmetric, the WAV codec-6/7
+    path decodes end-to-end, and every corpus clip's 1000*rms sits far
+    from a .5 rounding boundary (so the SQL mirror's exact-integer
+    route and numpy's float route round identically)."""
+    import pytest
+
+    mu = multimodal.mulaw_expand(np.arange(256, dtype=np.uint8))
+    al = multimodal.alaw_expand(np.arange(256, dtype=np.uint8))
+    assert (int(mu[0x80]), int(mu[0x00])) == (32124, -32124)
+    assert int(mu[0xFF]) == 0 and int(mu[0x7F]) == 0
+    assert (int(al[0xAA]), int(al[0x55])) == (32256, -8)
+    # sign symmetry: flipping the sign bit negates (mu: exact; A-law:
+    # sign-bit-SET positive)
+    assert np.array_equal(mu[: 128], -mu[128:])
+    assert np.array_equal(al[np.arange(128)],
+                          -al[np.arange(128) + 128])
+    # end-to-end WAV decode + pipeline vs direct expansion
+    tbl = multimodal.synthetic_g711_media_table(8)
+    rows = {r["media_id"]: r for r in multimodal.audio_features(
+        ray.data.from_arrow(tbl)).take_all()}
+    t = np.arange(1024, dtype=np.int64)
+    for i in range(8):
+        law_mu = i % 2 == 0
+        base = (7 * i + 13 * t) % 256 if law_mu else (11 * i + 17 * t) % 256
+        expand = multimodal.mulaw_expand if law_mu else multimodal.alaw_expand
+        chans = [expand(base.astype(np.uint8)).astype(np.int64)]
+        if i % 4 == 0:
+            chans.append(expand(((base + 1) % 256).astype(np.uint8))
+                         .astype(np.int64))
+        arr = np.stack(chans, axis=1)
+        r = rows[f"t{i:04d}"]
+        assert r["n_channels"] == len(chans) and r["sample_rate"] == 8000
+        assert r["peak"] == int(np.abs(arr).max())
+        mix = arr.mean(axis=1)
+        rms1000 = 1000 * float(np.sqrt(np.mean(mix * mix)))
+        assert r["rms_milli"] == int(round(rms1000))
+        # rounding margin: distance to the nearest .5 boundary must
+        # dwarf any float-summation ulp drift between engines
+        assert abs((rms1000 % 1.0) - 0.5) > 1e-3, i
+    # contract: unknown codecs raise naming the codec
+    bad = bytearray(multimodal.encode_wav_g711(
+        np.zeros(8, np.uint8), 8000, "mulaw"))
+    fmt = bad.find(b"fmt ") + 8
+    bad[fmt:fmt + 2] = (85).to_bytes(2, "little")  # MPEG Layer 3
+    with pytest.raises(ValueError, match="codec=85"):
+        multimodal.decode_wav(bytes(bad))
+
+
 def test_avi_mjpeg_video_roundtrip(ray_session):
     """The AVI/MJPEG container: RIFF walk + per-frame JPEG decode must
     reproduce exactly what decode_jpeg gives on each frame payload
