@@ -13,10 +13,15 @@ Stage map (reference -> kgray):
   tables       CREATE_TABLES  _schema.json + Kuzu DDL + Cypher cast map
   compact      (maintenance) fold delta-appended small files per partition
   release      training-corpus release: clean -> leak-free split -> hive
-  query        SPARQL-subset BGP SELECT over a built graph's edge
-               partitions (the A7 runbook-query analog: the reference's
-               users run Cypher against the loaded DB; kgray users run
-               this against the Parquet layout without any DB load)
+  query        SPARQL over a built graph's edge partitions (the A7
+               runbook-query analog: the reference's users run Cypher
+               against the loaded DB; kgray users run this against the
+               Parquet layout without any DB load). Two grammars:
+               --sparql takes SPARQL text (SELECT/ASK/CONSTRUCT/
+               DESCRIBE, OPTIONAL/MINUS/FILTER [NOT] EXISTS/VALUES/
+               BIND/UNION/subselects, property paths, aggregates with
+               GROUP BY/HAVING/ORDER BY/LIMIT); --bgp + modifier flags
+               take the equivalent JSON structures
   all          the full checkpointed pipeline (resumable; default)
 
 Every stage is resumable: rerunning skips work whose manifest fingerprint
