@@ -1293,7 +1293,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     restart = 0
     coeff: dict = {}
-    eobrun = 0
     hmax = vmax = mcux = mcuy = 0
     pos = 2
     n = len(payload)
@@ -1377,7 +1376,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         break
                 else:
                     raise ValueError("jpeg: scan names unknown component")
-            eobrun = 0
             pos = _jpeg_decode_scan(
                 payload, pos, order, coeff, huff_dc, huff_ac,
                 ss, se, ah, al, restart, progressive,
