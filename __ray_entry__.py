@@ -1894,6 +1894,25 @@ def q_g711_audio_features(sf_dir: str):
     )
 
 
+def q_adpcm_audio_features(sf_dir: str):
+    """REAL compressed-audio decode #2: mono IMA/DVI ADPCM WAV (4-bit,
+    4:1 compression, WAV codec 17) decoded by the engine's integer
+    predictor/step-index state machine, then the shared numpy DSP;
+    hash-checked — the corpus nibbles are formula-generated, so
+    `_adpcm_audio_sql` REPLAYS the whole state machine in a recursive
+    CTE (89-entry step table joined per round, clamps via
+    GREATEST/LEAST) and recomputes RMS/ZC/peak from the replayed
+    samples."""
+    ds = rd.from_arrow(multimodal.synthetic_adpcm_media_table(16))
+    out = multimodal.audio_features(ds)
+    return _table(
+        out.select_columns(
+            ["media_id", "sample_rate", "n_samples", "n_channels",
+             "duration_ms", "rms_milli", "zero_crossings", "peak"]
+        )
+    )
+
+
 def q_jpeg_media_features(sf_dir: str):
     """REAL baseline-JPEG decode with no external codec: deterministic
     grayscale block-constant JFIF images (every third with restart
@@ -5025,6 +5044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_frame_features": q_gif_frame_features,
         "avi_frame_features": q_avi_frame_features,
         "g711_audio_features": q_g711_audio_features,
+        "adpcm_audio_features": q_adpcm_audio_features,
         # REAL decode + DSP, bin-aligned-tone oracle: SQL re-derives the
         # quantized samples and computes RMS/ZC/peak itself (margins
         # measured in _wav_audio_sql)
@@ -5415,6 +5435,76 @@ def _g711_audio_sql() -> str:
                    CAST(pk.peak AS BIGINT) AS peak
             FROM agg JOIN pk ON pk.i = agg.i
             LEFT JOIN zc ON zc.i = agg.i
+        """
+
+
+def _adpcm_audio_sql() -> str:
+    """Recursive-CTE mirror of the IMA ADPCM decode: the state machine
+    (predictor, step index) advances one nibble per recursion round for
+    every (clip, block) in parallel, joining the 89-entry step table,
+    with the exact integer vpdiff shifts and GREATEST/LEAST clamps of
+    the reference arithmetic; samples are the predictor trace (block
+    header = sample 0). DSP recomputed from the replayed samples."""
+    import kgray.multimodal as _mm
+
+    steps = ", ".join(
+        f"({k}, {int(v)})" for k, v in enumerate(_mm._IMA_STEP_TABLE)
+    )
+    nib = "((3 * s.i + 5 * s.blk + 11 * (s.t + 1)) % 16)"
+    return f"""
+            WITH RECURSIVE steps(k, v) AS (VALUES {steps}),
+            clips AS (
+              SELECT CAST(c.i AS BIGINT) AS i, CAST(b.blk AS BIGINT) AS blk
+              FROM UNNEST(generate_series(0, 15)) c(i),
+                   UNNEST(generate_series(0, 1)) b(blk)
+            ),
+            state(i, blk, t, pred, idx) AS (
+              SELECT i, blk, CAST(-1 AS BIGINT),
+                     CAST((997 * i + 313 * blk) % 60000 - 30000 AS BIGINT),
+                     CAST((5 * i + 7 * blk) % 89 AS BIGINT)
+              FROM clips
+              UNION ALL
+              SELECT s.i, s.blk, s.t + 1,
+                     GREATEST(-32768, LEAST(32767, s.pred
+                       + (CASE WHEN {nib} >= 8 THEN -1 ELSE 1 END)
+                         * ((st.v >> 3)
+                            + CASE WHEN ({nib} % 8) >= 4
+                                   THEN st.v ELSE 0 END
+                            + CASE WHEN ({nib} % 4) >= 2
+                                   THEN st.v >> 1 ELSE 0 END
+                            + CASE WHEN ({nib} % 2) = 1
+                                   THEN st.v >> 2 ELSE 0 END))),
+                     GREATEST(0, LEAST(88, s.idx
+                       + CASE ({nib} % 8) WHEN 4 THEN 2 WHEN 5 THEN 4
+                              WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END))
+              FROM state s JOIN steps st ON st.k = s.idx
+              WHERE s.t < 127
+            ), samples AS (
+              SELECT i, blk * 129 + t + 1 AS pos, pred AS v FROM state
+            ), agg AS (
+              SELECT i, SUM(CAST(v AS DOUBLE) * v) AS ss,
+                     MAX(ABS(v)) AS peak
+              FROM samples GROUP BY 1
+            ), nzs AS (
+              SELECT i, pos, CASE WHEN v > 0 THEN 1 ELSE -1 END AS sg
+              FROM samples WHERE v <> 0
+            ), zc AS (
+              SELECT i, SUM(CASE WHEN sg <> prev THEN 1 ELSE 0 END) AS z
+              FROM (SELECT i, sg,
+                           LAG(sg) OVER (PARTITION BY i ORDER BY pos) AS prev
+                    FROM nzs)
+              WHERE prev IS NOT NULL GROUP BY 1
+            )
+            SELECT format('d{{:04d}}', agg.i) AS media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(258 AS BIGINT) AS n_samples,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(32 AS BIGINT) AS duration_ms,
+                   CAST(ROUND(1000 * SQRT(agg.ss / 258)) AS BIGINT)
+                     AS rms_milli,
+                   CAST(COALESCE(zc.z, 0) AS BIGINT) AS zero_crossings,
+                   CAST(agg.peak AS BIGINT) AS peak
+            FROM agg LEFT JOIN zc ON zc.i = agg.i
         """
 
 
@@ -6253,6 +6343,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_frame_features": _gif_media_sql(),
         "avi_frame_features": _avi_media_sql(),
         "g711_audio_features": _g711_audio_sql(),
+        "adpcm_audio_features": _adpcm_audio_sql(),
         "wav_audio_features": _wav_audio_sql(),
         "embedding_dedup": _embedding_dedup_sql(
             threshold=0.4, n_bands=32, band_bits=8, dim=64

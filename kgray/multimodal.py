@@ -675,25 +675,31 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     Walks the RIFF chunk list (tolerating extra chunks like LIST/fact).
     Codecs: 1 = PCM16; 6 = G.711 A-law; 7 = G.711 mu-law (8-bit
     companded telephony audio, expanded via the exact CCITT integer
-    arithmetic). Anything else raises ValueError naming the codec.
+    arithmetic); 17 = mono IMA/DVI ADPCM (4-bit, block-structured).
+    Anything else raises ValueError naming the codec.
     """
     if payload[:4] != _WAV_RIFF or payload[8:12] != _WAV_WAVE:
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     rate = ch = bits = codec = None
+    block_align = 0
     data = None
     while pos + 8 <= end:
         tag = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
-            codec, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            codec, ch, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
             if not ((codec == 1 and bits == 16)
-                    or (codec in (6, 7) and bits == 8)):
+                    or (codec in (6, 7) and bits == 8)
+                    or (codec == 17 and bits == 4 and ch == 1)):
                 raise ValueError(
-                    f"unsupported WAV encoding (codec={codec}, bits={bits}); "
-                    "PCM16 and 8-bit G.711 A-law/mu-law decode here "
-                    "(compressed codecs like MP3/AAC need ffmpeg)"
+                    f"unsupported WAV encoding (codec={codec}, bits={bits}, "
+                    f"channels={ch}); PCM16, 8-bit G.711 A-law/mu-law and "
+                    "mono IMA ADPCM decode here (perceptual codecs like "
+                    "MP3/AAC need ffmpeg)"
                 )
         elif tag == b"data":
             data = body
@@ -702,6 +708,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     if codec == 1:
         arr = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif codec == 17:
+        arr = ima_adpcm_decode(data, block_align)
     else:
         raw = np.frombuffer(data, dtype=np.uint8)
         arr = mulaw_expand(raw) if codec == 7 else alaw_expand(raw)
@@ -737,7 +745,9 @@ class AudioFeaturePipeline:
             cols["duration_ms"].append((1000 * n) // rate)
             cols["rms_milli"].append(int(round(1000 * rms)))
             cols["zero_crossings"].append(zc)
-            cols["peak"].append(int(np.abs(arr).max()) if n else 0)
+            cols["peak"].append(
+                int(np.abs(arr.astype(np.int64)).max()) if n else 0
+            )
             cols["dom_bin"].append(dom)
             cols["dom_freq_mhz"].append((dom * rate * 1000) // n if n else 0)
         for name, vals in cols.items():
@@ -2378,6 +2388,110 @@ def synthetic_g711_media_table(n: int = 32) -> pa.Table:
             "kind": pa.array(["audio"] * n),
             "payload": pa.array(payloads, type=pa.binary()),
             "mime": pa.array(["audio/basic"] * n),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV codec 17) — a REAL 4:1 compressed-audio codec: 4-bit
+# nibbles drive an integer predictor/step-index state machine (public IMA
+# spec / multimedia dvi-adpcm reference arithmetic). Pure integer shifts
+# and clamps, so a SQL oracle replays the whole state machine.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM data chunk -> int16 samples. Each block: 4-byte
+    header (predictor int16le, step index uint8, reserved) whose
+    predictor IS the first output sample, then (block_align - 4) bytes
+    of nibbles, LOW nibble first — the standard WAV layout."""
+    out = []
+    for base in range(0, len(data) - 3, block_align):
+        block = data[base: base + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"adpcm: step index {idx} out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEP_TABLE[idx])
+                vpdiff = step >> 3
+                if nib & 4:
+                    vpdiff += step
+                if nib & 2:
+                    vpdiff += step >> 1
+                if nib & 1:
+                    vpdiff += step >> 2
+                pred = pred - vpdiff if nib & 8 else pred + vpdiff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(_IMA_INDEX_TABLE[nib & 7])))
+                out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
+def encode_wav_adpcm(blocks: "list[tuple[int, int, bytes]]",
+                     rate: int, block_align: int) -> bytes:
+    """Assemble a mono IMA-ADPCM WAV from raw blocks of
+    ``(predictor, step_index, nibble_bytes)`` — the corpus generator's
+    entry point (payload-level, no lossy encode step to mirror)."""
+    data = b"".join(
+        struct.pack("<hBB", pred, idx, 0) + nibbles
+        for pred, idx, nibbles in blocks
+    )
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack("<HHIIHH", 17, 1, rate,
+                      rate * block_align // spb, block_align, 4)
+    # codec-17 fmt carries cbSize + samples-per-block extension
+    fmt += struct.pack("<HH", 2, spb)
+    body = (
+        _WAV_WAVE
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def synthetic_adpcm_media_table(n: int = 16) -> pa.Table:
+    """Deterministic IMA-ADPCM corpus: mono clips of 2 blocks at
+    block_align 68 (129 samples/block), header predictor
+    ``(997 * i + 313 * blk) % 60000 - 30000``, step index
+    ``(5 * i + 7 * blk) % 89``, nibble t of block blk =
+    ``(3i + 5blk + 11t) % 16`` — every decoded sample is a pure
+    function of (i, blk, t) that a recursive-CTE oracle replays."""
+    payloads = []
+    rate, ba = 8000, 68
+    for i in range(n):
+        blocks = []
+        for blk in range(2):
+            pred = (997 * i + 313 * blk) % 60000 - 30000
+            idx = (5 * i + 7 * blk) % 89
+            nibs = [(3 * i + 5 * blk + 11 * t) % 16
+                    for t in range((ba - 4) * 2)]
+            by = bytes(
+                nibs[2 * j] | (nibs[2 * j + 1] << 4)
+                for j in range(ba - 4)
+            )
+            blocks.append((pred, idx, by))
+        payloads.append(encode_wav_adpcm(blocks, rate, ba))
+    return pa.table(
+        {
+            "media_id": pa.array([f"d{i:04d}" for i in range(n)]),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/x-adpcm"] * n),
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )

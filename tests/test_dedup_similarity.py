@@ -1032,6 +1032,68 @@ def test_g711_expansion_tables_and_margins(ray_session):
         multimodal.decode_wav(bytes(bad))
 
 
+def test_ima_adpcm_state_machine(ray_session):
+    """IMA ADPCM decode vs an INDEPENDENT re-implementation of the
+    reference state machine (written here, not shared with the codec):
+    every sample of every corpus clip matches; both clamps engage;
+    rms rounding margins stay far from .5; bad step indices and
+    foreign codecs refuse."""
+    import pytest
+    import struct as _s
+
+    step_t = multimodal._IMA_STEP_TABLE
+    idx_t = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    def ref_decode(pred, idx, nibs):
+        out = [pred]
+        for nb in nibs:
+            st = int(step_t[idx])
+            d = st >> 3
+            if nb & 4:
+                d += st
+            if nb & 2:
+                d += st >> 1
+            if nb & 1:
+                d += st >> 2
+            pred = pred - d if nb & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + idx_t[nb & 7]))
+            out.append(pred)
+        return out
+
+    tbl = multimodal.synthetic_adpcm_media_table(6)
+    clamped_lo = clamped_hi = False
+    for i in range(6):
+        arr, rate = multimodal.decode_wav(tbl["payload"][i].as_py())
+        assert rate == 8000 and arr.shape == (258, 1)
+        want = []
+        for blk in range(2):
+            pred = (997 * i + 313 * blk) % 60000 - 30000
+            idx = (5 * i + 7 * blk) % 89
+            nibs = [(3 * i + 5 * blk + 11 * t) % 16 for t in range(128)]
+            want += ref_decode(pred, idx, nibs)
+        assert arr[:, 0].tolist() == want, i
+        clamped_lo |= min(want) == -32768
+        clamped_hi |= max(want) == 32767
+        # rms margin for the SQL mirror
+        mix = arr[:, 0].astype(np.float64)
+        rms1000 = 1000 * float(np.sqrt(np.mean(mix * mix)))
+        assert abs((rms1000 % 1.0) - 0.5) > 1e-3, i
+    assert clamped_lo and clamped_hi  # both clamps exercised
+    # contract: out-of-range step index, foreign codec
+    bad_blocks = [(0, 99, bytes(64))]
+    with pytest.raises(ValueError, match="step index"):
+        multimodal.decode_wav(
+            multimodal.encode_wav_adpcm(bad_blocks, 8000, 68)
+        )
+    raw = bytearray(multimodal.encode_wav_adpcm([(0, 0, bytes(64))],
+                                                8000, 68))
+    fmt = raw.find(b"fmt ") + 8
+    raw[fmt:fmt + 2] = _s.pack("<H", 2)  # MS ADPCM
+    with pytest.raises(ValueError, match="codec=2"):
+        multimodal.decode_wav(bytes(raw))
+
+
 def test_avi_mjpeg_video_roundtrip(ray_session):
     """The AVI/MJPEG container: RIFF walk + per-frame JPEG decode must
     reproduce exactly what decode_jpeg gives on each frame payload
