@@ -2442,6 +2442,25 @@ def q_link_pred_features(sf_dir: str):
     )
 
 
+def q_link_pred_capped(sf_dir: str):
+    """link_pred_features with the Zipf-scale max_middle_degree cap
+    ENGAGED (cap 12 prunes real middles at every SF) — proving the cap
+    mirrors exactly as the documented deg(middle) <= cap SQL filter
+    while endpoint degrees stay TRUE degrees; the skipped wedge audit
+    is pinned in tests/test_graphalgo.py."""
+    out = graphalgo.link_pred_features(
+        _canonical_int_edges(sf_dir), max_middle_degree=12,
+    )
+    return _table(
+        out,
+        schema=pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64()),
+             ("pref_attach", pa.int64()), ("jaccard_ppm", pa.int64()),
+             ("ra_ppm", pa.int64())]
+        ),
+    )
+
+
 _WALK_CORPUS_CACHE: dict = {}
 
 
@@ -4950,6 +4969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graphsage_sample": q_graphsage_sample,
         "metapath_counts": q_metapath_counts,
         "link_pred_features": q_link_pred_features,
+        "link_pred_capped": q_link_pred_capped,
         "triangle_count": q_triangle_count,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -6888,6 +6908,32 @@ def oracle_sql() -> dict[str, str]:
                    preds[CAST(po AS INT) + 1] AS p2,
                    CAST(SUM(n1 * n2) AS BIGINT) AS n_paths
             FROM ic JOIN oc USING (v), consts GROUP BY 1, 2
+        """,
+        "link_pred_capped": f"""{_SQL_PREFIX},
+            {_SQL_LINKED.strip()},
+            e0 AS (SELECT DISTINCT least(s - s % 2, o - o % 2) AS a,
+                                   greatest(s - s % 2, o - o % 2) AS b
+                   FROM linked WHERE (s - s % 2) <> (o - o % 2)),
+            adj AS (SELECT a AS v, b AS w FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
+            cnt AS (
+              SELECT x.w AS u, y.w AS v2, CAST(COUNT(*) AS BIGINT) AS cn,
+                     CAST(SUM(1000000 // dm.d) AS BIGINT) AS ra
+              FROM adj x
+              JOIN adj y ON x.v = y.v AND x.w < y.w
+              JOIN deg dm ON dm.v = x.v
+              WHERE dm.d <= 12  -- the mirrored max_middle_degree cap
+              GROUP BY 1, 2
+            )
+            SELECT c.u AS u, c.v2 AS v, c.cn AS cn,
+                   CAST(da.d * db.d AS BIGINT) AS pref_attach,
+                   CAST((1000000 * c.cn) // (da.d + db.d - c.cn) AS BIGINT)
+                     AS jaccard_ppm,
+                   c.ra AS ra_ppm
+            FROM cnt c
+            JOIN deg da ON da.v = c.u
+            JOIN deg db ON db.v = c.v2
         """,
         "link_pred_features": f"""{_SQL_PREFIX},
             {_SQL_LINKED.strip()},

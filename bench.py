@@ -123,7 +123,7 @@ def run_bench() -> dict:
             "node2vec_skipgram", "jpeg_media_features", "gif_frame_features",
             "sparql_select", "approx_distinct_users", "sparql_union",
             "avi_frame_features", "g711_audio_features",
-            "adpcm_audio_features",
+            "adpcm_audio_features", "link_pred_capped",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()
