@@ -2444,10 +2444,13 @@ def q_link_pred_features(sf_dir: str):
 
 def q_link_pred_capped(sf_dir: str):
     """link_pred_features with the Zipf-scale max_middle_degree cap
-    ENGAGED (cap 12 prunes real middles at every SF) — proving the cap
-    mirrors exactly as the documented deg(middle) <= cap SQL filter
-    while endpoint degrees stay TRUE degrees; the skipped wedge audit
-    is pinned in tests/test_graphalgo.py."""
+    ENGAGED — proving the cap mirrors exactly as the documented
+    deg(middle) <= cap SQL filter while endpoint degrees stay TRUE
+    degrees. Cap 12 prunes real middles at sf0.001/sf0.01 (the driver
+    gate; 11008 of 11832 pairs survive at sf0.001); the denser sf0.1
+    canonical graph (min degree 26) excludes EVERY middle, and both
+    engines agree on the empty result — the all-excluded guard skips
+    the wedge join outright. Audit pinned in tests/test_graphalgo.py."""
     out = graphalgo.link_pred_features(
         _canonical_int_edges(sf_dir), max_middle_degree=12,
     )

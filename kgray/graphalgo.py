@@ -2381,7 +2381,11 @@ def link_pred_features(
             batch_format="pyarrow",
         ), "v", "node", ["dmid"],
     )
-    if excluded:
+    # an aggressive cap on a dense graph can exclude EVERY middle —
+    # skip the wedge join outright then (a join over all-empty filtered
+    # sides is both wasted work and fragile on zero-row partitions)
+    all_excluded = excluded and len(excluded) >= deg.count()
+    if excluded and not all_excluded:
         excl = pa.array(sorted(excluded), pa.int64())
 
         def drop_hot(t: pa.Table, _col: str, _ex=excl) -> pa.Table:
@@ -2398,15 +2402,6 @@ def link_pred_features(
         )
     else:
         adj_right = adj
-    wedges = adj_d.join(
-        adj_right.map_batches(
-            lambda t: pa.table({"v2": _chunked(t["v"]), "w2": _chunked(t["w"])}),
-            batch_format="pyarrow",
-        ),
-        join_type="inner",
-        num_partitions=_clamp_partitions(num_partitions, adj.count()),
-        on=("v",), right_on=("v2",),
-    )
 
     def pair_partial(t: pa.Table) -> pa.Table:
         keep = pc.less(_chunked(t["w"]), _chunked(t["w2"]))
@@ -2422,7 +2417,25 @@ def link_pred_features(
             [(["u"], "count"), (["ra"], "sum")]
         ).rename_columns(["u", "v", "cn", "ra"])
 
-    partials = wedges.map_batches(pair_partial, batch_format="pyarrow")
+    _empty_partials = pa.table({
+        "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+        "cn": pa.array([], pa.int64()), "ra": pa.array([], pa.int64()),
+    })
+    if all_excluded:
+        partials = ray.data.from_arrow(_empty_partials)
+    else:
+        wedges = adj_d.join(
+            adj_right.map_batches(
+                lambda t: pa.table(
+                    {"v2": _chunked(t["v"]), "w2": _chunked(t["w"])}
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=_clamp_partitions(num_partitions, adj.count()),
+            on=("v",), right_on=("v2",),
+        )
+        partials = wedges.map_batches(pair_partial, batch_format="pyarrow")
 
     if hot_mids:
         # stage each hot hub's sorted neighbor array in the object store

@@ -544,6 +544,21 @@ class TestLinkPredFeatures:
         assert audit["capped_wedges"] == 100 * 99 // 2
         assert audit["hot_chunked_middles"] == 0
 
+    def test_all_middles_capped_yields_empty(self):
+        """A cap below EVERY node's degree (a dense graph) excludes all
+        middles: the wedge join is skipped outright (no fragile
+        all-empty join) and the result is an empty, well-schemaed
+        dataset with the full wedge count audited."""
+        # K5: every node has degree 4
+        edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        out, audit = graphalgo.link_pred_features(
+            _edges_ds(edges), max_middle_degree=3, return_audit=True,
+        )
+        assert out.count() == 0
+        assert audit["capped_middles"] == 5
+        assert audit["capped_wedges"] == 5 * (4 * 3 // 2)
+        assert self._ref(edges, cap=3) == {}
+
     def test_planted_10k_hub_completes_bounded(self):
         """A 10k-degree celebrity middle: with a cap the quadratic
         wedge set (~5e7 pairs) is never materialized anywhere — the
