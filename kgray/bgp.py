@@ -101,9 +101,24 @@ def _pattern_spec(pattern):
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p_term = pattern[1]
     if not _is_var(p_term) and isinstance(p_term, str):
-        if len(p_term) > 1 and p_term[0] == "<" and p_term[-1] == ">":
-            # SPARQL IRI escape: constant predicate, never a path
+        if (
+            len(p_term) > 1 and p_term[0] == "<" and p_term[-1] == ">"
+            and ">" not in p_term[1:-1]
+        ):
+            # SPARQL IRI escape: exactly ONE <...> wrap is a constant
+            # predicate, never a path. A multi-IRI expression like
+            # '<http://x/p>/<http://y/q>' also starts with '<' and ends
+            # with '>' but has an inner '>', so it falls through to the
+            # path branch below instead of being silently glued into
+            # one bogus constant.
             return None, _SLOTS, (pattern[0], p_term[1:-1], pattern[2])
+        if "<" in p_term or ">" in p_term:
+            # bracketed IRI(s) inside a path expression — '<a>/<b>',
+            # '^<a>', '<a>+', '!<a>|<b>' ... Parse eagerly so a
+            # malformed bracket mix raises HERE with the grammar error
+            # rather than matching nothing downstream.
+            _parse_path(p_term)
+            return p_term, ("subject", "object"), (pattern[0], pattern[2])
         if p_term.startswith("!") or any(c in p_term for c in "+|^*?/"):
             if "://" in p_term:
                 raise ValueError(
@@ -277,31 +292,46 @@ def _parse_path(expr: str):
     alternation: ``!p1|p2`` matches any triple whose predicate is in
     NEITHER set member (forward direction only; no inverse members, no
     sequences, no trailing modifier) ->
-    ``('!', [[(pred, 'subject', 'object')], ...])``."""
+    ``('!', [[(pred, 'subject', 'object')], ...])``.
+
+    Any atom may be a ``<...>``-bracketed full IRI (SPARQL's iri
+    production): ``<http://x/p>/<http://y/q>``, ``^<http://x/p>``,
+    ``!<http://x/p>|q``. Separators inside brackets are literal IRI
+    characters; splitting happens only at bracket depth 0, and the
+    brackets are stripped from the emitted predicate."""
     if expr.startswith("!"):
-        preds = expr[1:].split("|")
-        if not all(preds) or any(
-            c in p for p in preds for c in "+|^*?!/"
-        ):
-            raise ValueError(
-                f"unsupported negated property set {expr!r} — grammar is "
-                "!pred or !p1|p2 (forward only, no modifiers, no sequences)"
-            )
-        return "!", [[(p, "subject", "object")] for p in preds]
+        preds = _split_depth0(expr[1:], "|")
+        members = []
+        for p in preds:
+            pred, bracketed = _iri_unwrap(p, expr)
+            if not pred or (
+                not bracketed and any(c in pred for c in "+|^*?!/")
+            ):
+                raise ValueError(
+                    f"unsupported negated property set {expr!r} — "
+                    "grammar is !pred or !p1|p2 (forward only, no "
+                    "modifiers, no sequences; wrap full IRIs in <...>)"
+                )
+            members.append(pred)
+        return "!", [[(p, "subject", "object")] for p in members]
     modifier = expr[-1] if expr and expr[-1] in "+*?" else None
     body = expr[:-1] if modifier else expr
     alts = []
-    for alt in body.split("|"):
+    for alt in _split_depth0(body, "|"):
         steps = []
-        for step in alt.split("/"):
+        for step in _split_depth0(alt, "/"):
             inverse = step.startswith("^")
             pred = step[1:] if inverse else step
-            if not pred or any(c in pred for c in "+|^*?!/"):
+            pred, bracketed = _iri_unwrap(pred, expr)
+            if not pred or (
+                not bracketed and any(c in pred for c in "+|^*?!/")
+            ):
                 raise ValueError(
                     f"unsupported property path {expr!r} — grammar is "
                     "step ::= pred | ^pred, '/'-sequences, "
                     "'|'-alternation over sequences, one trailing "
-                    "'+'/'*'/'?', or a leading '!' negated set"
+                    "'+'/'*'/'?', or a leading '!' negated set "
+                    "(wrap full IRIs in <...>)"
                 )
             s_col, o_col = (
                 ("object", "subject") if inverse else ("subject", "object")
@@ -309,6 +339,51 @@ def _parse_path(expr: str):
             steps.append((pred, s_col, o_col))
         alts.append(steps)
     return modifier, alts
+
+
+def _split_depth0(s: str, sep: str) -> list:
+    """Split ``s`` on ``sep`` only OUTSIDE ``<...>`` brackets, so IRI
+    bodies keep their '/' and '|' characters."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(
+                    f"unbalanced '>' in property path segment {s!r}"
+                )
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced '<' in property path segment {s!r}")
+    parts.append("".join(cur))
+    return parts
+
+
+def _iri_unwrap(pred: str, expr: str) -> "tuple[str, bool]":
+    """Strip one ``<...>`` wrap from a path atom -> (predicate,
+    was_bracketed). A stray bracket anywhere else is malformed."""
+    if pred.startswith("<"):
+        if (
+            not pred.endswith(">") or len(pred) < 3
+            or "<" in pred[1:-1] or ">" in pred[1:-1]
+        ):
+            raise ValueError(
+                f"malformed bracketed IRI {pred!r} in property path "
+                f"{expr!r} — each atom must be exactly one <...> wrap"
+            )
+        return pred[1:-1], True
+    if "<" in pred or ">" in pred:
+        raise ValueError(
+            f"stray bracket in property-path atom {pred!r} of {expr!r} "
+            "— full IRIs must be wrapped as <iri> whole-atom"
+        )
+    return pred, False
 
 
 def _pattern_relation(

@@ -447,3 +447,143 @@ def write_feather(ds, out_dir: str, compression: str = "zstd"):
         return pa.table({"path": [path], "rows": [t.num_rows]})
 
     return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-archive (tar / WebDataset) media ingestion — how real multimodal
+# training corpora ship: thousands of .tar shards, each holding adjacent
+# members  key.jpg / key.json / key.cls ...  (the WebDataset convention:
+# the sample key is the member basename up to the FIRST dot, the rest is
+# the suffix/column). No reference anchor (the reference is text-only);
+# builder-brief item. The shard is the unit of parallelism AND of resume,
+# exactly like the reference's sharded-CSV discipline — scale by adding
+# shards, never by growing one.
+# ---------------------------------------------------------------------------
+
+
+def read_tar_shards(paths, suffixes=None, include_shard: bool = True):
+    """Tar/WebDataset source: each shard arrives as ONE
+    ``read_binary_files`` row and is walked in a task by stdlib
+    ``tarfile`` (``r:*`` — plain or gzipped), grouping members into
+    samples by the WebDataset key rule (basename up to the first dot).
+    Returns rows ``(shard, key, <one binary column per suffix>)``.
+
+    ``suffixes``: pass the expected member suffixes (e.g. ``("jpg",
+    "json")``) for a STABLE cross-shard schema — members outside the
+    set are never extracted (suffix pruning: the tar walk skips their
+    bytes), and a sample missing a requested suffix gets null. With
+    ``suffixes=None`` the columns are inferred per shard — fine for a
+    homogeneous corpus, but heterogeneous shards then produce blocks
+    with differing schemas, so prefer explicit suffixes in pipelines.
+
+    Scale notes: one task per shard bounds per-task heap to one
+    decoded shard (shard your corpus at 100 MB-1 GB like WebDataset
+    recommends); the driver never sees member bytes; a 100 TB corpus
+    is just more shard rows streaming through the same stage."""
+    import io
+    import tarfile
+
+    raw = ray.data.read_binary_files(paths, include_paths=True)
+    want = tuple(suffixes) if suffixes is not None else None
+
+    def decode(t: pa.Table) -> pa.Table:
+        rows_shard, rows_key, cols = [], [], {}
+        seen_exts: list[str] = list(want) if want is not None else []
+        samples = []  # (shard, key, {ext: bytes}) in member order
+        for path, buf in zip(
+            t["path"].to_pylist(), t["bytes"].to_pylist()
+        ):
+            shard = os.path.basename(path)
+            groups: dict = {}
+            order: list = []
+            with tarfile.open(fileobj=io.BytesIO(buf), mode="r:*") as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    base = os.path.basename(m.name)
+                    key, _, ext = base.partition(".")
+                    if want is not None and ext not in want:
+                        continue  # pruned: bytes never extracted
+                    if ext not in seen_exts:
+                        seen_exts.append(ext)
+                    if key not in groups:
+                        groups[key] = {}
+                        order.append(key)
+                    groups[key][ext] = tf.extractfile(m).read()
+            for key in order:
+                samples.append((shard, key, groups[key]))
+        for shard, key, members in samples:
+            rows_shard.append(shard)
+            rows_key.append(key)
+        for ext in seen_exts:
+            cols[ext] = pa.array(
+                [members.get(ext) for _, _, members in samples],
+                type=pa.binary(),
+            )
+        out = {"key": pa.array(rows_key, type=pa.string())}
+        if include_shard:
+            out = {
+                "shard": pa.array(rows_shard, type=pa.string()), **out
+            }
+        out.update(cols)
+        return pa.table(out)
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_tar_shards(
+    ds, out_dir: str, suffixes, key_col: str = "key",
+    rows_per_shard: "int | None" = None,
+):
+    """Tar/WebDataset sink: one ``part-<uuid>.tar`` per input block
+    (or per ``rows_per_shard`` slice of a block), written INSIDE the
+    task — the driver never sees member bytes. Each row becomes the
+    members ``{key}.{suffix}`` for every non-null ``suffixes`` column,
+    emitted key-major in row order (the WebDataset adjacency rule).
+    Member mtimes are pinned to 0 so shard bytes are deterministic for
+    a given block content. Returns a manifest Dataset of
+    (path, rows, members) — consume it to drive execution and audit,
+    same discipline as ``write_orc``. Repartition upstream to choose
+    the shard count."""
+    import io
+    import tarfile
+    import uuid
+
+    suffixes = list(suffixes)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        paths, rows, members = [], [], []
+        n = t.num_rows
+        step = rows_per_shard or max(n, 1)
+        for lo in range(0, max(n, 1), step):
+            part = t.slice(lo, step)
+            if part.num_rows == 0:
+                continue
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.tar")
+            nm = 0
+            keys = part[key_col].to_pylist()
+            payloads = {s: part[s].to_pylist() for s in suffixes}
+            with tarfile.open(path, mode="w") as tf:
+                for i, key in enumerate(keys):
+                    for s in suffixes:
+                        data = payloads[s][i]
+                        if data is None:
+                            continue
+                        info = tarfile.TarInfo(name=f"{key}.{s}")
+                        info.size = len(data)
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(data))
+                        nm += 1
+            paths.append(path)
+            rows.append(part.num_rows)
+            members.append(nm)
+        return pa.table(
+            {
+                "path": pa.array(paths, type=pa.string()),
+                "rows": pa.array(rows, type=pa.int64()),
+                "members": pa.array(members, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)

@@ -801,8 +801,10 @@ def synthetic_wav_media_table(n: int = 32) -> pa.Table:
 # canonical-Huffman entropy decode, dequant + vectorized IDCT, nearest
 # chroma upsampling, JFIF YCbCr->RGB. Encoder: grayscale / 4:4:4 / 4:2:0
 # with the Annex K quantization + Huffman tables and the libjpeg quality
-# scaling. Progressive (SOF2), arithmetic coding and 12-bit precision stay
-# NotImplementedError — the honest remainder of the stub family.
+# scaling. Progressive (SOF2) is fully implemented on both sides
+# (``decode_jpeg`` scan machine below, ``encode_jpeg_progressive``);
+# arithmetic coding, 12-bit precision, hierarchical and lossless modes
+# stay NotImplementedError — the honest remainder of the stub family.
 # ---------------------------------------------------------------------------
 
 _JPEG_ZIGZAG = np.array([
@@ -1074,6 +1076,43 @@ def _jpeg_headers(comps, qt0, qt1, h, w, gray, sof_marker: bytes,
     return out
 
 
+def _seq_emit_block(bw, zz, pred: int, dc_tab, ac_tab) -> int:
+    """Full-band sequential Huffman serialization of ONE zigzagged
+    block (T.81 F.1.2): DC category + diff bits, AC run/size pairs
+    with ZRL and EOB. Returns the new DC predictor. Shared by the
+    interleaved and non-interleaved sequential encoders."""
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    cat = _jpeg_category(diff)
+    code, ln = dc_tab[cat]
+    bw.write(code, ln)
+    if cat:
+        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+        bw.write(bits, cat)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        cat = _jpeg_category(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        bw.write(code, ln)
+        bits = v if v >= 0 else v + (1 << cat) - 1
+        bw.write(bits, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+    return pred
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 75,
                 subsample: str = "444", restart_interval: int = 0) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
@@ -1110,35 +1149,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
                 for by in range(vi):
                     for bx in range(hi):
                         zz = blocks[ci][my * vi + by, mx * hi + bx][_JPEG_ZIGZAG]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        cat = _jpeg_category(diff)
-                        code, ln = dc_tabs[td][cat]
-                        bw.write(code, ln)
-                        if cat:
-                            bits = diff if diff >= 0 else diff + (1 << cat) - 1
-                            bw.write(bits, cat)
-                        run = 0
-                        nz = np.nonzero(zz[1:])[0]
-                        last = nz[-1] + 1 if len(nz) else 0
-                        for k in range(1, last + 1):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, ln = ac_tabs[td][0xF0]
-                                bw.write(code, ln)
-                                run -= 16
-                            cat = _jpeg_category(v)
-                            code, ln = ac_tabs[td][(run << 4) | cat]
-                            bw.write(code, ln)
-                            bits = v if v >= 0 else v + (1 << cat) - 1
-                            bw.write(bits, cat)
-                            run = 0
-                        if last < 63:
-                            code, ln = ac_tabs[td][0x00]
-                            bw.write(code, ln)
+                        pred[ci] = _seq_emit_block(
+                            bw, zz, pred[ci], dc_tabs[td], ac_tabs[td]
+                        )
     bw.flush()
 
     out = _jpeg_headers(comps, qt0, qt1, h, w, gray, b"\xff\xc0",
@@ -1157,6 +1170,50 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_noninterleaved(arr: np.ndarray, quality: int = 75,
+                               subsample: str = "444") -> bytes:
+    """Sequential JFIF with ONE SCAN PER COMPONENT (T.81 lets a frame
+    split its components over several scans; a single-component scan's
+    MCU is one data unit, walked in raster order over the component's
+    OWN block grid — never the MCU-padded grid). Quantized
+    coefficients are byte-identical to :func:`encode_jpeg`'s, so
+    ``decode_jpeg(encode_jpeg_noninterleaved(x)) ==
+    decode_jpeg(encode_jpeg(x))`` bit-for-bit — the parity that pins
+    the decoder's own-grid walk for sequential multi-scan files (with
+    ``subsample="420"`` the padded-MCU walk would consume a different
+    block count and garble, which is exactly the regression tested)."""
+    (comps, blocks, qt0, qt1, hmax, vmax, _mcux, _mcuy, h, w, gray
+     ) = _jpeg_plan(arr, quality, subsample)
+    out = _jpeg_headers(comps, qt0, qt1, h, w, gray, b"\xff\xc0")
+    specs = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
+    if not gray:
+        specs += [(0x01, _JPEG_DC_CHR), (0x11, _JPEG_AC_CHR)]
+    for tc, (bits, vals) in specs:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    dc_tabs = [
+        _huff_encode_table(*_JPEG_DC_LUM), _huff_encode_table(*_JPEG_DC_CHR)
+    ]
+    ac_tabs = [
+        _huff_encode_table(*_JPEG_AC_LUM), _huff_encode_table(*_JPEG_AC_CHR)
+    ]
+    for ci, (hi, vi, _tq) in enumerate(comps):
+        td = 0 if ci == 0 else 1
+        sos = bytes([1, ci + 1, (td << 4) | td, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        pred = 0
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                zz = blocks[ci][by, bx][_JPEG_ZIGZAG]
+                pred = _seq_emit_block(bw, zz, pred, dc_tabs[td], ac_tabs[td])
+        bw.flush()
+        out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1290,10 +1347,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Progressive (SOF2): full spectral-selection + successive-
     approximation scan machine per T.81 G.1.2 — DC first/refine scans
     (interleaved), per-component AC first scans with EOB-run decoding,
-    and AC refinement scans with correction-bit consumption; non-
-    interleaved scans walk the component's OWN block grid (not the MCU
-    padding). Arithmetic coding (SOF9+) and hierarchical modes raise
-    NotImplementedError."""
+    and AC refinement scans with correction-bit consumption. Any
+    non-interleaved scan — sequential multi-scan files included —
+    walks the component's OWN block grid in raster order (T.81 A.2.2),
+    not the MCU padding. Arithmetic coding (SOF9+) and hierarchical
+    modes raise NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict = {}
@@ -1302,6 +1360,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     progressive = False
     restart = 0
+    scanned: set = set()
     coeff: dict = {}
     hmax = vmax = mcux = mcuy = 0
     pos = 2
@@ -1391,7 +1450,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ss, se, ah, al, restart, progressive,
                 hmax, vmax, mcux, mcuy, fh, fw,
             )
-            if not progressive:
+            scanned.update(cs for cs, _, _ in scan)
+            # a sequential frame may split its components over several
+            # non-interleaved scans — reconstruct only once every
+            # frame component has been entropy-decoded
+            if not progressive and all(
+                cid in scanned for cid, _, _, _ in comps
+            ):
                 return _jpeg_reconstruct(frame, qt, coeff, hmax, vmax)
         # APPn / COM / others: skipped via seglen
     if progressive and frame is not None and coeff:
@@ -1418,11 +1483,15 @@ def _jpeg_decode_scan(
     m1 = -1 << al
 
     def units():
-        """Yield per-restart-unit block lists: one MCU (interleaved /
-        sequential) or one block of the single component's OWN grid
-        (any non-interleaved progressive scan — T.81 A.2.2: no MCU
-        padding outside the component's real block coverage)."""
-        if interleaved or not progressive:
+        """Yield per-restart-unit block lists: one MCU (interleaved
+        scan) or one block of the single component's OWN grid (ANY
+        non-interleaved scan, sequential or progressive — T.81 A.2.2:
+        a single-component scan's MCU is one data unit and the walk is
+        raster order over the component's real block coverage, never
+        the MCU-padded grid; for the common unsubsampled case the two
+        grids coincide, but a subsampled component in a multi-scan
+        sequential file differs)."""
+        if interleaved:
             for my in range(mcuy):
                 for mx in range(mcux):
                     blocks = []

@@ -78,15 +78,19 @@ def _ranks(h: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarray]:
     rank[zero] = q + 1
     nz = ~zero
     if nz.any():
-        # highest set bit position of w (w > 0); values fit float64 exactly
-        # only below 2^53 — split the range
-        wv = w[nz]
-        high = (wv >> np.uint64(53)).astype(np.uint64)
-        top = np.where(
-            high > 0,
-            53 + np.floor(np.log2(high.astype(np.float64) + (high == 0))).astype(np.int64),
-            np.floor(np.log2(wv.astype(np.float64))).astype(np.int64),
-        )
+        # EXACT highest-set-bit position, all-integer: float64 log2 of
+        # an arbitrary w misrounds for suffixes a few ulps below a
+        # power of two (np.floor(np.log2(2**50 - 1)) == 50.0), which
+        # would diverge from the bit-exact SQL register mirror. Smear
+        # the top bit down so v = 2^(top+1) - 1, then v + 1 is an
+        # EXACT power of two (top <= q-1 <= 59, so v+1 <= 2^60 fits
+        # float64 exactly and its log2 is exact by IEEE-754).
+        v = w[nz].copy()
+        for s in (1, 2, 4, 8, 16, 32):
+            v |= v >> np.uint64(s)
+        top = np.log2((v + np.uint64(1)).astype(np.float64)).astype(
+            np.int64
+        ) - 1
         rank[nz] = q - top
     return reg, rank
 

@@ -574,6 +574,46 @@ def run_sparql(
     )
 
 
+def _slice_solution(out, limit, offset, has_order=True):
+    """Apply SPARQL LIMIT/OFFSET to an already-ORDERed Dataset.
+
+    Plain LIMIT is Ray's streaming ``Dataset.limit``. OFFSET skips the
+    first ``offset`` solutions of the sorted stream — it needs LIMIT
+    (an unbounded OFFSET would still ship everything, same rule as
+    ``bgp_select``) and materializes only ``offset + limit`` rows on
+    the driver, a bound the caller's LIMIT itself declared acceptable.
+    ``LIMIT 0`` is a real empty result, not "no limit"."""
+    if not offset:
+        return out.limit(limit) if limit is not None else out
+    if limit is None:
+        raise SparqlError(
+            "OFFSET needs LIMIT on aggregate/UNION queries (an "
+            "unbounded OFFSET would still sort and ship everything)"
+        )
+    if not has_order:
+        raise SparqlError(
+            "OFFSET without ORDER BY skips an arbitrary slice — add an "
+            "ORDER BY that totally orders the projection (same rule as "
+            "bgp_select)"
+        )
+    import pyarrow as pa
+    import ray.data
+
+    k = offset + limit
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.limit(k).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    schema = out.schema().base_schema
+    tbl = (
+        pa.concat_tables(parts, promote_options="permissive")
+        if parts else schema.empty_table()
+    )
+    return ray.data.from_arrow(tbl.slice(offset, limit))
+
+
 def _run_spec(
     q: dict,
     edges,
@@ -662,9 +702,9 @@ def _run_spec(
                 key=[c.lstrip("?") for c, _ in q["order_by"]],
                 descending=[d == "desc" for _, d in q["order_by"]],
             )
-        if q["limit"]:
-            out = out.limit(q["limit"])
-        return out
+        return _slice_solution(
+            out, q["limit"], q["offset"], has_order=bool(q["order_by"])
+        )
     if q["form"] == "ask":
         return bgp.bgp_ask(edges, q["patterns"], **match_kw, **kw)
     use_reorder = (
@@ -708,9 +748,9 @@ def _run_spec(
                 keys.append(col)
                 desc.append(d == "desc")
             out = out.sort(key=keys, descending=desc)
-        if q["limit"]:
-            out = out.limit(q["limit"])
-        return out
+        return _slice_solution(
+            out, q["limit"], q["offset"], has_order=bool(q["order_by"])
+        )
     return bgp.bgp_select(
         edges, q["patterns"], project=q["project"], bind=q["bind"],
         distinct=q["distinct"], order_by=q["order_by"], limit=q["limit"],

@@ -1330,3 +1330,32 @@ def test_decode_stub_handles_bmp_and_pnm(ray_session):
     assert [(r["width"], r["height"], r["n_frames"]) for r in out] == [
         (17, 11, 1), (17, 11, 1)
     ]
+
+
+def test_jpeg_noninterleaved_sequential_parity():
+    """ADVICE r4: a SEQUENTIAL non-interleaved scan of a subsampled
+    component must walk the component's OWN raster block grid (T.81
+    A.2.2), not the MCU-padded grid — and a multi-scan sequential file
+    must reconstruct only after ALL components are decoded. The
+    one-scan-per-component encoder produces byte-identical quantized
+    coefficients to the interleaved baseline, so decode parity is
+    bit-for-bit; with 4:2:0 the padded-MCU walk would consume a
+    different block count for luma (e.g. 16 vs 9 blocks at 24 x 24)
+    and garble."""
+    rng = np.random.RandomState(41)
+    cases = [
+        ((24, 24, 3), "420", 50), ((24, 24, 3), "444", 75),
+        ((17, 23, 3), "420", 90), ((16, 16), "444", 34),
+        ((40, 24, 3), "420", 75),
+    ]
+    for shape, sub, q in cases:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        base = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(img, quality=q, subsample=sub)
+        )
+        ni = multimodal.decode_jpeg(
+            multimodal.encode_jpeg_noninterleaved(
+                img, quality=q, subsample=sub
+            )
+        )
+        assert np.array_equal(base, ni), (shape, sub, q)

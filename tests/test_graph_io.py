@@ -188,3 +188,80 @@ def test_feather_source_sink_roundtrip(ray_session, tmp_path):
 
     pruned = read_feather([m["path"] for m in manifest], columns=["id"]).take_all()
     assert set(pruned[0].keys()) == {"id"}
+
+
+def test_tar_shard_roundtrip_and_pruning(ray_session, tmp_path):
+    """WebDataset tar shards: key-grouped members round-trip exactly,
+    missing members become nulls, suffix pruning never extracts
+    unrequested member bytes, and rows_per_shard splits blocks."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from kgray.graph_io import read_tar_shards, write_tar_shards
+
+    n = 30
+    tbl = pa.table(
+        {
+            "key": pa.array([f"s{i:04d}" for i in range(n)]),
+            "jpg": pa.array(
+                [b"IMG:%d" % i for i in range(n)], type=pa.binary()
+            ),
+            "json": pa.array(
+                [(b'{"i":%d}' % i) if i % 3 else None for i in range(n)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_tar_shards(
+        rd.from_arrow(tbl).repartition(4), out, ["jpg", "json"]
+    ).take_all()
+    assert sum(m["rows"] for m in manifest) == n
+    assert len(manifest) == 4
+    # null json members are skipped, not emitted as empty files
+    assert sum(m["members"] for m in manifest) == n + sum(
+        1 for i in range(n) if i % 3
+    )
+
+    back = read_tar_shards(
+        [m["path"] for m in manifest], suffixes=("jpg", "json")
+    ).take_all()
+    assert len(back) == n
+    by_key = {r["key"]: r for r in back}
+    for i in range(n):
+        r = by_key[f"s{i:04d}"]
+        assert r["jpg"] == b"IMG:%d" % i
+        if i % 3:
+            assert r["json"] == b'{"i":%d}' % i
+        else:
+            assert r["json"] is None
+        assert r["shard"].startswith("part-")
+
+    # suffix pruning: json column absent entirely
+    pruned = read_tar_shards(
+        [m["path"] for m in manifest], suffixes=("jpg",)
+    ).take_all()
+    assert set(pruned[0].keys()) == {"shard", "key", "jpg"}
+
+    # inferred suffixes (homogeneous corpus) match the explicit read
+    inferred = read_tar_shards([m["path"] for m in manifest]).take_all()
+    assert {r["key"]: r["jpg"] for r in inferred} == {
+        r["key"]: r["jpg"] for r in back
+    }
+
+    # rows_per_shard re-shards inside the task
+    out2 = str(tmp_path / "wds2")
+    man2 = write_tar_shards(
+        rd.from_arrow(tbl), out2, ["jpg"], rows_per_shard=8
+    ).take_all()
+    assert sorted(m["rows"] for m in man2) == [6, 8, 8, 8]
+
+    # deterministic shard bytes: same block content -> same tar bytes
+    out3 = str(tmp_path / "wds3")
+    man3 = write_tar_shards(rd.from_arrow(tbl), out3, ["jpg"]).take_all()
+    out4 = str(tmp_path / "wds4")
+    man4 = write_tar_shards(rd.from_arrow(tbl), out4, ["jpg"]).take_all()
+    b3 = open(man3[0]["path"], "rb").read()
+    b4 = open(man4[0]["path"], "rb").read()
+    assert b3 == b4

@@ -336,3 +336,27 @@ def test_percentile_rank_high_cardinality_routes_distributed(ray_session):
     for i, p in got.items():
         below = int(np.searchsorted(order, vals[i], side="left"))
         assert p == (1_000_000 * below) // n
+
+
+def test_hll_ranks_exact_at_bit_boundaries():
+    """ADVICE r4: float64 log2 misrounds a few ulps below powers of two
+    (floor(log2(2**50 - 1)) == 50.0) — _ranks must compute the
+    highest-set-bit position EXACTLY (integer smear) so the engine
+    register agrees with the bit-exact SQL mirror for every suffix."""
+    import numpy as np
+
+    from kgray.sketch import _ranks
+
+    p = 14
+    q = 64 - p
+    vals = {0, 1, (1 << q) - 1}
+    for e in range(1, q):
+        vals.update({(1 << e) - 1, (1 << e), (1 << e) + 1})
+        if (1 << e) >= 2:
+            vals.add((1 << e) - 2)
+    vals = sorted(v for v in vals if 0 <= v < (1 << q))
+    h = np.array(vals, dtype=np.uint64)  # register 0, suffix = value
+    _reg, rank = _ranks(h, p)
+    for v, r in zip(vals, rank):
+        expect = q + 1 if v == 0 else q - (int(v).bit_length() - 1)
+        assert r == expect, (v, r, expect)

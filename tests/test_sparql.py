@@ -302,3 +302,79 @@ def test_parse_errors():
         else:
             with pytest.raises(SparqlError, match=msg):
                 parse_sparql(bad)
+
+
+def test_offset_on_aggregate_and_union(ray_session):
+    """ADVICE r4: OFFSET parsed on every SELECT form must be APPLIED on
+    every form — aggregate and UNION queries used to silently ignore
+    it — and LIMIT 0 is a real empty result, not 'no limit'."""
+    triples = [("s%d" % i, "p", "o%d" % (i % 3)) for i in range(10)]
+    ds = _ds(triples)
+    # aggregate: groups are o0 (4), o1 (3), o2 (3); ordered by ?o the
+    # OFFSET 1 LIMIT 2 window is [o1, o2]
+    out = run_sparql(
+        ds,
+        "SELECT ?o (COUNT(*) AS ?n) WHERE { ?s p ?o } "
+        "GROUP BY ?o ORDER BY ?o LIMIT 2 OFFSET 1",
+    )
+    assert [(r["o"], r["n"]) for r in out.take_all()] == [
+        ("o1", 3), ("o2", 3)
+    ]
+    # LIMIT 0 on the aggregate path -> zero rows
+    empty = run_sparql(
+        ds,
+        "SELECT ?o (COUNT(*) AS ?n) WHERE { ?s p ?o } "
+        "GROUP BY ?o ORDER BY ?o LIMIT 0",
+    )
+    assert empty.take_all() == []
+    # union: subjects with o0 = s0 s3 s6 s9, with o1 = s1 s4 s7;
+    # sorted union offset 2 limit 3 -> s3 s4 s6
+    out2 = run_sparql(
+        ds,
+        "SELECT ?s WHERE { { ?s p o0 } UNION { ?s p o1 } } "
+        "ORDER BY ?s LIMIT 3 OFFSET 2",
+    )
+    assert [r["s"] for r in out2.take_all()] == ["s3", "s4", "s6"]
+    # OFFSET without LIMIT / without ORDER BY refused on these paths
+    with pytest.raises(SparqlError, match="OFFSET needs LIMIT"):
+        run_sparql(
+            ds,
+            "SELECT ?o (COUNT(*) AS ?n) WHERE { ?s p ?o } "
+            "GROUP BY ?o ORDER BY ?o OFFSET 1",
+        )
+    with pytest.raises(SparqlError, match="ORDER BY"):
+        run_sparql(
+            ds,
+            "SELECT ?o (COUNT(*) AS ?n) WHERE { ?s p ?o } "
+            "GROUP BY ?o LIMIT 2 OFFSET 1",
+        )
+
+
+def test_bracketed_iri_property_paths(ray_session):
+    """ADVICE r4: a path of two bracketed IRIs must parse as a
+    two-step SEQUENCE, not be glued into one bogus constant."""
+    triples = [
+        ("a", "http://x/p", "b"), ("b", "http://y/q", "c"),
+        ("c", "http://x/p", "d"),
+    ]
+    ds = _ds(triples)
+    out = run_sparql(
+        ds, "SELECT ?s ?o WHERE { ?s <http://x/p>/<http://y/q> ?o }"
+    )
+    assert [(r["s"], r["o"]) for r in out.take_all()] == [("a", "c")]
+    # inverse and closure over bracketed IRIs
+    inv = run_sparql(ds, "SELECT ?s ?o WHERE { ?s ^<http://y/q> ?o }")
+    assert [(r["s"], r["o"]) for r in inv.take_all()] == [("c", "b")]
+    plus = run_sparql(ds, "SELECT ?o WHERE { a <http://x/p>+ ?o }")
+    assert sorted(r["o"] for r in plus.take_all()) == ["b"]
+    # negated set with a bracketed member
+    neg = run_sparql(ds, "SELECT ?s ?o WHERE { ?s !<http://x/p> ?o }")
+    assert [(r["s"], r["o"]) for r in neg.take_all()] == [("b", "c")]
+    # a single bracketed IRI stays a CONSTANT predicate (never a path)
+    from kgray.bgp import _pattern_spec
+    assert _pattern_spec(("?s", "<http://x/p>", "?o"))[0] is None
+    # malformed bracket mixes raise loudly instead of matching nothing
+    from kgray.bgp import _parse_path
+    for bad in ("<http://x/p", "a<b", "<a><b>", "<>"):
+        with pytest.raises(ValueError):
+            _parse_path(bad)
