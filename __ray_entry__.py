@@ -1934,6 +1934,65 @@ def q_jpeg_media_features(sf_dir: str):
     )
 
 
+def q_wds_media_features(sf_dir: str):
+    """Tar/WebDataset sharded ingestion END-TO-END through the REAL
+    JPEG decoder: the `jpeg_media_features` corpus (48 deterministic
+    baseline+progressive JFIF images) is packed into 6 WebDataset tar
+    shards under /tmp — each sample a `key.jpg` + `key.json` member
+    pair — then read back via `read_tar_shards` with SUFFIX PRUNING
+    (only `.jpg` members are extracted; the `.json` bytes never leave
+    the tar walk), decoded by the pure-numpy T.81 codec in the
+    actor-pool `RawImagePipeline`, and reduced to the same exact
+    integer features. Hash-checked by the SAME closed-form oracle as
+    `jpeg_media_features` (`_jpeg_media_sql`): the tar round-trip must
+    be byte-exact, so features are identical. At 100 TB this is the
+    real corpus shape — one shard per task, shards the resume unit."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from kgray.graph_io import read_tar_shards, write_tar_shards
+
+    tbl = multimodal.synthetic_jpeg_media_table(48)
+    wds_tbl = pa.table(
+        {
+            "key": tbl["media_id"],
+            "jpg": tbl["payload"],
+            "json": pa.array(
+                [
+                    _json.dumps({"idx": i}).encode()
+                    for i in range(tbl.num_rows)
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="kgray_wds_")
+    try:
+        manifest = write_tar_shards(
+            rd.from_arrow(wds_tbl).repartition(6), tmp, ["jpg", "json"]
+        ).take_all()
+        assert sum(m["rows"] for m in manifest) == tbl.num_rows
+        ds = read_tar_shards(
+            [m["path"] for m in manifest], suffixes=("jpg",),
+            include_shard=False,
+        ).map_batches(
+            lambda t: pa.table(
+                {"media_id": t["key"], "payload": t["jpg"]}
+            ),
+            batch_format="pyarrow",
+        )
+        out = multimodal.raw_image_features(ds)
+        return _table(
+            out.select_columns(
+                ["media_id", "width", "height", "resized_w", "resized_h",
+                 "r_sum", "g_sum", "b_sum"]
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_gif_frame_features(sf_dir: str):
     """REAL multi-frame (video-analog) decode with no external codec:
     deterministic animated GIFs (every fourth with an interlaced first
@@ -1972,21 +2031,27 @@ def q_avi_frame_features(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary payload column -> fake-decode actor pool
-    -> feature extraction; deterministic synthetic media corpus."""
-    ds = rd.from_arrow(multimodal.synthetic_media_table(64))
-    out = multimodal.extract_features(multimodal.decode_media(ds, fake=True))
-    # exercise the full media chain: aspect-preserving resize plan + the
-    # per-video frame-sampling plan (actor stages; deterministic)
+    """The GENERAL media chain over a MIXED real-codec corpus — every
+    in-container decoder in one pipeline: rotating PNG / baseline-JPEG
+    / animated-GIF / KGRW payloads (`synthetic_mixed_media_table`)
+    through the REAL decode actor pool (``fake=False`` — an unknown
+    format would raise, and the fake path stays a unit-tested flag in
+    tests/test_dedup_similarity.py), then the aspect-preserving resize
+    plan and the per-video frame-sampling plan. Hash-checked: the
+    corpus geometry is formula-driven, so `_mixed_media_sql` re-derives
+    width/height/n_frames/resize/sampling arithmetically; PIXEL
+    exactness per codec is hash-checked by the dedicated
+    `{png,jpeg,gif,raw,avi}_media_features` oracles."""
+    ds = rd.from_arrow(multimodal.synthetic_mixed_media_table(64))
+    out = multimodal.decode_media(ds, fake=False)
     out = out.map_batches(
-        multimodal.ResizeStub, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+        multimodal.ResizeStub, fn_constructor_kwargs={"target": 64},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
     ).map_batches(
         multimodal.FrameSampleStub, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
     )
 
     def fin(t: pa.Table) -> pa.Table:
-        feats = t["features"].combine_chunks()
-        l2 = pc.list_element(feats, 0)
         return pa.table(
             {
                 "media_id": t["media_id"].combine_chunks(),
@@ -1999,7 +2064,6 @@ def q_media_features(sf_dir: str):
                 "n_sampled": pc.cast(
                     pc.list_value_length(t["sample_frames"].combine_chunks()), pa.int64()
                 ),
-                "feat0_e6": pc.cast(pc.round(pc.multiply(l2, 1e6)), pa.int64()),
             }
         )
 
@@ -2446,13 +2510,18 @@ def q_link_pred_capped(sf_dir: str):
     """link_pred_features with the Zipf-scale max_middle_degree cap
     ENGAGED — proving the cap mirrors exactly as the documented
     deg(middle) <= cap SQL filter while endpoint degrees stay TRUE
-    degrees. Cap 12 prunes real middles at sf0.001/sf0.01 (the driver
-    gate; 11008 of 11832 pairs survive at sf0.001); the denser sf0.1
-    canonical graph (min degree 26) excludes EVERY middle, and both
-    engines agree on the empty result — the all-excluded guard skips
-    the wedge join outright. Audit pinned in tests/test_graphalgo.py."""
+    degrees. The cap is SCALE-INVARIANT: the exact lower-median degree
+    (`graphalgo.degree_percentile(edges, 50)` — smallest d with
+    100*cum >= 50*n, all-integer), so at EVERY SF it prunes the upper
+    degree tail as a strict, non-empty subset of middles instead of a
+    constant that excludes everything on a dense graph and nothing on
+    a sparse one. The SQL mirror recomputes the identical percentile
+    as a cumulative integer SUM over the degree histogram. Audit
+    pinned in tests/test_graphalgo.py."""
+    edges = _canonical_int_edges(sf_dir)
+    cap = graphalgo.degree_percentile(edges, pct=50)
     out = graphalgo.link_pred_features(
-        _canonical_int_edges(sf_dir), max_middle_degree=12,
+        edges, max_middle_degree=cap,
     )
     return _table(
         out,
@@ -5064,6 +5133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_media_features": q_raw_media_features,
         "png_media_features": q_png_media_features,
         "jpeg_media_features": q_jpeg_media_features,
+        "wds_media_features": q_wds_media_features,
         "gif_frame_features": q_gif_frame_features,
         "avi_frame_features": q_avi_frame_features,
         "g711_audio_features": q_g711_audio_features,
@@ -5298,6 +5368,39 @@ def _media_features_sql(prefix: str) -> str:
                    CAST(s.w * gs.sy AS BIGINT) AS g_sum,
                    CAST((s.i % 256) * s.w * s.h AS BIGINT) AS b_sum
             FROM s JOIN rs ON rs.i = s.i JOIN gs ON gs.i = s.i
+        """
+
+
+def _mixed_media_sql() -> str:
+    """Arithmetic mirror of the mixed-codec media chain: geometry,
+    frame counts, resize plan and sampling counts are all formulas of
+    the row index (`multimodal.synthetic_mixed_media_table`), so the
+    oracle checks the REAL decoders' structural outputs without
+    decoding — pixel exactness is the per-codec oracles' job. No
+    resize ratio lands on .5 at target 64 for these sizes (w, h in
+    {16..56 step 8} — checked by enumeration), so SQL ROUND and numpy
+    round agree."""
+    return """
+            WITH s AS (
+              SELECT CAST(t.i AS BIGINT) AS i,
+                     CAST(8 * (2 + (t.i * 3) % 6) AS BIGINT) AS w,
+                     CAST(8 * (2 + (t.i * 5) % 6) AS BIGINT) AS h,
+                     CAST(t.i % 4 AS BIGINT) AS codec
+              FROM UNNEST(generate_series(0, 63)) t(i)
+            )
+            SELECT format('x{:04d}', i) AS media_id,
+                   CASE WHEN codec = 2 THEN 'video' ELSE 'image' END
+                     AS kind,
+                   w AS width, h AS height,
+                   CASE WHEN codec = 2 THEN 1 + i % 4 ELSE 1 END
+                     AS n_frames,
+                   CAST(ROUND(w * 64.0 / GREATEST(w, h)) AS BIGINT)
+                     AS resized_w,
+                   CAST(ROUND(h * 64.0 / GREATEST(w, h)) AS BIGINT)
+                     AS resized_h,
+                   CASE WHEN codec = 2 THEN LEAST(4, 1 + i % 4)
+                        ELSE 0 END AS n_sampled
+            FROM s
         """
 
 
@@ -6360,9 +6463,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(iters=5),
         "k_core": _k_core_sql(k=5, rounds=6),
+        "media_features": _mixed_media_sql(),
         "raw_media_features": _media_features_sql("r"),
         "png_media_features": _media_features_sql("p"),
         "jpeg_media_features": _jpeg_media_sql(),
+        "wds_media_features": _jpeg_media_sql(),
         "gif_frame_features": _gif_media_sql(),
         "avi_frame_features": _avi_media_sql(),
         "g711_audio_features": _g711_audio_sql(),
@@ -6920,13 +7025,22 @@ def oracle_sql() -> dict[str, str]:
             adj AS (SELECT a AS v, b AS w FROM e0
                     UNION ALL SELECT b, a FROM e0),
             deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
+            dhist AS (SELECT d, COUNT(*) AS c FROM deg GROUP BY 1),
+            dcum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cum,
+                            (SELECT SUM(c) FROM dhist) AS n
+                     FROM dhist),
+            -- scale-invariant cap: the exact lower-median degree
+            -- (smallest d with 100*cum >= 50*n), the same all-integer
+            -- rule as graphalgo.degree_percentile(edges, 50)
+            capv AS (SELECT MIN(d) AS cap FROM dcum
+                     WHERE 100 * cum >= 50 * n),
             cnt AS (
               SELECT x.w AS u, y.w AS v2, CAST(COUNT(*) AS BIGINT) AS cn,
                      CAST(SUM(1000000 // dm.d) AS BIGINT) AS ra
               FROM adj x
               JOIN adj y ON x.v = y.v AND x.w < y.w
               JOIN deg dm ON dm.v = x.v
-              WHERE dm.d <= 12  -- the mirrored max_middle_degree cap
+              WHERE dm.d <= (SELECT cap FROM capv)
               GROUP BY 1, 2
             )
             SELECT c.u AS u, c.v2 AS v, c.cn AS cn,

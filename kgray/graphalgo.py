@@ -2266,6 +2266,117 @@ def metapath_counts(
     )
 
 
+@ray.remote
+class _HubNeighborHolder:
+    """Zero-CPU staging actor for hot-hub adjacency: staging TASKS send
+    each hub's sorted neighbor array here, the actor ``ray.put``s it
+    and keeps only the ObjectRef — so the objects are OWNED by this
+    actor (they survive the staging workers' exit, the classic
+    worker-owned-ref pitfall) and the driver never materializes any
+    hub's adjacency. ``ref`` returns the ref WRAPPED in a list so the
+    caller receives the ref itself, not an auto-dereferenced copy; the
+    consuming task then ``ray.get``s it, which the object store caches
+    per node. Heap cost: one array transits the actor at a time; the
+    store holds sum-of-hot-degrees x 8 B, same as before, minus the
+    driver copy."""
+
+    def __init__(self):
+        self._refs: dict = {}
+
+    def put(self, mid: int, w_sorted) -> int:
+        self._refs[mid] = ray.put(w_sorted)
+        return len(w_sorted)
+
+    def ref(self, mid: int) -> list:
+        return [self._refs[mid]]
+
+
+def _undirected_adj_and_degrees(
+    edges_ds: ray.data.Dataset, src: str, dst: str, num_buckets: int
+):
+    """Simple undirected projection -> (both-direction adjacency
+    Dataset ``(v, w)``, TRUE degree table Dataset ``(node, d)``), both
+    materialized. The degree definition shared by
+    ``link_pred_features``, ``triangle_count``-style wedge plans and
+    ``degree_percentile`` — one partial count per block, one bucketed
+    sum shuffle over the node-bounded partials."""
+    from .relational import hash_bucketed_groupby
+
+    e = undirected_distinct_edges(edges_ds, src, dst).materialize()
+    adj = e.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [_chunked(t["a"]).cast(pa.int64()), _chunked(t["b"]).cast(pa.int64())]
+                ),
+                "w": pa.concat_arrays(
+                    [_chunked(t["b"]).cast(pa.int64()), _chunked(t["a"]).cast(pa.int64())]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    deg_partial = adj.map_batches(
+        lambda t: t.group_by(["v"]).aggregate([(["v"], "count")]).rename_columns(
+            ["node", "d"]
+        ),
+        batch_format="pyarrow",
+    )
+    deg = hash_bucketed_groupby(
+        deg_partial, ["node"],
+        lambda df: df.groupby("node", sort=False, as_index=False)["d"].sum(),
+        num_buckets,
+    ).materialize()
+    return adj, deg
+
+
+def degree_percentile(
+    edges_ds: ray.data.Dataset,
+    pct: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+) -> int:
+    """Exact discrete percentile of the TRUE undirected-degree
+    distribution: the SMALLEST degree value ``d`` with
+    ``100 * #{v : deg(v) <= d} >= pct * n`` — all-integer, so a SQL
+    mirror (cumulative SUM over the degree histogram) agrees
+    bit-for-bit at any scale. The scale-invariant way to cut a
+    ``max_middle_degree`` cap: a constant cap that prunes at one SF
+    excludes everything (or nothing) at another, while "middles above
+    the pct-th percentile" prunes a comparable tail everywhere.
+
+    Distribution discipline: degrees stay distributed; only the
+    per-block DEGREE-VALUE histogram is folded on the driver —
+    bounded by the number of distinct degree values (<= max degree,
+    O(sqrt(m)) on Zipf graphs), never by node count."""
+    if not (0 < pct <= 100):
+        raise ValueError(f"pct must be in (0, 100], got {pct}")
+    _adj, deg = _undirected_adj_and_degrees(
+        edges_ds, src, dst, num_buckets
+    )
+    hist: dict = {}
+    def _vc(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_chunked(t["d"]))
+        return pa.table({"d": vc.field("values"), "c": vc.field("counts")})
+
+    for t in deg.map_batches(
+        _vc, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for d, c in zip(t["d"].to_pylist(), t["c"].to_pylist()):
+            hist[int(d)] = hist.get(int(d), 0) + int(c)
+    if not hist:
+        raise ValueError("degree_percentile: empty graph")
+    n = sum(hist.values())
+    cum = 0
+    for d in sorted(hist):
+        cum += hist[d]
+        if 100 * cum >= pct * n:
+            return d
+    return max(hist)  # pct == 100 with float-free arithmetic
+
+
 def link_pred_features(
     edges_ds: ray.data.Dataset,
     src: str = "src",
@@ -2319,32 +2430,9 @@ def link_pred_features(
     """
     from .relational import broadcast_lookup_join, hash_bucketed_groupby
 
-    e = undirected_distinct_edges(edges_ds, src, dst).materialize()
-    adj = e.map_batches(
-        lambda t: pa.table(
-            {
-                "v": pa.concat_arrays(
-                    [_chunked(t["a"]).cast(pa.int64()), _chunked(t["b"]).cast(pa.int64())]
-                ),
-                "w": pa.concat_arrays(
-                    [_chunked(t["b"]).cast(pa.int64()), _chunked(t["a"]).cast(pa.int64())]
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    deg_partial = adj.map_batches(
-        lambda t: t.group_by(["v"]).aggregate([(["v"], "count")]).rename_columns(
-            ["node", "d"]
-        ),
-        batch_format="pyarrow",
+    adj, deg = _undirected_adj_and_degrees(
+        edges_ds, src, dst, num_buckets
     )
-    deg = hash_bucketed_groupby(
-        deg_partial, ["node"],
-        lambda df: df.groupby("node", sort=False, as_index=False)["d"].sum(),
-        num_buckets,
-    ).materialize()
 
     # exact hot/capped-middle detection off the (node-bounded, already
     # materialized) degree table — only rows over the threshold leave
@@ -2438,9 +2526,18 @@ def link_pred_features(
         partials = wedges.map_batches(pair_partial, batch_format="pyarrow")
 
     if hot_mids:
-        # stage each hot hub's sorted neighbor array in the object store
-        # ONCE; block-decompose its pair matrix so no task emits more
-        # than hot_chunk^2 rows (upper-triangle blocks only)
+        # stage each hot hub's sorted neighbor array in the object
+        # store ONCE — built INSIDE TASKS, never on the driver: the
+        # hot adjacency is bucket-shuffled by hub, each group task
+        # sorts its hub's neighbors and ships them to a zero-CPU
+        # holder actor that `ray.put`s them (the actor OWNS the
+        # objects, so the refs outlive the staging workers). The
+        # driver holds only (hub, degree) specs — block decomposition
+        # needs nothing else, because a hub's neighbor-array length IS
+        # its degree on the simple undirected projection. Then
+        # block-decompose each pair matrix so no task emits more than
+        # hot_chunk^2 rows (upper-triangle blocks only).
+        holder = _HubNeighborHolder.options(num_cpus=0).remote()
         hot_set = pa.array(sorted(m for m, _ in hot_mids), pa.int64())
         hot_adj = adj.map_batches(
             lambda t, _hs=hot_set: t.filter(
@@ -2448,23 +2545,31 @@ def link_pred_features(
             ),
             batch_format="pyarrow",
         )
-        neigh: dict = {m: [] for m, _ in hot_mids}
-        mids_sorted = np.asarray(sorted(neigh), np.int64)
-        for b in hot_adj.iter_batches(batch_format="pyarrow"):
-            vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ww = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(vv, kind="stable")
-            vv, ww = vv[order], ww[order]
-            lo_b = np.searchsorted(vv, mids_sorted, side="left")
-            hi_b = np.searchsorted(vv, mids_sorted, side="right")
-            for mi, m in enumerate(mids_sorted):
-                if hi_b[mi] > lo_b[mi]:
-                    neigh[int(m)].append(ww[lo_b[mi]: hi_b[mi]])
-        refs, specs = {}, []
+
+        def _stage_group(df, _holder=holder):
+            mids, lens = [], []
+            for m, g in df.groupby("v", sort=False):
+                arr = np.sort(
+                    g["w"].to_numpy(dtype=np.int64, na_value=0)
+                )
+                lens.append(ray.get(_holder.put.remote(int(m), arr)))
+                mids.append(int(m))
+            import pandas as pd
+
+            return pd.DataFrame({"mid": mids, "n": lens})
+
+        # eager barrier (hub-count rows): staging must complete before
+        # any emit task asks the holder for a ref
+        staged = {
+            int(r["mid"]): int(r["n"])
+            for r in hash_bucketed_groupby(
+                hot_adj, ["v"], _stage_group, num_buckets
+            ).take_all()
+        }
+        specs = []
         for m, d_ in hot_mids:
-            w_sorted = np.sort(np.concatenate(neigh[m])) if neigh[m] else np.empty(0, np.int64)
-            refs[m] = ray.put(w_sorted)
-            n_ = len(w_sorted)
+            n_ = staged.get(m, 0)
+            assert n_ == d_, (m, n_, d_)  # array length IS the degree
             ra_term = 1_000_000 // max(d_, 1)
             blocks = range(0, n_, hot_chunk)
             for i in blocks:
@@ -2472,12 +2577,16 @@ def link_pred_features(
                     specs.append({"mid": m, "i": i, "j": j, "ra": ra_term})
         audit["hot_chunk_tasks"] = len(specs)
 
-        def emit_block(batch: "dict", _refs=refs, _c=hot_chunk) -> pa.Table:
+        def emit_block(batch: "dict", _holder=holder, _c=hot_chunk) -> pa.Table:
             us, vs, ras = [], [], []
+            ref_cache: dict = {}
             for mid, i, j, ra_t in zip(
                 batch["mid"], batch["i"], batch["j"], batch["ra"]
             ):
-                w_all = ray.get(_refs[int(mid)])
+                mid = int(mid)
+                if mid not in ref_cache:
+                    ref_cache[mid] = ray.get(_holder.ref.remote(mid))[0]
+                w_all = ray.get(ref_cache[mid])
                 left = w_all[int(i): int(i) + _c]
                 right = w_all[int(j): int(j) + _c]
                 u = np.repeat(left, len(right))

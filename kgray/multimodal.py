@@ -1918,6 +1918,68 @@ def encode_gif(
     return bytes(out)
 
 
+def synthetic_mixed_media_table(n: int = 64) -> pa.Table:
+    """Deterministic MIXED-CODEC media corpus — one real in-container
+    codec per row, rotating PNG / baseline-JPEG / animated-GIF / KGRW
+    (``i % 4``), so the general media chain (`DecodeStub` with
+    ``fake=False`` -> resize plan -> frame sampling) runs every real
+    decoder in one pipeline. Geometry is formula-driven and therefore
+    SQL-closed-form: ``w = 8*(2+(3i)%6)``, ``h = 8*(2+(5i)%6)``
+    (multiples of 8; no resize ratio lands on an exact .5 at target
+    64, so ROUND-parity holds), GIF rows are ``kind='video'`` with
+    ``1 + i%4`` constant-color frames; pixel-level exactness per codec
+    is hash-checked separately by the `{png,jpeg,gif,raw}
+    _media_features` oracles."""
+    pal = np.stack([
+        np.arange(8) * 32 + 16,
+        255 - np.arange(8) * 32,
+        (np.arange(8) * 64 + 96) % 256,
+    ], axis=1).astype(np.uint8)
+    payloads, kinds, mimes = [], [], []
+    for i in range(n):
+        w, h = 8 * (2 + (i * 3) % 6), 8 * (2 + (i * 5) % 6)
+        codec = i % 4
+        if codec == 0:
+            img = np.full((h, w, 3), i % 256, dtype=np.uint8)
+            payloads.append(encode_png(img, filter_type=i % 5))
+            kinds.append("image")
+            mimes.append("image/png")
+        elif codec == 1:
+            by, bx = np.mgrid[0: h // 8, 0: w // 8]
+            v = (37 * i + 17 * bx + 29 * by) % 256
+            img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(
+                np.uint8
+            )
+            payloads.append(encode_jpeg(img, quality=34))
+            kinds.append("image")
+            mimes.append("image/jpeg")
+        elif codec == 2:
+            nf = 1 + i % 4
+            frames = np.stack([
+                np.full((h, w), (i + f) % 8, dtype=np.uint8)
+                for f in range(nf)
+            ])
+            payloads.append(encode_gif(frames, pal))
+            kinds.append("video")
+            mimes.append("image/gif")
+        else:
+            img = np.full((h, w, 3), (i * 3) % 256, dtype=np.uint8)
+            payloads.append(encode_raw_image(img))
+            kinds.append("image")
+            mimes.append("application/x-kgrw")
+    return pa.table(
+        {
+            "media_id": pa.array([f"x{i:04d}" for i in range(n)]),
+            "kind": pa.array(kinds),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes),
+            "n_bytes": pa.array(
+                [len(p) for p in payloads], type=pa.int64()
+            ),
+        }
+    )
+
+
 def synthetic_gif_media_table(n: int = 24) -> pa.Table:
     """Deterministic animated-GIF corpus: each clip has ``2 + i % 5``
     frames of constant palette color ``(i + 3f) % 8`` over an 8-color

@@ -797,3 +797,80 @@ def test_node2vec_walks_match_reference(ray_session):
     )
     with pytest.raises(ValueError, match="back_w"):
         graphalgo.node2vec_walks(ds, back_w=0)
+
+
+def test_degree_percentile_exact_rule(ray_session):
+    """degree_percentile returns the smallest degree d with
+    100 * #{v: deg(v) <= d} >= pct * n — the all-integer rule the
+    link_pred_capped SQL mirror recomputes as a cumulative SUM over
+    the degree histogram — and a median cap prunes a STRICT, NON-EMPTY
+    middle subset on any non-regular graph (the scale-invariance the
+    constant cap lacked)."""
+    # a 100-cycle (degree 2) + hub 1000 wired to every fifth cycle
+    # node (hub degree 20, those nodes degree 3): median degree is 2,
+    # so the median cap keeps the 80 plain cycle middles and excludes
+    # the hub and the degree-3 nodes
+    edges = [(i, (i + 1) % 100) for i in range(100)]
+    edges += [(1000, i) for i in range(0, 100, 5)]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n = len(deg)
+
+    def expect(pct):
+        cum = 0
+        for d in sorted(set(deg.values())):
+            cum += sum(1 for v in deg.values() if v == d)
+            if 100 * cum >= pct * n:
+                return d
+        return max(deg.values())
+
+    ds = _edges_ds(edges)
+    for pct in (25, 50, 75, 100):
+        assert graphalgo.degree_percentile(ds, pct=pct) == expect(pct)
+
+    # the median cap excludes the hub but keeps the cycle middles:
+    # capped output is non-empty AND a strict subset of the uncapped
+    cap = graphalgo.degree_percentile(ds, pct=50)
+    assert cap < 100
+    full = graphalgo.link_pred_features(_edges_ds(edges))
+    capped, audit = graphalgo.link_pred_features(
+        _edges_ds(edges), max_middle_degree=cap, return_audit=True,
+    )
+    nf, nc = full.count(), capped.count()
+    assert 0 < nc < nf
+    assert audit["capped_middles"] >= 1
+
+
+def test_many_hot_hubs_task_side_staging(ray_session):
+    """r4 caveat #1 fix: hot-hub neighbor arrays are staged by TASKS
+    into a holder actor — the driver sees only (hub, degree) rows, so
+    many simultaneous hot hubs no longer transit driver memory. Parity
+    must hold bit-for-bit with the cold (hash-join) path across
+    several hubs with differing degrees, and the block arithmetic must
+    match sum over hubs of T(ceil(deg/chunk)) upper-triangle tasks."""
+    edges = []
+    hub_degrees = [40, 33, 25, 21, 18, 17]
+    base = 0
+    for hi, d in enumerate(hub_degrees):
+        hub = 10_000 + hi
+        edges += [(hub, base + k) for k in range(d)]
+        # chord the leaves so cold middles contribute too
+        edges += [(base + k, base + (k + 1) % d) for k in range(0, d, 4)]
+        base += d
+    want = TestLinkPredFeatures._ref(edges)
+    cold = graphalgo.link_pred_features(_edges_ds(edges))
+    assert TestLinkPredFeatures._got(cold) == want
+    hot, audit = graphalgo.link_pred_features(
+        _edges_ds(edges), hot_middle_degree=16, hot_chunk=8,
+        return_audit=True,
+    )
+    assert TestLinkPredFeatures._got(hot) == want
+    assert audit["capped_middles"] == 0
+    assert audit["hot_chunked_middles"] == len(hub_degrees)
+    expect_tasks = 0
+    for d in hub_degrees:
+        b = -(-d // 8)
+        expect_tasks += b * (b + 1) // 2
+    assert audit["hot_chunk_tasks"] == expect_tasks
