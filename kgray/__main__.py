@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--type", default="all",
         choices=["all", "convert", "create_lus", "bin", "tables", "compact",
-                 "release", "query"],
+                 "release", "query", "update"],
         help="pipeline stage to run (reference --type selector)",
     )
     p.add_argument(
@@ -190,6 +190,19 @@ def main(argv=None) -> int:
             )
         print(json.dumps({"checkpoints": ck}))
 
+    if args.type == "update":
+        # SPARQL UPDATE over a built layout: INSERT DATA / DELETE DATA
+        # / DELETE WHERE, riding the CDC machinery (append-only insert,
+        # staged _COMMIT partition rewrites for deletes)
+        if not args.sparql:
+            p.error("--type=update requires --sparql 'INSERT DATA "
+                    "{...}' / 'DELETE DATA {...}' / 'DELETE WHERE {...}'")
+        if args.bgp or args.group_by or args.aggs:
+            p.error("--type=update takes only --sparql")
+        from .pipeline import run_sparql_update
+
+        print(json.dumps(run_sparql_update(args.out, args.sparql)))
+
     if args.type == "query":
         from .bgp import bgp_select
 
@@ -210,30 +223,13 @@ def main(argv=None) -> int:
 
         # the P2 layout stores `predicate` as a URL-quoted hive dir name
         # ('biolink%3Atreats', materialize.py:344) and Ray's hive read
-        # returns it verbatim — decode per batch through the (tiny)
-        # dictionary, not per row
-        from urllib.parse import unquote
-
-        import pyarrow.compute as pc
-
-        def _decode_predicate(t: pa.Table) -> pa.Table:
-            col = t["predicate"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            enc = pc.dictionary_encode(col)
-            dec = pa.DictionaryArray.from_arrays(
-                enc.indices,
-                pa.array([unquote(v.as_py()) for v in enc.dictionary],
-                         pa.string()),
-            ).cast(pa.string())
-            return t.set_column(
-                t.schema.get_field_index("predicate"), "predicate", dec
-            )
+        # returns it verbatim
+        from .materialize import decode_hive_predicates
 
         edges = rd.read_parquet(
             os.path.join(args.out, "edges"),
             columns=["subject", "predicate", "object"],
-        ).map_batches(_decode_predicate, batch_format="pyarrow")
+        ).map_batches(decode_hive_predicates, batch_format="pyarrow")
         filters = ([tuple(f) for f in json.loads(args.filters)]
                    if args.filters else ())
         if args.sparql:

@@ -139,6 +139,30 @@ def build_edges(
     return edges
 
 
+def decode_hive_predicates(t: pa.Table) -> pa.Table:
+    """Undo the hive writer's URL-quoting on the ``predicate`` column
+    read back from the P2 layout ('biolink%3Atreats' -> 'biolink:treats').
+    The column is a tiny dictionary per batch, so decode through the
+    dictionary, never per row. Shared by the CLI query stage and the
+    SPARQL-UPDATE executor — any reader of the partitioned edge table
+    needs exactly this."""
+    from urllib.parse import unquote
+
+    col = t["predicate"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    dec = pa.DictionaryArray.from_arrays(
+        enc.indices,
+        pa.array(
+            [unquote(v.as_py()) for v in enc.dictionary], pa.string()
+        ),
+    ).cast(pa.string())
+    return t.set_column(
+        t.schema.get_field_index("predicate"), "predicate", dec
+    )
+
+
 def tag_edge_classes(edges_ds: ray.data.Dataset, class_lookup_ref) -> ray.data.Dataset:
     """J1: attach subject_class/object_class from the broadcast ST1 lookup.
     Unknown endpoints keep null classes (existence was enforced upstream by

@@ -871,3 +871,181 @@ def retract_edges(
         with open(lineage_path, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
     return report
+
+
+# ---------------------------------------------------------------------------
+# SPARQL UPDATE -> CDC: the text front-end for the incremental verbs.
+# INSERT DATA appends ground edges through the same anti-join/append
+# machinery as update_graph; DELETE DATA / DELETE WHERE compile to
+# retract_edges' staged-partition rewrite. Reference anchor: the
+# reference mutates its store only by re-importing files
+# (SURVEY §2 P4); kgray exposes the standard SPARQL update verbs over
+# the same partition-safe CDC plumbing.
+# ---------------------------------------------------------------------------
+
+
+def insert_triples(out_dir: str, triples) -> dict:
+    """INSERT DATA executor: ground ``(subject, predicate, object)``
+    rows -> edge table append.
+
+    Semantics (loud, by design): endpoints must ALREADY exist in the
+    node table — this store's nodes come from the entity catalog
+    (linker J2 discipline), so an insert naming an unknown entity is
+    refused with the missing ids rather than silently minting
+    unclassed nodes. Inserted edges carry
+    ``primary_knowledge_source='sparql:insert_data'`` for lineage,
+    dedupe against existing ``edge_uid``s (idempotent: re-running the
+    same INSERT adds zero rows), tag classes from the node table, and
+    APPEND into whatever hive layout is on disk — existing files are
+    never touched."""
+    import glob as _glob
+
+    from . import relational
+    from .materialize import edge_uid, tag_edge_classes
+
+    triples = [tuple(map(str, t)) for t in triples]
+    if not triples:
+        raise ValueError("insert_triples: empty triple list")
+    edge_dir = f"{out_dir}/edges"
+    node_dir = f"{out_dir}/nodes"
+
+    need = sorted({t[0] for t in triples} | {t[2] for t in triples})
+    need_arr = pa.array(need, pa.string())
+    known = set()
+    node_min = ray.data.read_parquet(
+        node_dir, columns=["id", "primary_class"]
+    )
+    hits = node_min.map_batches(
+        lambda t, _n=need_arr: t.filter(
+            pc.is_in(
+                t["id"].combine_chunks()
+                if isinstance(t["id"], pa.ChunkedArray) else t["id"],
+                value_set=_n,
+            )
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # bounded by the insert's own endpoint count
+    lookup = {r["id"]: r["primary_class"] for r in hits}
+    known = set(lookup)
+    missing = [x for x in need if x not in known]
+    if missing:
+        raise ValueError(
+            f"INSERT DATA names {len(missing)} endpoint(s) not in the "
+            f"node table (first 10: {missing[:10]}) — this store's "
+            "nodes come from the entity catalog; load them first "
+            "(update_graph) or fix the ids"
+        )
+
+    subj = pa.array([t[0] for t in triples], pa.string())
+    pred = pa.array([t[1] for t in triples], pa.string())
+    obj = pa.array([t[2] for t in triples], pa.string())
+    cand = pa.table(
+        {
+            "subject": subj, "predicate": pred, "object": obj,
+            "edge_uid": edge_uid(subj, pred, obj),
+            "primary_knowledge_source": pa.array(
+                ["sparql:insert_data"] * len(triples), pa.string()
+            ),
+            "n_mentions": pa.array([1] * len(triples), pa.int64()),
+            "first_conv_id": pa.array(
+                ["sparql:insert_data"] * len(triples), pa.string()
+            ),
+            "first_turn_idx": pa.array([-1] * len(triples), pa.int32()),
+        }
+    )
+    cand_ds = ray.data.from_arrow(cand)
+    existing_uids = ray.data.read_parquet(edge_dir, columns=["edge_uid"])
+    fresh = relational.anti_join(
+        cand_ds, existing_uids, "edge_uid", "edge_uid"
+    ).materialize()
+    n_fresh = fresh.count()
+    use_classes = bool(
+        _glob.glob(f"{edge_dir}/predicate=*/subject_class=*")
+    )
+    if n_fresh:
+        tagged = tag_edge_classes(fresh, lookups.broadcast(lookup))
+        part_cols = ["predicate"] + (
+            ["subject_class", "object_class"] if use_classes else []
+        )
+        tagged.write_parquet(edge_dir, partition_cols=part_cols)
+
+    report = {
+        "op": "insert_data", "candidate_edges": len(triples),
+        "new_edges": n_fresh,
+        "duplicate_edges_skipped": len(triples) - n_fresh,
+    }
+    lineage_path = os.path.join(out_dir, "lineage.json")
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            doc = json.load(f)
+        doc.setdefault("updates", []).append(report)
+        with open(lineage_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+    return report
+
+
+def run_sparql_update(out_dir: str, text: str, num_partitions: int = 32) -> dict:
+    """Execute a SPARQL UPDATE string against a built graph layout:
+
+    - ``INSERT DATA { s p o . ... }`` -> :func:`insert_triples`
+    - ``DELETE DATA { s p o . ... }`` -> uid-hash the ground triples,
+      :func:`retract_edges`
+    - ``DELETE WHERE { patterns }``   -> match the patterns over the
+      edge table (constants + variables, constant predicates), uid-hash
+      every matched triple, :func:`retract_edges`
+
+    All three ride the existing CDC machinery — appends never rewrite
+    finished partitions, deletes stage + fsync ``_COMMIT`` + swap only
+    the partitions that hold a retracted uid, and every verb is
+    idempotent. Returns the verb's report dict."""
+    from .materialize import edge_uid
+    from .sparql import SparqlError, parse_sparql
+
+    q = parse_sparql(text)
+    form = q.get("form")
+    if form == "insert_data":
+        return insert_triples(out_dir, q["triples"])
+    if form == "delete_data":
+        s = pa.array([t[0] for t in q["triples"]], pa.string())
+        p = pa.array([t[1] for t in q["triples"]], pa.string())
+        o = pa.array([t[2] for t in q["triples"]], pa.string())
+        feed = pa.table({"edge_uid": edge_uid(s, p, o)})
+        return retract_edges(out_dir, feed)
+    if form == "delete_where":
+        from . import bgp
+
+        from .materialize import decode_hive_predicates
+
+        edges = ray.data.read_parquet(
+            f"{out_dir}/edges", columns=["subject", "predicate", "object"]
+        ).map_batches(decode_hive_predicates, batch_format="pyarrow")
+        # project every matched binding back to the GROUND pattern
+        # triples: run the match once, then substitute constants and
+        # bound variables per pattern to recover (s, p, o) rows —
+        # SPARQL DELETE WHERE semantics: every pattern instantiated
+        # with every solution is retracted
+        sol = bgp.bgp_match(edges, q["patterns"],
+                            num_partitions=num_partitions)
+
+        def ground(t: pa.Table) -> pa.Table:
+            outs = []
+            n = t.num_rows
+            for s_t, p_t, o_t in q["patterns"]:
+                def col(term):
+                    if str(term).startswith("?"):
+                        c = t[str(term)[1:]]
+                        return (
+                            c.combine_chunks()
+                            if isinstance(c, pa.ChunkedArray) else c
+                        )
+                    return pa.array([str(term)] * n, pa.string())
+                ss, pp, oo = col(s_t), col(p_t), col(o_t)
+                outs.append(pa.table({"edge_uid": edge_uid(ss, pp, oo)}))
+            return pa.concat_tables(outs)
+
+        feed = sol.map_batches(ground, batch_format="pyarrow")
+        return retract_edges(out_dir, feed)
+    raise SparqlError(
+        f"not an update form: {form!r} — run read queries through "
+        "run_sparql"
+    )

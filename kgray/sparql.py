@@ -11,7 +11,13 @@ CLI (``--sparql``) or call :func:`run_sparql`.
 
 Supported grammar (keywords case-insensitive)::
 
-    query     := prologue (select | ask | construct | describe)
+    query     := prologue (select | ask | construct | describe | update)
+    update    := INSERT DATA '{' ground-triples '}'
+               | DELETE DATA '{' ground-triples '}'
+               | DELETE WHERE group          # plain triples, constant
+                                             # predicates, >=1 variable
+                                             # (run via run_sparql_update /
+                                             #  CLI --type=update)
     prologue  := (PREFIX name: <iri>)*          # accepted; CURIEs are
                                                 # the store's key form,
                                                 # so names stay verbatim
@@ -424,15 +430,97 @@ class _Parser:
             out = {"form": "construct", "emit": emit_pats[0], **self.group()}
         elif self.kw("describe"):
             out = {"form": "describe", "iri": self.term()}
+        elif self.kw("insert"):
+            self.expect_kw("data")
+            out = {"form": "insert_data",
+                   "triples": self._ground_triples()}
+        elif self.kw("delete"):
+            if self.kw("data"):
+                out = {"form": "delete_data",
+                       "triples": self._ground_triples()}
+            elif self.kw("where"):
+                pats: list = []
+                self.expect_sym("{")
+                self.triples_into(pats)
+                self.sym(".")
+                self.expect_sym("}")
+                norm = []
+                for s, p, o in pats:
+                    if p.startswith("?"):
+                        raise SparqlError(
+                            "DELETE WHERE needs a constant predicate "
+                            "per pattern (a variable predicate would "
+                            "retract the whole store — say so "
+                            "explicitly with one pattern per predicate)"
+                        )
+                    if p.startswith("<") and p.endswith(">") \
+                            and ">" not in p[1:-1]:
+                        p = p[1:-1]
+                    elif any(c in p for c in "+|^*?/"):
+                        raise SparqlError(
+                            f"DELETE WHERE takes plain predicates, not "
+                            f"property paths ({p!r}) — a path match "
+                            "does not name which EDGE to retract"
+                        )
+                    if not any(
+                        str(t).startswith("?") for t in (s, p, o)
+                    ):
+                        raise SparqlError(
+                            f"DELETE WHERE pattern {s} {p} {o} is "
+                            "ground — use DELETE DATA for ground "
+                            "triples (existence-gated conjunctions of "
+                            "ground triples are unsupported here)"
+                        )
+                    norm.append((s, p, o))
+                out = {"form": "delete_where", "patterns": norm}
+            else:
+                raise SparqlError(
+                    "DELETE supports DATA { ground triples } and "
+                    "WHERE { patterns } here (templated DELETE/INSERT "
+                    "... WHERE is unsupported)"
+                )
         else:
             raise SparqlError(
-                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got "
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE or the update "
+                f"forms INSERT DATA / DELETE DATA / DELETE WHERE, got "
                 f"{self.peek()[1]!r}"
             )
         out["prefixes"] = prefixes
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
         return out
+
+    def _ground_triples(self) -> list:
+        """``{ s p o . ... }`` with every term CONSTANT — the INSERT
+        DATA / DELETE DATA payload. Variables and property paths are
+        refused (DATA blocks are ground by spec)."""
+        pats: list = []
+        self.expect_sym("{")
+        self.triples_into(pats)
+        self.sym(".")
+        self.expect_sym("}")
+        if not pats:
+            raise SparqlError("empty DATA block")
+        for s, p, o in pats:
+            if any(str(t).startswith("?") for t in (s, p, o)):
+                raise SparqlError(
+                    f"DATA blocks must be ground — {s} {p} {o} has a "
+                    "variable (use DELETE WHERE for patterns)"
+                )
+            if any(c in p for c in "+|^*?/") and not (
+                p.startswith("<") and p.endswith(">")
+                and ">" not in p[1:-1]
+            ):
+                raise SparqlError(
+                    f"DATA blocks take plain predicates, not property "
+                    f"paths: {p!r}"
+                )
+        # store convention: constant predicates are kept bare (the
+        # <...> escape is only the parser-level path guard)
+        return [
+            (s, p[1:-1] if p.startswith("<") and p.endswith(">") else p, o)
+            for s, p, o in pats
+        ]
 
     def select(self) -> dict:
         distinct = self.kw("distinct")
@@ -623,6 +711,12 @@ def _run_spec(
 ):
     from . import bgp
 
+    if q["form"] in ("insert_data", "delete_data", "delete_where"):
+        raise SparqlError(
+            f"{q['form']} mutates the graph layout — run it through "
+            "run_sparql_update(out_dir, text) (CLI: --type=update "
+            "--sparql '...'), not against a read-only edge stream"
+        )
     subs = q.get("subqueries") or []
     if subs:
         if len(subs) > 1:

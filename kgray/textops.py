@@ -152,6 +152,20 @@ _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
+def _explode_terms(t: pa.Table, text_col: str, id_col: str):
+    """(id, term) token-occurrence rows, all-Arrow: ``split_pattern(" ")``
+    + ``list_flatten`` + parent-index take, empties dropped — exactly
+    the tokenization of the pandas ``str.split/explode/notna`` combiner
+    it replaces (and of DuckDB's ``string_split(text, ' ')`` mirror);
+    null texts contribute no rows in all three. Returns
+    ``(ids, terms)`` as Arrow arrays."""
+    toks = pc.split_pattern(_chunked(t[text_col]), " ")
+    flat = pc.list_flatten(toks)
+    ids = pc.take(_chunked(t[id_col]), pc.list_parent_indices(toks))
+    mask = pc.fill_null(pc.not_equal(flat, ""), False)
+    return ids.filter(mask), flat.filter(mask)
+
+
 def rolling_hash64(texts: pa.Array) -> np.ndarray:
     """Vectorized 64-bit polynomial rolling hash per string:
     ``fp(s) = sum_i byte[i] * P^(L-1-i)`` (uint64 wraparound, P = FNV
@@ -237,26 +251,52 @@ def top_terms_batch(
     this is embarrassingly parallel (no shuffle at all), unlike the
     corpus-wide ``term_df``. Tokenization is a plain single-space split
     with empty tokens dropped (exactly DuckDB's ``string_split(text, ' ')``
-    so the oracle can mirror it). All-pandas-vectorized: explode +
-    value_counts + groupby head.
+    so the oracle can mirror it). All-Arrow: split + list_flatten +
+    group_by count, then one vectorized sort and a numpy running rank —
+    no pandas round-trip. (tf, term) is unique per (doc, term) after the
+    group_by, so the sort is a total order and tie handling never
+    differs from the old stable pandas sort.
     """
-    import pandas as pd
-
-    df = batch.select([id_col, text_col]).to_pandas()
-    ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
-    ex = ex[ex["term"].notna() & (ex["term"] != "")]
-    tf = ex.groupby([id_col, "term"], as_index=False).size().rename(columns={"size": "tf"})
-    tf = tf.sort_values(
-        [id_col, "tf", "term"], ascending=[True, False, True], kind="mergesort"
+    ids, flat = _explode_terms(batch, text_col, id_col)
+    tf = (
+        pa.table({id_col: ids, "term": flat})
+        .group_by([id_col, "term"])
+        .aggregate([([], "count_all")])
     )
-    top = tf.groupby(id_col, as_index=False).head(k).copy()
-    top["rn"] = top.groupby(id_col).cumcount() + 1
+    tf = tf.take(
+        pc.sort_indices(
+            tf,
+            sort_keys=[
+                (id_col, "ascending"),
+                ("count_all", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+    )
+    gid = tf[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(gid)
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "rn": pa.array([], pa.int64()),
+            }
+        )
+    pos = np.arange(n, dtype=np.int64)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = gid[1:] != gid[:-1]
+    rn = pos - np.maximum.accumulate(np.where(first, pos, 0)) + 1
+    keepm = pa.array(rn <= k)
+    kept = tf.filter(keepm)
     return pa.table(
         {
-            id_col: pa.array(top[id_col].to_numpy(np.int64)),
-            "term": pa.array(top["term"].astype(str).tolist(), type=pa.string()),
-            "tf": pa.array(top["tf"].to_numpy(np.int64)),
-            "rn": pa.array(top["rn"].to_numpy(np.int64)),
+            id_col: pc.cast(_chunked(kept[id_col]), pa.int64()),
+            "term": _chunked(kept["term"]),
+            "tf": pc.cast(_chunked(kept["count_all"]), pa.int64()),
+            "rn": pa.array(rn[rn <= k]),
         }
     )
 
@@ -300,10 +340,12 @@ def postings_index(
 
     from .relational import hash_bucketed_groupby
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
-        ex = ex[ex["term"].notna() & (ex["term"] != "")]
-        return ex.drop_duplicates()
+    def pairs(t: pa.Table) -> pa.Table:
+        ids, flat = _explode_terms(t, text_col, id_col)
+        # distinct (doc, term) pairs via an empty-agg group_by
+        return pa.table({id_col: ids, "term": flat}).group_by(
+            [id_col, "term"]
+        ).aggregate([])
 
     def build(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["term", id_col]).sort_values(
@@ -322,7 +364,7 @@ def postings_index(
             }
         )
 
-    combined = ds.map_batches(pairs, batch_format="pandas")
+    combined = ds.map_batches(pairs, batch_format="pyarrow")
     return hash_bucketed_groupby(combined, ["term"], build, num_buckets)
 
 
@@ -346,12 +388,14 @@ def term_df(
 
     from .relational import hash_bucketed_groupby
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
-        ex = ex[ex["term"].notna() & (ex["term"] != "")]
-        dedup = ex.drop_duplicates()
-        out = dedup.groupby("term", as_index=False).size().rename(columns={"size": "df"})
-        return out
+    def partial(t: pa.Table) -> pa.Table:
+        ids, flat = _explode_terms(t, text_col, id_col)
+        dedup = pa.table({id_col: ids, "term": flat}).group_by(
+            [id_col, "term"]
+        ).aggregate([])
+        return dedup.group_by("term").aggregate(
+            [([], "count_all")]
+        ).rename_columns(["term", "df"])
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby("term", as_index=False)["df"].sum()
@@ -359,7 +403,7 @@ def term_df(
             ["df", "term"], ascending=[False, True], kind="mergesort"
         ).head(top_n)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     pruned = hash_bucketed_groupby(partials, ["term"], local_top, num_buckets)
     cands = [b for b in pruned.iter_batches(batch_format="pandas", batch_size=1 << 16)]
     merged = (
@@ -500,13 +544,12 @@ def doc_rarity(
 
     n_docs = ds.count()
 
-    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
-        ex = ex[ex["term"].notna() & (ex["term"] != "")]
-        return (
-            ex.groupby([id_col, "term"], as_index=False)
-            .size()
-            .rename(columns={"size": "tf"})
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, flat = _explode_terms(t, text_col, id_col)
+        return pa.table({id_col: ids, "term": flat}).group_by(
+            [id_col, "term"]
+        ).aggregate([([], "count_all")]).rename_columns(
+            [id_col, "term", "tf"]
         )
 
     def per_term(df: pd.DataFrame) -> pd.DataFrame:
@@ -522,7 +565,7 @@ def doc_rarity(
         return part.groupby(id_col, as_index=False)[["n_tokens", "rarity_sum"]].sum()
 
     tf = ds.select_columns([id_col, text_col]).map_batches(
-        tf_rows, batch_format="pandas"
+        tf_rows, batch_format="pyarrow"
     )
     partials = hash_bucketed_groupby(tf, ["term"], per_term, num_buckets)
     agg = grouped_agg(
@@ -575,13 +618,12 @@ def tfidf_top_terms(
     from .relational import hash_bucketed_groupby, shuffle_join
     from .util import join_partitions
 
-    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
-        ex = ex[ex["term"].notna() & (ex["term"] != "")]
-        return (
-            ex.groupby([id_col, "term"], as_index=False)
-            .size()
-            .rename(columns={"size": "tf"})
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, flat = _explode_terms(t, text_col, id_col)
+        return pa.table({id_col: ids, "term": flat}).group_by(
+            [id_col, "term"]
+        ).aggregate([([], "count_all")]).rename_columns(
+            [id_col, "term", "tf"]
         )
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -592,7 +634,7 @@ def tfidf_top_terms(
         out["rn"] = out.groupby(id_col).cumcount() + 1
         return out
 
-    tf = ds.select_columns([id_col, text_col]).map_batches(tf_rows, batch_format="pandas")
+    tf = ds.select_columns([id_col, text_col]).map_batches(tf_rows, batch_format="pyarrow")
 
     # corpus document frequencies: tf rows are one per (doc, term), so the
     # per-term row count IS df; per-batch partial -> one bucketed sum
@@ -1230,22 +1272,24 @@ def feature_hashing(
     vector mirrors in HUGEINT SQL; sign comes from the next hash bit
     above the index. Emits sparse (id, idx, val) rows with val != 0;
     per-batch partials reduce through one doc-keyed grouped sum.
+    All-Arrow combiner: split + list_flatten + hash + group_by sum, no
+    pandas round-trip.
     """
-    import pandas as pd
-
     from .relational import grouped_agg
 
     def part(t: pa.Table) -> pa.Table:
-        df = t.select([id_col, text_col]).to_pandas()
-        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
-        ex = ex[ex["term"].notna() & (ex["term"] != "")]
-        fp = rolling_hash64(pa.array(ex["term"].tolist(), type=pa.string()))
+        ids, flat = _explode_terms(t, text_col, id_col)
+        fp = rolling_hash64(flat)
         idx = (fp % np.uint64(k)).astype(np.int64)
-        sign = np.where((fp // np.uint64(k)) % np.uint64(2) == 0, 1, -1).astype(np.int64)
-        part = pd.DataFrame(
-            {id_col: ex[id_col].to_numpy(), "idx": idx, "val": sign}
-        ).groupby([id_col, "idx"], as_index=False)["val"].sum()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        sign = np.where(
+            (fp // np.uint64(k)) % np.uint64(2) == 0, 1, -1
+        ).astype(np.int64)
+        return (
+            pa.table({id_col: ids, "idx": idx, "val": sign})
+            .group_by([id_col, "idx"])
+            .aggregate([("val", "sum")])
+            .rename_columns([id_col, "idx", "val"])
+        )
 
     summed = grouped_agg(
         ds.map_batches(part, batch_format="pyarrow"),
@@ -1499,13 +1543,18 @@ def hashed_normal_equations(
     from .relational import grouped_agg
 
     def part(t: pa.Table) -> pa.Table:
-        df = t.select([id_col, text_col]).to_pandas()
-        ex = df.assign(term=df[text_col].str.split(" ")).explode("term")[[id_col, "term"]]
-        ex = ex[ex["term"].notna() & (ex["term"] != "")]
-        fp = rolling_hash64(pa.array(ex["term"].tolist(), type=pa.string()))
+        # Arrow front-end (tokenize + hash + per-doc component sums);
+        # the X^T X self-merge below stays pandas — it needs the
+        # suffixed self-join pandas expresses directly
+        ids_a, flat = _explode_terms(t, text_col, id_col)
+        fp = rolling_hash64(flat)
+        ex_ids = (
+            ids_a.combine_chunks()
+            if isinstance(ids_a, pa.ChunkedArray) else ids_a
+        ).to_numpy(zero_copy_only=False)
         feats = pd.DataFrame(
             {
-                id_col: ex[id_col].to_numpy(),
+                id_col: ex_ids,
                 "idx": (fp % np.uint64(k)).astype(np.int64) + 1,
                 "val": np.where(
                     (fp // np.uint64(k)) % np.uint64(2) == 0, 1, -1
@@ -1513,14 +1562,15 @@ def hashed_normal_equations(
             }
         ).groupby([id_col, "idx"], as_index=False)["val"].sum()
         feats = feats[feats["val"] != 0]
-        bias = pd.DataFrame(
-            {id_col: df[id_col].to_numpy(), "idx": 0, "val": 1}
-        )
+        doc_ids = _chunked(t[id_col]).to_numpy(zero_copy_only=False)
+        bias = pd.DataFrame({id_col: doc_ids, "idx": 0, "val": 1})
         fb = pd.concat([feats, bias], ignore_index=True)
         y = (
-            ex.groupby(id_col, as_index=False).size().rename(columns={"size": "y"})
+            pd.DataFrame({id_col: ex_ids})
+            .groupby(id_col, as_index=False).size()
+            .rename(columns={"size": "y"})
         )
-        y = pd.DataFrame({id_col: df[id_col].to_numpy()}).merge(
+        y = pd.DataFrame({id_col: doc_ids}).merge(
             y, on=id_col, how="left"
         ).fillna({"y": 0})
         # X^T X upper triangle via a per-doc self-merge (docs are complete

@@ -202,3 +202,49 @@ def test_ddl_codegen_type_table():
     assert "toInteger(row.rank)" in cy
     assert "[x IN split(row.vals, ';') | toFloat(x)]" in cy
     assert "split(row.tags, ';')" in cy
+
+
+def test_cli_sparql_update_stage(ray_session, sf_dir, tmp_path, capsys):
+    """--type=update drives the SPARQL UPDATE verbs through the CLI:
+    insert appends one edge (idempotent on re-run), delete restores,
+    and the flag guards hold."""
+    import pytest
+
+    from kgray.__main__ import main as _main
+
+    out = str(tmp_path / "upd")
+    assert _main(["--type=bin", f"--sf-dir={sf_dir}", f"--out={out}"]) == 0
+    capsys.readouterr()
+    import ray.data as rd
+
+    got = rd.read_parquet(os.path.join(out, "nodes"), columns=["id"]).take(2)
+    a, b = got[0]["id"], got[1]["id"]
+
+    assert _main([
+        "--type=update", f"--out={out}",
+        "--sparql", f"INSERT DATA {{ {a} biolink:treats {b} }}",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["new_edges"] == 1
+
+    assert _main([
+        "--type=update", f"--out={out}",
+        "--sparql", f"DELETE DATA {{ {a} biolink:treats {b} }}",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["edges_removed"] == 1
+
+    # lineage carries both records
+    lineage = json.load(open(os.path.join(out, "lineage.json")))
+    assert any(u.get("op") == "insert_data" for u in lineage["updates"])
+    assert lineage["retractions"]
+
+    # flag guards
+    with pytest.raises(SystemExit):
+        _main(["--type=update", f"--out={out}"])
+    with pytest.raises(SystemExit):
+        _main([
+            "--type=update", f"--out={out}",
+            "--sparql", "DELETE DATA { a p b }",
+            "--bgp", "[]",
+        ])

@@ -269,3 +269,83 @@ def test_retract_edges_removes_and_recovers(ray_session, tmp_path):
     assert not os.path.isdir(tmp)
     lineage = json.load(open(f"{out}/lineage.json"))
     assert len(lineage["retractions"]) == 3
+
+
+def test_sparql_update_verbs_end_to_end(ray_session, tmp_path):
+    """SPARQL UPDATE -> CDC wiring: INSERT DATA appends through the
+    anti-join/append machinery (idempotent), DELETE DATA and DELETE
+    WHERE compile to retract_edges' staged-partition rewrite, unknown
+    endpoints are refused, and read queries refuse the update forms."""
+    import pytest
+
+    import ray.data as rd
+
+    from kgray.pipeline import run_flagship, run_sparql_update
+    from kgray.sparql import SparqlError, parse_sparql, run_sparql
+
+    out = str(tmp_path / "g")
+    run_flagship(SF, out, resume=False)
+    base_uids = _edge_uids(out + "/edges")
+    nodes = rd.read_parquet(out + "/nodes", columns=["id"]).take(2)
+    a, b = nodes[0]["id"], nodes[1]["id"]
+
+    # parser: forms and guards
+    q = parse_sparql(f"INSERT DATA {{ {a} biolink:treats {b} }}")
+    assert q["form"] == "insert_data" and q["triples"] == [
+        (a, "biolink:treats", b)
+    ]
+    with pytest.raises(SparqlError, match="ground"):
+        parse_sparql("INSERT DATA { ?s biolink:treats x:1 }")
+    with pytest.raises(SparqlError, match="DELETE DATA"):
+        parse_sparql("DELETE WHERE { a:1 p b:2 }")
+    with pytest.raises(SparqlError, match="property paths"):
+        parse_sparql("DELETE WHERE { ?s p/q ?o }")
+    with pytest.raises(SparqlError, match="run_sparql_update"):
+        run_sparql(
+            rd.from_arrow(pa.table({"subject": ["x"], "predicate": ["p"],
+                                    "object": ["y"]})),
+            f"INSERT DATA {{ {a} biolink:treats {b} }}",
+        )
+
+    # INSERT DATA: appends exactly one edge; re-run is a no-op
+    ins = f"INSERT DATA {{ {a} biolink:treats {b} }}"
+    r1 = run_sparql_update(out, ins)
+    assert r1["new_edges"] == 1
+    after = _edge_uids(out + "/edges")
+    assert len(after) == len(base_uids) + 1
+    (new_uid,) = after - base_uids
+    r2 = run_sparql_update(out, ins)
+    assert r2["new_edges"] == 0 and r2["duplicate_edges_skipped"] == 1
+    assert _edge_uids(out + "/edges") == after
+
+    # DELETE DATA restores the original table exactly
+    r3 = run_sparql_update(out, f"DELETE DATA {{ {a} biolink:treats {b} }}")
+    assert r3["edges_removed"] == 1
+    assert _edge_uids(out + "/edges") == base_uids
+
+    # DELETE WHERE: re-insert, then delete every treats edge of `a`
+    run_sparql_update(out, ins)
+    treats_uids = _treats_uids_of(out, a)
+    expect_removed = {new_uid} | (base_uids & treats_uids)
+    r4 = run_sparql_update(
+        out, f"DELETE WHERE {{ {a} biolink:treats ?o }}"
+    )
+    assert r4["edges_removed"] == len(expect_removed)
+    assert _edge_uids(out + "/edges") == (base_uids | {new_uid}) - expect_removed
+
+    # unknown endpoint refused loudly
+    with pytest.raises(ValueError, match="node table"):
+        run_sparql_update(out, f"INSERT DATA {{ ZZZ:404 biolink:treats {b} }}")
+
+
+def _treats_uids_of(out: str, subj: str) -> set:
+    t = pq.ParquetDataset(out + "/edges").read(
+        columns=["subject", "predicate", "object", "edge_uid"]
+    )
+    from urllib.parse import unquote
+
+    keep = set()
+    for r in t.to_pylist():
+        if r["subject"] == subj and unquote(r["predicate"]) == "biolink:treats":
+            keep.add(r["edge_uid"])
+    return keep
