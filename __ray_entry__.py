@@ -2518,10 +2518,8 @@ def q_link_pred_capped(sf_dir: str):
     a sparse one. The SQL mirror recomputes the identical percentile
     as a cumulative integer SUM over the degree histogram. Audit
     pinned in tests/test_graphalgo.py."""
-    edges = _canonical_int_edges(sf_dir)
-    cap = graphalgo.degree_percentile(edges, pct=50)
     out = graphalgo.link_pred_features(
-        edges, max_middle_degree=cap,
+        _canonical_int_edges(sf_dir), max_middle_degree="p50",
     )
     return _table(
         out,

@@ -2356,11 +2356,20 @@ def degree_percentile(
     _adj, deg = _undirected_adj_and_degrees(
         edges_ds, src, dst, num_buckets
     )
-    hist: dict = {}
+    return _percentile_from_degrees(deg, pct)
+
+
+def _percentile_from_degrees(deg: ray.data.Dataset, pct: int) -> int:
+    """The histogram fold of :func:`degree_percentile` off an
+    already-built (node, d) degree table — shared with
+    ``link_pred_features(max_middle_degree='pNN')`` so a percentile
+    cap there costs ZERO extra adjacency builds."""
+
     def _vc(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(_chunked(t["d"]))
         return pa.table({"d": vc.field("values"), "c": vc.field("counts")})
 
+    hist: dict = {}
     for t in deg.map_batches(
         _vc, batch_format="pyarrow"
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -2383,7 +2392,7 @@ def link_pred_features(
     dst: str = "dst",
     num_partitions: int = 16,
     num_buckets: int = 32,
-    max_middle_degree: "int | None" = None,
+    max_middle_degree: "int | str | None" = None,
     hot_middle_degree: int = 4096,
     hot_chunk: int = 2048,
     return_audit: bool = False,
@@ -2433,6 +2442,20 @@ def link_pred_features(
     adj, deg = _undirected_adj_and_degrees(
         edges_ds, src, dst, num_buckets
     )
+
+    if isinstance(max_middle_degree, str):
+        # 'pNN' percentile spec: resolve against the degree table this
+        # function ALREADY built — the scale-invariant cap costs one
+        # bounded histogram fold, never a second adjacency pass
+        if not (max_middle_degree.startswith("p")
+                and max_middle_degree[1:].isdigit()):
+            raise ValueError(
+                f"max_middle_degree must be an int or 'pNN' percentile "
+                f"spec, got {max_middle_degree!r}"
+            )
+        max_middle_degree = _percentile_from_degrees(
+            deg, int(max_middle_degree[1:])
+        )
 
     # exact hot/capped-middle detection off the (node-bounded, already
     # materialized) degree table — only rows over the threshold leave
