@@ -22,6 +22,11 @@ Stage map (reference -> kgray):
                BIND/UNION/subselects, property paths, aggregates with
                GROUP BY/HAVING/ORDER BY/LIMIT); --bgp + modifier flags
                take the equivalent JSON structures
+  update       SPARQL UPDATE over a built graph: INSERT DATA / DELETE
+               DATA / DELETE WHERE / templated INSERT-or-DELETE
+               {tmpl} WHERE {pats}, compiled onto the CDC machinery
+               (idempotent anti-join appends; staged _COMMIT
+               partition rewrites for deletes)
   all          the full checkpointed pipeline (resumable; default)
 
 Every stage is resumable: rerunning skips work whose manifest fingerprint
@@ -196,7 +201,9 @@ def main(argv=None) -> int:
         # staged _COMMIT partition rewrites for deletes)
         if not args.sparql:
             p.error("--type=update requires --sparql 'INSERT DATA "
-                    "{...}' / 'DELETE DATA {...}' / 'DELETE WHERE {...}'")
+                    "{...}' / 'DELETE DATA {...}' / 'DELETE WHERE "
+                    "{...}' / 'INSERT {tmpl} WHERE {...}' / "
+                    "'DELETE {tmpl} WHERE {...}'")
         if args.bgp or args.group_by or args.aggs:
             p.error("--type=update takes only --sparql")
         from .pipeline import run_sparql_update

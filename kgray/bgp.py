@@ -1468,6 +1468,13 @@ def bgp_select(
         raise ValueError(f"offset must be >= 0, got {offset}")
 
     if not sort_keys:
+        if offset:
+            # the docstring's contract, enforced: an OFFSET into an
+            # UNORDERED solution stream skips an arbitrary slice
+            raise ValueError(
+                "offset without order_by skips an arbitrary slice — "
+                "add an order_by that totally orders the projection"
+            )
         return out.limit(limit) if limit is not None else out
     if limit is None:
         return out.sort(

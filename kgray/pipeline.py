@@ -884,6 +884,12 @@ def retract_edges(
 # ---------------------------------------------------------------------------
 
 
+#: INSERT ... WHERE instantiations collect to a driver list for the
+#: validated insert path; past this cap the derivation is bulk-sized
+#: and belongs to CONSTRUCT + update_graph, said loudly.
+INSERT_WHERE_ROW_CAP = 100_000
+
+
 def insert_triples(out_dir: str, triples) -> dict:
     """INSERT DATA executor: ground ``(subject, predicate, object)``
     rows -> edge table append.
@@ -1011,26 +1017,36 @@ def run_sparql_update(out_dir: str, text: str, num_partitions: int = 32) -> dict
         o = pa.array([t[2] for t in q["triples"]], pa.string())
         feed = pa.table({"edge_uid": edge_uid(s, p, o)})
         return retract_edges(out_dir, feed)
-    if form == "delete_where":
+    if form in ("delete_where", "insert_where", "delete_tmpl_where"):
         from . import bgp
-
         from .materialize import decode_hive_predicates
 
         edges = ray.data.read_parquet(
             f"{out_dir}/edges", columns=["subject", "predicate", "object"]
         ).map_batches(decode_hive_predicates, batch_format="pyarrow")
-        # project every matched binding back to the GROUND pattern
-        # triples: run the match once, then substitute constants and
-        # bound variables per pattern to recover (s, p, o) rows —
-        # SPARQL DELETE WHERE semantics: every pattern instantiated
-        # with every solution is retracted
+        # run the WHERE match once, then instantiate each template (or
+        # pattern, for the bare DELETE WHERE form) triple with every
+        # solution — SPARQL update semantics: the instantiated set is
+        # what's asserted/retracted
+        template = q.get("template") or q["patterns"]
         sol = bgp.bgp_match(edges, q["patterns"],
                             num_partitions=num_partitions)
+        bound = set(sol.schema().names)
+        missing = sorted({
+            str(t)[1:]
+            for tri in template for t in tri
+            if str(t).startswith("?") and str(t)[1:] not in bound
+        })
+        if missing:
+            raise SparqlError(
+                f"template variables {missing} are not bound by the "
+                f"WHERE patterns (bound: {sorted(bound)})"
+            )
 
-        def ground(t: pa.Table) -> pa.Table:
+        def instantiate(t: pa.Table) -> pa.Table:
             outs = []
             n = t.num_rows
-            for s_t, p_t, o_t in q["patterns"]:
+            for s_t, p_t, o_t in template:
                 def col(term):
                     if str(term).startswith("?"):
                         c = t[str(term)[1:]]
@@ -1039,11 +1055,52 @@ def run_sparql_update(out_dir: str, text: str, num_partitions: int = 32) -> dict
                             if isinstance(c, pa.ChunkedArray) else c
                         )
                     return pa.array([str(term)] * n, pa.string())
-                ss, pp, oo = col(s_t), col(p_t), col(o_t)
-                outs.append(pa.table({"edge_uid": edge_uid(ss, pp, oo)}))
+                outs.append(pa.table({
+                    "subject": col(s_t),
+                    "predicate": col(p_t),
+                    "object": col(o_t),
+                }))
             return pa.concat_tables(outs)
 
-        feed = sol.map_batches(ground, batch_format="pyarrow")
+        inst = sol.map_batches(instantiate, batch_format="pyarrow")
+        if form == "insert_where":
+            # the asserted set is delta-sized by nature; distinct it
+            # per-batch then once across batches, cap the driver pull
+            from .relational import hash_bucketed_groupby
+
+            distinct = hash_bucketed_groupby(
+                inst.map_batches(
+                    lambda t: t.group_by(
+                        ["subject", "predicate", "object"]
+                    ).aggregate([]),
+                    batch_format="pyarrow",
+                ),
+                ["subject", "predicate", "object"],
+                lambda df: df.drop_duplicates(),
+                num_partitions,
+            )
+            rows = distinct.take(INSERT_WHERE_ROW_CAP + 1)
+            if len(rows) > INSERT_WHERE_ROW_CAP:
+                raise SparqlError(
+                    f"INSERT ... WHERE instantiates more than "
+                    f"{INSERT_WHERE_ROW_CAP} distinct triples — that's "
+                    "a bulk derivation, not an update delta; "
+                    "materialize it with CONSTRUCT + update_graph "
+                    "instead"
+                )
+            return insert_triples(
+                out_dir,
+                [(r["subject"], r["predicate"], r["object"])
+                 for r in rows],
+            )
+        feed = inst.map_batches(
+            lambda t: pa.table({
+                "edge_uid": edge_uid(
+                    t["subject"], t["predicate"], t["object"]
+                )
+            }),
+            batch_format="pyarrow",
+        )
         return retract_edges(out_dir, feed)
     raise SparqlError(
         f"not an update form: {form!r} — run read queries through "

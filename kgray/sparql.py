@@ -16,6 +16,12 @@ Supported grammar (keywords case-insensitive)::
                | DELETE DATA '{' ground-triples '}'
                | DELETE WHERE group          # plain triples, constant
                                              # predicates, >=1 variable
+               | INSERT '{' template '}' WHERE '{' triples '}'
+               | DELETE '{' template '}' WHERE '{' triples '}'
+                                             # SPARQL 1.1 templated
+                                             # forms: template preds
+                                             # constant, WHERE may use
+                                             # vars + property paths
                                              # (run via run_sparql_update /
                                              #  CLI --type=update)
     prologue  := (PREFIX name: <iri>)*          # accepted; CURIEs are
@@ -431,19 +437,35 @@ class _Parser:
         elif self.kw("describe"):
             out = {"form": "describe", "iri": self.term()}
         elif self.kw("insert"):
-            self.expect_kw("data")
-            out = {"form": "insert_data",
-                   "triples": self._ground_triples()}
+            if self.kw("data"):
+                out = {"form": "insert_data",
+                       "triples": self._ground_triples()}
+            elif self.peek() == ("sym", "{"):
+                # SPARQL 1.1 templated INSERT { tmpl } WHERE { pats }
+                tmpl = self._template_triples("INSERT")
+                self.expect_kw("where")
+                out = {"form": "insert_where", "template": tmpl,
+                       "patterns": self._where_patterns()}
+            else:
+                raise SparqlError(
+                    "INSERT supports DATA { ground triples } and "
+                    "{ template } WHERE { patterns } here"
+                )
         elif self.kw("delete"):
             if self.kw("data"):
                 out = {"form": "delete_data",
                        "triples": self._ground_triples()}
+            elif self.peek() == ("sym", "{"):
+                # SPARQL 1.1 templated DELETE { tmpl } WHERE { pats }
+                tmpl = self._template_triples("DELETE")
+                self.expect_kw("where")
+                out = {"form": "delete_tmpl_where", "template": tmpl,
+                       "patterns": self._where_patterns()}
             elif self.kw("where"):
                 pats: list = []
                 self.expect_sym("{")
-                self.triples_into(pats)
-                self.sym(".")
-                self.expect_sym("}")
+                while not self.sym("}"):
+                    self.triples_into(pats)
                 norm = []
                 for s, p, o in pats:
                     if p.startswith("?"):
@@ -475,9 +497,9 @@ class _Parser:
                 out = {"form": "delete_where", "patterns": norm}
             else:
                 raise SparqlError(
-                    "DELETE supports DATA { ground triples } and "
-                    "WHERE { patterns } here (templated DELETE/INSERT "
-                    "... WHERE is unsupported)"
+                    "DELETE supports DATA { ground triples }, "
+                    "WHERE { patterns }, and { template } WHERE "
+                    "{ patterns } here"
                 )
         else:
             raise SparqlError(
@@ -496,9 +518,8 @@ class _Parser:
         refused (DATA blocks are ground by spec)."""
         pats: list = []
         self.expect_sym("{")
-        self.triples_into(pats)
-        self.sym(".")
-        self.expect_sym("}")
+        while not self.sym("}"):
+            self.triples_into(pats)
         if not pats:
             raise SparqlError("empty DATA block")
         for s, p, o in pats:
@@ -521,6 +542,48 @@ class _Parser:
             (s, p[1:-1] if p.startswith("<") and p.endswith(">") else p, o)
             for s, p, o in pats
         ]
+
+    def _template_triples(self, verb: str) -> list:
+        """``{ s p o . ... }`` template for the templated update forms:
+        variables allowed in subject/object position (bound by the
+        WHERE patterns at execution), predicate CONSTANT (brackets
+        stripped, property paths refused — a path does not name the
+        edge to assert/retract)."""
+        pats: list = []
+        self.expect_sym("{")
+        while not self.sym("}"):
+            self.triples_into(pats)
+        if not pats:
+            raise SparqlError(f"empty {verb} template")
+        norm = []
+        for s, p, o in pats:
+            if p.startswith("?"):
+                raise SparqlError(
+                    f"{verb} template needs a constant predicate per "
+                    "triple (one template per predicate)"
+                )
+            if p.startswith("<") and p.endswith(">") \
+                    and ">" not in p[1:-1]:
+                p = p[1:-1]
+            elif any(c in p for c in "+|^*?/"):
+                raise SparqlError(
+                    f"{verb} template takes plain predicates, not "
+                    f"property paths: {p!r}"
+                )
+            norm.append((s, p, o))
+        return norm
+
+    def _where_patterns(self) -> list:
+        """Plain-triple WHERE block for the templated update forms —
+        the patterns run through bgp_match, so variables anywhere and
+        property paths in the predicate slot are fine here."""
+        pats: list = []
+        self.expect_sym("{")
+        while not self.sym("}"):
+            self.triples_into(pats)
+        if not pats:
+            raise SparqlError("empty WHERE block in update")
+        return pats
 
     def select(self) -> dict:
         distinct = self.kw("distinct")
@@ -711,7 +774,8 @@ def _run_spec(
 ):
     from . import bgp
 
-    if q["form"] in ("insert_data", "delete_data", "delete_where"):
+    if q["form"] in ("insert_data", "delete_data", "delete_where",
+                     "insert_where", "delete_tmpl_where"):
         raise SparqlError(
             f"{q['form']} mutates the graph layout — run it through "
             "run_sparql_update(out_dir, text) (CLI: --type=update "

@@ -349,3 +349,55 @@ def _treats_uids_of(out: str, subj: str) -> set:
         if r["subject"] == subj and unquote(r["predicate"]) == "biolink:treats":
             keep.add(r["edge_uid"])
     return keep
+
+
+def test_sparql_templated_update_forms(ray_session, tmp_path):
+    """SPARQL 1.1 templated updates: INSERT { t } WHERE { p } derives
+    and appends the instantiated distinct triple set (idempotent);
+    DELETE { t } WHERE { p } retracts it; unbound template variables
+    and path predicates in templates are refused at the right layer."""
+    import pytest
+
+    from kgray.pipeline import run_flagship, run_sparql_update
+    from kgray.sparql import SparqlError, parse_sparql
+
+    out = str(tmp_path / "g")
+    run_flagship(SF, out, resume=False)
+    base = _edge_uids(out + "/edges")
+
+    q = parse_sparql(
+        "INSERT { ?a rel:linked ?c } WHERE "
+        "{ ?a biolink:treats ?b . ?b biolink:part_of ?c }"
+    )
+    assert q["form"] == "insert_where"
+    assert q["template"] == [("?a", "rel:linked", "?c")]
+    assert len(q["patterns"]) == 2
+
+    ins = ("INSERT { ?a rel:linked ?c } WHERE "
+           "{ ?a biolink:treats ?b . ?b biolink:part_of ?c }")
+    r = run_sparql_update(out, ins)
+    assert r["new_edges"] > 0 and r["duplicate_edges_skipped"] == 0
+    n_derived = r["new_edges"]
+    assert len(_edge_uids(out + "/edges")) == len(base) + n_derived
+
+    # idempotent
+    r2 = run_sparql_update(out, ins)
+    assert r2["new_edges"] == 0
+    assert r2["duplicate_edges_skipped"] == n_derived
+
+    # templated delete restores the base table exactly
+    r3 = run_sparql_update(
+        out, "DELETE { ?a rel:linked ?c } WHERE { ?a rel:linked ?c }"
+    )
+    assert r3["edges_removed"] == n_derived
+    assert _edge_uids(out + "/edges") == base
+
+    # guards
+    with pytest.raises(SparqlError, match="not bound"):
+        run_sparql_update(
+            out, "INSERT { ?a rel:x ?z } WHERE { ?a biolink:treats ?b }"
+        )
+    with pytest.raises(SparqlError, match="constant predicate"):
+        parse_sparql("INSERT { ?a ?p ?b } WHERE { ?a q ?b }")
+    with pytest.raises(SparqlError, match="property paths"):
+        parse_sparql("DELETE { ?a p/q ?b } WHERE { ?a p ?b }")
