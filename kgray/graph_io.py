@@ -533,7 +533,7 @@ def read_tar_shards(paths, suffixes=None, include_shard: bool = True):
 
 def write_tar_shards(
     ds, out_dir: str, suffixes, key_col: str = "key",
-    rows_per_shard: "int | None" = None,
+    rows_per_shard: "int | None" = None, compress: "str | None" = None,
 ):
     """Tar/WebDataset sink: one ``part-<uuid>.tar`` per input block
     (or per ``rows_per_shard`` slice of a block), written INSIDE the
@@ -544,11 +544,15 @@ def write_tar_shards(
     a given block content. Returns a manifest Dataset of
     (path, rows, members) — consume it to drive execution and audit,
     same discipline as ``write_orc``. Repartition upstream to choose
-    the shard count."""
+    the shard count. ``compress="gz"`` writes ``.tar.gz`` shards
+    (stdlib gzip with mtime pinned, so bytes stay deterministic);
+    the reader's ``r:*`` mode transparently accepts both."""
     import io
     import tarfile
     import uuid
 
+    if compress not in (None, "gz"):
+        raise ValueError(f"compress must be None or 'gz', got {compress!r}")
     suffixes = list(suffixes)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -560,11 +564,22 @@ def write_tar_shards(
             part = t.slice(lo, step)
             if part.num_rows == 0:
                 continue
-            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.tar")
+            ext = ".tar.gz" if compress else ".tar"
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}{ext}")
             nm = 0
             keys = part[key_col].to_pylist()
             payloads = {s: part[s].to_pylist() for s in suffixes}
-            with tarfile.open(path, mode="w") as tf:
+            if compress:
+                import gzip
+
+                raw = io.BytesIO()
+                sink = gzip.GzipFile(fileobj=raw, mode="wb", mtime=0)
+            else:
+                raw = sink = None
+            with tarfile.open(
+                path if not compress else None, mode="w",
+                fileobj=sink,
+            ) as tf:
                 for i, key in enumerate(keys):
                     for s in suffixes:
                         data = payloads[s][i]
@@ -575,6 +590,10 @@ def write_tar_shards(
                         info.mtime = 0
                         tf.addfile(info, io.BytesIO(data))
                         nm += 1
+            if compress:
+                sink.close()
+                with open(path, "wb") as f:
+                    f.write(raw.getvalue())
             paths.append(path)
             rows.append(part.num_rows)
             members.append(nm)

@@ -265,3 +265,38 @@ def test_tar_shard_roundtrip_and_pruning(ray_session, tmp_path):
     b3 = open(man3[0]["path"], "rb").read()
     b4 = open(man4[0]["path"], "rb").read()
     assert b3 == b4
+
+
+def test_tar_shard_gzip_roundtrip(ray_session, tmp_path):
+    """compress='gz' writes .tar.gz shards with deterministic bytes
+    (gzip mtime pinned); the reader's r:* mode accepts them unchanged."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from kgray.graph_io import read_tar_shards, write_tar_shards
+
+    tbl = pa.table(
+        {
+            "key": pa.array([f"k{i}" for i in range(12)]),
+            "jpg": pa.array(
+                [b"payload-%d" % i for i in range(12)], type=pa.binary()
+            ),
+        }
+    )
+    out = str(tmp_path / "gz")
+    man = write_tar_shards(
+        rd.from_arrow(tbl).repartition(3), out, ["jpg"], compress="gz"
+    ).take_all()
+    assert all(m["path"].endswith(".tar.gz") for m in man)
+    back = read_tar_shards(
+        [m["path"] for m in man], suffixes=("jpg",)
+    ).take_all()
+    assert sorted((r["key"], r["jpg"]) for r in back) == sorted(
+        (f"k{i}", b"payload-%d" % i) for i in range(12)
+    )
+    # deterministic shard bytes for the same block content
+    out2, out3 = str(tmp_path / "g2"), str(tmp_path / "g3")
+    m2 = write_tar_shards(rd.from_arrow(tbl), out2, ["jpg"], compress="gz").take_all()
+    m3 = write_tar_shards(rd.from_arrow(tbl), out3, ["jpg"], compress="gz").take_all()
+    assert open(m2[0]["path"], "rb").read() == open(m3[0]["path"], "rb").read()
