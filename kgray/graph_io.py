@@ -479,7 +479,15 @@ def read_tar_shards(paths, suffixes=None, include_shard: bool = True):
     Scale notes: one task per shard bounds per-task heap to one
     decoded shard (shard your corpus at 100 MB-1 GB like WebDataset
     recommends); the driver never sees member bytes; a 100 TB corpus
-    is just more shard rows streaming through the same stage."""
+    is just more shard rows streaming through the same stage. The
+    decode stage declares ``num_cpus=0.99`` ON PURPOSE: with the
+    default spec Ray's optimizer fuses this stage into a downstream
+    actor-pool ``map_batches``, whose ``batch_size`` then counts SHARD
+    FILES instead of samples — one actor call swallows batch_size
+    whole shards (measured 6x slower at 64 shards x 512 samples). The
+    off-by-0.01 resource spec blocks that fusion while keeping both
+    stages streaming (no all-to-all barrier, unlike
+    ``randomize_block_order``) and still schedules one task per core."""
     import io
     import tarfile
 
@@ -528,7 +536,9 @@ def read_tar_shards(paths, suffixes=None, include_shard: bool = True):
         out.update(cols)
         return pa.table(out)
 
-    return raw.map_batches(decode, batch_format="pyarrow", batch_size=1)
+    return raw.map_batches(
+        decode, batch_format="pyarrow", batch_size=1, num_cpus=0.99
+    )
 
 
 def write_tar_shards(

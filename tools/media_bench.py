@@ -164,6 +164,81 @@ def run(n: int, cpus: int, actor_sweep, batch_size: int = 128):
     return report
 
 
+
+
+
+def run_wds(n_shards: int, members: int, cpus: int):
+    """Tar/WebDataset ingestion at corpus shape: write ``n_shards``
+    shards of ``members`` JPEG samples each (plus a .json sidecar per
+    sample), then read them back with suffix pruning and decode through
+    the actor-pool JPEG pipeline — the end-to-end path a real
+    multimodal corpus takes. One shard per task both ways."""
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from kgray import multimodal
+    from kgray.graph_io import read_tar_shards, write_tar_shards
+
+    n = n_shards * members
+    corpus = _jpeg_corpus(n).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["media_id"],
+                "jpg": t["payload"],
+                "json": pa.array(
+                    [b'{"k":1}'] * t.num_rows, type=pa.binary()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).repartition(n_shards)
+    tmp = tempfile.mkdtemp(prefix="wds_bench_")
+    try:
+        t0 = time.perf_counter()
+        man = write_tar_shards(corpus, tmp, ["jpg", "json"]).take_all()
+        t_w = time.perf_counter() - t0
+        total_bytes = sum(os.path.getsize(m["path"]) for m in man)
+        t0 = time.perf_counter()
+        out = read_tar_shards(
+            [m["path"] for m in man], suffixes=("jpg",),
+            include_shard=False,
+        ).map_batches(
+            lambda t: pa.table({"media_id": t["key"], "payload": t["jpg"]}),
+            batch_format="pyarrow",
+        ).map_batches(
+            multimodal.RawImagePipeline,
+            fn_constructor_kwargs={"target": 64},
+            batch_format="pyarrow", batch_size=128, concurrency=16,
+        ).materialize()
+        t_r = time.perf_counter() - t0
+        assert out.count() == n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rep = {
+        "n_shards": n_shards, "members_per_shard": members,
+        "n_samples": n, "num_cpus": cpus,
+        "shard_bytes_total": total_bytes,
+        "write_sec": round(t_w, 3),
+        "write_samples_per_sec": round(n / t_w, 1),
+        "read_decode_sec": round(t_r, 3),
+        "read_decode_samples_per_sec": round(n / t_r, 1),
+        "note": ("read path includes suffix pruning (json members never "
+                 "extracted) AND the full pure-numpy JPEG decode + "
+                 "feature stage at 16 actors"),
+    }
+    ray.shutdown()
+    return rep
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50_000)
@@ -172,9 +247,15 @@ if __name__ == "__main__":
     ap.add_argument("--actors", default="4,8,16,32")
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--wds-shards", type=int, default=0,
+                    help="run the tar/WebDataset ingestion bench instead")
+    ap.add_argument("--wds-members", type=int, default=512)
     args = ap.parse_args()
     sweep = [int(x) for x in args.actors.split(",")]
-    rep = run(args.n, args.cpus, sweep, batch_size=args.batch_size)
+    if args.wds_shards:
+        rep = run_wds(args.wds_shards, args.wds_members, args.cpus)
+    else:
+        rep = run(args.n, args.cpus, sweep, batch_size=args.batch_size)
     line = json.dumps(rep)
     print(line)
     if args.out:
