@@ -292,7 +292,10 @@ def read_orc(paths, columns: "list[str] | None" = None):
     unit) and decodes in a task via the pyarrow ORC reader, which prunes
     ``columns`` at the stripe level. batch_size=1 bounds per-task heap to
     one file's decoded size; scale by splitting the INPUT into more files,
-    exactly like the reference's sharded-CSV discipline."""
+    exactly like the reference's sharded-CSV discipline. num_cpus=0.99
+    blocks the optimizer from fusing this stage into a downstream
+    actor pool, where batch_size would count FILES instead of rows
+    (see ``read_tar_shards`` for the measured pathology)."""
     import pyarrow.orc as pa_orc
 
     import ray.data
@@ -306,7 +309,9 @@ def read_orc(paths, columns: "list[str] | None" = None):
         ]
         return pa.concat_tables(tables) if tables else pa.table({})
 
-    return raw.map_batches(decode, batch_format="pyarrow", batch_size=1)
+    return raw.map_batches(
+        decode, batch_format="pyarrow", batch_size=1, num_cpus=0.99
+    )
 
 
 def write_orc(ds, out_dir: str):
@@ -428,7 +433,9 @@ def read_feather(paths, columns: "list[str] | None" = None):
         ]
         return pa.concat_tables(tables) if tables else pa.table({})
 
-    return raw.map_batches(decode, batch_format="pyarrow", batch_size=1)
+    return raw.map_batches(
+        decode, batch_format="pyarrow", batch_size=1, num_cpus=0.99
+    )
 
 
 def write_feather(ds, out_dir: str, compression: str = "zstd"):
