@@ -2626,3 +2626,116 @@ def synthetic_adpcm_media_table(n: int = 16) -> pa.Table:
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )
+
+
+def shard_media_features(
+    shard_paths,
+    out_dir: str,
+    suffix: str = "jpg",
+    target: int = 64,
+    batch_size: int = 128,
+    concurrency=(1, 8),
+) -> dict:
+    """RESUMABLE WebDataset -> features pipeline: decode every ``.jpg``
+    member of every tar shard through the actor-pool image chain and
+    write ONE Parquet file per input shard under
+    ``out_dir/shard=<shard-stem>/features.parquet``.
+
+    The shard is the resume unit (the repo-wide "resumable output"
+    rule applied to media): a shard whose output file already exists is
+    SKIPPED driver-side before any byte of it is read, so a crashed
+    100 TB run re-does only unfinished shards. Each output file is
+    written task-side via a stage+rename (tmp file, ``os.replace``), so
+    a crash mid-write never leaves a half-file that would be mistaken
+    for done. Returns ``{"processed": n, "skipped": n, "out_dir": ...,
+    "rows": n}``.
+
+    Distribution shape: the tar walk is one task per shard; the decode
+    chain is the shared actor pool (which re-batches ACROSS shard
+    blocks — so the tiny feature rows take one shard-keyed bucket
+    shuffle before writing, guaranteeing every shard's rows land in
+    exactly one writer task; writing from the actor stream directly
+    would let a shard span two output blocks and the atomic rename
+    would keep only the LAST partial). The driver handles only shard
+    NAMES and the (shard, rows) manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data  # noqa: F401  (session owned by the caller)
+
+    def _stem(p: str) -> str:
+        b = os.path.basename(p)
+        for ext in (".tar.gz", ".tar"):
+            if b.endswith(ext):
+                return b[: -len(ext)]
+        return b
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard_paths = sorted(str(p) for p in shard_paths)
+    todo, skipped = [], 0
+    for p in shard_paths:
+        dest = os.path.join(out_dir, f"shard={_stem(p)}", "features.parquet")
+        if os.path.exists(dest):
+            skipped += 1
+        else:
+            todo.append(p)
+    if not todo:
+        return {"processed": 0, "skipped": skipped,
+                "out_dir": out_dir, "rows": 0}
+
+    from .graph_io import read_tar_shards
+
+    ds = read_tar_shards(todo, suffixes=(suffix,), include_shard=True)
+    ds = ds.map_batches(
+        lambda t, _s=suffix: pa.table(
+            {
+                "shard": t["shard"],
+                "media_id": t["key"],
+                "payload": t[_s],
+            }
+        ),
+        batch_format="pyarrow",
+        num_cpus=0.99,  # keep the one-shard-per-block structure unfused
+    )
+    feats = ds.map_batches(
+        RawImagePipeline,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    from .relational import hash_bucketed_groupby
+
+    def write_bucket(df) -> "object":
+        import pandas as pd
+
+        outs_shard, outs_rows = [], []
+        for shard, g in df.groupby("shard", sort=True):
+            sub = pa.Table.from_pandas(
+                g.drop(columns=["payload"], errors="ignore"),
+                preserve_index=False,
+            )
+            d = os.path.join(out_dir, f"shard={_stem(shard)}")
+            os.makedirs(d, exist_ok=True)
+            dest = os.path.join(d, "features.parquet")
+            tmp = dest + ".tmp"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, dest)  # atomic: done == file exists
+            outs_shard.append(shard)
+            outs_rows.append(sub.num_rows)
+        return pd.DataFrame({"shard": outs_shard, "rows": outs_rows})
+
+    slim = feats.map_batches(
+        lambda t: t.drop_columns(["payload"]), batch_format="pyarrow"
+    )
+    manifest = hash_bucketed_groupby(
+        slim, ["shard"], write_bucket, num_buckets=64
+    ).take_all()
+    return {
+        "processed": len({m["shard"] for m in manifest}),
+        "skipped": skipped,
+        "out_dir": out_dir,
+        "rows": int(sum(m["rows"] for m in manifest)),
+    }

@@ -1359,3 +1359,55 @@ def test_jpeg_noninterleaved_sequential_parity():
             )
         )
         assert np.array_equal(base, ni), (shape, sub, q)
+
+
+def test_shard_media_features_resumable(ray_session, tmp_path):
+    """Shard-level resume for the WDS media pipeline: outputs land one
+    Parquet per input shard (atomic rename), finished shards are
+    skipped by NAME before any byte is read, and a deleted output is
+    the only thing a re-run recomputes — bit-identical to the
+    first pass."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from kgray.graph_io import write_tar_shards
+
+    tbl = multimodal.synthetic_jpeg_media_table(48)
+    wds = pa.table({"key": tbl["media_id"], "jpg": tbl["payload"]})
+    shards_dir = str(tmp_path / "shards")
+    out = str(tmp_path / "features")
+    man = write_tar_shards(
+        rd.from_arrow(wds).repartition(4), shards_dir, ["jpg"]
+    ).take_all()
+    paths = [m["path"] for m in man]
+
+    r1 = multimodal.shard_media_features(paths, out)
+    assert r1["processed"] == 4 and r1["skipped"] == 0 and r1["rows"] == 48
+
+    def read_all():
+        parts = []
+        for d in sorted(os.listdir(out)):
+            parts.append(pq.read_table(os.path.join(out, d, "features.parquet")))
+        t = pa.concat_tables(parts)
+        return sorted(
+            zip(t["media_id"].to_pylist(), t["r_sum"].to_pylist(),
+                t["width"].to_pylist())
+        )
+
+    first = read_all()
+    assert len(first) == 48
+
+    # all done -> nothing re-read
+    r2 = multimodal.shard_media_features(paths, out)
+    assert r2["processed"] == 0 and r2["skipped"] == 4
+
+    # delete one shard's output -> exactly that shard recomputes, and
+    # the union is bit-identical to the first pass
+    victim = sorted(os.listdir(out))[0]
+    os.remove(os.path.join(out, victim, "features.parquet"))
+    r3 = multimodal.shard_media_features(paths, out)
+    assert r3["processed"] == 1 and r3["skipped"] == 3
+    assert read_all() == first
