@@ -999,8 +999,15 @@ def run_sparql_update(out_dir: str, text: str, num_partitions: int = 32) -> dict
     - ``DELETE WHERE { patterns }``   -> match the patterns over the
       edge table (constants + variables, constant predicates), uid-hash
       every matched triple, :func:`retract_edges`
+    - ``INSERT { tmpl } WHERE { pats }`` (SPARQL 1.1 templated) ->
+      solutions instantiate the template; the distinct asserted set
+      (capped at :data:`INSERT_WHERE_ROW_CAP` — past it the derivation
+      is bulk-sized and belongs to CONSTRUCT + ``update_graph``) goes
+      through :func:`insert_triples`
+    - ``DELETE { tmpl } WHERE { pats }`` -> instantiated template
+      triples stream uid-hashed into :func:`retract_edges`
 
-    All three ride the existing CDC machinery — appends never rewrite
+    Every verb rides the existing CDC machinery — appends never rewrite
     finished partitions, deletes stage + fsync ``_COMMIT`` + swap only
     the partitions that hold a retracted uid, and every verb is
     idempotent. Returns the verb's report dict."""
