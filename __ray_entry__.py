@@ -3418,6 +3418,52 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals) + "\nORDER BY rank"
 
 
+def _bpe_tokenize_sql(n_merges: int = 8) -> str:
+    """Mirror of textops.apply_bpe over the SAME derived merges: the
+    trainer chain's terminal state s<n> IS the per-word symbol string
+    after every merge, so tokenization is just counting its symbols
+    and joining back to per-doc word occurrences. Docs with no words
+    emit no row (the engine's convention)."""
+    US = chr(31)
+    chain = _bpe_oracle_sql(n_merges)
+    # keep the WITH chain, drop the trainer's final UNION/ORDER select
+    head = chain.split("\nSELECT 1 AS rank")[0]
+    return f"""{head},
+wtok AS MATERIALIZED (
+  SELECT w,
+         CAST(len(string_split(trim(s, '{US}'), '{US}{US}')) AS BIGINT)
+           AS toks
+  FROM s{n_merges}
+),
+docw AS (
+  SELECT d.doc_id, t.w FROM documents d,
+         UNNEST(string_split(d.text, ' ')) t(w)
+  WHERE t.w IS NOT NULL AND t.w <> ''
+)
+SELECT CAST(docw.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wtok.toks) AS BIGINT) AS n_subwords
+FROM docw JOIN wtok USING (w)
+GROUP BY docw.doc_id
+"""
+
+
+def q_bpe_tokenize(sf_dir: str):
+    """Corpus tokenization with the corpus-trained BPE merges — the
+    apply side of `bpe_merges` (train once, then a MAP-ONLY encode of
+    every document; no shuffle: docs are rows, batch-unique words
+    encode once through the trainer's identical merge kernel).
+    Hash-checked: the oracle re-derives the same 8 merges via the
+    trainer's unrolled-CTE chain, reads each word's post-merge symbol
+    string off the chain's terminal state, and joins counts back to
+    per-doc word occurrences (`_bpe_tokenize_sql`)."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = textops.train_bpe(docs, n_merges=8)
+    return _table(textops.apply_bpe(docs, merges))
+
+
 def q_pca_projection(sf_dir: str):
     """Top-8 principal components per embedding — exact int64 covariance
     pass, driver d x d eigh, broadcast centered projection (rows-only:
@@ -5132,6 +5178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_media_features": q_png_media_features,
         "jpeg_media_features": q_jpeg_media_features,
         "wds_media_features": q_wds_media_features,
+        "bpe_tokenize": q_bpe_tokenize,
         "gif_frame_features": q_gif_frame_features,
         "avi_frame_features": q_avi_frame_features,
         "g711_audio_features": q_g711_audio_features,
@@ -6466,6 +6513,7 @@ def oracle_sql() -> dict[str, str]:
         "png_media_features": _media_features_sql("p"),
         "jpeg_media_features": _jpeg_media_sql(),
         "wds_media_features": _jpeg_media_sql(),
+        "bpe_tokenize": _bpe_tokenize_sql(8),
         "gif_frame_features": _gif_media_sql(),
         "avi_frame_features": _avi_media_sql(),
         "g711_audio_features": _g711_audio_sql(),

@@ -124,7 +124,7 @@ def run_bench() -> dict:
             "sparql_select", "approx_distinct_users", "sparql_union",
             "avi_frame_features", "g711_audio_features",
             "adpcm_audio_features", "link_pred_capped",
-            "media_features", "wds_media_features",
+            "media_features", "wds_media_features", "bpe_tokenize",
         ]:
             fn = entry.queries()[name]
             t0 = time.perf_counter()

@@ -1004,6 +1004,90 @@ def train_bpe(
     )
 
 
+def apply_bpe(
+    ds,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus TOKENIZATION with a trained BPE merge table — the APPLY
+    side of :func:`train_bpe` (Sennrich et al. 2016 §3), i.e. what a
+    training pipeline actually runs over the whole corpus once the
+    tokenizer is fixed. Each word splits to characters and the merges
+    apply in rank order, leftmost-non-overlapping per rank — the
+    byte-identical twin of the trainer's ``apply_merge`` kernel, so
+    train -> apply round-trips exactly. Emits one row per document
+    with >= 1 word: ``(id_col, n_words, n_subwords)`` (empty docs
+    produce no row, same convention as ``doc_rarity``).
+
+    Scale shape: MAP-ONLY — documents are rows, so per-doc sums are
+    complete within a batch and there is no shuffle at all. Each batch
+    encodes its UNIQUE words once (batch-vocabulary-bounded Python,
+    the standard symbolic-BPE cost) and maps lengths back to token
+    occurrences through the dictionary indices, vectorized. The merge
+    table is ~n_merges strings closed over by the tasks."""
+    if isinstance(merges, pa.Table):
+        pairs = list(zip(merges["left"].to_pylist(),
+                         merges["right"].to_pylist()))
+    else:
+        pairs = [(str(a), str(b)) for a, b in merges]
+
+    def _encode_len(word: str) -> int:
+        syms = list(word)
+        for a, b in pairs:
+            if len(syms) == 1:
+                break
+            ab = a + b
+            res, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    res.append(ab)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    def part(t: pa.Table) -> pa.Table:
+        ids, flat = _explode_terms(t, text_col, id_col)
+        flat = (
+            flat.combine_chunks()
+            if isinstance(flat, pa.ChunkedArray) else flat
+        )
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_subwords": pa.array([], pa.int64()),
+                }
+            )
+        enc = pc.dictionary_encode(flat)
+        lens = np.fromiter(
+            (_encode_len(w) for w in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary),
+        )
+        occ = lens[enc.indices.to_numpy(zero_copy_only=False)]
+        g = (
+            pa.table(
+                {
+                    id_col: ids,
+                    "n_words": np.ones(len(occ), np.int64),
+                    "n_subwords": occ,
+                }
+            )
+            .group_by([id_col])
+            .aggregate([("n_words", "sum"), ("n_subwords", "sum")])
+            .rename_columns([id_col, "n_words", "n_subwords"])
+        )
+        return g
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        part, batch_format="pyarrow"
+    )
+
+
 def bigram_lm_scores(
     ds,
     text_col: str = "text",

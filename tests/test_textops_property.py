@@ -444,3 +444,79 @@ def test_perplexity_buckets_hand_checked(ray_session):
     # empty corpus: no rows, no crash
     empty = rd.from_items([{"doc_id": 1, "text": "one"}])
     assert perplexity_buckets(empty).take_all() == []
+
+
+def test_apply_bpe_roundtrip_invariants(ray_session):
+    """apply_bpe is the byte-identical twin of train_bpe's merge
+    kernel: token counts equal a direct per-word reference encode;
+    with zero merges every word costs len(word) symbols; more merges
+    never increase any doc's count."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from kgray.textops import apply_bpe, train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "",
+        "low newer",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(2)
+    merges = train_bpe(ds, n_merges=6)
+    pairs = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+
+    def ref_encode(word, ps):
+        syms = list(word)
+        for a, b in ps:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    got = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+           for r in apply_bpe(ds, merges).take_all()}
+    # doc 3 is empty -> no row
+    assert set(got) == {0, 1, 2, 4}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        if not words:
+            continue
+        expect = sum(ref_encode(w, pairs) for w in words)
+        assert got[i] == (len(words), expect), (i, got[i], expect)
+
+    # zero merges: every word costs its character count
+    got0 = {r["doc_id"]: r["n_subwords"]
+            for r in apply_bpe(ds, []).take_all()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        if words:
+            assert got0[i] == sum(len(w) for w in words)
+
+    # monotone: more merges never increase a doc's token count
+    prev = got0
+    for k in (2, 4, 6):
+        mk = pa.table({
+            "left": merges["left"].slice(0, k),
+            "right": merges["right"].slice(0, k),
+        })
+        cur = {r["doc_id"]: r["n_subwords"]
+               for r in apply_bpe(ds, mk).take_all()}
+        assert all(cur[d] <= prev[d] for d in cur)
+        prev = cur
